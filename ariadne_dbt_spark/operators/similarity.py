@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (north-star scale extension).
+
+Two tiers:
+
+* brute-force cosine top-k — the exactness baseline: one broadcast of the
+  query vector, a JVM-side fold (zip_with + aggregate) for the dot
+  product, orderBy/limit for top-k. At scale this is a full scan but
+  embarrassingly parallel.
+* random-hyperplane LSH buckets — the scale path: H deterministic
+  hyperplanes → H-bit signature → candidates share a bucket (optionally
+  multi-probe); brute-force re-rank inside buckets only.
+
+Embeddings are array<float>; all math is cast to double for stable,
+engine-agnostic arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k for one query vector: ``(vec_id, cos_sim)``."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        cosine_similarity(F.col(vec_col), q).alias("cos_sim"),
+    )
+    if exclude_self is not None:
+        out = out.where(F.col("vec_id") != exclude_self)
+    return out.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from a fixed LCG —
+    reproducible without RNG state."""
+    planes = []
+    x = 0x2545F4914F6CDD1D
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(1.0 if (x >> 32) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_signature(
+    vec_col: Column, dim: int, *, n_planes: int = 16
+) -> Column:
+    """n_planes-bit signed-projection signature as a bigint bucket id."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(vec_col, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the query's LSH
+    bucket (single-probe). Falls back to empty if the bucket is sparse —
+    callers widen with multi-probe or fewer planes."""
+    dim = len(query_vec)
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame([(query_vec,)], f"qv array<double>")
+    qsig = qdf.select(lsh_bucket_signature(F.col("qv"), dim, n_planes=n_planes).alias("b"))
+    bucket = qsig.collect()[0]["b"]
+    cand = embeddings.withColumn(
+        "_b", lsh_bucket_signature(F.col(vec_col), dim, n_planes=n_planes)
+    ).where(F.col("_b") == bucket)
+    return brute_force_topk(cand, query_vec, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def pairwise_near_duplicates(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH blocking + exact re-rank:
+    ``(id_a, id_b, cos_sim)`` with id_a < id_b, cos ≥ threshold.
+
+    The bucket equi-join replaces the O(n²) crossJoin; at 100 TB this is
+    the only viable shape (shuffle on bucket id, AQE handles skew).
+    """
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    sigged = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_signature(F.col(vec_col), dim, n_planes=n_planes).alias("b"),
+    )
+    a = sigged.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "b")
+    b = sigged.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "b")
+    return (
+        a.join(b, "b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

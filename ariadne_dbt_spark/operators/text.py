@@ -1,0 +1,160 @@
+"""Text-analysis operators for training-data pipelines (north-star scale
+extensions; grounded in the reference's text pipeline T1/T9 but beyond it).
+
+All column-level, JVM-side expressions — no Python UDFs in the hot path:
+language-ID (marker-token heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (normalized-text MD5 + SimHash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.functions.text import STOPWORDS, tokenize
+
+#: tiny per-language marker lexicons for the n-gram/keyword heuristic.
+#: Real deployments swap in fastText/CLD3 via a pandas UDF; the heuristic
+#: keeps the whole pipeline JVM-side and deterministic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "value", "table"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("de", "shi", "le", "zai"),
+}
+
+_BPE_ISH = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(c), "\\s+"))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count word-chunks + isolated punctuation — a cheap proxy for BPE
+    token counts (regexp_count stays in whole-stage codegen)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(_BPE_ISH))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.regexp_replace(F.lower(c), "[^a-z0-9\\s]", " "), "\\s+")
+    toks = F.filter(toks, lambda t: F.length(t) >= 1)
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) > 0, F.size(stops).cast("double") / F.size(toks)).otherwise(0.0)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[^\\w\\s]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(0.0)
+
+
+def mean_word_length(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.trim(c), "\\s+"), lambda t: F.length(t) >= 1)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(0.0)
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact floor division for non-negative bigints via (a - a%b)/b —
+    every step is exact, so Spark and any SQL engine agree bit-for-bit."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def quality_score_millionths(text: Column | str) -> Column:
+    """Composite quality heuristic in millionths (bigint):
+
+    ``min(n_chars·800, 400000)                       # 0.4 · min(len/500, 1)
+      + 300000 - min(n_punct·1200000 // n_chars, 300000)   # 0.3 · (1 - min(4·punct_ratio, 1))
+      + min(n_stop·1500000 // n_toks, 300000)        # 0.3 · min(5·stop_ratio, 1)``
+
+    Pure integer arithmetic — float ratio scores sit exactly on rounding
+    boundaries for short texts (ratios like 7/64 are exact binary
+    fractions), so a float formulation is NOT engine-stable; this is.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c).cast("long")
+    n_punct = (F.length(c) - F.length(F.regexp_replace(c, "[^\\w\\s]", ""))).cast("long")
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(c), "[^a-z0-9\\s]", " "), "\\s+"),
+        lambda t: F.length(t) >= 1,
+    )
+    n_toks = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    len_term = F.least(n * 800, F.lit(400000).cast("long"))
+    punct_term = F.when(
+        n > 0,
+        F.lit(300000).cast("long")
+        - F.least(_idiv(n_punct * 1200000, n), F.lit(300000).cast("long")),
+    ).otherwise(F.lit(300000).cast("long"))
+    stop_term = F.when(
+        n_toks > 0, F.least(_idiv(n_stop * 1500000, n_toks), F.lit(300000).cast("long"))
+    ).otherwise(F.lit(0).cast("long"))
+    return (len_term + punct_term + stop_term).alias("quality_millionths")
+
+
+def detect_language(text: Column | str) -> Column:
+    """argmax over marker-lexicon hit counts; ties and zero-hits →
+    'unknown'. Keyword-hit-counting intent detection generalized
+    (reference: capsule.py:24-43 scores 6 intent lexicons the same way)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c, min_len=1, stop=False)
+    pairs = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        pairs.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct orders by (hits, lang) lexicographically — the
+    # lang tie-break makes argmax deterministic
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Whitespace-normalized MD5 — the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), "\\s+", " "))
+
+
+def with_simhash(df, text_col: str, out_col: str = "simhash", *, shingle: int = 2):
+    """64-bit SimHash over word shingles, pure SQL-lambda expressions.
+
+    Per shingle: xxhash64 → each of the 64 bits votes +1/-1; the sign of
+    each bit's vote sum forms the fingerprint. The bit loops need
+    variable shift counts, which only the SQL forms of shiftleft /
+    shiftright accept — hence one F.expr over a named hashes column.
+    """
+    toks = tokenize(F.col(text_col), min_len=1, stop=False)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - shingle + 1, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, shingle), " "))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    tmp = "_simhash_hashes"
+    return (
+        df.withColumn(tmp, hashes)
+        .withColumn(
+            out_col,
+            F.expr(
+                f"""
+                aggregate(
+                  zip_with(
+                    aggregate({tmp}, array_repeat(0L, 64),
+                      (acc, h) -> zip_with(acc, sequence(0, 63),
+                        (a, bit) -> a + IF((shiftright(h, bit) & 1L) = 1L, 1L, -1L))),
+                    sequence(0, 63),
+                    (v, bit) -> IF(v > 0L, shiftleft(1L, bit), 0L)),
+                  0L, (acc, x) -> acc | x)
+                """
+            ),
+        )
+        .drop(tmp)
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

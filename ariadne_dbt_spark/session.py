@@ -1,0 +1,68 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; the same configuration
+keys are what we would set on a 1000-executor cluster (AQE on, shuffle
+partitions sized to the parallelism, Arrow enabled for the few pandas-UDF
+paths). Every query module accepts an externally-built session, so the
+driver harness can inject its own.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: tables the driver generates (TESTDATA.md)
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "ariadne-dbt-spark") -> SparkSession:
+    """Build (or reuse) a local SparkSession with sane analytical defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # parallelism: match cores locally; on a cluster this scales with
+        # executors — AQE coalesces small post-shuffle partitions either way.
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # deterministic timestamp semantics vs the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_tables(spark: SparkSession, sf_dir: str):
+    """Read every synthetic table as a DataFrame (lazy; parquet pushdown)."""
+    return {t: spark.read.parquet(table_path(sf_dir, t)) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for the SQL surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

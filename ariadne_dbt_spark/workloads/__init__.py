@@ -1,0 +1,70 @@
+"""Workload registry: every operator from SURVEY.md §2 (plus the scale
+extensions) is demonstrated as a named query over the driver-generated
+synthetic tables, each paired with an ANSI-SQL oracle that DuckDB can run
+on the same parquet files.
+
+Design rules for oracle stability (the driver hash-compares values):
+
+* Aggregated money/quantity columns are cast to DECIMAL *before* the
+  aggregate and the final aggregate is cast to an explicit DECIMAL type on
+  BOTH sides — decimal arithmetic is exact, so Spark and DuckDB produce
+  bit-identical values regardless of partitioning / accumulation order.
+* Floating point appears in outputs only where a single deterministic
+  IEEE-754 operation produces it (e.g. one division), or rounded.
+* Every computed column is aliased identically in the Spark plan and the
+  oracle SQL.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: submodules that register queries on import
+_MODULES = (
+    "relational",
+    "text_search",
+    "graph",
+    "quality",
+    "timeseries",
+    "dedup",
+    "similarity",
+    "textstats",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    survey: str  # SURVEY.md §2 operator ids this demonstrates
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, survey: str, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator registering a (spark, sf_dir) -> DataFrame workload."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate workload name: {name}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, survey, doc or (fn.__doc__ or ""), tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every workload module and return the full registry."""
+    for mod in _MODULES:
+        importlib.import_module(f"{__name__}.{mod}")
+    return REGISTRY

@@ -1,0 +1,155 @@
+"""Deduplication workloads over `documents` (north-star scale extensions).
+
+The raw corpus has no planted duplicates, so each workload derives a
+corpus-with-dups deterministically (original docs UNION a mutated copy)
+— Spark and the SQL oracle construct the identical corpus, making the
+dedup result exactly checkable. MinHash-LSH and SimHash use engine
+hashing (xxhash64) the oracle can't reproduce → rows-only checks there,
+with invariants pinned by pytest instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from ariadne_dbt_spark.operators.text import with_simhash
+from ariadne_dbt_spark.session import table_path
+from ariadne_dbt_spark.workloads import query
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+def corpus_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 10th doc re-appears under id+1000000 with identical text."""
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.union(clones)
+
+
+_EXACT_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 20th doc re-appears with its first word dropped → high-but-
+    not-1.0 Jaccard near-duplicates."""
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    mutated = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.union(mutated)
+
+
+_NEAR_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           substring(text, strpos(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@query(
+    "exact_dedup_groups",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM corpus
+    )
+    SELECT fingerprint, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM fps GROUP BY fingerprint HAVING COUNT(*) > 1
+    ORDER BY keep_id
+    """,
+    survey="dedup-exact,E5",
+    doc="Exact duplicate groups by normalized-text hash (hash-groupBy; one "
+    "shuffle on the fingerprint at any scale).",
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_exact_dups(spark, sf_dir)
+    return exact_duplicates(corpus, "doc_id", "text").orderBy("keep_id")
+
+
+@query(
+    "ngram_jaccard_near_dups",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1) AS toks
+        FROM corpus
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+              FROM toked)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    survey="dedup-ngram-jaccard",
+    doc="Exact 3-gram Jaccard near-dup pairs (threshold 0.8); candidates "
+    "pruned via the shingle self-join.",
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=None,  # xxhash64-based signatures: not SQL-reproducible; pytest
+    # pins recall vs exact Jaccard (tests/test_dedup.py)
+    survey="dedup-minhash-lsh",
+    doc="MinHash(64 perms)+LSH(16 bands) candidate pairs on the near-dup "
+    "corpus — the O(n·bands) scale path.",
+)
+def minhash_lsh_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    return (
+        minhash_lsh_candidates(corpus, "doc_id", "text", n=3, num_perm=64, bands=16)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=None,  # xxhash64-based; deterministic but engine-specific
+    survey="dedup-simhash",
+    doc="64-bit SimHash fingerprints over word 2-shingles.",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    return with_simhash(docs, "text").select("doc_id", "simhash").orderBy("doc_id")

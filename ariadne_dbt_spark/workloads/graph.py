@@ -1,0 +1,193 @@
+"""Graph / lineage workloads (SURVEY §2.8) over a DAG derived from the
+synthetic star schema: region.<k> → nation.<k> → customer.<k> edges.
+
+The Spark side runs the engine's iterative-join BFS
+(ariadne_dbt_spark.operators.graph.bfs — reference semantics from
+src/ariadne_dbt/graph.py:23-75); the oracle is a recursive CTE with a
+MIN(distance) rollup, which pins the visited-set/min-distance contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.graph import DOWNSTREAM, UPSTREAM, bfs
+from ariadne_dbt_spark.session import table_path
+from ariadne_dbt_spark.workloads import query
+
+_EDGE_SQL = """
+    SELECT 'region.' || CAST(r_regionkey AS VARCHAR) AS parent_id,
+           'nation.' || CAST(n_nationkey AS VARCHAR) AS child_id
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT 'nation.' || CAST(n_nationkey AS VARCHAR),
+           'customer.' || CAST(c_custkey AS VARCHAR)
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+"""
+
+
+def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge list ``(parent_id, child_id)`` — reference G8 edge construction
+    (indexer.py:447-456): explode parent_map with prefixed kind ids."""
+    region = spark.read.parquet(table_path(sf_dir, "region"))
+    nation = spark.read.parquet(table_path(sf_dir, "nation"))
+    customer = spark.read.parquet(table_path(sf_dir, "customer"))
+    rn = region.join(nation, nation.n_regionkey == region.r_regionkey).select(
+        F.concat(F.lit("region."), F.col("r_regionkey").cast("string")).alias("parent_id"),
+        F.concat(F.lit("nation."), F.col("n_nationkey").cast("string")).alias("child_id"),
+    )
+    nc = nation.join(customer, customer.c_nationkey == nation.n_nationkey).select(
+        F.concat(F.lit("nation."), F.col("n_nationkey").cast("string")).alias("parent_id"),
+        F.concat(F.lit("customer."), F.col("c_custkey").cast("string")).alias("child_id"),
+    )
+    return rn.union(nc)
+
+
+@query(
+    "bfs_downstream",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGE_SQL}),
+    walk(unique_id, distance) AS (
+        SELECT child_id, 1 FROM edges WHERE parent_id = 'region.3'
+        UNION ALL
+        SELECT e.child_id, w.distance + 1
+        FROM walk w JOIN edges e ON e.parent_id = w.unique_id
+        WHERE w.distance < 2
+    )
+    SELECT unique_id, MIN(distance) AS distance
+    FROM walk GROUP BY unique_id
+    ORDER BY distance, unique_id
+    """,
+    survey="G1,G8,E2",
+    doc="Downstream BFS depth 2 from region.3 with min-distance semantics.",
+)
+def bfs_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = hierarchy_edges(spark, sf_dir)
+    return bfs(edges, ["region.3"], DOWNSTREAM, max_depth=2)
+
+
+@query(
+    "bfs_upstream",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGE_SQL}),
+    walk(unique_id, distance) AS (
+        SELECT parent_id, 1 FROM edges WHERE child_id = 'customer.7'
+        UNION ALL
+        SELECT e.parent_id, w.distance + 1
+        FROM walk w JOIN edges e ON e.child_id = w.unique_id
+        WHERE w.distance < 10
+    )
+    SELECT unique_id, MIN(distance) AS distance
+    FROM walk GROUP BY unique_id
+    ORDER BY distance, unique_id
+    """,
+    survey="G1,G4",
+    doc="Upstream closure (source-dependency analog, graph.py:136-150).",
+)
+def bfs_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = hierarchy_edges(spark, sf_dir)
+    return bfs(edges, ["customer.7"], UPSTREAM, max_depth=10)
+
+
+@query(
+    "multi_pivot_min_distance",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGE_SQL}),
+    walk(unique_id, distance) AS (
+        SELECT child_id, 1 FROM edges WHERE parent_id IN ('region.0', 'nation.1')
+        UNION ALL
+        SELECT e.child_id, w.distance + 1
+        FROM walk w JOIN edges e ON e.parent_id = w.unique_id
+        WHERE w.distance < 2
+    )
+    SELECT unique_id, MIN(distance) AS distance
+    FROM walk
+    WHERE unique_id NOT IN ('region.0', 'nation.1')
+    GROUP BY unique_id
+    ORDER BY distance, unique_id
+    """,
+    survey="G6,E2",
+    doc="Multi-pivot BFS: union of frontiers keeps MIN(distance) per node "
+    "(reference: capsule.py:154-162).",
+)
+def multi_pivot_min_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = hierarchy_edges(spark, sf_dir)
+    return bfs(edges, ["region.0", "nation.1"], DOWNSTREAM, max_depth=2)
+
+
+@query(
+    "impact_by_kind",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGE_SQL}),
+    walk(unique_id, distance) AS (
+        SELECT child_id, 1 FROM edges WHERE parent_id = 'nation.5'
+        UNION ALL
+        SELECT e.child_id, w.distance + 1
+        FROM walk w JOIN edges e ON e.parent_id = w.unique_id
+        WHERE w.distance < 5
+    ),
+    dedup AS (SELECT unique_id, MIN(distance) AS distance FROM walk GROUP BY unique_id)
+    SELECT split_part(unique_id, '.', 1) AS kind, distance, COUNT(*) AS n
+    FROM dedup GROUP BY 1, 2 ORDER BY kind, distance
+    """,
+    survey="G3,P2",
+    doc="Impact analysis: downstream blast radius bucketed by node kind "
+    "(reference: graph.py:79-132).",
+)
+def impact_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = hierarchy_edges(spark, sf_dir)
+    affected = bfs(edges, ["nation.5"], DOWNSTREAM, max_depth=5)
+    return (
+        affected.withColumn("kind", F.split("unique_id", "\\.").getItem(0))
+        .groupBy("kind", "distance")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("kind", "distance")
+    )
+
+
+@query(
+    "node_degree_centrality",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    nodes AS (
+        SELECT DISTINCT parent_id AS unique_id FROM edges
+        UNION
+        SELECT DISTINCT child_id FROM edges
+    ),
+    deg AS (
+        SELECT n.unique_id,
+               COALESCE(u.c, 0) AS upstream_count,
+               COALESCE(d.c, 0) AS downstream_count,
+               COALESCE(u.c, 0) + COALESCE(d.c, 0) AS degree
+        FROM nodes n
+        LEFT JOIN (SELECT child_id, COUNT(*) AS c FROM edges GROUP BY 1) u
+               ON n.unique_id = u.child_id
+        LEFT JOIN (SELECT parent_id, COUNT(*) AS c FROM edges GROUP BY 1) d
+               ON n.unique_id = d.parent_id
+    )
+    SELECT unique_id, upstream_count, downstream_count,
+           CAST(degree AS DOUBLE) / NULLIF((SELECT MAX(degree) FROM deg), 0) AS centrality
+    FROM deg
+    WHERE downstream_count > 0
+    ORDER BY unique_id
+    """,
+    survey="A1,A2,G5",
+    doc="Graph degree + centrality over the derived DAG (indexer.py:458-469); "
+    "restricted to interior nodes to keep the output small.",
+)
+def node_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.graph import degree_centrality
+
+    edges = hierarchy_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("parent_id").alias("unique_id"))
+        .union(edges.select("child_id"))
+        .distinct()
+    )
+    deg = degree_centrality(edges, nodes)
+    return (
+        deg.where(F.col("downstream_count") > 0)
+        .select("unique_id", "upstream_count", "downstream_count", "centrality")
+        .orderBy("unique_id")
+    )

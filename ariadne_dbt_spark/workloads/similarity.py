@@ -1,0 +1,116 @@
+"""Similarity-search workloads over `embeddings` (north-star extensions).
+
+The brute-force oracle re-derives cosine in explicit double precision
+(DuckDB's list_cosine_similarity computes in float32 and would drift);
+both engines fold the 64 dims left-to-right in doubles, so even the raw
+doubles agree — rounding to 6 decimals removes any residual risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_signature,
+    pairwise_near_duplicates,
+)
+from ariadne_dbt_spark.session import table_path
+from ariadne_dbt_spark.workloads import query
+
+_COS_SQL = """
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "embeddings"))
+
+
+@query(
+    "ann_brute_force_topk",
+    oracle=f"""
+    SELECT b.vec_id, ROUND({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+    ORDER BY {_COS_SQL} DESC, b.vec_id
+    LIMIT 10
+    """,
+    survey="similarity-bruteforce",
+    doc="Exact cosine top-10 neighbors of vec_id=0 (the ANN baseline).",
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = embeddings(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    topk = brute_force_topk(emb, qvec, k=10, exclude_self=0)
+    return topk.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@query(
+    "embedding_label_centroids_sim",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b, {_COS_SQL} AS cs
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.vec_id % 7 = 0 AND b.vec_id % 7 = 0
+    )
+    SELECT label_a, label_b, COUNT(*) AS n_pairs,
+           ROUND(AVG(cs), 4) AS avg_cos
+    FROM pairs GROUP BY 1, 2 ORDER BY label_a, label_b
+    """,
+    survey="similarity-allpairs",
+    doc="Within/between-cluster mean cosine on a deterministic 1/7 sample "
+    "(pairwise joins stay bounded).",
+)
+def embedding_label_centroids_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.similarity import cosine_similarity
+
+    emb = embeddings(spark, sf_dir).where(F.col("vec_id") % 7 == 0)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cs", cosine_similarity(F.col("va"), F.col("vb"))
+    )
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.round(F.avg("cs"), 4).alias("avg_cos"))
+        .orderBy("label_a", "label_b")
+    )
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=None,  # LSH hyperplanes derive from an engine-side LCG; recall
+    # vs brute force is pinned in tests/test_similarity.py
+    survey="similarity-lsh",
+    doc="LSH-bucketed ANN: signed-random-projection buckets, exact re-rank "
+    "inside the query's bucket (the 100 TB path).",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.similarity import lsh_topk
+
+    emb = embeddings(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_topk(emb, qvec, k=10, n_planes=4).select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=None,  # LSH-blocked (engine hyperplanes); exactness vs the
+    # brute-force pairs is pinned in tests/test_similarity.py
+    survey="dedup-embedding-cosine",
+    doc="Embedding near-dup pairs (cos ≥ 0.9) via LSH blocking + exact "
+    "re-rank inside buckets.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = embeddings(spark, sf_dir)
+    return pairwise_near_duplicates(emb, threshold=0.9, n_planes=6).orderBy("id_a", "id_b")

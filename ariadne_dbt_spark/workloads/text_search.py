@@ -1,0 +1,130 @@
+"""Full-text search workloads (SURVEY §2.7) over the `documents` table,
+exercising the engine's posting-list + BM25 pipeline
+(ariadne_dbt_spark.operators.search) against a from-first-principles SQL
+oracle that re-derives the same Okapi BM25 formula.
+
+Float caveat: BM25 involves ln() and float sums, so scores are rounded to
+4 decimals on both sides; doc identity and rank order are the real
+contract (reference validates rank-order vs FTS5 too, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.functions.text import STOPWORDS
+from ariadne_dbt_spark.operators.search import bm25, build_postings
+from ariadne_dbt_spark.session import table_path
+from ariadne_dbt_spark.workloads import query
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# tokenizer pipeline shared by every oracle here (mirror of functions.text.tokenize)
+_TOKENS_CTE = f"""
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) AS term
+        FROM documents
+    ),
+    terms AS (
+        SELECT doc_id, term FROM toks
+        WHERE length(term) >= 2 AND term NOT IN ({_STOP_SQL})
+    )
+"""
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+# T1/S6/A8: tokenize → posting build → global term frequencies, top-k.
+@query(
+    "term_frequency_topk",
+    oracle=f"""
+    WITH {_TOKENS_CTE}
+    SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM terms GROUP BY term
+    ORDER BY tf DESC, term LIMIT 15
+    """,
+    survey="T1,S6,A8",
+)
+def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    postings, _ = build_postings(docs, "doc_id", {"text": "text"})
+    return (
+        postings.groupBy("term")
+        .agg(F.sum("tf").alias("tf"), F.countDistinct("unique_id").alias("df"))
+        .orderBy(F.desc("tf"), "term")
+        .limit(15)
+    )
+
+
+# T2-T3: Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over the posting lists.
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    docstats AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM docstats) AS avgdl),
+    qterms(term) AS (VALUES ('spark'), ('vector'), ('stream')),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+              WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id,
+               SUM( ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * p.tf * (1.2 + 1.0)
+                    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ) AS raw
+        FROM postings p
+        JOIN dfreq f ON p.term = f.term
+        JOIN docstats d ON p.doc_id = d.doc_id
+        CROSS JOIN stats s
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, ROUND(raw, 4) AS bm25_score
+    FROM scored ORDER BY raw DESC, doc_id LIMIT 20
+    """,
+    survey="T2,T3,O1",
+    doc="BM25 top-20 for query 'spark vector stream'.",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    postings, docstats = build_postings(docs, "doc_id", {"text": "text"})
+    n_docs = docs.count()
+    scored = bm25(postings, docstats, n_docs, "spark vector stream", field_weights={"text": 1.0})
+    return (
+        scored.orderBy(F.desc("bm25_score"), "unique_id")
+        .limit(20)
+        .select(F.col("unique_id").alias("doc_id"), F.round("bm25_score", 4).alias("bm25_score"))
+    )
+
+
+# T4/T10: LIKE fallback search — contains() filter, constant score,
+# ranked by a centrality proxy, descriptions truncated.
+@query(
+    "like_fallback_search",
+    oracle="""
+    SELECT doc_id, CAST(0.5 AS DOUBLE) AS score, substring(text, 1, 80) AS snippet
+    FROM documents
+    WHERE text LIKE '%vector%' AND lang = 'en'
+    ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
+    survey="T4,T10,P5",
+)
+def like_fallback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    # ranked by document length as the centrality proxy (reference ranks
+    # LIKE-fallback hits by centrality, search.py:140-143)
+    return (
+        docs.where(F.col("text").like("%vector%") & (F.col("lang") == "en"))
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.lit(0.5).alias("score"),
+            F.substring("text", 1, 80).alias("snippet"),
+        )
+    )

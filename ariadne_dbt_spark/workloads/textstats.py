@@ -1,0 +1,147 @@
+"""Text-analysis workloads (north-star scale extensions) over `documents`:
+language-ID, quality scoring, token counting, fingerprinting — each
+backed by a SQL oracle that re-derives the identical heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.functions.text import STOPWORDS
+from ariadne_dbt_spark.operators.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    detect_language,
+    fingerprint_md5,
+    quality_score_millionths,
+    whitespace_token_count,
+)
+from ariadne_dbt_spark.session import table_path
+from ariadne_dbt_spark.workloads import query
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
+           length(text) AS text_chars
+    FROM documents ORDER BY doc_id
+    """,
+    survey="token-counting",
+    doc="Whitespace + BPE-ish token counts per document.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        F.length("text").cast("bigint").alias("text_chars"),
+    ).orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    """SQL mirror of operators.text.detect_language: per-language marker
+    hit counts → argmax with (hits, lang) lexicographic tie-break."""
+    hits = ",\n".join(
+        "list_count(list_filter(toks, t -> t IN ({m}))) AS hits_{lang}".format(
+            lang=lang, m=", ".join(f"'{w}'" for w in markers)
+        )
+        for lang, markers in LANG_MARKERS.items()
+    )
+    structs = ", ".join("{{'hits': hits_{lang}, 'lang': '{lang}'}}".format(lang=lang) for lang in LANG_MARKERS)
+    return f"""
+    WITH toked AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1) AS toks
+        FROM documents
+    ),
+    hits AS (SELECT doc_id, lang, {hits} FROM toked),
+    best AS (
+        SELECT doc_id, lang,
+               list_aggregate([{structs}], 'max') AS b
+        FROM hits
+    )
+    SELECT lang, CASE WHEN b.hits > 0 THEN b.lang ELSE 'unknown' END AS detected,
+           COUNT(*) AS n
+    FROM best GROUP BY 1, 2 ORDER BY lang, detected
+    """
+
+
+@query(
+    "lang_detect_confusion",
+    oracle=_lang_oracle(),
+    survey="language-id,T7",
+    doc="Marker-lexicon language-ID vs the ground-truth lang column "
+    "(keyword-hit argmax — the reference's intent-detection shape, capsule.py:24-43).",
+)
+def lang_detect_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    return (
+        docs.select("lang", detect_language("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "detected")
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(list_count(list_filter(
+                   string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1)) AS BIGINT) AS n_toks,
+               CAST(list_count(list_filter(
+                   string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1 AND t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           least(n * 800, 400000)
+           + (CASE WHEN n > 0
+                   THEN 300000 - least((n_punct * 1200000) // n, 300000)
+                   ELSE 300000 END)
+           + (CASE WHEN n_toks > 0
+                   THEN least((n_stop * 1500000) // n_toks, 300000)
+                   ELSE 0 END) AS quality_millionths
+    FROM stats ORDER BY doc_id
+    """,
+    survey="quality-scoring",
+    doc="Composite length/punctuation/stopword quality heuristic per doc "
+    "(integer millionths — engine-stable, no float boundary effects).",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", quality_score_millionths("text").alias("quality_millionths")
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+    survey="fingerprinting,E5",
+    doc="Normalized-text MD5 fingerprint (the exact-dedup key).",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint")).orderBy("doc_id")

@@ -1,0 +1,216 @@
+"""Time-series / usage-analytics operators (SURVEY §2.4 A10-A11, §2.11)
+over the `events` table.
+
+The reference's usage analytics (reference: src/ariadne_dbt/usage.py:57-137)
+are daily-bucketed groupBys, windowed averages, and top-k rollups over an
+append-only telemetry log. Here they run over the synthetic `events`
+stream table; the same pipelines are reused by the streaming module
+(ariadne_dbt_spark/streaming) with `readStream` + watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ariadne_dbt_spark.session import table_path
+from ariadne_dbt_spark.workloads import query
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events parquet uses TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and truncate to micros (DuckDB
+    truncates identically)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+# A10: daily buckets per tool/intent → per event_type/day; count + exact sum.
+@query(
+    "daily_event_stats",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    ORDER BY event_date, event_type
+    """,
+    survey="A10,A4",
+)
+def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+# Tumbling windows (streaming-shaped agg, run in batch): 6-hour buckets
+# aligned to the epoch so Spark's window() and the SQL floor() agree.
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS window_start_epoch,
+           event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_epoch, event_type
+    """,
+    survey="A10,streaming-§2.11",
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    # window start exported as epoch seconds: timezone-proof vs the oracle
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("long").alias("window_start_epoch"), "event_type", "n_events")
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+# Sessionization: gap > 30 min opens a new session (lag + conditional cumsum).
+@query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800.0 OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    survey="A10,sessionization",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-precision gap (cast to double seconds) so the 30-minute
+    # threshold agrees exactly with the oracle's epoch() arithmetic
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800.0),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# A10 top-k: most active users (deterministic tie-break on user_id).
+@query(
+    "topk_active_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+    survey="A10,O1,O3",
+)
+def topk_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
+
+
+# Pivot: event types to columns via conditional aggregation.
+@query(
+    "event_type_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY 1 ORDER BY event_date
+    """,
+    survey="A3,pivot",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    pivoted = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves nulls where a bucket is empty; the FILTER oracle yields 0
+    cols = ["click", "view", "purchase", "signup", "error"]
+    for c in cols:
+        pivoted = pivoted.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return pivoted.orderBy("event_date")
+
+
+# A11: per-entity activity span (sum-of-timing-deltas analog) —
+# max/min selection then one subtraction keeps the double deterministic.
+@query(
+    "user_activity_span",
+    oracle="""
+    SELECT user_id,
+           epoch(MAX(ts)) - epoch(MIN(ts)) AS span_seconds,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id HAVING COUNT(*) > 1 ORDER BY user_id
+    """,
+    survey="A11",
+)
+def user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))).alias(
+                "span_seconds"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .where(F.col("n_events") > 1)
+        .orderBy("user_id")
+    )
+
+
+# P8: JSON-encoded nested payload extraction — reference stores JSON in TEXT
+# columns (schema.sql:19,31-36); events.props is the analog.
+@query(
+    "json_payload_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY k
+    """,
+    survey="P8",
+)
+def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
