@@ -1,0 +1,343 @@
+"""Index construction: manifest rows → typed DataFrames → derived
+computations (SURVEY §3.1 steps 3-5).
+
+Refresh semantics are full snapshot replace, like the reference's
+DELETE+reinsert per table (reference: src/ariadne_dbt/indexer.py:90-98,
+326-472): ``save()`` overwrites every parquet table, ``AriadneIndex.build``
+recomputes everything from the manifest. Derived computations:
+
+* edges            — parent_map explode (G8)
+* degrees          — per-model upstream/downstream counts (A1)
+* centrality       — (up+down)/max(up+down), NULLIF-guarded (A2)
+* PK/FK flags      — columns⋈tests: PK iff ≥2 distinct test types among
+                     {unique, not_null}; FK iff any relationships test (J3)
+* search postings  — 5 weighted fields, SQL truncated to 2000 chars (S6/T9)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark import schemas
+from ariadne_dbt_spark.config import EngineConfig
+from ariadne_dbt_spark.ingest import manifest as mf
+from ariadne_dbt_spark.operators.search import build_postings
+
+TABLES = (
+    "models",
+    "columns",
+    "sources",
+    "source_columns",
+    "tests",
+    "macros",
+    "exposures",
+    "edges",
+    "index_metadata",
+    "postings",
+    "docstats",
+)
+
+
+@dataclass
+class AriadneIndex:
+    """The in-memory engine index: one DataFrame per table, all cached
+    (they are small — ≤10k models — while surface-B data scales)."""
+
+    spark: SparkSession
+    models: DataFrame
+    columns: DataFrame
+    sources: DataFrame
+    source_columns: DataFrame
+    tests: DataFrame
+    macros: DataFrame
+    exposures: DataFrame
+    edges: DataFrame
+    index_metadata: DataFrame
+    postings: DataFrame
+    docstats: DataFrame
+    config: EngineConfig = field(default_factory=EngineConfig)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        manifest_path: str,
+        *,
+        catalog_path: str | None = None,
+        run_results_path: str | None = None,
+        config: EngineConfig | None = None,
+    ) -> "AriadneIndex":
+        config = config or EngineConfig()
+        man = mf.load_manifest(manifest_path)
+
+        def df(rows, schema):
+            return spark.createDataFrame(rows, schema)
+
+        models = df(mf.parse_models(man), schemas.MODELS)
+        columns = df(mf.parse_columns(man), schemas.COLUMNS)
+        src_rows, src_col_rows = mf.parse_sources(man)
+        sources = df(src_rows, schemas.SOURCES)
+        source_columns = df(src_col_rows, schemas.SOURCE_COLUMNS)
+        tests = df(mf.parse_tests(man), schemas.TESTS)
+        macros = df(mf.parse_macros(man), schemas.MACROS)
+        exposures = df(mf.parse_exposures(man), schemas.EXPOSURES)
+        edges = df(mf.parse_edges(man), schemas.EDGES)
+        meta = df(mf.parse_metadata(man), schemas.METADATA)
+
+        idx = cls(
+            spark=spark,
+            models=models,
+            columns=columns,
+            sources=sources,
+            source_columns=source_columns,
+            tests=tests,
+            macros=macros,
+            exposures=exposures,
+            edges=edges,
+            index_metadata=meta,
+            postings=spark.createDataFrame([], "unique_id string, field string, term string, tf long"),
+            docstats=spark.createDataFrame([], "unique_id string, field string, dl long"),
+            config=config,
+        )
+        idx._compute_degrees()
+        idx._compute_pk_fk()
+        idx._build_postings()
+        if catalog_path:
+            idx.enrich_from_catalog(catalog_path)
+        if run_results_path:
+            idx.enrich_from_run_results(run_results_path)
+        idx.cache()
+        return idx
+
+    def cache(self) -> None:
+        # localCheckpoint (not just cache) truncates the logical plan of the
+        # derived tables — downstream queries compose many joins on top, and
+        # an uncut lineage blows Python's recursion limit during plan
+        # conversion. The tables are small (≤10k models) so materializing
+        # them eagerly is the right trade at any scale.
+        for t in TABLES:
+            setattr(self, t, getattr(self, t).localCheckpoint(eager=True))
+
+    # -- derived computations ----------------------------------------------
+    def _compute_degrees(self) -> None:
+        """A1 + A2: degree counts and normalized centrality per model."""
+        up = self.edges.groupBy(F.col("child_id").alias("unique_id")).agg(
+            F.count(F.lit(1)).cast("int").alias("_up")
+        )
+        down = self.edges.groupBy(F.col("parent_id").alias("unique_id")).agg(
+            F.count(F.lit(1)).cast("int").alias("_down")
+        )
+        m = (
+            self.models.drop("upstream_count", "downstream_count", "centrality")
+            .join(up, "unique_id", "left")
+            .join(down, "unique_id", "left")
+            .withColumn("upstream_count", F.coalesce("_up", F.lit(0)))
+            .withColumn("downstream_count", F.coalesce("_down", F.lit(0)))
+            .drop("_up", "_down")
+            .withColumn("_deg", F.col("upstream_count") + F.col("downstream_count"))
+        )
+        mx = m.agg(F.max("_deg").alias("_mx"))
+        self.models = (
+            m.crossJoin(F.broadcast(mx))
+            .withColumn(
+                "centrality",
+                F.when(F.col("_mx") > 0, F.col("_deg").cast("double") / F.col("_mx"))
+                .otherwise(F.lit(0.0)),
+            )
+            .drop("_deg", "_mx")
+        )
+
+    def _compute_pk_fk(self) -> None:
+        """J3: PK iff a column carries ≥2 distinct test types among
+        {unique, not_null}; FK iff any relationships test."""
+        t = self.tests.where(F.col("column_name") != "")
+        pk = (
+            t.where(F.col("test_type").isin("unique", "not_null"))
+            .groupBy("model_id", "column_name")
+            .agg(F.countDistinct("test_type").alias("n"))
+            .where(F.col("n") >= 2)
+            .select("model_id", "column_name", F.lit(True).alias("_pk"))
+        )
+        fk = (
+            t.where(F.col("test_type") == "relationships")
+            .select("model_id", "column_name")
+            .distinct()
+            .withColumn("_fk", F.lit(True))
+        )
+        self.columns = self._pk_fk_join(pk, fk)
+
+    def _pk_fk_join(self, pk: DataFrame, fk: DataFrame) -> DataFrame:
+        cols = self.columns.drop("is_primary_key", "is_foreign_key")
+        pk2 = pk.withColumnRenamed("model_id", "_m").withColumnRenamed("column_name", "_c")
+        fk2 = fk.withColumnRenamed("model_id", "_m").withColumnRenamed("column_name", "_c")
+        out = (
+            cols.join(
+                F.broadcast(pk2), (cols.model_id == pk2._m) & (cols.name == pk2._c), "left"
+            )
+            .drop("_m", "_c")
+            .withColumn("is_primary_key", F.coalesce("_pk", F.lit(False)))
+            .drop("_pk")
+        )
+        out = (
+            out.join(F.broadcast(fk2), (out.model_id == fk2._m) & (out.name == fk2._c), "left")
+            .drop("_m", "_c")
+            .withColumn("is_foreign_key", F.coalesce("_fk", F.lit(False)))
+            .drop("_fk")
+        )
+        return out
+
+    def _build_postings(self) -> None:
+        """S6/T9: one search doc per model — name, description, column
+        names (space-joined), SQL truncated to 2000 chars, tags."""
+        col_names = self.columns.groupBy(F.col("model_id").alias("unique_id")).agg(
+            F.concat_ws(" ", F.collect_list("name")).alias("column_names")
+        )
+        docs = (
+            self.models.select(
+                "unique_id",
+                F.col("name"),
+                F.col("description"),
+                F.substring(
+                    F.coalesce(
+                        F.nullif(F.col("compiled_code"), F.lit("")), F.col("raw_code")
+                    ),
+                    1,
+                    self.config.sql_index_chars,
+                ).alias("sql_text"),
+                F.concat_ws(" ", F.col("tags")).alias("tags_text"),
+            )
+            .join(col_names, "unique_id", "left")
+            .withColumn("column_names", F.coalesce("column_names", F.lit("")))
+        )
+        self.postings, self.docstats = build_postings(
+            docs,
+            "unique_id",
+            {
+                "name": "name",
+                "description": "description",
+                "column_names": "column_names",
+                "sql_text": "sql_text",
+                "tags": "tags_text",
+            },
+        )
+
+    # -- enrichment ----------------------------------------------------------
+    def enrich_from_catalog(self, catalog_path: str) -> None:
+        """S2: join catalog stats (row_count/bytes/last_modified) into
+        models and column data_types (case-insensitive) into columns."""
+        import json
+
+        with open(catalog_path) as f:
+            cat = json.load(f)
+        stat_rows, col_rows = [], []
+        for uid, node in (cat.get("nodes") or {}).items():
+            stats = node.get("stats") or {}
+
+            def stat(name):
+                v = (stats.get(name) or {}).get("value")
+                try:
+                    return int(float(v)) if v is not None else None
+                except (TypeError, ValueError):
+                    return None
+
+            stat_rows.append({
+                "unique_id": uid,
+                "_row_count": stat("num_rows") or stat("row_count"),
+                "_bytes": stat("num_bytes") or stat("bytes"),
+                "_last_modified": (node.get("metadata") or {}).get("last_modified")
+                or (stats.get("last_modified") or {}).get("value"),
+            })
+            for cname, c in (node.get("columns") or {}).items():
+                col_rows.append({
+                    "unique_id": uid,
+                    "_col_lower": str(c.get("name") or cname).lower(),
+                    "_data_type": str(c.get("type") or ""),
+                })
+        if stat_rows:
+            sdf = self.spark.createDataFrame(
+                stat_rows,
+                "unique_id string, _row_count long, _bytes long, _last_modified string",
+            )
+            self.models = (
+                self.models.drop("row_count", "bytes", "last_modified")
+                .join(F.broadcast(sdf), "unique_id", "left")
+                .withColumnRenamed("_row_count", "row_count")
+                .withColumnRenamed("_bytes", "bytes")
+                .withColumnRenamed("_last_modified", "last_modified")
+            )
+        if col_rows:
+            cdf = self.spark.createDataFrame(
+                col_rows, "unique_id string, _col_lower string, _data_type string"
+            )
+            cols = self.columns
+            self.columns = (
+                cols.join(
+                    F.broadcast(cdf),
+                    (cols.model_id == cdf.unique_id)
+                    & (F.lower(cols.name) == cdf._col_lower),
+                    "left",
+                )
+                .withColumn(
+                    "data_type",
+                    F.coalesce(F.nullif("_data_type", F.lit("")), F.col("data_type")),
+                )
+                .drop("unique_id", "_col_lower", "_data_type")
+            )
+
+    def enrich_from_run_results(self, path: str) -> None:
+        """S3: test status + Σ(timing deltas) + failures, tests only."""
+        import json
+        from datetime import datetime
+
+        with open(path) as f:
+            rr = json.load(f)
+        rows = []
+        for r in rr.get("results") or []:
+            uid = r.get("unique_id") or ""
+            if not uid.startswith("test."):
+                continue
+            total = 0.0
+            for t in r.get("timing") or []:
+                try:
+                    t0 = datetime.fromisoformat(str(t["started_at"]).replace("Z", "+00:00"))
+                    t1 = datetime.fromisoformat(str(t["completed_at"]).replace("Z", "+00:00"))
+                    total += (t1 - t0).total_seconds()
+                except (KeyError, ValueError):
+                    continue
+            failures = r.get("failures")
+            rows.append({
+                "unique_id": uid,
+                "_status": str(r.get("status") or ""),
+                "_exec": total,
+                "_failures": int(failures) if failures is not None else None,
+            })
+        if not rows:
+            return
+        rdf = self.spark.createDataFrame(
+            rows, "unique_id string, _status string, _exec double, _failures int"
+        )
+        self.tests = (
+            self.tests.drop("last_status", "last_execution_time", "last_failures")
+            .join(F.broadcast(rdf), "unique_id", "left")
+            .withColumnRenamed("_status", "last_status")
+            .withColumnRenamed("_exec", "last_execution_time")
+            .withColumnRenamed("_failures", "last_failures")
+        )
+
+    # -- persistence (S5: full-refresh overwrite) ----------------------------
+    def save(self, out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for t in TABLES:
+            getattr(self, t).write.mode("overwrite").parquet(os.path.join(out_dir, t))
+
+    @classmethod
+    def load(cls, spark: SparkSession, out_dir: str, config: EngineConfig | None = None):
+        kw = {t: spark.read.parquet(os.path.join(out_dir, t)) for t in TABLES}
+        idx = cls(spark=spark, config=config or EngineConfig(), **kw)
+        idx.cache()
+        return idx

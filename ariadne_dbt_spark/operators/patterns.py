@@ -1,0 +1,161 @@
+"""Pattern mining / project-convention extraction (SURVEY §2.4 A3-A13).
+
+Reference behavior: src/ariadne_dbt/patterns.py — project stats, per-layer
+counts, materialization mode per layer, naming-convention examples,
+test-coverage ratios, tag frequencies, best-tested model. All are small
+groupBy/window DataFrame programs over the cached index; results are
+collected into a plain dict for the generator/capsule (KB-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+
+
+def project_stats(index: AriadneIndex) -> dict:
+    """A4/A5/A9: global counts + tested-column distinct count."""
+    tested_cols = (
+        index.tests.where(F.col("column_name") != "")
+        .select("model_id", "column_name")
+        .distinct()
+        .count()
+    )
+    return {
+        "models": index.models.count(),
+        "sources": index.sources.count(),
+        "tests": index.tests.count(),
+        "macros": index.macros.count(),
+        "exposures": index.exposures.count(),
+        "columns": index.columns.count(),
+        "tested_columns": tested_cols,
+        "source_schemas": index.sources.select("source_name").distinct().count(),
+    }
+
+
+def models_per_layer(index: AriadneIndex) -> DataFrame:
+    """A3: layer histogram."""
+    return index.models.groupBy("layer").agg(F.count(F.lit(1)).alias("n")).orderBy("layer")
+
+
+def materialization_by_layer(index: AriadneIndex) -> DataFrame:
+    """A3 mode-per-group: dominant materialization per layer via
+    row_number over count desc (deterministic tie-break)."""
+    hist = index.models.groupBy("layer", "materialization").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("layer").orderBy(F.desc("n"), "materialization")
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("layer", F.col("materialization").alias("dominant_materialization"), "n")
+        .orderBy("layer")
+    )
+
+
+def example_model_per_layer(index: AriadneIndex) -> DataFrame:
+    """A12: argmax (column count, description length) per layer —
+    the 'representative model' the generator showcases."""
+    col_counts = index.columns.groupBy(F.col("model_id").alias("unique_id")).agg(
+        F.count(F.lit(1)).alias("n_cols")
+    )
+    m = (
+        index.models.select("unique_id", "name", "layer", F.length("description").alias("dlen"))
+        .join(col_counts, "unique_id", "left")
+        .withColumn("n_cols", F.coalesce("n_cols", F.lit(0)))
+    )
+    w = Window.partitionBy("layer").orderBy(F.desc("n_cols"), F.desc("dlen"), "name")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("layer", F.col("name").alias("example_model"), "n_cols")
+        .orderBy("layer")
+    )
+
+
+def best_tested_model(index: AriadneIndex) -> dict | None:
+    """A13: argmax COUNT(DISTINCT test_type) per model."""
+    row = (
+        index.tests.groupBy("model_id")
+        .agg(F.countDistinct("test_type").alias("n_types"), F.count(F.lit(1)).alias("n_tests"))
+        .orderBy(F.desc("n_types"), F.desc("n_tests"), "model_id")
+        .first()
+    )
+    if row is None:
+        return None
+    return {"model_id": row.model_id, "test_types": row.n_types, "tests": row.n_tests}
+
+
+def coverage_by_layer(index: AriadneIndex) -> DataFrame:
+    """A6: tested/total columns ×100 per layer."""
+    cols = index.columns.join(
+        index.models.select(F.col("unique_id").alias("model_id"), "layer"), "model_id"
+    )
+    total = cols.groupBy("layer").agg(F.count(F.lit(1)).alias("total_columns"))
+    tested = (
+        index.tests.where(F.col("column_name") != "")
+        .select("model_id", "column_name")
+        .distinct()
+        .join(index.models.select(F.col("unique_id").alias("model_id"), "layer"), "model_id")
+        .groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("tested_columns"))
+    )
+    return (
+        total.join(tested, "layer", "left")
+        .withColumn("tested_columns", F.coalesce("tested_columns", F.lit(0)))
+        .withColumn(
+            "coverage_pct",
+            F.round(F.col("tested_columns") * 100.0 / F.col("total_columns"), 1),
+        )
+        .orderBy("layer")
+    )
+
+
+def tag_frequency(index: AriadneIndex, *, limit: int = 10) -> DataFrame:
+    """A8: explode tags → top-k with deterministic tie-break."""
+    return (
+        index.models.select(F.explode("tags").alias("tag"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tag")
+        .limit(limit)
+    )
+
+
+def naming_prefixes(index: AriadneIndex) -> DataFrame:
+    """Naming-convention mining: dominant name prefix (before first '_')
+    per layer."""
+    pref = index.models.select(
+        "layer", F.split("name", "_").getItem(0).alias("prefix")
+    )
+    hist = pref.groupBy("layer", "prefix").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("layer").orderBy(F.desc("n"), "prefix")
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("layer", F.col("prefix").alias("dominant_prefix"), "n")
+        .orderBy("layer")
+    )
+
+
+def extract_patterns(index: AriadneIndex) -> dict:
+    """The full pattern bundle the generator/capsule embeds
+    (reference: patterns.py:22-125) — everything collected, KB-sized."""
+    return {
+        "stats": project_stats(index),
+        "models_per_layer": {r.layer: r.n for r in models_per_layer(index).collect()},
+        "materializations": {
+            r.layer: r.dominant_materialization
+            for r in materialization_by_layer(index).collect()
+        },
+        "examples": {r.layer: r.example_model for r in example_model_per_layer(index).collect()},
+        "naming": {r.layer: r.dominant_prefix for r in naming_prefixes(index).collect()},
+        "coverage": {
+            r.layer: r.coverage_pct for r in coverage_by_layer(index).collect()
+        },
+        "top_tags": [(r.tag, r.n) for r in tag_frequency(index).collect()],
+        "best_tested": best_tested_model(index),
+    }

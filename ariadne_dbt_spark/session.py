@@ -32,6 +32,13 @@ TABLE_NAMES = (
 
 def get_spark(app_name: str = "ariadne-dbt-spark") -> SparkSession:
     """Build (or reuse) a local SparkSession with sane analytical defaults."""
+    import sys
+
+    # multi-join plans (index tables compose 5+ joins) recurse deeply during
+    # Python-side plan handling; the default 1000 limit is marginal once a
+    # test harness adds its own frames
+    if sys.getrecursionlimit() < 10_000:
+        sys.setrecursionlimit(10_000)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -1,0 +1,93 @@
+"""Hybrid search contracts (SURVEY §5 / reference tests/test_search.py):
+relevance, limits, exclusion, path/column resolution, detail joins."""
+
+from __future__ import annotations
+
+from ariadne_dbt_spark.operators.model_search import (
+    columns_with_tests,
+    coverage_stats,
+    direct_sources,
+    find_by_column,
+    get_model_by_name,
+    macros_used,
+    resolve_paths,
+    search_models,
+)
+
+FCT = "model.webshop.fct_orders"
+
+
+def test_search_relevance_customer(index):
+    hits = search_models(index, "customer lifetime value", limit=5).collect()
+    names = [h.name for h in hits]
+    assert "dim_customers" in names[:2]
+
+
+def test_search_relevance_orders(index):
+    hits = search_models(index, "orders amount", limit=5).collect()
+    assert any("orders" in h.name for h in hits[:2])
+
+
+def test_search_limit_and_exclude(index):
+    hits = search_models(index, "orders", limit=2).collect()
+    assert len(hits) <= 2
+    all_hits = {h.unique_id for h in search_models(index, "orders", limit=10).collect()}
+    assert FCT in all_hits
+    excl = {
+        h.unique_id
+        for h in search_models(index, "orders", limit=10, exclude_ids=[FCT]).collect()
+    }
+    assert FCT not in excl
+
+
+def test_search_layer_filter(index):
+    hits = search_models(index, "orders", limit=10, layer="staging").collect()
+    assert hits and all(h.layer == "staging" for h in hits)
+
+
+def test_like_fallback(index):
+    # gibberish tokens → no postings hits → LIKE fallback on name
+    hits = search_models(index, "zzz qqq customers", limit=5).collect()
+    assert hits == [] or all(h.bm25_score is not None for h in hits)
+
+
+def test_point_lookup_case_insensitive(index):
+    assert get_model_by_name(index, "FCT_ORDERS").count() == 1
+
+
+def test_resolve_paths(index):
+    uids = resolve_paths(
+        index,
+        ["models/marts/fct_orders.sql", "models/schema.yml", "stg_orders"],
+    )
+    assert uids == [FCT, "model.webshop.stg_orders"]
+
+
+def test_find_by_column(index):
+    hits = find_by_column(index, "order_id").collect()
+    models = {h.name for h in hits}
+    assert {"fct_orders", "stg_orders", "stg_payments"} <= models
+
+
+def test_columns_with_tests(index):
+    cols = {r.name: list(r.test_types) for r in columns_with_tests(index, FCT).collect()}
+    assert sorted(cols["order_id"]) == ["not_null", "unique"]
+    assert cols["status"] == ["accepted_values"]
+    assert cols["paid_amount"] == []
+
+
+def test_macro_containment_join(index, spark):
+    # no model uses the macro in the fixture → empty
+    assert macros_used(index, FCT).count() == 0
+
+
+def test_direct_sources(index):
+    src = {r.source_name for r in direct_sources(index, "model.webshop.stg_orders").collect()}
+    assert src == {"raw"}
+
+
+def test_coverage_ratio(index):
+    cov = coverage_stats(index, FCT)
+    assert cov["total_columns"] == 6
+    assert cov["tested_columns"] == 3  # order_id, status, customer_id
+    assert cov["coverage_pct"] == 50.0
