@@ -1,0 +1,175 @@
+"""dbt-style model executor on Spark SQL (SURVEY §2.1 S10, §7 step 3).
+
+The reference stores compiled model SQL but never executes it
+(warehouse-agnostic by design — reference: README.md:40, indexer.py:223);
+a "same capabilities" Spark engine must be able to RUN the project. This
+executor does what dbt-spark does, minus the packaging:
+
+1. resolve ``{{ ref('m') }}`` / ``{{ source('s','t') }}`` / project
+   macros with Jinja (exactly dbt's approach: render first, then hand
+   pure SQL to the engine) — ``{{ config(...) }}`` renders to nothing
+2. topologically order models by their model-to-model depends_on
+3. execute each with ``spark.sql`` against temp views; materialization
+   honors the model config: ``view`` → temp view (lazy, fused into
+   downstream plans by Catalyst), ``table`` → parquet write + re-read
+   (cuts lineage, downstream stages scan columnar data — at 100 TB this
+   is the shuffle-boundary you want between marts)
+
+Scale posture: the executor itself never touches rows — every model is a
+declarative plan; Catalyst fuses view-materialized staging models into
+their consumers, so the classic stg→fct chain compiles into ONE scan per
+source with pushed-down projections.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ariadne_dbt_spark.ingest import manifest as mf
+
+try:
+    import jinja2
+
+    _HAS_JINJA = True
+except ImportError:  # pragma: no cover - jinja2 ships with pyspark images
+    _HAS_JINJA = False
+
+
+class _MacroShim:
+    """Makes project macros callable from model templates: renders the
+    macro body with positional args bound to its parameter names."""
+
+    def __init__(self, env: "jinja2.Environment", name: str, params: list[str], body: str):
+        self.env = env
+        self.name = name
+        self.params = params
+        self.body = body
+
+    def __call__(self, *args, **kwargs):
+        ctx = dict(zip(self.params, args))
+        ctx.update(kwargs)
+        return self.env.from_string(self.body).render(**ctx)
+
+
+_MACRO_DEF = re.compile(
+    r"{%-?\s*macro\s+(\w+)\s*\(([^)]*)\)\s*-?%}(.*?){%-?\s*endmacro\s*-?%}", re.S
+)
+
+
+def parse_macro_sql(macro_sql: str) -> tuple[str, list[str], str] | None:
+    """``{% macro name(a, b=1) %}body{% endmacro %}`` → (name, params, body)."""
+    m = _MACRO_DEF.search(macro_sql or "")
+    if not m:
+        return None
+    name, params_s, body = m.group(1), m.group(2), m.group(3)
+    params = [p.split("=")[0].strip() for p in params_s.split(",") if p.strip()]
+    return name, params, body.strip()
+
+
+@dataclass
+class DbtSparkExecutor:
+    spark: SparkSession
+    manifest: dict
+    #: (source_name, table_name) → parquet path or DataFrame
+    source_map: dict[tuple[str, str], object]
+    #: where `materialized='table'` models land (parquet)
+    target_dir: str | None = None
+    _models: dict[str, dict] = field(default_factory=dict, init=False)
+    _macros: dict[str, _MacroShim] = field(default_factory=dict, init=False)
+    _relations: dict[str, DataFrame] = field(default_factory=dict, init=False)
+
+    def __post_init__(self):
+        if not _HAS_JINJA:
+            raise RuntimeError("jinja2 is required for the dbt executor")
+        self._env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+        for row in mf.parse_models(self.manifest):
+            self._models[row["name"]] = row
+        for row in mf.parse_macros(self.manifest):
+            parsed = parse_macro_sql(row["macro_sql"])
+            if parsed:
+                name, params, body = parsed
+                self._macros[name] = _MacroShim(self._env, name, params, body)
+
+    # -- rendering -----------------------------------------------------------
+    def _view_name(self, model_name: str) -> str:
+        return f"dbt__{model_name}"
+
+    def render(self, model_name: str) -> str:
+        """Jinja-render one model's raw_code to executable Spark SQL."""
+        row = self._models[model_name]
+
+        def ref(name, package=None):
+            return self._view_name(str(name))
+
+        def source(src, tbl):
+            key = (str(src), str(tbl))
+            if key not in self.source_map:
+                raise KeyError(f"unmapped source {key}")
+            return f"dbt_src__{src}__{tbl}"
+
+        def config(*args, **kwargs):
+            return ""
+
+        ctx = {"ref": ref, "source": source, "config": config, **self._macros}
+        return self._env.from_string(row["raw_code"]).render(**ctx)
+
+    # -- execution -----------------------------------------------------------
+    def _register_sources(self) -> None:
+        for (src, tbl), target in self.source_map.items():
+            df = (
+                target
+                if isinstance(target, DataFrame)
+                else self.spark.read.parquet(str(target))
+            )
+            df.createOrReplaceTempView(f"dbt_src__{src}__{tbl}")
+
+    def topo_order(self, subset: list[str] | None = None) -> list[str]:
+        """Kahn's algorithm over model→model depends_on edges."""
+        names = set(subset or self._models)
+        deps: dict[str, set[str]] = {}
+        for name in names:
+            row = self._models[name]
+            deps[name] = {
+                d.split(".")[-1]
+                for d in row["depends_on_nodes"]
+                if d.startswith("model.") and d.split(".")[-1] in names
+            }
+        order, ready = [], sorted(n for n, d in deps.items() if not d)
+        remaining = {n: set(d) for n, d in deps.items()}
+        while ready:
+            n = ready.pop(0)
+            order.append(n)
+            for m in sorted(remaining):
+                if n in remaining[m]:
+                    remaining[m].discard(n)
+                    if not remaining[m] and m not in order and m not in ready:
+                        ready.append(m)
+        if len(order) != len(names):
+            cyclic = sorted(names - set(order))
+            raise ValueError(f"dependency cycle among models: {cyclic}")
+        return order
+
+    def run(self, subset: list[str] | None = None) -> dict[str, DataFrame]:
+        """Execute the project (or a subset closure): returns
+        name → result DataFrame, registered as temp views."""
+        self._register_sources()
+        for name in self.topo_order(subset):
+            sql = self.render(name)
+            df = self.spark.sql(sql)
+            mat = self._models[name]["materialization"]
+            if mat == "table" and self.target_dir:
+                out = os.path.join(self.target_dir, name)
+                df.write.mode("overwrite").parquet(out)
+                df = self.spark.read.parquet(out)
+            df.createOrReplaceTempView(self._view_name(name))
+            self._relations[name] = df
+        return dict(self._relations)
+
+    def relation(self, model_name: str) -> DataFrame:
+        if model_name not in self._relations:
+            self.run()
+        return self._relations[model_name]

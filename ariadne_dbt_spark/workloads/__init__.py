@@ -35,6 +35,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "textstats",
+    "dbt_pipeline",
 )
 
 

@@ -1,0 +1,163 @@
+"""Surface-B pipeline workloads: the dbt-style executor runs the webshop
+fixture project (tests/fixtures/manifest.json) against the driver's
+parquet tables; the oracle recomputes the same mart in plain SQL.
+
+Float note: `paid_amount`/`lifetime_value` are sums of 2-decimal doubles;
+`round(x, 2)` lands on the exact 2-decimal true value in both engines
+(accumulated float error ≪ 0.005), then a decimal cast pins the
+representation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.workloads import query
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+MANIFEST_PATH = os.path.join(_REPO, "tests", "fixtures", "manifest.json")
+
+
+def _executor(spark: SparkSession, sf_dir: str):
+    from ariadne_dbt_spark.ingest.manifest import load_manifest
+    from ariadne_dbt_spark.plans.dbt_executor import DbtSparkExecutor
+
+    return DbtSparkExecutor(
+        spark=spark,
+        manifest=load_manifest(MANIFEST_PATH),
+        source_map={
+            ("raw", "orders"): f"{sf_dir}/orders.parquet",
+            ("raw", "customers"): f"{sf_dir}/customer.parquet",
+            ("raw", "payments"): f"{sf_dir}/lineitem.parquet",
+        },
+        target_dir=None,  # views everywhere: Catalyst fuses the whole DAG
+    )
+
+
+_STG_SQL = """
+    stg_orders AS (
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               o_totalprice AS amount, o_orderstatus AS status,
+               o_orderdate AS ordered_at
+        FROM orders),
+    stg_customers AS (
+        SELECT c_custkey AS customer_id, c_name AS customer_name,
+               c_mktsegment AS segment
+        FROM customer),
+    stg_payments AS (
+        SELECT l_orderkey AS order_id, l_linenumber AS payment_line,
+               l_extendedprice AS amount, l_returnflag AS payment_flag
+        FROM lineitem),
+    fct_orders AS (
+        SELECT o.order_id, o.customer_id, o.status, o.amount,
+               coalesce(p.paid_amount, 0) AS paid_amount
+        FROM stg_orders o
+        LEFT JOIN (SELECT order_id, sum(amount) AS paid_amount
+                   FROM stg_payments GROUP BY order_id) p
+          ON o.order_id = p.order_id)
+"""
+
+
+@query(
+    "dbt_run_fct_orders",
+    oracle=f"""
+    WITH {_STG_SQL}
+    SELECT order_id, customer_id, status,
+           CAST(round(amount, 2) AS DECIMAL(18,2)) AS amount,
+           CAST(round(paid_amount, 2) AS DECIMAL(18,2)) AS paid_amount
+    FROM fct_orders ORDER BY order_id
+    """,
+    survey="S10,P10,J9,A14,§2.11-macros",
+    doc="Full dbt pipeline: Jinja ref/source resolution → topo execution "
+    "→ fct_orders mart, vs the oracle's hand-expanded SQL.",
+)
+def dbt_run_fct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _executor(spark, sf_dir)
+    ex.run(["stg_orders", "stg_payments", "fct_orders"])
+    fct = ex.relation("fct_orders")
+    return fct.select(
+        "order_id",
+        "customer_id",
+        "status",
+        F.round("amount", 2).cast("decimal(18,2)").alias("amount"),
+        F.round("paid_amount", 2).cast("decimal(18,2)").alias("paid_amount"),
+    ).orderBy("order_id")
+
+
+@query(
+    "dbt_run_dim_customers",
+    oracle=f"""
+    WITH {_STG_SQL},
+    dim AS (
+        SELECT c.customer_id, c.customer_name, c.segment,
+               coalesce(o.order_count, 0) AS order_count,
+               coalesce(o.lifetime_value, 0) AS lifetime_value
+        FROM stg_customers c
+        LEFT JOIN (SELECT customer_id, count(*) AS order_count,
+                          sum(amount) AS lifetime_value
+                   FROM fct_orders GROUP BY customer_id) o
+          ON c.customer_id = o.customer_id)
+    SELECT customer_id, customer_name, segment, order_count,
+           CAST(round(lifetime_value, 2) AS DECIMAL(18,2)) AS lifetime_value
+    FROM dim ORDER BY customer_id
+    """,
+    survey="S10,J9,A14",
+    doc="Second-level mart through the executor (two ref() hops).",
+)
+def dbt_run_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _executor(spark, sf_dir)
+    ex.run()
+    dim = ex.relation("dim_customers")
+    return dim.select(
+        "customer_id",
+        "customer_name",
+        "segment",
+        F.col("order_count").cast("bigint").alias("order_count"),
+        F.round("lifetime_value", 2).cast("decimal(18,2)").alias("lifetime_value"),
+    ).orderBy("customer_id")
+
+
+@query(
+    "dbt_test_results",
+    oracle="""
+    WITH stg_orders AS (
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               o_orderstatus AS status
+        FROM orders),
+    stg_customers AS (SELECT c_custkey AS customer_id FROM customer),
+    fct AS (
+        SELECT o.order_id, o.customer_id, o.status FROM stg_orders o)
+    SELECT 'accepted_values_fct_orders_status' AS test_name,
+           (SELECT COUNT(*) FROM fct WHERE status NOT IN ('P','O','F') OR status IS NULL) AS failures
+    UNION ALL
+    SELECT 'not_null_fct_orders_order_id',
+           (SELECT COUNT(*) FROM fct WHERE order_id IS NULL)
+    UNION ALL
+    SELECT 'not_null_stg_orders_order_id',
+           (SELECT COUNT(*) FROM stg_orders WHERE order_id IS NULL)
+    UNION ALL
+    SELECT 'relationships_fct_orders_customer_id',
+           (SELECT COUNT(*) FROM fct f WHERE f.customer_id IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM stg_customers c WHERE c.customer_id = f.customer_id))
+    UNION ALL
+    SELECT 'unique_fct_orders_order_id',
+           (SELECT COUNT(*) FROM (SELECT order_id FROM fct WHERE order_id IS NOT NULL
+                                  GROUP BY order_id HAVING COUNT(*) > 1))
+    ORDER BY test_name
+    """,
+    survey="§2.10,S3",
+    doc="The project's dbt tests executed through the quality compiler.",
+)
+def dbt_test_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.ingest.manifest import load_manifest, parse_tests
+    from ariadne_dbt_spark.plans.quality import run_tests
+
+    ex = _executor(spark, sf_dir)
+    ex.run()
+    tests = parse_tests(load_manifest(MANIFEST_PATH))
+    results = run_tests(tests, ex.relation, spark=spark)
+    rows = sorted((r.name, r.failures) for r in results)
+    return spark.createDataFrame(rows, "test_name string, failures long")
