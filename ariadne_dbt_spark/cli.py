@@ -1,0 +1,272 @@
+"""CLI serving layer (reference: src/ariadne_dbt/cli.py — typer there,
+argparse here to stay inside the baked-in dependency set).
+
+Commands mirror the reference's tool surface:
+
+    index     build the index from a manifest (+ optional catalog/run_results)
+    search    hybrid model search
+    capsule   token-budgeted context capsule
+    discover  names-only orientation list
+    lineage   BFS up/down from a model
+    impact    blast-radius analysis
+    patterns  project pattern bundle
+    docs      render markdown docs
+    run       execute the dbt project on Spark SQL
+    test      run the project's data-quality tests
+    stats     usage analytics
+
+Every command loads (or builds) the index, runs DataFrame queries, and
+prints JSON — the same request/response shapes an MCP server would
+expose; serving transport is intentionally thin.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark():
+    from ariadne_dbt_spark.session import get_spark
+
+    return get_spark("ariadne-cli")
+
+
+def _index(args):
+    from ariadne_dbt_spark.config import EngineConfig
+    from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+
+    spark = _spark()
+    if getattr(args, "index_dir", None) and not getattr(args, "manifest", None):
+        return AriadneIndex.load(spark, args.index_dir, EngineConfig())
+    return AriadneIndex.build(
+        spark,
+        args.manifest,
+        catalog_path=getattr(args, "catalog", None),
+        run_results_path=getattr(args, "run_results", None),
+    )
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, indent=2, default=str))
+
+
+def cmd_index(args):
+    idx = _index(args)
+    if args.out:
+        idx.save(args.out)
+    from ariadne_dbt_spark.operators.patterns import project_stats
+
+    _emit({"indexed": project_stats(idx), "saved_to": args.out})
+
+
+def cmd_search(args):
+    from ariadne_dbt_spark.operators.model_search import search_models
+
+    idx = _index(args)
+    t0 = time.perf_counter()
+    hits = search_models(
+        idx, args.query, intent=args.intent, limit=args.limit, layer=args.layer
+    ).collect()
+    _emit(
+        {
+            "query": args.query,
+            "took_ms": round((time.perf_counter() - t0) * 1000, 1),
+            "results": [r.asDict() for r in hits],
+        }
+    )
+
+
+def cmd_capsule(args):
+    from ariadne_dbt_spark.operators.capsule import CapsuleBuilder
+
+    idx = _index(args)
+    cap = CapsuleBuilder(idx).build(
+        args.task,
+        focus_model=args.focus_model,
+        entry_models=args.entry_models,
+        token_budget=args.token_budget,
+    )
+    _emit(cap.to_dict())
+
+
+def cmd_discover(args):
+    from ariadne_dbt_spark.operators.capsule import CapsuleBuilder
+
+    idx = _index(args)
+    _emit(CapsuleBuilder(idx).discover(args.task, limit=args.limit))
+
+
+def cmd_lineage(args):
+    from ariadne_dbt_spark.operators.lineage import get_lineage
+    from ariadne_dbt_spark.operators.model_search import get_model_by_name
+
+    idx = _index(args)
+    row = get_model_by_name(idx, args.model).first()
+    if not row:
+        _emit({"error": f"model not found: {args.model}"})
+        return 1
+    lin = get_lineage(idx, row.unique_id, depth=args.depth, direction=args.direction)
+    _emit([r.asDict() for r in lin.collect()])
+
+
+def cmd_impact(args):
+    from ariadne_dbt_spark.operators.lineage import get_impact_analysis
+    from ariadne_dbt_spark.operators.model_search import get_model_by_name
+
+    idx = _index(args)
+    row = get_model_by_name(idx, args.model).first()
+    if not row:
+        _emit({"error": f"model not found: {args.model}"})
+        return 1
+    imp = get_impact_analysis(idx, row.unique_id, depth=args.depth)
+    imp.pop("affected", None)
+    _emit(imp)
+
+
+def cmd_patterns(args):
+    from ariadne_dbt_spark.operators.patterns import extract_patterns
+
+    _emit(extract_patterns(_index(args)))
+
+
+def cmd_docs(args):
+    from ariadne_dbt_spark.operators.generator import DocsGenerator
+
+    written = DocsGenerator(_index(args)).write_docs(args.out)
+    _emit({"written": written})
+
+
+def _source_map(args) -> dict:
+    out = {}
+    for spec in args.source or []:
+        key, path = spec.split("=", 1)
+        src, tbl = key.split(".", 1)
+        out[(src, tbl)] = path
+    return out
+
+
+def cmd_run(args):
+    from ariadne_dbt_spark.ingest.manifest import load_manifest
+    from ariadne_dbt_spark.plans.dbt_executor import DbtSparkExecutor
+
+    ex = DbtSparkExecutor(
+        spark=_spark(),
+        manifest=load_manifest(args.manifest),
+        source_map=_source_map(args),
+        target_dir=args.target,
+    )
+    rels = ex.run(args.models or None)
+    _emit({name: df.count() for name, df in rels.items()})
+
+
+def cmd_test(args):
+    from ariadne_dbt_spark.ingest.manifest import load_manifest, parse_tests
+    from ariadne_dbt_spark.plans.dbt_executor import DbtSparkExecutor
+    from ariadne_dbt_spark.plans.quality import run_tests
+
+    spark = _spark()
+    man = load_manifest(args.manifest)
+    ex = DbtSparkExecutor(
+        spark=spark, manifest=man, source_map=_source_map(args), target_dir=args.target
+    )
+    ex.run()
+    results = run_tests(parse_tests(man), ex.relation, spark=spark)
+    _emit([r.__dict__ for r in results])
+    return 1 if any(r.status != "pass" for r in results) else 0
+
+
+def cmd_stats(args):
+    from ariadne_dbt_spark.operators.usage import UsageLog
+
+    _emit(UsageLog(_spark(), args.log_dir).stats(days=args.days))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ariadne-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, manifest_required=True):
+        sp.add_argument("--manifest", required=manifest_required)
+        sp.add_argument("--catalog")
+        sp.add_argument("--run-results", dest="run_results")
+        sp.add_argument("--index-dir", dest="index_dir")
+
+    sp = sub.add_parser("index")
+    common(sp)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("search")
+    common(sp, manifest_required=False)
+    sp.add_argument("query")
+    sp.add_argument("--intent", default="explore")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--layer")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("capsule")
+    common(sp, manifest_required=False)
+    sp.add_argument("task")
+    sp.add_argument("--focus-model", dest="focus_model")
+    sp.add_argument("--entry-models", dest="entry_models", nargs="*")
+    sp.add_argument("--token-budget", dest="token_budget", type=int, default=None)
+    sp.set_defaults(fn=cmd_capsule)
+
+    sp = sub.add_parser("discover")
+    common(sp, manifest_required=False)
+    sp.add_argument("task")
+    sp.add_argument("--limit", type=int, default=40)
+    sp.set_defaults(fn=cmd_discover)
+
+    sp = sub.add_parser("lineage")
+    common(sp, manifest_required=False)
+    sp.add_argument("model")
+    sp.add_argument("--depth", type=int, default=3)
+    sp.add_argument("--direction", choices=["both", "upstream", "downstream"], default="both")
+    sp.set_defaults(fn=cmd_lineage)
+
+    sp = sub.add_parser("impact")
+    common(sp, manifest_required=False)
+    sp.add_argument("model")
+    sp.add_argument("--depth", type=int, default=5)
+    sp.set_defaults(fn=cmd_impact)
+
+    sp = sub.add_parser("patterns")
+    common(sp, manifest_required=False)
+    sp.set_defaults(fn=cmd_patterns)
+
+    sp = sub.add_parser("docs")
+    common(sp, manifest_required=False)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_docs)
+
+    sp = sub.add_parser("run")
+    sp.add_argument("--manifest", required=True)
+    sp.add_argument("--source", action="append", help="src.table=/path.parquet")
+    sp.add_argument("--target")
+    sp.add_argument("--models", nargs="*")
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("test")
+    sp.add_argument("--manifest", required=True)
+    sp.add_argument("--source", action="append")
+    sp.add_argument("--target")
+    sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("stats")
+    sp.add_argument("--log-dir", dest="log_dir", required=True)
+    sp.add_argument("--days", type=int, default=30)
+    sp.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

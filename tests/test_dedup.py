@@ -1,0 +1,111 @@
+"""Dedup invariants for the engine-hash ops the SQL oracle can't check:
+MinHash estimate accuracy, LSH candidate recall vs exact Jaccard,
+SimHash hamming locality, exact-dedup survivor determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_jaccard_estimate,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_sets,
+)
+from ariadne_dbt_spark.operators.text import hamming64, with_simhash
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base.replace("quick", "speedy")),       # near dup of 1
+        (4, "completely different text about database engines and query plans"),
+        (5, "yet another unrelated document mentioning spark shuffles and joins"),
+        (6, base + " extra trailing words appended here"),  # near dup, longer
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(corpus):
+    groups = exact_duplicates(corpus, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 2
+    assert groups[0].keep_id == 1
+
+
+def test_dedup_exact_survivor(corpus):
+    kept = {r.doc_id for r in dedup_exact(corpus, "doc_id", "text").collect()}
+    assert kept == {1, 3, 4, 5, 6}  # min-id survivor of the dup group
+
+
+def test_shingles(corpus):
+    sh = shingle_sets(corpus.where(F.col("doc_id") == 1), "doc_id", "text", n=3)
+    shingles = {r.shingle for r in sh.collect()}
+    assert "the quick brown" in shingles
+    assert len(shingles) == 12  # 14 tokens → 12 distinct 3-grams
+
+def test_ngram_jaccard_detects_near_dups(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # one word changed → shares most shingles
+    assert (2, 3) in pairs
+    assert not any({4, 5} & set(k) for k in pairs)
+
+
+def test_minhash_estimate_tracks_exact(spark, corpus):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_jaccard_estimate(corpus, "doc_id", "text", n=3, num_perm=128).collect()
+    }
+    assert est[(1, 2)] == 1.0  # identical docs → identical signatures
+    for pair, j in exact.items():
+        if j >= 0.5:
+            assert abs(est[pair] - j) < 0.25, (pair, j, est[pair])
+
+
+def test_lsh_candidates_recall(corpus):
+    """Every pair with exact Jaccard ≥ 0.7 must appear in the LSH
+    candidate set (16 bands × 4 rows → s-curve threshold ≈ 0.5)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(corpus, "doc_id", "text", n=3, num_perm=64, bands=16).collect()
+    }
+    assert exact <= cand, f"missed: {exact - cand}"
+
+
+def test_signatures_deterministic(spark, corpus):
+    s1 = {r.id: list(r.sig) for r in minhash_signatures(corpus, "doc_id", "text").collect()}
+    s2 = {r.id: list(r.sig) for r in minhash_signatures(corpus, "doc_id", "text").collect()}
+    assert s1 == s2
+    assert all(len(v) == 64 for v in s1.values())
+
+
+def test_simhash_locality(corpus):
+    sh = {r.doc_id: r.simhash for r in with_simhash(corpus, "text").collect()}
+    df = corpus.sparkSession.createDataFrame(
+        [(sh[1], sh[2]), (sh[1], sh[3]), (sh[1], sh[4])], "a long, b long"
+    )
+    d12, d13, d14 = [
+        r.d for r in df.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    ]
+    assert d12 == 0          # identical text → identical fingerprint
+    assert d13 < d14         # near dup closer than unrelated
+    assert d13 <= 16

@@ -1,0 +1,82 @@
+"""Similarity-search invariants: brute-force exactness vs numpy, LSH
+bucket recall, blocked near-dup pairs ⊆ brute-force pairs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    lsh_topk,
+    pairwise_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rnd.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        if i < 5:  # planted near-duplicates: tiny perturbation
+            rows.append((100 + i, [float(x + 0.01) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_matches_reference_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 1.0], [0.5, 0.5, 0.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).first().c
+    assert abs(got - _np_cos([1, 0, 1], [0.5, 0.5, 0])) < 1e-12
+
+
+def test_brute_force_topk_exact(vectors):
+    rows = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    q = rows[0]
+    want = sorted(
+        ((vid, _np_cos(q, v)) for vid, v in rows.items() if vid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    got = brute_force_topk(vectors, q, k=5, exclude_self=0).collect()
+    assert [r.vec_id for r in got] == [w[0] for w in want]
+    assert got[0].vec_id == 100  # the planted near-dup of vector 0
+    for r, w in zip(got, want):
+        assert abs(r.cos_sim - w[1]) < 1e-9
+
+
+def test_lsh_topk_finds_planted_neighbor(vectors):
+    rows = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    got = lsh_topk(vectors, rows[0], k=5, n_planes=4).collect()
+    ids = [r.vec_id for r in got]
+    assert 100 in ids  # perturbed twin lands in the same bucket
+
+
+def test_blocked_near_dups_subset_of_bruteforce(vectors):
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in pairwise_near_duplicates(vectors, threshold=0.99, n_planes=4).collect()
+    }
+    rows = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    brute = {
+        (a, b)
+        for a in rows
+        for b in rows
+        if a < b and _np_cos(rows[a], rows[b]) >= 0.99
+    }
+    assert blocked <= brute
+    # all 5 planted twins are ≥0.99; LSH with 4 planes should catch most
+    planted = {(i, 100 + i) for i in range(5)}
+    assert len(blocked & planted) >= 3
