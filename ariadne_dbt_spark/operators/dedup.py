@@ -78,15 +78,43 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs ``(id_a, id_b, jaccard)``, id_a < id_b.
 
-    Candidate generation is the shingle self-join (only pairs sharing a
-    shingle are scored); |A∪B| = |A|+|B|-|A∩B| from integer counts, so the
-    one float division is deterministic.
+    Two physical strategies with identical results; ``auto`` picks by
+    shingle density (mean df = postings/distinct shingles):
+
+    * ``count``  — shingle self-join → groupBy(pair) count. Intersections
+      aggregate in place (no arrays shuffled); wins when shingles are HOT
+      (dense vocabulary: Σdf² pairs exist anyway, counting them is the
+      cheapest possible pass).
+    * ``prefix`` — PPJoin-style: candidates only from each doc's
+      (|X| - ⌈τ|X|⌉ + 1) globally-rarest shingles + τ-length filter, then
+      array_intersect verification. Wins on sparse real-world corpora
+      where the prefix join is tiny; loses on dense data because the
+      verification join ships whole shingle arrays.
+
+    |A∪B| = |A|+|B|-|A∩B| from integer counts → the one float division is
+    deterministic, so both strategies hash-match the SQL oracle.
     """
     sh = shingle_sets(df, id_col, text_col, n).cache()
+    if strategy == "auto":
+        total, distinct = sh.count(), sh.select("shingle").distinct().count()
+        mean_df = total / max(distinct, 1)
+        strategy = "count" if mean_df > 4.0 else "prefix"
+    if strategy == "count":
+        return _jaccard_pairs_count(sh, threshold)
+    return _jaccard_pairs_prefix(sh, threshold)
+
+
+def _jaccard_pairs_count(sh: DataFrame, threshold: float) -> DataFrame:
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -99,12 +127,53 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _jaccard_pairs_prefix(sh: DataFrame, threshold: float) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
+        .select("id", "shingle", "sz")
+    )
+    a = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("shingles"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -1,0 +1,53 @@
+"""The two BFS execution paths (driver-local vs distributed iterative
+join) must produce identical results — pinned against each other on the
+fixture DAG and a random graph."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ariadne_dbt_spark.operators.graph import (
+    DOWNSTREAM,
+    UPSTREAM,
+    _bfs_distributed,
+    _bfs_local,
+)
+
+
+def _norm(df):
+    return sorted((r.unique_id, r.distance) for r in df.collect())
+
+
+@pytest.mark.parametrize("direction,start", [
+    (UPSTREAM, ["model.webshop.dim_customers"]),
+    (DOWNSTREAM, ["source.webshop.raw.orders", "source.webshop.raw.payments"]),
+])
+def test_paths_agree_on_fixture(index, direction, start):
+    local = _norm(_bfs_local(index.edges, start, direction, 10, True))
+    dist = _norm(_bfs_distributed(index.edges, start, direction, 10, True))
+    assert local == dist, (direction, start)
+
+
+def test_paths_agree_on_random_graph(spark):
+    rnd = random.Random(11)
+    edges = [
+        (f"n{rnd.randrange(60)}", f"n{rnd.randrange(60)}")
+        for _ in range(150)
+    ]
+    edf = spark.createDataFrame(edges, "parent_id string, child_id string").distinct().cache()
+    starts = ["n0", "n7"]
+    local = _norm(_bfs_local(edf, starts, DOWNSTREAM, 3, True))
+    dist = _norm(_bfs_distributed(edf, starts, DOWNSTREAM, 3, True))
+    assert local == dist
+
+
+def test_cycle_terminates(spark):
+    edf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "parent_id string, child_id string"
+    )
+    out = _norm(_bfs_local(edf, ["a"], DOWNSTREAM, 10, True))
+    assert out == [("b", 1), ("c", 2)]
+    out2 = _norm(_bfs_distributed(edf, ["a"], DOWNSTREAM, 10, True))
+    assert out == out2

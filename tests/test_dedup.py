@@ -109,3 +109,17 @@ def test_simhash_locality(corpus):
     assert d12 == 0          # identical text → identical fingerprint
     assert d13 < d14         # near dup closer than unrelated
     assert d13 <= 16
+
+
+def test_jaccard_strategies_agree(corpus):
+    a = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.5, strategy="count"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.5, strategy="prefix"
+        ).collect()
+    )
+    assert a == b and a
