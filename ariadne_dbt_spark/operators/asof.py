@@ -1,0 +1,124 @@
+"""As-of and range joins — operators Spark lacks natively, composed from
+built-ins (the preference order in /opt/skills/guides/pyspark_guide.md:
+compose DataFrame ops before reaching for applyInPandas).
+
+* ``asof_join`` — the union+window encoding: tag both sides, union on a
+  common schema, one window pass per key carries the latest right-side
+  values forward (``last(..., ignorenulls=True)``), then keep left rows.
+  ONE shuffle on the join key — same cost as a regular sort-merge join,
+  no per-group pandas, no skew beyond the key's own.
+* ``range_join`` — interval containment via bucketization: intervals
+  explode into coarse buckets, point side equi-joins on (key, bucket),
+  exact predicate filters the boundary spill. Turns an O(n·m) theta join
+  into an equi-join Catalyst can shuffle-hash; bucket width trades
+  duplication for selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the nearest PRECEDING right row's values
+    (``direction='backward'``, ties inclusive — matches DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts``). ``'forward'`` mirrors it.
+
+    Returns all left columns plus ``<value_col><suffix>`` for each value
+    column (null when no right row qualifies).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+
+    lcols = left.columns
+    out_vals = [f"{v}{suffix}" for v in value_cols]
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}") for v in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort before left at equal ts → ties are inclusive
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = [F.last(f"__v_{v}", ignorenulls=True).over(w).alias(o)
+                  for v, o in zip(value_cols, out_vals)]
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts"), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        picked = [F.first(f"__v_{v}", ignorenulls=True).over(w).alias(o)
+                  for v, o in zip(value_cols, out_vals)]
+
+    return (
+        u.select(*lcols, F.col("__is_left").alias("__il"), *picked)
+        .where(F.col("__il") == 1)
+        .drop("__il")
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: str | None = None,
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval containing it
+    (``lo ≤ point ≤ hi``), optionally also equi-keyed on ``on``.
+
+    With ``bucket_width`` set, intervals explode to bucket ids and the
+    join is an equi-join on bucket (+ key) — the scale path. Without it,
+    a broadcast theta join (correct for small interval dims).
+    """
+    exact = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    if bucket_width is None:
+        cond = exact if on is None else ((points[on] == intervals[on]) & exact)
+        return points.join(F.broadcast(intervals), cond, how)
+
+    bw = float(bucket_width)
+    p = points.withColumn("__b", F.floor(F.col(point_col) / bw).cast("long"))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bw).cast("long"),
+                F.floor(F.col(hi_col) / bw).cast("long"),
+            )
+        ),
+    )
+    keys = ["__b"] if on is None else ["__b", on]
+    return p.join(iv, keys, how).where(exact).drop("__b")

@@ -36,6 +36,7 @@ _MODULES = (
     "similarity",
     "textstats",
     "dbt_pipeline",
+    "olap_ext",
 )
 
 

@@ -1,0 +1,163 @@
+"""Extended OLAP workloads beyond the reference's inventory: as-of join,
+range join, rollup/cube/grouping-sets — the operators a training-data
+pipeline borrows from time-series/OLAP engines, each with a SQL oracle
+(DuckDB has native ASOF JOIN / ROLLUP / CUBE to verify against).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.asof import asof_join, range_join
+from ariadne_dbt_spark.workloads import query
+from ariadne_dbt_spark.workloads.timeseries import events
+
+
+@query(
+    "asof_click_before_purchase",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+        SELECT event_id AS click_event_id, user_id, ts, value FROM events
+        WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           c.click_event_id AS click_event_id_right,
+           epoch(p.ts) - epoch(c.ts) AS gap_seconds
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    survey="asof-join",
+    doc="As-of join: each purchase matched to the user's latest preceding "
+    "click (union+window encoding vs DuckDB's native ASOF JOIN).",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_event_id", "ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_event_id_right",
+        (F.col("ts").cast("double") - F.col("ts_right").cast("double")).alias("gap_seconds"),
+    ).orderBy("event_id")
+
+
+@query(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 25.0), ('mid', 25.0, 60.0),
+               ('high', 60.0, 90.0), ('extreme', 85.0, 100.0)
+    )
+    SELECT b.band, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+    survey="range-join",
+    doc="Range (interval containment) join via bucketized equi-join; "
+    "overlapping bands prove the containment semantics.",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 60.0), ("high", 60.0, 90.0), ("extreme", 85.0, 100.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(
+        ev, bands, point_col="value", lo_col="lo", hi_col="hi", bucket_width=10.0
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    survey="rollup",
+    doc="Hierarchical subtotals via ROLLUP (status → priority → grand total).",
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_events",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    ORDER BY event_type NULLS FIRST, event_date NULLS FIRST
+    """,
+    survey="cube",
+    doc="Full cross-dimensional subtotals via CUBE.",
+)
+def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    return (
+        ev.cube("event_type", "event_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("event_date").asc_nulls_first())
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    survey="grouping-sets",
+    doc="Explicit grouping sets (per-status and per-priority marginals).",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
