@@ -184,6 +184,12 @@ def cmd_stats(args):
     _emit(UsageLog(_spark(), args.log_dir).stats(days=args.days))
 
 
+def cmd_serve(args):
+    from ariadne_dbt_spark.server import ToolServer
+
+    ToolServer(_index(args), usage_dir=args.usage_dir).serve()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ariadne-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -260,6 +266,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--log-dir", dest="log_dir", required=True)
     sp.add_argument("--days", type=int, default=30)
     sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("serve", help="JSON-lines tool server on stdio")
+    common(sp, manifest_required=False)
+    sp.add_argument("--usage-dir", dest="usage_dir")
+    sp.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -1,0 +1,159 @@
+"""Tool server: the reference's MCP tool surface as a transport-thin
+JSON-lines server (SURVEY §3.2-3.3; reference: src/ariadne_dbt/server.py
+serves the same tools over fastmcp — fastmcp isn't in this image, and
+the tool *semantics* are the parity target, so requests ride
+one-JSON-object-per-line over stdio or any file pair).
+
+Tools (names mirror the reference):
+    search_models, get_model_details, get_lineage, get_impact_analysis,
+    discover_models, get_context_capsule, get_project_patterns,
+    refresh_index, usage_stats
+
+Every call is usage-logged (S8) with duration, like the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+from ariadne_dbt_spark.operators.capsule import CapsuleBuilder, detect_intent
+from ariadne_dbt_spark.operators.lineage import get_impact_analysis, get_lineage
+from ariadne_dbt_spark.operators.model_search import (
+    columns_with_tests,
+    coverage_stats,
+    direct_sources,
+    get_model_by_name,
+    macros_used,
+    search_models,
+)
+from ariadne_dbt_spark.operators.patterns import extract_patterns
+from ariadne_dbt_spark.operators.usage import UsageLog
+
+
+class ToolServer:
+    def __init__(self, index: AriadneIndex, *, usage_dir: str | None = None):
+        self.index = index
+        self.usage = UsageLog(index.spark, usage_dir) if usage_dir else None
+        self.builder = CapsuleBuilder(index)
+
+    # -- tools ---------------------------------------------------------------
+    def search_models(self, query: str, limit: int = 10, layer: str | None = None,
+                      intent: str = "explore") -> dict:
+        limit = max(1, min(int(limit), 50))  # O7 clamp (reference: server.py:363)
+        hits = search_models(self.index, query, intent=intent, limit=limit, layer=layer)
+        return {"results": [r.asDict() for r in hits.collect()]}
+
+    def get_model_details(self, model_name: str) -> dict:
+        row = get_model_by_name(self.index, model_name).first()
+        if row is None:
+            return {"error": f"model not found: {model_name}"}
+        uid = row.unique_id
+        return {
+            "model": {k: row[k] for k in (
+                "unique_id", "name", "layer", "materialization", "description",
+                "file_path", "upstream_count", "downstream_count", "centrality")},
+            "columns": [r.asDict() for r in columns_with_tests(self.index, uid).collect()],
+            "coverage": coverage_stats(self.index, uid),
+            "macros": [r.asDict() for r in macros_used(self.index, uid).collect()],
+            "sources": [r.asDict() for r in direct_sources(self.index, uid).collect()],
+        }
+
+    def get_lineage(self, model_name: str, depth: int = 3, direction: str = "both") -> dict:
+        depth = max(1, min(int(depth), 10))  # O7 clamp
+        row = get_model_by_name(self.index, model_name).first()
+        if row is None:
+            return {"error": f"model not found: {model_name}"}
+        lin = get_lineage(self.index, row.unique_id, depth=depth, direction=direction)
+        return {"lineage": [r.asDict() for r in lin.collect()]}
+
+    def get_impact_analysis(self, model_name: str, depth: int = 5) -> dict:
+        row = get_model_by_name(self.index, model_name).first()
+        if row is None:
+            return {"error": f"model not found: {model_name}"}
+        imp = get_impact_analysis(self.index, row.unique_id, depth=min(int(depth), 10))
+        imp.pop("affected", None)
+        return imp
+
+    def discover_models(self, task: str, limit: int = 40) -> dict:
+        return {"models": self.builder.discover(task, limit=limit)}
+
+    def get_context_capsule(self, task: str, focus_model: str | None = None,
+                            entry_models: list[str] | None = None,
+                            entry_paths: list[str] | None = None,
+                            token_budget: int | None = None) -> dict:
+        cap = self.builder.build(
+            task, focus_model=focus_model, entry_models=entry_models,
+            entry_paths=entry_paths, token_budget=token_budget,
+        )
+        return cap.to_dict()
+
+    def get_project_patterns(self) -> dict:
+        return extract_patterns(self.index)
+
+    def refresh_index(self, manifest_path: str, catalog_path: str | None = None,
+                      run_results_path: str | None = None) -> dict:
+        self.index = AriadneIndex.build(
+            self.index.spark, manifest_path,
+            catalog_path=catalog_path, run_results_path=run_results_path,
+        )
+        self.builder = CapsuleBuilder(self.index)
+        return {"status": "ok", "models": self.index.models.count()}
+
+    def usage_stats(self, days: int = 30) -> dict:
+        if self.usage is None:
+            return {"error": "usage logging disabled"}
+        return self.usage.stats(days=days)
+
+    # -- dispatch ------------------------------------------------------------
+    TOOLS = (
+        "search_models", "get_model_details", "get_lineage", "get_impact_analysis",
+        "discover_models", "get_context_capsule", "get_project_patterns",
+        "refresh_index", "usage_stats",
+    )
+
+    def handle(self, request: dict) -> dict:
+        tool = request.get("tool")
+        args = request.get("args") or {}
+        rid = request.get("id")
+        if tool not in self.TOOLS:
+            return {"id": rid, "error": f"unknown tool: {tool}", "tools": list(self.TOOLS)}
+        t0 = time.perf_counter()
+        try:
+            result = getattr(self, tool)(**args)
+            status = "ok"
+        except TypeError as e:
+            return {"id": rid, "error": f"bad arguments: {e}"}
+        except Exception as e:  # surface, don't crash the loop
+            result, status = {"error": f"{type(e).__name__}: {e}"}, "error"
+        dur_ms = int((time.perf_counter() - t0) * 1000)
+        if self.usage is not None:
+            task = str(args.get("task") or args.get("query") or "")
+            self.usage.record(
+                tool, task_text=task,
+                intent=detect_intent(task) if task else "",
+                focus_model=str(args.get("focus_model") or ""),
+                token_estimate=len(json.dumps(result, default=str)) // 4,
+                duration_ms=dur_ms,
+            )
+        return {"id": rid, "status": status, "took_ms": dur_ms, "result": result}
+
+    def serve(self, infile=None, outfile=None) -> None:
+        """One JSON request per line in, one JSON response per line out."""
+        infile = infile or sys.stdin
+        outfile = outfile or sys.stdout
+        for line in infile:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+            except json.JSONDecodeError as e:
+                resp = {"error": f"bad json: {e}"}
+            else:
+                resp = self.handle(req)
+            print(json.dumps(resp, default=str), file=outfile, flush=True)
