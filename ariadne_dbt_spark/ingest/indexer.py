@@ -114,6 +114,27 @@ class AriadneIndex:
         idx.cache()
         return idx
 
+    _local = None
+    _patterns = None
+
+    def local(self):
+        """Driver-local snapshot for latency-critical serving (built
+        lazily, once per index — see operators/local_cache.py)."""
+        if self._local is None:
+            from ariadne_dbt_spark.operators.local_cache import LocalIndexCache
+
+            self._local = LocalIndexCache.from_index(self)
+        return self._local
+
+    def patterns(self) -> dict:
+        """Pattern bundle, computed once per index build (the underlying
+        tables are immutable between rebuilds)."""
+        if self._patterns is None:
+            from ariadne_dbt_spark.operators.patterns import extract_patterns
+
+            self._patterns = extract_patterns(self)
+        return self._patterns
+
     def cache(self) -> None:
         # localCheckpoint (not just cache) truncates the logical plan of the
         # derived tables — downstream queries compose many joins on top, and
