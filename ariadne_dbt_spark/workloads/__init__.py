@@ -6,11 +6,16 @@ on the same parquet files.
 Design rules for oracle stability (the driver hash-compares values):
 
 * Aggregated money/quantity columns are cast to DECIMAL *before* the
-  aggregate and the final aggregate is cast to an explicit DECIMAL type on
-  BOTH sides — decimal arithmetic is exact, so Spark and DuckDB produce
-  bit-identical values regardless of partitioning / accumulation order.
-* Floating point appears in outputs only where a single deterministic
-  IEEE-754 operation produces it (e.g. one division), or rounded.
+  aggregate — decimal arithmetic is exact, so Spark and DuckDB produce
+  identical values regardless of partitioning / accumulation order.
+* The FINAL projection never emits DecimalType: every decimal aggregate is
+  cast to DOUBLE on BOTH sides. Python ``Decimal`` cells hash differently
+  across the driver's two fetch paths when they carry trailing zeros
+  (round-1 CORRECTNESS showed hash_match=false exactly on the queries with
+  trailing-zero decimals); equal decimals cast to double are bit-identical
+  (integer units < 2^53 at these scales), so doubles are hash-safe.
+* Floating point is otherwise produced only by a single deterministic
+  IEEE-754 operation (e.g. one division), or rounded.
 * Every computed column is aliased identically in the Spark plan and the
   oracle SQL.
 """

@@ -4,8 +4,9 @@ parquet tables; the oracle recomputes the same mart in plain SQL.
 
 Float note: `paid_amount`/`lifetime_value` are sums of 2-decimal doubles;
 `round(x, 2)` lands on the exact 2-decimal true value in both engines
-(accumulated float error ≪ 0.005), then a decimal cast pins the
-representation.
+(accumulated float error ≪ 0.005), and both engines return the nearest
+double to that decimal — outputs stay DOUBLE (never Decimal, which is not
+hash-stable across the driver's fetch paths).
 """
 
 from __future__ import annotations
@@ -66,8 +67,8 @@ _STG_SQL = """
     oracle=f"""
     WITH {_STG_SQL}
     SELECT order_id, customer_id, status,
-           CAST(round(amount, 2) AS DECIMAL(18,2)) AS amount,
-           CAST(round(paid_amount, 2) AS DECIMAL(18,2)) AS paid_amount
+           round(amount, 2) AS amount,
+           round(paid_amount, 2) AS paid_amount
     FROM fct_orders ORDER BY order_id
     """,
     survey="S10,P10,J9,A14,§2.11-macros",
@@ -82,8 +83,8 @@ def dbt_run_fct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_id",
         "customer_id",
         "status",
-        F.round("amount", 2).cast("decimal(18,2)").alias("amount"),
-        F.round("paid_amount", 2).cast("decimal(18,2)").alias("paid_amount"),
+        F.round("amount", 2).alias("amount"),
+        F.round("paid_amount", 2).alias("paid_amount"),
     ).orderBy("order_id")
 
 
@@ -101,7 +102,7 @@ def dbt_run_fct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM fct_orders GROUP BY customer_id) o
           ON c.customer_id = o.customer_id)
     SELECT customer_id, customer_name, segment, order_count,
-           CAST(round(lifetime_value, 2) AS DECIMAL(18,2)) AS lifetime_value
+           round(lifetime_value, 2) AS lifetime_value
     FROM dim ORDER BY customer_id
     """,
     survey="S10,J9,A14",
@@ -116,7 +117,7 @@ def dbt_run_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer_name",
         "segment",
         F.col("order_count").cast("bigint").alias("order_count"),
-        F.round("lifetime_value", 2).cast("decimal(18,2)").alias("lifetime_value"),
+        F.round("lifetime_value", 2).alias("lifetime_value"),
     ).orderBy("customer_id")
 
 

@@ -65,7 +65,7 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('high', 60.0, 90.0), ('extreme', 85.0, 100.0)
     )
     SELECT b.band, COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
     GROUP BY b.band ORDER BY b.band
     """,
@@ -86,7 +86,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .orderBy("band")
     )
@@ -96,7 +96,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -110,7 +110,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),

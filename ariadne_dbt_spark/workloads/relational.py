@@ -40,15 +40,15 @@ def dec(c, scale: int = 2):
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,4)) AS sum_disc_price,
+                AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                     * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
-                AS DECIMAL(38,6)) AS sum_charge,
+                AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -67,10 +67,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -86,7 +86,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_customers_by_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS order_count
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -101,7 +101,7 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate the fact FIRST (map-side partial agg shrinks the shuffle),
     # then broadcast-join the dim — at 100 TB the groupBy is the only shuffle.
     rev = orders.groupBy("o_custkey").agg(
-        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("order_count"),
     )
     return (
@@ -120,7 +120,7 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region",
     oracle="""
     SELECT r.r_name AS region_name,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS order_count
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -146,7 +146,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
-            F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("order_count"),
         )
         .orderBy("region_name")
@@ -162,7 +162,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name,
            COALESCE(o.order_count, 0) AS order_count,
-           CAST(COALESCE(o.lifetime_value, 0) AS DECIMAL(38,2)) AS lifetime_value
+           CAST(COALESCE(o.lifetime_value, 0) AS DOUBLE) AS lifetime_value
     FROM customer c
     LEFT JOIN (
         SELECT o_custkey, COUNT(*) AS order_count,
@@ -187,7 +187,7 @@ def customer_lifetime_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             F.coalesce(F.col("order_count"), F.lit(0)).alias("order_count"),
             F.coalesce(F.col("lifetime_value"), F.lit(0))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("lifetime_value"),
         )
         .orderBy("c_custkey")
@@ -274,7 +274,7 @@ def point_lookup_and_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prefix_filter_brands",
     oracle="""
     SELECT p_brand, COUNT(*) AS part_count,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM part
     WHERE p_brand LIKE 'Brand#1%'
     GROUP BY p_brand
@@ -289,7 +289,7 @@ def prefix_filter_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("part_count"),
-            F.sum(dec("p_retailprice")).cast("decimal(38,2)").alias("total_price"),
+            F.sum(dec("p_retailprice")).cast("double").alias("total_price"),
         )
         .orderBy("p_brand")
     )
@@ -356,7 +356,7 @@ def mode_priority_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "biggest_order_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey AS top_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS top_totalprice
+           o_totalprice AS top_totalprice
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -376,7 +376,7 @@ def biggest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.col("o_orderkey").alias("top_orderkey"),
-            dec("o_totalprice").alias("top_totalprice"),
+            F.col("o_totalprice").alias("top_totalprice"),
         )
         .orderBy("o_custkey")
     )
@@ -539,13 +539,13 @@ def term_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "budget_fill_orders",
     oracle="""
-    SELECT o_custkey, o_orderkey, running_total
+    SELECT o_custkey, o_orderkey, CAST(running_total AS DOUBLE) AS running_total
     FROM (
         SELECT o_custkey, o_orderkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DECIMAL(38,2)) AS running_total
+                    AS running_total
         FROM orders
     ) WHERE running_total <= 200000
     ORDER BY o_custkey, o_orderkey
@@ -561,9 +561,13 @@ def budget_fill_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.withColumn(
-            "running_total", F.sum(dec("o_totalprice")).over(w).cast("decimal(38,2)")
+            "running_total", F.sum(dec("o_totalprice")).over(w)
         )
         .where(F.col("running_total") <= 200000)
-        .select("o_custkey", "o_orderkey", "running_total")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("running_total").cast("double").alias("running_total"),
+        )
         .orderBy("o_custkey", "o_orderkey")
     )

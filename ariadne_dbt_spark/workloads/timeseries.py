@@ -36,7 +36,7 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ts AS DATE) AS event_date, event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY CAST(ts AS DATE), event_type
     ORDER BY event_date, event_type
@@ -50,7 +50,7 @@ def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .orderBy("event_date", "event_type")
     )
@@ -122,7 +122,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_active_users",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     ORDER BY n_events DESC, user_id LIMIT 10
     """,
@@ -134,7 +134,7 @@ def topk_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .orderBy(F.desc("n_events"), "user_id")
         .limit(10)

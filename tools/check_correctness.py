@@ -19,12 +19,17 @@ sys.path.insert(0, REPO)
 
 
 def canon(v):
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    STRICT: Decimals are compared by exact string (scale included, no
+    ``normalize()``) — the driver's hash is sensitive to trailing zeros,
+    so the local gate must be at least as strict. Workloads should not
+    emit Decimal outputs at all (cast to DOUBLE on both sides)."""
     import datetime
     import math
 
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
@@ -71,6 +76,9 @@ def main():
             sdf = spec.fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            dec_cols = [f.name for f in sdf.schema.fields if "decimal" in f.dataType.simpleString()]
+            if dec_cols:
+                print(f"WARN {name}: DecimalType output columns {dec_cols} — not hash-safe")
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
