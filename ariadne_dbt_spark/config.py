@@ -32,15 +32,17 @@ INTENT_LEXICONS: dict[str, tuple[str, ...]] = {
     "document": ("document", "documentation", "describe", "docs", "readme", "explain"),
 }
 
-#: intent → per-layer score boost used by the hybrid re-ranker
-#: (reference: search.py:13-20)
+#: intent → per-layer score boost used by the hybrid re-ranker.
+#: Values copied verbatim from the reference's INTENT_LAYER_WEIGHTS
+#: (reference: search.py:13-20) so rank order matches: e.g. debug boosts
+#: staging (where raw-data bugs live) over marts.
 LAYER_BOOSTS: dict[str, dict[str, float]] = {
-    "debug": {"staging": 0.3, "intermediate": 0.5, "marts": 1.0, "other": 0.2},
-    "add_feature": {"staging": 0.4, "intermediate": 0.7, "marts": 1.0, "other": 0.2},
-    "refactor": {"staging": 0.8, "intermediate": 1.0, "marts": 0.6, "other": 0.2},
-    "test": {"staging": 0.8, "intermediate": 0.8, "marts": 1.0, "other": 0.2},
-    "document": {"staging": 0.5, "intermediate": 0.7, "marts": 1.0, "other": 0.2},
-    "explore": {"staging": 0.5, "intermediate": 0.7, "marts": 1.0, "other": 0.3},
+    "debug": {"staging": 0.10, "intermediate": 0.05, "marts": 0.0, "other": 0.0},
+    "add_feature": {"staging": 0.0, "intermediate": 0.05, "marts": 0.10, "other": 0.0},
+    "refactor": {"staging": 0.0, "intermediate": 0.10, "marts": 0.05, "other": 0.0},
+    "test": {"staging": 0.05, "intermediate": 0.05, "marts": 0.05, "other": 0.0},
+    "document": {"staging": 0.0, "intermediate": 0.0, "marts": 0.0, "other": 0.0},
+    "explore": {"staging": 0.0, "intermediate": 0.0, "marts": 0.0, "other": 0.0},
 }
 
 #: hybrid score weights (reference: search.py:79-102)

@@ -112,7 +112,7 @@ def range_join(
     bw = float(bucket_width)
     p = points.withColumn("__b", F.floor(F.col(point_col) / bw).cast("long"))
     iv = intervals.withColumn(
-        "__b",
+        "__bi",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bw).cast("long"),
@@ -120,5 +120,12 @@ def range_join(
             )
         ),
     )
-    keys = ["__b"] if on is None else ["__b", on]
-    return p.join(iv, keys, how).where(exact).drop("__b")
+    # the exact predicate is part of the JOIN CONDITION (not a post-join
+    # filter): a post-join .where() would silently drop the null-extended
+    # rows of an outer join, degenerating how='left' to inner
+    if on is not None:
+        iv = iv.withColumnRenamed(on, "__on_r")
+    cond = (p["__b"] == iv["__bi"]) & exact
+    if on is not None:
+        cond = cond & (p[on] == iv["__on_r"])
+    return p.join(iv, cond, how).drop("__b", "__bi", "__on_r")

@@ -67,9 +67,14 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """``(id, shingle)`` distinct word n-grams per doc."""
+    """``(id, shingle)`` distinct word n-grams per doc. Docs with fewer
+    than ``n`` tokens yield no shingles (sequence(1, 0) would DESCEND and
+    produce an invalid slice start under ANSI mode, so the short case is
+    gated explicitly)."""
     toks = tokenize(text_col, min_len=1, stop=False)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))

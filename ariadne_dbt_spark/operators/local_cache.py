@@ -138,7 +138,10 @@ class LocalIndexCache:
         for uid, s in candidates:
             m = self.models[uid]
             norm = 1.0 if mx == mn else (s - mn) / (mx - mn)
-            name_bonus = 1.0 if q and q in (m["name"] or "").lower() else 0.0
+            # bonus VALUE 0.15, scaled again by the 0.15 weight (net
+            # 0.0225) — pinned to operators.search.hybrid_rerank and the
+            # reference (search.py:82-90)
+            name_bonus = 0.15 if q and q in (m["name"] or "").lower() else 0.0
             score = (
                 norm * HYBRID_WEIGHTS["bm25"]
                 + (m["centrality"] or 0.0) * HYBRID_WEIGHTS["centrality"]

@@ -181,9 +181,12 @@ def hybrid_rerank(
     else:
         out = out.withColumn("layer_boost", F.lit(0.0))
     q = query_text.lower().strip()
+    # bonus VALUE is 0.15 and is then scaled by w_name (reference:
+    # search.py:82-90 sets name_bonus=0.15 and multiplies by 0.15 — the
+    # net name contribution is 0.0225, not 0.15)
     out = out.withColumn(
         "name_bonus",
-        F.when(F.lower(F.col("name")).contains(F.lit(q)), F.lit(1.0)).otherwise(F.lit(0.0)),
+        F.when(F.lower(F.col("name")).contains(F.lit(q)), F.lit(0.15)).otherwise(F.lit(0.0)),
     )
     score = (
         F.col("norm_bm25") * w_bm25

@@ -130,7 +130,11 @@ def with_simhash(df, text_col: str, out_col: str = "simhash", *, shingle: int = 
     shiftright accept — hence one F.expr over a named hashes column.
     """
     toks = tokenize(F.col(text_col), min_len=1, stop=False)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - shingle + 1, F.lit(0)))
+    # short/empty docs → no shingles (sequence(1,0) descends; see
+    # dedup.shingle_sets for the same ANSI-mode guard)
+    idx = F.when(
+        F.size(toks) >= shingle, F.sequence(F.lit(1), F.size(toks) - shingle + 1)
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, shingle), " "))
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     tmp = "_simhash_hashes"

@@ -123,3 +123,20 @@ def test_jaccard_strategies_agree(corpus):
         ).collect()
     )
     assert a == b and a
+
+
+def test_short_and_empty_docs_yield_no_shingles(spark):
+    """Docs with fewer than n tokens must not crash (ANSI slice guard)
+    and must contribute zero shingles — matching the SQL oracle, which
+    generates no n-grams for them."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    sh = shingle_sets(df, "doc_id", "text", n=3)
+    got = {r.id for r in sh.collect()}
+    assert got == {4}  # only the 4-token doc makes 3-gram shingles
+    # the full pipelines survive the same corpus
+    assert ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).count() == 0
+    sims = with_simhash(df, "text", shingle=2).collect()
+    assert len(sims) == 4  # empty/1-token docs get the all-zero-vote fingerprint
