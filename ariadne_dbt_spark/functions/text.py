@@ -41,8 +41,13 @@ def tokenize(col: Column | str, *, min_len: int = 2, stop: bool = True) -> Colum
     return F.filter(toks, lambda t: F.length(t) >= min_len)
 
 
-def tokenize_query(text: str, *, min_len: int = 2, stop: bool = True) -> list[str]:
-    """Driver-side twin of :func:`tokenize` for query strings."""
+def tokenize_query(
+    text: str, *, min_len: int = 2, stop: bool = True, stem: bool = False
+) -> list[str]:
+    """Driver-side twin of :func:`tokenize` for query strings. With
+    ``stem=True`` Porter-stems each token — must match the posting build
+    side exactly (reference: FTS5 porter tokenizer applies to both,
+    schema.sql:209)."""
     import re
 
     toks = re.sub(r"[^a-z0-9\s]", " ", text.lower()).split()
@@ -53,4 +58,8 @@ def tokenize_query(text: str, *, min_len: int = 2, stop: bool = True) -> list[st
         if stop and t in STOPWORDS:
             continue
         out.append(t)
+    if stem:
+        from ariadne_dbt_spark.functions.porter import porter_stem
+
+        out = [porter_stem(t) for t in out]
     return out

@@ -47,18 +47,32 @@ def build_postings(
     *,
     min_len: int = 2,
     stop: bool = True,
+    stem: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build ``postings(unique_id, field, term, tf)`` and
     ``docstats(unique_id, field, dl)`` from one or more text fields.
 
+    ``stem=True`` Porter-stems every token through an Arrow-batched
+    pandas UDF (T2 — reference: FTS5 ``tokenize='porter ascii'``,
+    schema.sql:209). Index-time only: queries stem their handful of
+    tokens on the driver, so the UDF never sits on the query path.
+
     Reference analog: the FTS index build, one row per model with five
     weighted columns (indexer.py:471-485).
     """
+    stem_udf = None
+    if stem:
+        from ariadne_dbt_spark.functions.porter import stem_array_udf
+
+        stem_udf = stem_array_udf()
     parts_p, parts_d = [], []
     for field, col in field_cols.items():
+        toks_col = tokenize(col, min_len=min_len, stop=stop)
+        if stem_udf is not None:
+            toks_col = stem_udf(toks_col)
         toks = docs.select(
             F.col(id_col).alias("unique_id"),
-            F.explode(tokenize(col, min_len=min_len, stop=stop)).alias("term"),
+            F.explode(toks_col).alias("term"),
         )
         parts_p.append(
             toks.groupBy("unique_id", "term")
@@ -88,14 +102,17 @@ def bm25(
     field_weights: dict[str, float] | None = None,
     k1: float = K1,
     b: float = B,
+    stem_query: bool = False,
 ) -> DataFrame:
     """Score every matching doc: ``(unique_id, bm25_score)`` descending.
 
     ``n_docs`` is the corpus size (reference: FTS5 uses the table row
     count). Per-field scores are weighted then summed per doc.
+    ``stem_query=True`` Porter-stems the query tokens — required when the
+    postings were built with ``stem=True`` (both sides must agree).
     """
     spark = postings.sparkSession
-    terms = tokenize_query(query_text)
+    terms = tokenize_query(query_text, stem=stem_query)
     if not terms:
         return spark.createDataFrame([], "unique_id string, bm25_score double")
     weights = field_weights or DEFAULT_FIELD_WEIGHTS

@@ -102,6 +102,111 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T2: Porter stemming parity. The documents vocabulary is a fixed
+# 30-token set at every SF, so the oracle carries the complete
+# (token → porter stem) mapping inline; the Spark side runs the real
+# stemmer (functions/porter.py). Any engine/oracle stem divergence on
+# any token flips the row values.
+_STEM_MAP_SQL = """
+    stem_map(term, stem) AS (VALUES
+        ('agg','agg'), ('batch','batch'), ('big','big'), ('column','column'),
+        ('customer','custom'), ('data','data'), ('dup','dup'), ('fast','fast'),
+        ('filter','filter'), ('group','group'), ('hash','hash'), ('join','join'),
+        ('key','kei'), ('line','line'), ('merge','merg'), ('order','order'),
+        ('part','part'), ('query','queri'), ('row','row'), ('scan','scan'),
+        ('slow','slow'), ('small','small'), ('sort','sort'), ('spark','spark'),
+        ('stream','stream'), ('table','tabl'), ('value','valu'),
+        ('vector','vector'), ('window','window'))
+"""
+
+
+@query(
+    "porter_stem_tokens",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    {_STEM_MAP_SQL}
+    SELECT t.term, m.stem, COUNT(*) AS tf
+    FROM terms t JOIN stem_map m ON t.term = m.term
+    GROUP BY t.term, m.stem
+    ORDER BY t.term
+    """,
+    survey="T2",
+    doc="Porter stemmer parity over the full corpus vocabulary: the "
+    "engine stems with functions/porter.py (pandas UDF), the oracle "
+    "joins the inline published-algorithm mapping.",
+)
+def porter_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.functions.porter import stem_array_udf
+    from ariadne_dbt_spark.functions.text import tokenize
+
+    docs = documents(spark, sf_dir)
+    tokked = docs.select(tokenize("text").alias("toks")).withColumn(
+        "stems", stem_array_udf()(F.col("toks"))
+    )
+    pairs = tokked.select(F.explode(F.arrays_zip("toks", "stems")).alias("p")).select(
+        F.col("p.toks").alias("term"), F.col("p.stems").alias("stem")
+    )
+    return (
+        pairs.groupBy("term", "stem")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy("term")
+    )
+
+
+@query(
+    "bm25_stemmed_search",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    {_STEM_MAP_SQL},
+    sterms AS (SELECT t.doc_id, m.stem AS term FROM terms t
+               JOIN stem_map m ON t.term = m.term),
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM sterms GROUP BY 1, 2),
+    docstats AS (SELECT doc_id, COUNT(*) AS dl FROM sterms GROUP BY 1),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM docstats) AS avgdl),
+    qterms(term) AS (VALUES ('custom'), ('order'), ('stream')),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+              WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id,
+               SUM( ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * p.tf * (1.2 + 1.0)
+                    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ) AS raw
+        FROM postings p
+        JOIN dfreq f ON p.term = f.term
+        JOIN docstats d ON p.doc_id = d.doc_id
+        CROSS JOIN stats s
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, ROUND(raw, 4) AS bm25_score
+    FROM scored ORDER BY raw DESC, doc_id LIMIT 20
+    """,
+    survey="T2,T3,O1",
+    doc="BM25 over Porter-stemmed postings for the morphological query "
+    "'customers ordering streams' — variants hit the base-form docs "
+    "(the oracle stems via the inline mapping).",
+)
+def bm25_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    postings, docstats = build_postings(
+        docs, "doc_id", {"text": "text"}, stem=True
+    )
+    n_docs = docs.count()
+    scored = bm25(
+        postings,
+        docstats,
+        n_docs,
+        "customers ordering streams",
+        field_weights={"text": 1.0},
+        stem_query=True,
+    )
+    return (
+        scored.orderBy(F.desc("bm25_score"), "unique_id")
+        .limit(20)
+        .select(F.col("unique_id").alias("doc_id"), F.round("bm25_score", 4).alias("bm25_score"))
+    )
+
+
 # T4/T10: LIKE fallback search — contains() filter, constant score,
 # ranked by a centrality proxy, descriptions truncated.
 @query(

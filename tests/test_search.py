@@ -91,3 +91,46 @@ def test_coverage_ratio(index):
     assert cov["total_columns"] == 6
     assert cov["tested_columns"] == 3  # order_id, status, customer_id
     assert cov["coverage_pct"] == 50.0
+
+
+def test_porter_stem_published_examples():
+    """Pin the stemmer to the published Porter algorithm examples."""
+    from ariadne_dbt_spark.functions.porter import porter_stem
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "feed": "feed",
+        "agreed": "agre", "motoring": "motor", "hopping": "hop",
+        "relational": "relat", "conditional": "condit",
+        "vietnamization": "vietnam", "triplicate": "triplic",
+        "hopeful": "hope", "goodness": "good", "adjustable": "adjust",
+        "replacement": "replac", "adoption": "adopt", "probate": "probat",
+        "rate": "rate", "controll": "control", "roll": "roll",
+    }
+    assert {w: porter_stem(w) for w in cases} == cases
+
+
+def test_stemmed_search_morphological_parity(spark):
+    """'customers' (stemmed) must hit the same docs as 'customer':
+    both stem to 'custom' — the T2 recall contract."""
+    from ariadne_dbt_spark.operators.search import bm25, build_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "customer orders shipped fast"),
+            (2, "customers ordering daily"),
+            (3, "vector scans and hash joins"),
+        ],
+        "doc_id long, text string",
+    )
+    postings, stats = build_postings(docs, "doc_id", {"text": "text"}, stem=True)
+    hits_plural = {
+        r.unique_id
+        for r in bm25(postings, stats, 3, "customers", field_weights={"text": 1.0},
+                      stem_query=True).collect()
+    }
+    hits_singular = {
+        r.unique_id
+        for r in bm25(postings, stats, 3, "customer", field_weights={"text": 1.0},
+                      stem_query=True).collect()
+    }
+    assert hits_plural == hits_singular == {1, 2}
