@@ -25,7 +25,7 @@ from ariadne_dbt_spark.config import BUDGET_FRACTIONS, INTENT_LEXICONS, EngineCo
 from ariadne_dbt_spark.ingest.indexer import AriadneIndex
 from ariadne_dbt_spark.operators.graph import DOWNSTREAM, UPSTREAM, bfs
 from ariadne_dbt_spark.operators.model_search import (
-    columns_with_tests,
+    columns_with_tests_all,
     direct_sources,
     get_model_by_name,
     macros_used,
@@ -255,9 +255,13 @@ class CapsuleBuilder:
             r["unique_id"]: r.asDict()
             for r in self.index.models.where(F.col("unique_id").isin(list(wanted))).collect()
         }
-        cols_by_model = {}
-        for uid in wanted:
-            cols_by_model[uid] = [r.asDict() for r in columns_with_tests(self.index, uid).collect()]
+        # ONE columns⋈tests join + collect for the whole wanted set —
+        # O(1) Spark jobs regardless of capsule size (the reference runs a
+        # per-model query loop here, search.py:241-253; a loop of
+        # .collect()s would be N jobs — the J7 anti-pattern)
+        cols_by_model: dict[str, list[dict]] = {uid: [] for uid in wanted}
+        for r in columns_with_tests_all(self.index, list(wanted)).collect():
+            cols_by_model[r["model_id"]].append(r.asDict())
 
         # allocations (C2)
         alloc = {k: int(budget * v) for k, v in BUDGET_FRACTIONS.items()}

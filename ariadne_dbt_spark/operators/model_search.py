@@ -131,27 +131,43 @@ def find_by_column(index: AriadneIndex, column_name: str, *, limit: int = 20) ->
     )
 
 
-def columns_with_tests(index: AriadneIndex, model_id: str) -> DataFrame:
-    """J2: columns ⟕ tests with aggregated test types per column."""
-    cols = index.columns.where(F.col("model_id") == model_id)
-    tests = (
-        index.tests.where(F.col("model_id") == model_id)
-        .groupBy("column_name")
-        .agg(F.sort_array(F.collect_set("test_type")).alias("test_types"))
+def columns_with_tests_all(
+    index: AriadneIndex, model_ids: list[str] | None = None
+) -> DataFrame:
+    """J2/J8: columns ⟕ tests with aggregated test types per column,
+    set-based — ONE join regardless of how many models are asked for
+    (replaces the reference's per-model query loop, J7 anti-pattern;
+    reference: search.py:241-253 runs it per model)."""
+    cols = index.columns
+    tests = index.tests.where(F.col("column_name") != "")
+    if model_ids is not None:
+        cols = cols.where(F.col("model_id").isin(model_ids))
+        tests = tests.where(F.col("model_id").isin(model_ids))
+    agg = tests.groupBy("model_id", "column_name").agg(
+        F.sort_array(F.collect_set("test_type")).alias("test_types")
     )
     return (
-        cols.join(tests, cols.name == tests.column_name, "left")
+        cols.join(
+            agg,
+            (cols.model_id == agg.model_id) & (cols.name == agg.column_name),
+            "left",
+        )
         .select(
-            "model_id",
-            "name",
+            cols.model_id,
+            cols.name,
             "data_type",
             "description",
             "is_primary_key",
             "is_foreign_key",
             F.coalesce("test_types", F.array()).alias("test_types"),
         )
-        .orderBy("name")
+        .orderBy("model_id", "name")
     )
+
+
+def columns_with_tests(index: AriadneIndex, model_id: str) -> DataFrame:
+    """J2: columns ⟕ tests with aggregated test types per column."""
+    return columns_with_tests_all(index, [model_id]).orderBy("name")
 
 
 def macros_used(index: AriadneIndex, model_id: str) -> DataFrame:

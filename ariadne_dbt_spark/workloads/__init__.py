@@ -42,6 +42,8 @@ _MODULES = (
     "textstats",
     "dbt_pipeline",
     "olap_ext",
+    "meta_ops",
+    "capsule_ops",
 )
 
 
