@@ -87,51 +87,65 @@ class Capsule:
         }
 
 
+# -- tiers (C4, reference: capsule.py:61-117) — module-level so the
+# driver-local serving path (operators/local_cache.py) renders the exact
+# same shapes from its collected dicts
+def full_context(row, cols) -> dict:
+    return {
+        "unique_id": row["unique_id"],
+        "name": row["name"],
+        "layer": row["layer"],
+        "materialization": row["materialization"],
+        "description": row["description"],
+        "sql": (row["compiled_code"] or row["raw_code"] or "")[:2000],
+        "columns": [
+            {
+                "name": c["name"],
+                "type": c["data_type"],
+                "tests": list(c["test_types"]),
+                "pk": bool(c["is_primary_key"]),
+                "fk": bool(c["is_foreign_key"]),
+            }
+            for c in cols
+        ],
+        "depends_on": list(row["depends_on_nodes"] or []),
+    }
+
+
+def skeleton_context(row, cols, distance) -> dict:
+    return {
+        "unique_id": row["unique_id"],
+        "name": row["name"],
+        "layer": row["layer"],
+        "distance": distance,
+        "columns": [{"name": c["name"], "type": c["data_type"]} for c in cols],
+    }
+
+
+def minimal_context(row, cols, distance) -> dict:
+    key_cols = [c["name"] for c in cols if c["is_primary_key"] or c["is_foreign_key"]][:5]
+    return {
+        "unique_id": row["unique_id"],
+        "name": row["name"],
+        "distance": distance,
+        "column_count": len(cols),
+        "key_columns": key_cols,
+    }
+
+
 class CapsuleBuilder:
     def __init__(self, index: AriadneIndex, config: EngineConfig | None = None):
         self.index = index
         self.config = config or index.config
 
-    # -- tiers (C4, reference: capsule.py:61-117) ---------------------------
     def _full_context(self, row, cols) -> dict:
-        return {
-            "unique_id": row["unique_id"],
-            "name": row["name"],
-            "layer": row["layer"],
-            "materialization": row["materialization"],
-            "description": row["description"],
-            "sql": (row["compiled_code"] or row["raw_code"] or "")[:2000],
-            "columns": [
-                {
-                    "name": c["name"],
-                    "type": c["data_type"],
-                    "tests": list(c["test_types"]),
-                    "pk": bool(c["is_primary_key"]),
-                    "fk": bool(c["is_foreign_key"]),
-                }
-                for c in cols
-            ],
-            "depends_on": list(row["depends_on_nodes"] or []),
-        }
+        return full_context(row, cols)
 
     def _skeleton_context(self, row, cols, distance) -> dict:
-        return {
-            "unique_id": row["unique_id"],
-            "name": row["name"],
-            "layer": row["layer"],
-            "distance": distance,
-            "columns": [{"name": c["name"], "type": c["data_type"]} for c in cols],
-        }
+        return skeleton_context(row, cols, distance)
 
     def _minimal_context(self, row, cols, distance) -> dict:
-        key_cols = [c["name"] for c in cols if c["is_primary_key"] or c["is_foreign_key"]][:5]
-        return {
-            "unique_id": row["unique_id"],
-            "name": row["name"],
-            "distance": distance,
-            "column_count": len(cols),
-            "key_columns": key_cols,
-        }
+        return minimal_context(row, cols, distance)
 
     # -- pivots (C5, reference: capsule.py:209-270) --------------------------
     def _select_pivots(

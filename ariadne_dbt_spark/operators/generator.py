@@ -54,6 +54,52 @@ _DAG_TMPL = """# DAG summary — {{ project_name }}
 {% endfor -%}
 """
 
+# agent-context file (reference file set: .claude/CLAUDE.md,
+# generator.py:65-130 — content below is our own wording)
+_CLAUDE_TMPL = """# Working in {{ project_name }} (dbt project)
+
+This project has {{ stats.models }} models across layers \
+{{ models_per_layer.keys() | sort | join(', ') }} ({{ stats.sources }} sources, \
+{{ stats.tests }} tests, {{ stats.exposures }} exposures; adapter: {{ adapter }}).
+
+## Conventions
+{% for layer, n in models_per_layer.items() | sort -%}
+- {{ layer }}: {{ n }} models, prefix `{{ naming.get(layer, '?') }}_`, \
+materialized as {{ materializations.get(layer, 'view') }}
+{% endfor %}
+## Start here
+{% for m in key_models -%}
+- `{{ m.name }}` ({{ m.layer }}): {{ m.downstream_count }} downstream dependents
+{% endfor %}
+Use the engine's search/lineage/capsule tools before reading raw SQL files.
+"""
+
+_SKILL_NEW_MODEL_TMPL = """# Skill: add a new model to {{ project_name }}
+
+1. Pick the layer ({{ models_per_layer.keys() | sort | join(' / ') }}) and follow \
+its naming prefix.
+2. Mirror an existing example model{% if example %}: `{{ example }}`{% endif %}.
+3. Declare sources/refs so lineage stays connected.
+4. Add schema tests — project convention is \
+{{ coverage_overall }}% column test coverage.
+"""
+
+_SKILL_DEBUG_TEST_TMPL = """# Skill: debug a failing dbt test in {{ project_name }}
+
+1. Identify the test type (not_null / unique / accepted_values / relationships).
+2. Trace the model's upstream lineage before editing SQL.
+3. Re-run the single test, then its model's full test set \
+({{ stats.tests }} tests exist project-wide).
+"""
+
+_RULES_TMPL = """# {{ project_name }} assistant rules
+
+- {{ stats.models }} models; follow layer naming \
+({% for layer, p in naming.items() | sort %}{{ layer }}: `{{ p }}_*` {% endfor %}).
+- Query the metadata engine for search/lineage instead of scanning files.
+- Keep schema tests green; coverage target {{ coverage_overall }}%.
+"""
+
 
 class DocsGenerator:
     def __init__(self, index: AriadneIndex):
@@ -94,6 +140,70 @@ class DocsGenerator:
             n_edges=self.index.edges.count(),
             edges=edges,
         )
+
+    def _full_ctx(self) -> dict:
+        pat = extract_patterns(self.index)
+        meta = self._meta()
+        key_models = high_centrality_models(self.index, limit=5).collect()
+        cov = pat["coverage"]
+        overall = round(sum(cov.values()) / len(cov), 1) if cov else 0.0
+        return {
+            "project_name": meta.get("project_name", "project"),
+            "adapter": meta.get("adapter_type", "spark"),
+            "stats": pat["stats"],
+            "models_per_layer": pat["models_per_layer"],
+            "materializations": pat["materializations"],
+            "naming": pat["naming"],
+            "examples": pat["examples"],
+            "coverage": cov,
+            "coverage_overall": overall,
+            "key_models": key_models,
+            "example": pat["examples"].get("staging") or pat["examples"].get("marts"),
+        }
+
+    def generate_all(
+        self, project_root: str, targets: list[str] | None = None
+    ) -> list[str]:
+        """Write the reference's full generated-file set (reference:
+        generator.py:38-130): .claude/{CLAUDE.md, memory.md,
+        skills/new_model.md, skills/debug_test.md, context/dag_summary.md},
+        .cursor/rules/ariadne.mdc, .windsurf/rules/ariadne.md. memory.md
+        is never overwritten."""
+        targets = targets or ["claude_code"]
+        ctx = self._full_ctx()
+        written: list[str] = []
+
+        def emit(relpath: str, content: str, *, skip_existing: bool = False):
+            path = os.path.join(project_root, relpath)
+            if skip_existing and os.path.exists(path):
+                return
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                f.write(content)
+            written.append(path)
+
+        if "claude_code" in targets:
+            emit(".claude/CLAUDE.md", self.env.from_string(_CLAUDE_TMPL).render(**ctx))
+            emit(
+                ".claude/memory.md",
+                f"# Project memory — {ctx['project_name']}\n\n"
+                "(notes preserved across reindex)\n",
+                skip_existing=True,
+            )
+            emit(
+                ".claude/skills/new_model.md",
+                self.env.from_string(_SKILL_NEW_MODEL_TMPL).render(**ctx),
+            )
+            emit(
+                ".claude/skills/debug_test.md",
+                self.env.from_string(_SKILL_DEBUG_TEST_TMPL).render(**ctx),
+            )
+            emit(".claude/context/dag_summary.md", self.render_dag_summary())
+        if "cursor" in targets:
+            emit(".cursor/rules/ariadne.mdc", self.env.from_string(_RULES_TMPL).render(**ctx))
+        if "windsurf" in targets:
+            emit(".windsurf/rules/ariadne.md", self.env.from_string(_RULES_TMPL).render(**ctx))
+        return written
 
     def write_docs(self, out_dir: str, *, memory_filename: str = "memory.md") -> list[str]:
         """Write project docs; an existing memory file is preserved

@@ -28,6 +28,7 @@ class LocalIndexCache:
     tests: dict[str, list[dict]] = field(default_factory=dict)  # model_id → rows
     macros: list[dict] = field(default_factory=list)
     sources: dict[str, dict] = field(default_factory=dict)
+    exposures: dict[str, dict] = field(default_factory=dict)
     children: dict[str, list[str]] = field(default_factory=dict)
     parents: dict[str, list[str]] = field(default_factory=dict)
     # postings[field][term] → {unique_id: tf}; docstats[field][unique_id] → dl
@@ -46,6 +47,7 @@ class LocalIndexCache:
             c.tests.setdefault(r["model_id"], []).append(r.asDict())
         c.macros = [r.asDict() for r in index.macros.collect()]
         c.sources = {r["unique_id"]: r.asDict() for r in index.sources.collect()}
+        c.exposures = {r["unique_id"]: r.asDict() for r in index.exposures.collect()}
         for r in index.edges.collect():
             c.children.setdefault(r.parent_id, []).append(r.child_id)
             c.parents.setdefault(r.child_id, []).append(r.parent_id)
@@ -222,3 +224,218 @@ class LocalIndexCache:
                     }
                 )
         return sorted(out, key=lambda r: r["unique_id"])
+
+    # -- serving surfaces (latency path; semantics pinned to the
+    # DataFrame operators by tests/test_local_serving.py) -------------------
+    def lineage(self, model_id: str, *, depth: int = 3, direction: str = "both") -> list[dict]:
+        """Enriched lineage rows — local twin of lineage.get_lineage."""
+        out = []
+        dirs = ("upstream", "downstream") if direction == "both" else (direction,)
+        for rel in dirs:
+            for uid, dist in self.bfs([model_id], rel, depth):
+                m = self.models.get(uid)
+                s = self.sources.get(uid)
+                out.append({
+                    "unique_id": uid,
+                    "distance": dist,
+                    "relationship": rel,
+                    "name": (m or s or {}).get("name"),
+                    "layer": m["layer"] if m else ("source" if s else None),
+                    "kind": uid.split(".", 1)[0],
+                })
+        out.sort(key=lambda r: (r["relationship"], r["distance"], r["unique_id"]))
+        return out
+
+    def patterns(self) -> dict:
+        """Pattern bundle — local twin of operators.patterns.extract_patterns."""
+        from collections import Counter, defaultdict
+
+        models = list(self.models.values())
+        per_layer = Counter(m["layer"] for m in models)
+        mats = defaultdict(Counter)
+        for m in models:
+            mats[m["layer"]][m["materialization"]] += 1
+        materializations = {
+            layer: min(c.most_common(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for layer, c in mats.items()
+        }
+        prefixes = defaultdict(Counter)
+        for m in models:
+            name = m["name"] or ""
+            if "_" in name:
+                prefixes[m["layer"]][name.split("_", 1)[0]] += 1
+        naming = {
+            layer: min(c.most_common(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for layer, c in prefixes.items() if c
+        }
+        # example per layer: argmax (column count, description length, name)
+        examples = {}
+        best: dict[str, tuple] = {}
+        for m in models:
+            key = (
+                len(self.columns.get(m["unique_id"], ())),
+                len(m["description"] or ""),
+            )
+            cur = best.get(m["layer"])
+            # deterministic: higher key wins, ties break on LOWER name
+            if cur is None or (key, _neg_name(m["name"])) > (cur[0], _neg_name(cur[1])):
+                best[m["layer"]] = (key, m["name"])
+        examples = {layer: name for layer, (_k, name) in best.items()}
+        coverage = {}
+        per_layer_cols: dict[str, int] = Counter()
+        per_layer_tested: dict[str, int] = Counter()
+        for m in models:
+            uid, layer = m["unique_id"], m["layer"]
+            cols = self.columns.get(uid, ())
+            per_layer_cols[layer] += len(cols)
+            tested = {t["column_name"] for t in self.tests.get(uid, ()) if t["column_name"]}
+            per_layer_tested[layer] += len({c["name"] for c in cols} & tested)
+        for layer, total in per_layer_cols.items():
+            coverage[layer] = round(100.0 * per_layer_tested[layer] / total, 1) if total else 0.0
+        tags = Counter()
+        for m in models:
+            for t in m["tags"] or ():
+                tags[t] += 1
+        top_tags = [
+            (t, n)
+            for t, n in sorted(tags.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        ]
+        n_tests = sum(len(v) for v in self.tests.values())
+        best_tested = None
+        cand = [
+            (-len({t["test_type"] for t in ts}), -len(ts), mid)
+            for mid, ts in self.tests.items() if ts
+        ]
+        if cand:
+            nt, n, mid = min(cand)
+            best_tested = {"model_id": mid, "test_types": -nt, "tests": -n}
+        return {
+            "best_tested": best_tested,
+            "stats": {
+                "models": len(models),
+                "sources": len(self.sources),
+                "tests": n_tests,
+                "macros": len(self.macros),
+                "exposures": len(self.exposures),
+                "columns": sum(len(v) for v in self.columns.values()),
+            },
+            "models_per_layer": dict(per_layer),
+            "materializations": materializations,
+            "examples": examples,
+            "naming": naming,
+            "coverage": coverage,
+            "top_tags": top_tags,
+        }
+
+    def capsule(
+        self,
+        task: str,
+        *,
+        focus_model: str | None = None,
+        entry_models: list[str] | None = None,
+        entry_paths: list[str] | None = None,
+        token_budget: int = 10_000,
+        max_pivots: int = 3,
+    ) -> dict:
+        """Token-budgeted capsule — local twin of CapsuleBuilder.build
+        (same tier templates, budget fractions, break-vs-skip fill)."""
+        from ariadne_dbt_spark.config import BUDGET_FRACTIONS, INTENT_DEPTHS
+        from ariadne_dbt_spark.operators.capsule import (
+            CapsuleBuilder,
+            detect_intent,
+            estimate_tokens,
+            full_context,
+            minimal_context,
+            skeleton_context,
+        )
+
+        intent = detect_intent(task)
+        up_depth, down_depth = INTENT_DEPTHS.get(intent, (1, 1))
+
+        pivots: list[str] = []
+        explicit = False
+        for name in ([focus_model] if focus_model else []) + list(entry_models or []):
+            m = self.by_name(name)
+            if m and m["unique_id"] not in pivots and len(pivots) < max_pivots:
+                pivots.append(m["unique_id"])
+                explicit = True
+        for uid in self.resolve_paths(entry_paths or []):
+            if uid not in pivots and len(pivots) < max_pivots:
+                pivots.append(uid)
+                explicit = True
+        scores: list[float] = []
+        if len(pivots) < max_pivots:
+            hits = self.search(
+                task, intent=intent, limit=max_pivots - len(pivots) + 2,
+                exclude_ids=pivots,
+            )
+            scores = [h["score"] for h in hits]
+            for h in hits[: max_pivots - len(pivots)]:
+                if h["unique_id"] not in pivots:
+                    pivots.append(h["unique_id"])
+        confidence = CapsuleBuilder._confidence(explicit, scores)
+
+        cap = {
+            "task": task, "intent": intent, "confidence": confidence,
+            "pivots": [], "upstream": [], "downstream": [], "tests": [],
+            "macros": [], "sources": [], "similar_models": [], "patterns": {},
+            "token_estimate": 0, "token_budget": token_budget,
+        }
+        if not pivots:
+            cap["patterns"] = self.patterns()
+            cap["token_estimate"] = estimate_tokens(cap)
+            return cap
+
+        up_ids = self.bfs(pivots, "upstream", up_depth) if up_depth else []
+        up_ids = [(u, d) for u, d in up_ids if u.startswith("model.")]
+        down_ids = self.bfs(pivots, "downstream", down_depth) if down_depth else []
+        down_ids = [(u, d) for u, d in down_ids if u.startswith("model.")]
+
+        alloc = {k: int(token_budget * v) for k, v in BUDGET_FRACTIONS.items()}
+        fill = CapsuleBuilder._greedy_fill
+
+        pivot_items = [
+            full_context(self.models[p], self.columns_with_tests(p))
+            for p in pivots if p in self.models
+        ]
+        cap["pivots"] = fill(pivot_items, alloc["pivot"], break_on_overflow=False)
+        up_items = [
+            skeleton_context(self.models[u], self.columns_with_tests(u), d)
+            for u, d in sorted(up_ids, key=lambda x: (x[1], x[0])) if u in self.models
+        ]
+        cap["upstream"] = fill(up_items, alloc["upstream"], break_on_overflow=True)
+        down_items = [
+            minimal_context(self.models[u], self.columns_with_tests(u), d)
+            for u, d in sorted(down_ids, key=lambda x: (x[1], x[0])) if u in self.models
+        ]
+        cap["downstream"] = fill(down_items, alloc["downstream"], break_on_overflow=True)
+
+        test_items, macro_items, source_items = [], [], []
+        for p in pivots:
+            test_items += [
+                {"unique_id": t["unique_id"], "name": t["name"],
+                 "test_type": t["test_type"], "column_name": t["column_name"]}
+                for t in self.tests.get(p, ())
+            ]
+            macro_items += self.macros_used(p)
+            source_items += self.direct_sources(p)
+        half = alloc["tests_macros"] // 2
+        cap["tests"] = fill(test_items, half, break_on_overflow=False)
+        cap["macros"] = fill(macro_items, alloc["tests_macros"] - half, break_on_overflow=False)
+        seen: set[str] = set()
+        cap["sources"] = [
+            s for s in source_items
+            if not (s["unique_id"] in seen or seen.add(s["unique_id"]))
+        ]
+        wanted = set(pivots) | {u for u, _ in up_ids} | {u for u, _ in down_ids}
+        sim = self.search(task, intent=intent, limit=5, exclude_ids=list(wanted))
+        cap["similar_models"] = [r["name"] for r in sim]
+        pat = self.patterns()
+        cap["patterns"] = pat if estimate_tokens(pat) <= alloc["patterns"] else {"stats": pat["stats"]}
+        cap["token_estimate"] = estimate_tokens(cap)
+        return cap
+
+
+def _neg_name(name: str | None):
+    """Sort helper: makes LOWER names win ties under max-comparison."""
+    return tuple(-ord(ch) for ch in (name or ""))

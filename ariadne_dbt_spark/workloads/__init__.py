@@ -44,6 +44,7 @@ _MODULES = (
     "olap_ext",
     "meta_ops",
     "capsule_ops",
+    "ingest_ops",
 )
 
 

@@ -43,6 +43,71 @@ HEADLINE = [
 ]
 
 
+#: reference interactive targets (BASELINE.md; P95, milliseconds)
+LATENCY_TARGETS_MS = {"search": 100, "capsule": 500, "lineage": 50, "patterns": 200}
+LATENCY_ROUNDS = 10
+
+
+def _pctl(xs: list[float], pct: float) -> float:
+    xs = sorted(xs)
+    k = (len(xs) - 1) * pct / 100
+    lo, hi = int(k), min(int(k) + 1, len(xs) - 1)
+    return xs[lo] + (xs[hi] - xs[lo]) * (k - lo)
+
+
+def latency_section(spark) -> dict:
+    """P50/P95 of the interactive serving path (LocalIndexCache) on a
+    500-model synthetic manifest — mirrors the reference harness
+    (reference: benchmarks/run.py:200-240: 10 rounds per op, search/
+    capsule/lineage/patterns + index build)."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "make_big_manifest", os.path.join(repo, "tests", "fixtures", "make_big_manifest.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    man_path = os.path.join(repo, ".tmp", "big_manifest.json")
+    os.makedirs(os.path.dirname(man_path), exist_ok=True)
+    with open(man_path, "w") as f:
+        json.dump(mod.make_manifest(500), f)
+
+    from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+
+    t0 = time.perf_counter()
+    idx = AriadneIndex.build(spark, man_path)
+    build_sec = round(time.perf_counter() - t0, 3)
+    cache = idx.local()
+
+    central = max(
+        cache.models.values(),
+        key=lambda m: (m["centrality"] or 0.0, m["unique_id"]),
+    )["unique_id"]
+    ops = {
+        "search": lambda: cache.search("revenue customer order", limit=10),
+        "capsule": lambda: cache.capsule(
+            "debug failing test on revenue model", token_budget=8000
+        ),
+        "lineage": lambda: cache.lineage(central, depth=3),
+        "patterns": lambda: cache.patterns(),
+    }
+    out = {}
+    for name, fn in ops.items():
+        fn()  # warm
+        times = []
+        for _ in range(LATENCY_ROUNDS):
+            t0 = time.perf_counter()
+            fn()
+            times.append((time.perf_counter() - t0) * 1000)
+        out[name] = {
+            "p50": round(_pctl(times, 50), 2),
+            "p95": round(_pctl(times, 95), 2),
+            "target_p95": LATENCY_TARGETS_MS[name],
+        }
+    return {"index_build_sec": build_sec, "index_build_target_sec": 5.0, "ops": out}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -67,6 +132,8 @@ def main() -> None:
         df.count()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    latency = latency_section(spark)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -76,6 +143,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "interactive_latency": latency,
             }
         )
     )
