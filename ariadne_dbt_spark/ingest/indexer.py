@@ -104,14 +104,27 @@ class AriadneIndex:
             docstats=spark.createDataFrame([], "unique_id string, field string, dl long"),
             config=config,
         )
-        idx._compute_degrees()
-        idx._compute_pk_fk()
-        idx._build_postings()
-        if catalog_path:
-            idx.enrich_from_catalog(catalog_path)
-        if run_results_path:
-            idx.enrich_from_run_results(run_results_path)
-        idx.cache()
+        # the index tables are metadata-scale (≤10k models); 32-way
+        # shuffles would spend more on task scheduling than on work, so
+        # the derived computations run with a small partition count
+        # (surface-B data queries are untouched — this is scoped to the
+        # build and restored after)
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            idx._compute_degrees()
+            idx._compute_pk_fk()
+            idx._build_postings()
+            if catalog_path:
+                idx.enrich_from_catalog(catalog_path)
+            if run_results_path:
+                idx.enrich_from_run_results(run_results_path)
+            # only the DERIVED tables carry deep plans worth truncating;
+            # the parse tables are already local relations — skipping
+            # their checkpoint saves one Spark job each
+            idx.cache(tables=("models", "columns", "tests", "postings", "docstats"))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         return idx
 
     _local = None
@@ -135,13 +148,15 @@ class AriadneIndex:
             self._patterns = extract_patterns(self)
         return self._patterns
 
-    def cache(self) -> None:
+    def cache(self, tables: tuple[str, ...] = TABLES) -> None:
         # localCheckpoint (not just cache) truncates the logical plan of the
         # derived tables — downstream queries compose many joins on top, and
         # an uncut lineage blows Python's recursion limit during plan
         # conversion. The tables are small (≤10k models) so materializing
-        # them eagerly is the right trade at any scale.
-        for t in TABLES:
+        # them eagerly is the right trade at any scale. Tables whose plan
+        # is already a leaf (local relation / fresh scan) can be skipped
+        # via the `tables` selector.
+        for t in tables:
             setattr(self, t, getattr(self, t).localCheckpoint(eager=True))
 
     # -- derived computations ----------------------------------------------
