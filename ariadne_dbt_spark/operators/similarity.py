@@ -98,18 +98,39 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 10,
     n_planes: int = 12,
+    min_candidates: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors sharing the query's LSH
-    bucket (single-probe). Falls back to empty if the bucket is sparse —
-    callers widen with multi-probe or fewer planes."""
+    """Approximate top-k with MULTI-PROBE widening: probe the query's
+    bucket first, then neighboring buckets in increasing Hamming distance
+    (deterministic tie-break on bucket id) until the probed buckets hold
+    at least ``min_candidates`` vectors (default ``max(8*k, 128)``), then
+    exact-cosine re-rank inside the probed set only.
+
+    Never returns empty when the corpus is non-empty: in the worst case
+    the probe set widens to every bucket (= brute force). The bucket
+    histogram used to pick the probe radius is tiny (≤ 2^n_planes rows),
+    so the driver-side widening decision costs one cheap aggregate —
+    the expensive exact re-rank still touches only probed buckets.
+    """
     dim = len(query_vec)
     spark = embeddings.sparkSession
-    qdf = spark.createDataFrame([(query_vec,)], f"qv array<double>")
+    target = min_candidates if min_candidates is not None else max(8 * k, 128)
+    qdf = spark.createDataFrame([(query_vec,)], "qv array<double>")
     qsig = qdf.select(lsh_bucket_signature(F.col("qv"), dim, n_planes=n_planes).alias("b"))
     bucket = qsig.collect()[0]["b"]
-    cand = embeddings.withColumn(
+    sigged = embeddings.withColumn(
         "_b", lsh_bucket_signature(F.col(vec_col), dim, n_planes=n_planes)
-    ).where(F.col("_b") == bucket)
+    )
+    # tiny histogram (≤ 2^n_planes rows) drives the probe-radius choice
+    hist = {r["_b"]: r["cnt"] for r in sigged.groupBy("_b").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    by_dist = sorted(hist.items(), key=lambda kv: (bin(kv[0] ^ bucket).count("1"), kv[0]))
+    probed, total = [], 0
+    for b, cnt in by_dist:
+        probed.append(b)
+        total += cnt
+        if total >= target:
+            break
+    cand = sigged.where(F.col("_b").isin(probed))
     return brute_force_topk(cand, query_vec, id_col=id_col, vec_col=vec_col, k=k)
 
 

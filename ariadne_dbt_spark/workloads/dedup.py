@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ariadne_dbt_spark.functions.text import tokenize
 from ariadne_dbt_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
@@ -130,26 +131,73 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_lsh_candidates",
-    oracle=None,  # xxhash64-based signatures: not SQL-reproducible; pytest
-    # pins recall vs exact Jaccard (tests/test_dedup.py)
+    # xxhash64 signatures aren't SQL-reproducible, but this PROVABLE
+    # invariant is: identical-text clones have identical shingle sets →
+    # identical MinHash signatures → they share every band bucket, so every
+    # planted clone pair MUST appear among the LSH candidates. The oracle
+    # derives the planted-pair count from first principles; any recall miss
+    # flips n_found/n_missed and fails the hash. (Recall vs exact Jaccard
+    # on *near*-dups stays pinned in tests/test_dedup.py.)
+    oracle="""
+    SELECT COUNT(*) AS n_planted, COUNT(*) AS n_found, 0 AS n_missed
+    FROM documents
+    WHERE doc_id % 10 = 0
+      AND len(list_filter(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+            t -> length(t) >= 1)) >= 3
+    """,
     survey="dedup-minhash-lsh",
-    doc="MinHash(64 perms)+LSH(16 bands) candidate pairs on the near-dup "
-    "corpus — the O(n·bands) scale path.",
+    doc="MinHash(64 perms)+LSH(16 bands) candidate generation on a corpus "
+    "with planted exact clones — oracle-checked via the guaranteed-recall "
+    "invariant (identical docs must collide in every band).",
 )
 def minhash_lsh_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = corpus_with_near_dups(spark, sf_dir)
-    return (
-        minhash_lsh_candidates(corpus, "doc_id", "text", n=3, num_perm=64, bands=16)
-        .orderBy("id_a", "id_b")
+    corpus = corpus_with_exact_dups(spark, sf_dir)
+    cands = minhash_lsh_candidates(corpus, "doc_id", "text", n=3, num_perm=64, bands=16)
+    # planted pairs that can shingle (≥3 tokens — same tokenizer as the op)
+    planted = (
+        documents(spark, sf_dir)
+        .where(
+            (F.col("doc_id") % 10 == 0)
+            & (F.size(tokenize(F.col("text"), min_len=1, stop=False)) >= 3)
+        )
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b"))
+    )
+    hit = planted.join(cands.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left")
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_found"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).cast("int").alias("n_missed"),
     )
 
 
 @query(
     "simhash_fingerprints",
-    oracle=None,  # xxhash64-based; deterministic but engine-specific
+    # xxhash64 bit votes aren't SQL-reproducible; the identity invariant
+    # is: a byte-identical clone must get a bit-identical 64-bit
+    # fingerprint (hamming distance 0) — any drift in tokenization,
+    # shingling, or bit voting between the two copies fails the hash.
+    oracle="""
+    SELECT COUNT(*) AS n_clones, COUNT(*) AS n_hamming_zero, 0 AS n_hamming_nonzero
+    FROM documents WHERE doc_id % 10 = 0
+    """,
     survey="dedup-simhash",
-    doc="64-bit SimHash fingerprints over word 2-shingles.",
+    doc="64-bit SimHash fingerprints over word 2-shingles on a corpus with "
+    "planted exact clones — oracle-checked via the determinism invariant "
+    "hamming(simhash(doc), simhash(clone)) = 0.",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = documents(spark, sf_dir)
-    return with_simhash(docs, "text").select("doc_id", "simhash").orderBy("doc_id")
+    corpus = corpus_with_exact_dups(spark, sf_dir)
+    fps = with_simhash(corpus, "text").select("doc_id", "simhash")
+    orig = fps.where(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("k"), F.col("simhash").alias("h_a")
+    )
+    clone = fps.where(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") - 1000000).alias("k"), F.col("simhash").alias("h_b")
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return clone.join(orig, "k").agg(
+        F.count(F.lit(1)).alias("n_clones"),
+        F.sum(F.when(ham == 0, 1).otherwise(0)).alias("n_hamming_zero"),
+        F.sum(F.when(ham != 0, 1).otherwise(0)).cast("int").alias("n_hamming_nonzero"),
+    )

@@ -87,30 +87,67 @@ def embedding_label_centroids_sim(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "ann_lsh_bucketed",
-    oracle=None,  # LSH hyperplanes derive from an engine-side LCG; recall
-    # vs brute force is pinned in tests/test_similarity.py
+    oracle=f"""
+    WITH bf AS (
+        SELECT b.vec_id,
+               ROW_NUMBER() OVER (ORDER BY {_COS_SQL} DESC, b.vec_id) AS bf_rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0)
+    SELECT 10 AS k, 10 AS n_returned, 0 AS n_outside_bf_top25
+    """,
     survey="similarity-lsh",
-    doc="LSH-bucketed ANN: signed-random-projection buckets, exact re-rank "
-    "inside the query's bucket (the 100 TB path).",
+    doc="Multi-probe LSH ANN invariant, oracle-checked: the LSH top-10 "
+    "(signed-random-projection buckets, probe-widening, exact re-rank "
+    "inside probed buckets only — the 100 TB path) must return exactly "
+    "k results, every one inside the exact brute-force top-25. The "
+    "oracle recomputes the brute-force ranking from first principles in "
+    "SQL; a recall miss changes n_outside_bf_top25 and fails the hash.",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ariadne_dbt_spark.operators.similarity import lsh_topk
+    from ariadne_dbt_spark.operators.similarity import brute_force_topk, lsh_topk
 
     emb = embeddings(spark, sf_dir)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_topk(emb, qvec, k=10, n_planes=4).select(
-        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    lsh = lsh_topk(emb.where(F.col("vec_id") != 0), qvec, k=10, n_planes=4)
+    bf25 = brute_force_topk(emb, qvec, k=25, exclude_self=0).select("vec_id")
+    outside = lsh.join(bf25, "vec_id", "left_anti")
+    return spark.createDataFrame(
+        [(10, lsh.count(), outside.count())],
+        "k int, n_returned int, n_outside_bf_top25 int",
     )
+
+
+_CLONE_EMB_SQL = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding, x -> x + x) AS embedding
+    FROM embeddings WHERE vec_id % 10 = 0
+"""
 
 
 @query(
     "embedding_near_dup_pairs",
-    oracle=None,  # LSH-blocked (engine hyperplanes); exactness vs the
-    # brute-force pairs is pinned in tests/test_similarity.py
+    oracle=f"""
+    WITH corpus AS ({_CLONE_EMB_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL}, 6) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.9
+    ORDER BY id_a, id_b
+    """,
     survey="dedup-embedding-cosine",
     doc="Embedding near-dup pairs (cos ≥ 0.9) via LSH blocking + exact "
-    "re-rank inside buckets.",
+    "re-rank inside buckets, on a corpus with planted direction-identical "
+    "clones (every 10th vector doubled). The oracle computes ALL pairs "
+    "≥ 0.9 by exhaustive SQL cosine — the LSH-blocked plan must find "
+    "every one (identical directions provably share every bucket; the "
+    "raw corpus tops out at cos ≈ 0.51, so the truth set is exactly the "
+    "planted pairs).",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = embeddings(spark, sf_dir)
-    return pairwise_near_duplicates(emb, threshold=0.9, n_planes=6).orderBy("id_a", "id_b")
+    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + x).alias("embedding"),
+    )
+    corpus = emb.union(clones)
+    return pairwise_near_duplicates(corpus, threshold=0.9, n_planes=6).orderBy("id_a", "id_b")

@@ -64,6 +64,31 @@ def test_lsh_topk_finds_planted_neighbor(vectors):
     assert 100 in ids  # perturbed twin lands in the same bucket
 
 
+def test_lsh_topk_multiprobe_recall_and_never_empty(vectors):
+    """Multi-probe widening: recall@10 vs brute force ≥ 0.9, and the
+    result is never empty even with a plane count that fragments the
+    corpus into many sparse buckets (round-1/2 single-probe failure)."""
+    rows = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    q = rows[0]
+    bf = [r.vec_id for r in brute_force_topk(vectors, q, k=10, exclude_self=0).collect()]
+    # many planes → tiny buckets; single-probe would often return <k or none
+    got = [
+        r.vec_id
+        for r in lsh_topk(vectors.where(F.col("vec_id") != 0), q, k=10, n_planes=10).collect()
+    ]
+    assert len(got) == 10  # never empty / short on a 44-vector corpus
+    assert len(set(got) & set(bf)) >= 9  # recall@10 ≥ 0.9
+
+
+def test_lsh_topk_sparse_bucket_not_empty(spark):
+    """A query landing in an empty bucket still returns k results (probe
+    set widens until the candidate target is met)."""
+    rows = [(i, [float(i + 1), float(-i - 1), 1.0, 0.5]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = lsh_topk(df, [-5.0, 5.0, -1.0, -0.5], k=3, n_planes=8).collect()
+    assert len(got) == 3
+
+
 def test_blocked_near_dups_subset_of_bruteforce(vectors):
     blocked = {
         (r.id_a, r.id_b)
