@@ -11,8 +11,13 @@ Four tiers, cheapest first:
 * simhash    — 64-bit near-dup fingerprint; hamming-ball candidates
 
 All pure DataFrame ops (explode / groupBy / join / array folds); no
-Python in the hot path. At scale the shingle/band tables are salted by
-their natural hash, so skew from hot shingles is bounded.
+Python in the hot path. Skew control for the Jaccard path is structural,
+not salt-based: candidates come only from PPJoin prefix shingles (each
+doc's globally-rarest ⌈(1-τ)|X|⌉+1 shingles), so ubiquitous shingles
+never enter the candidate join, and verification touches only candidate
+pairs. Residual hot keys are handled by AQE skew-join splitting. For
+web-scale corpora where even exact pair enumeration is too big, route
+MinHash-LSH first and verify only its candidates.
 """
 
 from __future__ import annotations
@@ -93,30 +98,30 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs ``(id_a, id_b, jaccard)``, id_a < id_b.
 
-    Two physical strategies with identical results; ``auto`` picks by
-    shingle density (mean df = postings/distinct shingles):
+    ``auto``/``prefix`` is the production path — PPJoin-style and fully
+    exact at every density:
 
-    * ``count``  — shingle self-join → groupBy(pair) count. Intersections
-      aggregate in place (no arrays shuffled); wins when shingles are HOT
-      (dense vocabulary: Σdf² pairs exist anyway, counting them is the
-      cheapest possible pass).
-    * ``prefix`` — PPJoin-style: candidates only from each doc's
-      (|X| - ⌈τ|X|⌉ + 1) globally-rarest shingles + τ-length filter, then
-      array_intersect verification. Wins on sparse real-world corpora
-      where the prefix join is tiny; loses on dense data because the
-      verification join ships whole shingle arrays.
+    * candidates come ONLY from each doc's (|X| - ⌈τ|X|⌉ + 1)
+      globally-rarest shingles (lossless for Jaccard ≥ τ: two qualifying
+      sets must collide inside those prefixes) + τ-length filter;
+    * verification computes |A∩B| by joining the candidate pairs back to
+      the posting list and COUNTING matches — no shingle arrays are
+      collected or shuffled, and the full Σdf² shingle self-join never
+      happens. Cost is Σ_candidates |A|, i.e. proportional to real
+      near-dup mass, not to vocabulary heat.
+
+    ``count`` (full shingle self-join → groupBy(pair)) is kept for tests
+    and tiny corpora only; it is Σdf² in the hot-shingle count and does
+    not survive dense vocabularies.
 
     |A∪B| = |A|+|B|-|A∩B| from integer counts → the one float division is
-    deterministic, so both strategies hash-match the SQL oracle.
+    deterministic, so both strategies hash-match the SQL oracle. No
+    dispatch statistics are materialized (auto is static).
     """
     sh = shingle_sets(df, id_col, text_col, n).cache()
-    if strategy == "auto":
-        total, distinct = sh.count(), sh.select("shingle").distinct().count()
-        mean_df = total / max(distinct, 1)
-        strategy = "count" if mean_df > 4.0 else "prefix"
-    if strategy == "count":
-        return _jaccard_pairs_count(sh, threshold)
-    return _jaccard_pairs_prefix(sh, threshold)
+    if strategy in ("auto", "prefix"):
+        return _jaccard_pairs_prefix(sh, threshold)
+    return _jaccard_pairs_count(sh, threshold)
 
 
 def _jaccard_pairs_count(sh: DataFrame, threshold: float) -> DataFrame:
@@ -168,17 +173,29 @@ def _jaccard_pairs_prefix(sh: DataFrame, threshold: float) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("shingles"))
-    sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # verification by COUNTING posting matches restricted to candidates —
+    # |A∩B| = #{shingle : (id_a, shingle) ∈ sh ∧ (id_b, shingle) ∈ sh};
+    # no collect_set, no arrays through the shuffle, cost Σ_cand |A|
+    pa = cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+    inter = (
+        pa.join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # no broadcast hint on sizes: it is per-doc (unbounded at scale); AQE
+    # broadcasts it when it is actually small
     return (
-        cand.join(sa, "id_a")
+        inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -190,18 +207,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(id, sig: array<bigint>)`` MinHash signatures.
 
-    Shingles hash via xxhash64 (JVM-side); each permutation is
-    min((a*h+b) mod p) computed as an aggregate over the shingle set —
-    one groupBy, num_perm columns, no UDFs.
+    Shingles hash via xxhash64 (JVM-side). All ``num_perm`` permuted
+    values are computed in ONE ``transform`` over a literal (a, b) pair
+    array — a single codegen loop per posting row instead of num_perm
+    independent expression trees — then reduced with num_perm element
+    ``min`` aggregates (still one groupBy / one shuffle, map-side
+    partial aggregation intact).
     """
-    sh = shingle_sets(df, id_col, text_col, n).withColumn(
-        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    params = F.array(
+        *[
+            F.array(F.lit(a).cast("long"), F.lit(b).cast("long"))
+            for a, b in _perm_params(num_perm)
+        ]
     )
-    mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_params(num_perm))
-    ]
-    agg = sh.groupBy("id").agg(*mins)
+    hashed = shingle_sets(df, id_col, text_col, n).select(
+        "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)).alias("h")
+    )
+    sh = hashed.select(
+        "id",
+        F.transform(
+            params, lambda p: F.pmod(F.col("h") * p[0] + p[1], F.lit(_MERSENNE_P))
+        ).alias("hv"),
+    )
+    agg = sh.groupBy("id").agg(
+        *[F.min(F.col("hv")[i]).alias(f"m{i}") for i in range(num_perm)]
+    )
     return agg.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
