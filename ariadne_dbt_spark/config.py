@@ -67,6 +67,11 @@ class EngineConfig:
     discover_limit: int = 80  # reference: server.py:148
     search_limit_cap: int = 50  # reference: server.py clamps limits
     sql_index_chars: int = 2000  # reference: indexer.py:475-476
+    # Porter-stem index AND query tokens (reference: FTS5
+    # tokenize='porter ascii', schema.sql:209). Both sides always agree:
+    # this one flag drives _build_postings, search_models, and
+    # LocalIndexCache.bm25.
+    stem_tokens: bool = True
     description_truncate: int = 200  # reference: server.py:389
     intent_depths: dict[str, tuple[int, int]] = field(
         default_factory=lambda: dict(INTENT_DEPTHS)

@@ -229,7 +229,10 @@ class AriadneIndex:
 
     def _build_postings(self) -> None:
         """S6/T9: one search doc per model — name, description, column
-        names (space-joined), SQL truncated to 2000 chars, tags."""
+        names (space-joined), SQL truncated to 2000 chars, tags.
+        Tokens are Porter-stemmed when ``config.stem_tokens`` (default,
+        matching FTS5 ``tokenize='porter ascii'``); the query side stems
+        through the same flag so index and query always agree."""
         col_names = self.columns.groupBy(F.col("model_id").alias("unique_id")).agg(
             F.concat_ws(" ", F.collect_list("name")).alias("column_names")
         )
@@ -260,6 +263,7 @@ class AriadneIndex:
                 "sql_text": "sql_text",
                 "tags": "tags_text",
             },
+            stem=self.config.stem_tokens,
         )
 
     # -- enrichment ----------------------------------------------------------

@@ -34,10 +34,13 @@ class LocalIndexCache:
     # postings[field][term] → {unique_id: tf}; docstats[field][unique_id] → dl
     postings: dict[str, dict[str, dict[str, int]]] = field(default_factory=dict)
     docstats: dict[str, dict[str, int]] = field(default_factory=dict)
+    #: queries must stem iff the snapshotted postings were stemmed
+    stem: bool = False
 
     @classmethod
     def from_index(cls, index) -> "LocalIndexCache":
         c = cls()
+        c.stem = bool(getattr(index.config, "stem_tokens", False))
         c.models = {r["unique_id"]: r.asDict() for r in index.models.collect()}
         for r in index.columns.collect():
             c.columns.setdefault(r["model_id"], []).append(r.asDict())
@@ -84,7 +87,7 @@ class LocalIndexCache:
 
     # -- search (same math as operators.search.bm25 + hybrid_rerank) ---------
     def bm25(self, query: str, *, field_weights: dict[str, float] | None = None) -> dict[str, float]:
-        terms = set(tokenize_query(query))
+        terms = set(tokenize_query(query, stem=self.stem))
         if not terms:
             return {}
         weights = field_weights or DEFAULT_FIELD_WEIGHTS
@@ -115,9 +118,12 @@ class LocalIndexCache:
         exclude_ids: list[str] | None = None,
         layer: str | None = None,
     ) -> list[dict]:
+        # reference layer sequence (server.py:363-371): search with an
+        # effective 2×limit, cut the ranked list there, THEN layer-filter
         limit = max(1, min(int(limit), 50))
+        eff_limit = 2 * limit if layer else limit
         raw = self.bm25(query)
-        candidates = sorted(raw.items(), key=lambda kv: (-kv[1], kv[0]))[: 4 * limit]
+        candidates = sorted(raw.items(), key=lambda kv: (-kv[1], kv[0]))[: 4 * eff_limit]
         if not candidates:  # T4: LIKE fallback, centrality-ranked
             q = query.lower().strip()
             fall = [
@@ -127,7 +133,7 @@ class LocalIndexCache:
             ]
             candidates = sorted(
                 fall, key=lambda kv: (-(self.models[kv[0]]["centrality"] or 0), kv[0])
-            )[: 4 * limit]
+            )[: 4 * eff_limit]
         exclude = set(exclude_ids or ())
         candidates = [(u, s) for u, s in candidates if u not in exclude]
         if not candidates:
@@ -163,7 +169,7 @@ class LocalIndexCache:
             )
         out.sort(key=lambda r: (-r["score"], r["unique_id"]))
         if layer:
-            out = [r for r in out if r["layer"] == layer]
+            out = [r for r in out[:eff_limit] if r["layer"] == layer]
         return out[:limit]
 
     # -- lookups ---------------------------------------------------------------

@@ -43,13 +43,25 @@ def search_models(
     layer: str | None = None,
 ) -> DataFrame:
     """Returns the re-ranked hits: ``unique_id, name, layer, description,
-    centrality, bm25_score, score`` (descending)."""
+    centrality, bm25_score, score`` (descending).
+
+    Layer filtering mirrors the reference server exactly: search with an
+    effective limit of ``2×limit``, cut the re-ranked list to that, THEN
+    filter by layer and cut to ``limit`` (reference: server.py:363-371
+    calls ``search(limit=limit*2)`` → layer filter → ``[:limit]``)."""
     limit = max(1, min(int(limit), index.config.search_limit_cap))
+    eff_limit = 2 * limit if layer else limit
     n_docs = index.models.count()
-    hits = bm25(index.postings, index.docstats, n_docs, query)
+    hits = bm25(
+        index.postings,
+        index.docstats,
+        n_docs,
+        query,
+        stem_query=index.config.stem_tokens,
+    )
     models = index.models.select(*_MODEL_COLS)
 
-    cand = hits.limit(4 * limit).join(F.broadcast(models), "unique_id")
+    cand = hits.limit(4 * eff_limit).join(F.broadcast(models), "unique_id")
     if cand.isEmpty():
         # T4: LIKE fallback — contains on name/description, constant score,
         # centrality ranking
@@ -75,7 +87,7 @@ def search_models(
         w_name=HYBRID_WEIGHTS["name"],
     )
     if layer:
-        ranked = ranked.where(F.col("layer") == layer)
+        ranked = ranked.limit(eff_limit).where(F.col("layer") == layer)
     return ranked.select(
         "unique_id",
         "name",
@@ -127,6 +139,18 @@ def find_by_column(index: AriadneIndex, column_name: str, *, limit: int = 20) ->
         cols.select(F.col("model_id").alias("unique_id"), F.col("name").alias("column_name"))
         .join(index.models.select("unique_id", "name", "layer", "centrality"), "unique_id")
         .orderBy(F.desc("centrality"), "unique_id")
+        .limit(limit)
+    )
+
+
+def find_by_path(index: AriadneIndex, path_pattern: str, *, limit: int = 20) -> DataFrame:
+    """Find models whose file_path matches a SQL LIKE pattern (user
+    supplies ``%`` wildcards), name-ordered (reference: search.py:206-218,
+    served as find_models_by_path at server.py:425)."""
+    return (
+        index.models.where(F.col("file_path").like(path_pattern))
+        .select("unique_id", "name", "layer", "file_path", "description")
+        .orderBy("name")
         .limit(limit)
     )
 

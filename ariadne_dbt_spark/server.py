@@ -7,7 +7,8 @@ one-JSON-object-per-line over stdio or any file pair).
 Tools (names mirror the reference):
     search_models, get_model_details, get_lineage, get_impact_analysis,
     discover_models, get_context_capsule, get_project_patterns,
-    refresh_index, usage_stats
+    refresh_index, usage_stats, find_models_by_column,
+    find_models_by_path, rate_capsule
 
 Every call is usage-logged (S8) with duration, like the reference.
 """
@@ -27,19 +28,29 @@ from ariadne_dbt_spark.operators.model_search import (
     columns_with_tests,
     coverage_stats,
     direct_sources,
+    find_by_column,
+    find_by_path,
     get_model_by_name,
     macros_used,
     search_models,
 )
 from ariadne_dbt_spark.operators.patterns import extract_patterns
-from ariadne_dbt_spark.operators.usage import UsageLog
+from ariadne_dbt_spark.operators.usage import SessionEventLog, UsageLog
 
 
 class ToolServer:
     def __init__(self, index: AriadneIndex, *, usage_dir: str | None = None):
         self.index = index
         self.usage = UsageLog(index.spark, usage_dir) if usage_dir else None
+        self.events = (
+            SessionEventLog(index.spark, usage_dir + "_session_events")
+            if usage_dir
+            else None
+        )
         self.builder = CapsuleBuilder(index)
+        #: log id of the most recent get_context_capsule call — the target
+        #: of rate_capsule (reference: server.py:21,111,513)
+        self._last_capsule_log_id: int | None = None
 
     # -- tools ---------------------------------------------------------------
     def search_models(self, query: str, limit: int = 10, layer: str | None = None,
@@ -92,6 +103,36 @@ class ToolServer:
         )
         return cap.to_dict()
 
+    def find_models_by_column(self, column_name: str, limit: int = 20) -> dict:
+        """Reference: server.py:399-420 — partial column-name match."""
+        limit = max(1, min(int(limit), 50))
+        results = [r.asDict() for r in find_by_column(self.index, column_name, limit=limit).collect()]
+        return {"column_name": column_name, "count": len(results), "results": results}
+
+    def find_models_by_path(self, path_pattern: str, limit: int = 20) -> dict:
+        """Reference: server.py:425-445 — LIKE pattern over file_path."""
+        limit = max(1, min(int(limit), 50))
+        results = [r.asDict() for r in find_by_path(self.index, path_pattern, limit=limit).collect()]
+        return {"path_pattern": path_pattern, "count": len(results), "results": results}
+
+    def rate_capsule(self, rating: int, notes: str | None = None) -> dict:
+        """Rate the most recent get_context_capsule call 1-5 (reference:
+        server.py:497-527). Ratings append to the usage store and land in
+        the session_events feedback log."""
+        if self.usage is None:
+            return {"error": "usage logging disabled"}
+        log_id = self._last_capsule_log_id
+        if log_id is None:
+            return {"success": False, "error": "No capsule call found in this session yet."}
+        rating = max(1, min(5, int(rating)))
+        self.usage.rate(log_id, rating, notes or "")
+        if self.events is not None:
+            self.events.record(
+                "server", "validation", tool_name="rate_capsule",
+                payload={"log_id": log_id, "rating": rating, "notes": notes or ""},
+            )
+        return {"success": True, "log_id": log_id, "rating": rating}
+
     def get_project_patterns(self) -> dict:
         return extract_patterns(self.index)
 
@@ -113,7 +154,8 @@ class ToolServer:
     TOOLS = (
         "search_models", "get_model_details", "get_lineage", "get_impact_analysis",
         "discover_models", "get_context_capsule", "get_project_patterns",
-        "refresh_index", "usage_stats",
+        "refresh_index", "usage_stats", "find_models_by_column",
+        "find_models_by_path", "rate_capsule",
     )
 
     def handle(self, request: dict) -> dict:
@@ -133,13 +175,15 @@ class ToolServer:
         dur_ms = int((time.perf_counter() - t0) * 1000)
         if self.usage is not None:
             task = str(args.get("task") or args.get("query") or "")
-            self.usage.record(
+            log_id = self.usage.record(
                 tool, task_text=task,
                 intent=detect_intent(task) if task else "",
                 focus_model=str(args.get("focus_model") or ""),
                 token_estimate=len(json.dumps(result, default=str)) // 4,
                 duration_ms=dur_ms,
             )
+            if tool == "get_context_capsule" and status == "ok":
+                self._last_capsule_log_id = log_id
         return {"id": rid, "status": status, "took_ms": dur_ms, "result": result}
 
     def serve(self, infile=None, outfile=None) -> None:

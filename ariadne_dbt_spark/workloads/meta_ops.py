@@ -387,6 +387,10 @@ def search_cte(intent: str, *, limit: int = 10, exclude_cte: str | None = None) 
 
 
 _SEARCH_SQL = search_cte("debug")
+# layer-filtered twin: the reference server searches with limit*2 (recall
+# 4×2×10=80), cuts the re-ranked list to 20, THEN filters by layer and
+# cuts to 10 (server.py:363-371) — so its CTE uses limit=20
+_SEARCH_SQL_L20 = search_cte("debug", limit=20)
 
 
 @query(
@@ -422,14 +426,17 @@ def meta_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "meta_search_layer_filtered",
     oracle=f"""
     WITH {META_SQL},
-    {_SEARCH_SQL}
+    {_SEARCH_SQL_L20},
+    ranked20 AS (SELECT unique_id, name, layer, score_raw FROM rer
+                 ORDER BY score_raw DESC, unique_id LIMIT 20)
     SELECT unique_id, name, layer, ROUND(score_raw, 4) AS score
-    FROM rer WHERE layer = 'staging'
+    FROM ranked20 WHERE layer = 'staging'
     ORDER BY score_raw DESC, unique_id LIMIT 10
     """,
     survey="P3,T6",
-    doc="Same pipeline with the post-search layer filter "
-    "(reference: server.py:368-370).",
+    doc="Same pipeline with the reference server's layer sequence: "
+    "search(limit*2) -> cut 20 -> layer filter -> cut 10 "
+    "(reference: server.py:363-371).",
 )
 def meta_search_layer_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_dbt_spark.operators.model_search import search_models

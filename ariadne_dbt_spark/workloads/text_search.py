@@ -10,6 +10,9 @@ contract (reference validates rank-order vs FTS5 too, SURVEY §7).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,6 +20,8 @@ from ariadne_dbt_spark.functions.text import STOPWORDS
 from ariadne_dbt_spark.operators.search import bm25, build_postings
 from ariadne_dbt_spark.session import table_path
 from ariadne_dbt_spark.workloads import query
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
@@ -37,6 +42,58 @@ _TOKENS_CTE = f"""
 
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+# -- persisted posting index --------------------------------------------------
+# The engine serves BM25 from a PERSISTED index (ingest/indexer.py:230
+# builds it once; local_cache.py:86 snapshots it) — queries never re-scan
+# the corpus. The bench mirrors that: `bm25_index_build` pays the build
+# once, `bm25_search` reads the parquet postings (term-filtered scan →
+# predicate pushdown) and scores. Cache key = corpus path + mtime, so a
+# regenerated testdata dir invalidates automatically.
+
+
+def _bm25_index_dir(sf_dir: str) -> str:
+    docs_path = table_path(sf_dir, "documents")
+    mtime = int(os.path.getmtime(docs_path))
+    key = hashlib.md5(f"{docs_path}:{mtime}".encode()).hexdigest()[:12]
+    return os.path.join(_REPO, ".tmp", f"bm25_index_{key}")
+
+
+def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -> str:
+    """Build + persist the documents posting index; returns its dir.
+    Postings are hash-distributed by term before the write so a query
+    term's postings cluster into few files (the local stand-in for
+    partition-by-term at cluster scale)."""
+    out = _bm25_index_dir(sf_dir)
+    done = os.path.join(out, "_BUILT")
+    if not force and os.path.exists(done):
+        return out
+    docs = documents(spark, sf_dir)
+    postings, docstats = build_postings(docs, "doc_id", {"text": "text"})
+    n_docs = docs.count()
+    postings.repartition(F.col("term")).write.mode("overwrite").parquet(
+        os.path.join(out, "postings")
+    )
+    docstats.write.mode("overwrite").parquet(os.path.join(out, "docstats"))
+    with open(done, "w") as f:
+        f.write(str(n_docs))
+    return out
+
+
+def read_bm25_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(postings, docstats, n_docs) from the persisted index, building it
+    first if absent."""
+    out = build_bm25_index(spark, sf_dir)
+    with open(os.path.join(out, "_BUILT")) as f:
+        n_docs = int(f.read().strip())
+    return (
+        spark.read.parquet(os.path.join(out, "postings")),
+        spark.read.parquet(os.path.join(out, "docstats")),
+        n_docs,
+    )
 
 
 # T1/S6/A8: tokenize → posting build → global term frequencies, top-k.
@@ -61,7 +118,37 @@ def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# T2-T3: Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over the posting lists.
+# S6: the index build itself, timed separately from querying (the engine
+# persists postings at ingest; benching build+query as one number hid the
+# serving-path cost — round-2 verdict item 3).
+@query(
+    "bm25_index_build",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2)
+    SELECT COUNT(*) AS n_postings,
+           COUNT(DISTINCT term) AS n_terms,
+           COUNT(DISTINCT doc_id) AS n_docs_indexed,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM postings
+    """,
+    survey="S6,T9",
+    doc="Full posting-index build over documents, persisted to parquet "
+    "(term-clustered); returns index-level invariants.",
+)
+def bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build_bm25_index(spark, sf_dir, force=True)
+    postings, _, _ = read_bm25_index(spark, sf_dir)
+    return postings.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.countDistinct("term").alias("n_terms"),
+        F.countDistinct("unique_id").alias("n_docs_indexed"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+
+
+# T2-T3: Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over the PERSISTED
+# posting lists — query cost only, the way the engine serves.
 @query(
     "bm25_search",
     oracle=f"""
@@ -91,9 +178,10 @@ def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="BM25 top-20 for query 'spark vector stream'.",
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = documents(spark, sf_dir)
-    postings, docstats = build_postings(docs, "doc_id", {"text": "text"})
-    n_docs = docs.count()
+    postings, docstats, n_docs = read_bm25_index(spark, sf_dir)
+    # term filter as an isin predicate → pushed to the parquet scan
+    # (the broadcast-join inside bm25() can't push down into the file)
+    postings = postings.where(F.col("term").isin("spark", "vector", "stream"))
     scored = bm25(postings, docstats, n_docs, "spark vector stream", field_weights={"text": 1.0})
     return (
         scored.orderBy(F.desc("bm25_score"), "unique_id")
@@ -103,10 +191,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # T2: Porter stemming parity. The documents vocabulary is a fixed
-# 30-token set at every SF, so the oracle carries the complete
+# 29-token set at every SF, so the oracle carries the complete
 # (token → porter stem) mapping inline; the Spark side runs the real
 # stemmer (functions/porter.py). Any engine/oracle stem divergence on
-# any token flips the row values.
+# any token flips the row values; a corpus token MISSING from the map
+# surfaces loudly as a '<<unmapped>>' stem row naming the token (LEFT
+# JOIN sentinel, not a silent inner-join drop).
 _STEM_MAP_SQL = """
     stem_map(term, stem) AS (VALUES
         ('agg','agg'), ('batch','batch'), ('big','big'), ('column','column'),
@@ -125,9 +215,9 @@ _STEM_MAP_SQL = """
     oracle=f"""
     WITH {_TOKENS_CTE},
     {_STEM_MAP_SQL}
-    SELECT t.term, m.stem, COUNT(*) AS tf
-    FROM terms t JOIN stem_map m ON t.term = m.term
-    GROUP BY t.term, m.stem
+    SELECT t.term, COALESCE(m.stem, '<<unmapped>>') AS stem, COUNT(*) AS tf
+    FROM terms t LEFT JOIN stem_map m ON t.term = m.term
+    GROUP BY 1, 2
     ORDER BY t.term
     """,
     survey="T2",

@@ -27,6 +27,7 @@ HEADLINE = [
     "revenue_by_region",
     "customer_lifetime_value",
     "budget_fill_orders",
+    "bm25_index_build",
     "bm25_search",
     "term_frequency_topk",
     "bfs_downstream",
@@ -104,8 +105,19 @@ def latency_section(spark) -> dict:
             "p50": round(_pctl(times, 50), 2),
             "p95": round(_pctl(times, 95), 2),
             "target_p95": LATENCY_TARGETS_MS[name],
+            "meets_target": _pctl(times, 95) <= LATENCY_TARGETS_MS[name],
         }
-    return {"index_build_sec": build_sec, "index_build_target_sec": 5.0, "ops": out}
+    misses = [k for k, v in out.items() if not v["meets_target"]]
+    if build_sec > 5.0:
+        misses.append("index_build")
+    return {
+        "index_build_sec": build_sec,
+        "index_build_target_sec": 5.0,
+        "ops": out,
+        # explicit miss list so target regressions are visible at a glance
+        # (round-2 ADVICE: nothing flagged the 2.7x build overshoot)
+        "target_misses": misses,
+    }
 
 
 def main() -> None:

@@ -1,0 +1,139 @@
+"""The three reference tools added in round 3 (find_models_by_column,
+find_models_by_path, rate_capsule + session_events feedback sink —
+reference: server.py:399-527, schema.sql:185-196) and the import-guarded
+fastmcp adapter."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+from ariadne_dbt_spark.operators.usage import SessionEventLog
+from ariadne_dbt_spark.server import ToolServer
+
+
+@pytest.fixture(scope="module")
+def server(index, tmp_path_factory):
+    return ToolServer(index, usage_dir=str(tmp_path_factory.mktemp("usage")))
+
+
+def _call(server, tool, **args):
+    return server.handle({"id": 1, "tool": tool, "args": args})
+
+
+def test_tool_surface_is_twelve(server):
+    assert len(ToolServer.TOOLS) == 12
+    assert {"find_models_by_column", "find_models_by_path", "rate_capsule"} <= set(
+        ToolServer.TOOLS
+    )
+
+
+def test_find_models_by_column(server):
+    r = _call(server, "find_models_by_column", column_name="order_id")["result"]
+    assert r["count"] >= 2
+    names = {row["name"] for row in r["results"]}
+    assert "fct_orders" in names
+    # partial match: "order" also hits order_date etc.
+    r2 = _call(server, "find_models_by_column", column_name="order")["result"]
+    assert r2["count"] >= r["count"]
+
+
+def test_find_models_by_path(server):
+    r = _call(server, "find_models_by_path", path_pattern="models/staging/%")["result"]
+    names = sorted(row["name"] for row in r["results"])
+    assert names == ["stg_customers", "stg_orders", "stg_payments"]
+    # names ordered ascending (reference: search.py ORDER BY name)
+    assert [row["name"] for row in r["results"]] == names
+
+
+def test_rate_capsule_before_any_capsule(server):
+    r = _call(server, "rate_capsule", rating=5)["result"]
+    assert r["success"] is False
+    assert "No capsule call" in r["error"]
+
+
+def test_rate_capsule_roundtrip(server):
+    _call(server, "get_context_capsule", task="debug failing test on fct_orders",
+          token_budget=2000)
+    r = _call(server, "rate_capsule", rating=9, notes="great")["result"]
+    assert r["success"] is True
+    assert r["rating"] == 5  # clamped 1..5 (reference: usage.py:51)
+    stats = _call(server, "usage_stats", days=10)["result"]
+    assert stats["rated_calls"] == 1
+    assert stats["avg_rating"] == 5.0
+    # re-rating overwrites (latest-per-log_id reconciliation)
+    r2 = _call(server, "rate_capsule", rating=1)["result"]
+    assert r2["log_id"] == r["log_id"]
+    stats2 = _call(server, "usage_stats", days=10)["result"]
+    assert stats2["rated_calls"] == 1
+    assert stats2["avg_rating"] == 1.0
+    # feedback event landed in the session_events sink
+    events = server.events.for_session("server")
+    assert [e["event_type"] for e in events] == ["validation", "validation"]
+    assert events[0]["tool_name"] == "rate_capsule"
+
+
+def test_ratings_subdir_hidden_from_usage_scan(server):
+    """The _ratings parquet lives inside the usage dir; the underscore
+    prefix keeps it out of spark.read.parquet(log_dir)."""
+    df = server.usage._read()
+    assert "rating" not in df.columns
+    assert df.count() >= 2
+
+
+def test_session_event_log_roundtrip(spark, tmp_path):
+    log = SessionEventLog(spark, str(tmp_path / "events"))
+    log.record("s1", "investigation", tool_name="search_models", payload={"q": "x"})
+    log.record("s1", "decision", payload={"pick": "fct_orders"})
+    log.record("s2", "change")
+    ev = log.for_session("s1")
+    assert [e["event_type"] for e in ev] == ["investigation", "decision"]
+    assert ev[0]["session_id"] == "s1"
+    assert log.for_session("nope") == []
+
+
+# -- fastmcp adapter (import-guarded; stub module proves registration) --------
+
+
+def _stub_fastmcp(monkeypatch):
+    class FakeFastMCP:
+        def __init__(self, name):
+            self.name = name
+            self.tools = {}
+
+        def tool(self):
+            def deco(fn):
+                self.tools[fn.__name__] = fn
+                return fn
+
+            return deco
+
+    mod = types.ModuleType("fastmcp")
+    mod.FastMCP = FakeFastMCP
+    monkeypatch.setitem(sys.modules, "fastmcp", mod)
+    return mod
+
+
+def test_mcp_adapter_unavailable_without_fastmcp():
+    from ariadne_dbt_spark import mcp_adapter
+
+    if "fastmcp" not in sys.modules:
+        assert mcp_adapter.mcp_available() is False
+        with pytest.raises(ImportError):
+            mcp_adapter.build_mcp_app(None)
+
+
+def test_mcp_adapter_registers_all_tools(server, monkeypatch):
+    _stub_fastmcp(monkeypatch)
+    from ariadne_dbt_spark import mcp_adapter
+
+    assert mcp_adapter.mcp_available() is True
+    app = mcp_adapter.build_mcp_app(server)
+    assert set(app.tools) == set(ToolServer.TOOLS)
+    # a registered tool delegates to the live server
+    out = app.tools["find_models_by_path"](path_pattern="models/marts/%")
+    assert {r["name"] for r in out["results"]} == {"dim_customers", "fct_orders"}
+    # docstrings surfaced for MCP schema generation
+    assert app.tools["search_models"].__doc__
