@@ -179,10 +179,23 @@ def porter_stem(word: str) -> str:
     return w
 
 
+#: per-process memo — corpus vocabulary is tiny relative to token count,
+#: so nearly every call is a dict hit (cleared never; bounded by vocab)
+_STEM_CACHE: dict[str, str] = {}
+
+
 def stem_tokens(tokens: list[str] | None) -> list[str] | None:
     if tokens is None:
         return None
-    return [porter_stem(t) for t in tokens]
+    cache = _STEM_CACHE
+    out = []
+    for t in tokens:
+        s = cache.get(t)
+        if s is None:
+            s = porter_stem(t)
+            cache[t] = s
+        out.append(s)
+    return out
 
 
 def stem_array_udf():

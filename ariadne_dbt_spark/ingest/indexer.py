@@ -121,8 +121,10 @@ class AriadneIndex:
                 idx.enrich_from_run_results(run_results_path)
             # only the DERIVED tables carry deep plans worth truncating;
             # the parse tables are already local relations — skipping
-            # their checkpoint saves one Spark job each
-            idx.cache(tables=("models", "columns", "tests", "postings", "docstats"))
+            # their checkpoint saves one Spark job each (postings is
+            # checkpointed inside _build_postings; docstats is a shallow
+            # agg over the checkpointed postings, no job needed)
+            idx.cache(tables=("models", "columns", "tests"))
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         return idx
@@ -252,8 +254,12 @@ class AriadneIndex:
             )
             .join(col_names, "unique_id", "left")
             .withColumn("column_names", F.coalesce("column_names", F.lit("")))
+            # metadata-scale corpus (≤10k docs): 32 near-empty partitions
+            # would each pay Arrow + Python-worker setup for the stem UDF;
+            # a handful keeps that overhead off the build's critical path
+            .coalesce(4)
         )
-        self.postings, self.docstats = build_postings(
+        postings, _ = build_postings(
             docs,
             "unique_id",
             {
@@ -264,6 +270,13 @@ class AriadneIndex:
                 "tags": "tags_text",
             },
             stem=self.config.stem_tokens,
+        )
+        # materialize the postings once (single corpus pass); docstats is
+        # then a shallow rollup of the checkpointed postings — the second
+        # tokenize pass the old per-field build paid is gone
+        self.postings = postings.localCheckpoint(eager=True)
+        self.docstats = self.postings.groupBy("unique_id", "field").agg(
+            F.sum("tf").alias("dl")
         )
 
     # -- enrichment ----------------------------------------------------------

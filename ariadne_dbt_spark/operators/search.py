@@ -60,36 +60,36 @@ def build_postings(
     Reference analog: the FTS index build, one row per model with five
     weighted columns (indexer.py:471-485).
     """
-    stem_udf = None
+    # ONE pass over the corpus: stack the fields into (field, text) rows,
+    # tokenize/stem each row once, aggregate once. The per-field
+    # union-of-pipelines shape this replaces re-scanned the docs 2×F
+    # times (F fields × postings+docstats) — docstats is just
+    # sum(tf) over postings, no second tokenize needed.
+    stack_args: list = [F.lit(len(field_cols))]
+    for field, col in field_cols.items():
+        stack_args += [F.lit(field), F.col(col)]
+    stacked = docs.select(
+        F.col(id_col).alias("unique_id"),
+        F.stack(*stack_args).alias("field", "text"),
+    )
+    toks_col = tokenize("text", min_len=min_len, stop=stop)
     if stem:
         from ariadne_dbt_spark.functions.porter import stem_array_udf
 
-        stem_udf = stem_array_udf()
-    parts_p, parts_d = [], []
-    for field, col in field_cols.items():
-        toks_col = tokenize(col, min_len=min_len, stop=stop)
-        if stem_udf is not None:
-            toks_col = stem_udf(toks_col)
-        toks = docs.select(
-            F.col(id_col).alias("unique_id"),
-            F.explode(toks_col).alias("term"),
+        toks_col = stem_array_udf()(toks_col)
+    postings = (
+        stacked.select(
+            "unique_id", "field", F.explode(toks_col).alias("term")
         )
-        parts_p.append(
-            toks.groupBy("unique_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .select("unique_id", F.lit(field).alias("field"), "term", "tf")
-        )
-        parts_d.append(
-            toks.groupBy("unique_id")
-            .agg(F.count(F.lit(1)).alias("dl"))
-            .select("unique_id", F.lit(field).alias("field"), "dl")
-        )
-    postings = parts_p[0]
-    docstats = parts_d[0]
-    for p in parts_p[1:]:
-        postings = postings.union(p)
-    for d in parts_d[1:]:
-        docstats = docstats.union(d)
+        .groupBy("unique_id", "field", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("unique_id", "field", "term", "tf")
+    )
+    docstats = (
+        postings.groupBy("unique_id", "field")
+        .agg(F.sum("tf").alias("dl"))
+        .select("unique_id", "field", "dl")
+    )
     return postings, docstats
 
 

@@ -1,0 +1,74 @@
+"""Session-replay behavioral benchmark (reference:
+benchmarks/session_analysis.py methodology over committed synthetic
+transcripts)."""
+
+from __future__ import annotations
+
+import os
+
+from ariadne_dbt_spark.benchmarks.session_replay import (
+    compare_session,
+    detect_focus_model,
+    parse_session,
+    replay_sessions,
+)
+
+SESSIONS = os.path.join(os.path.dirname(__file__), "fixtures", "sessions")
+
+
+def test_parse_session_phases_and_models():
+    s = parse_session(os.path.join(SESSIONS, "debug_fct_orders.jsonl"))
+    assert s.task.startswith("debug the failing not_null test")
+    # 4 context calls before the Edit; Edit + post-impl dbt-test Bash are impl
+    assert [c.name for c in s.context_calls] == ["Read", "Grep", "Read", "Bash"]
+    assert len(s.impl_calls) == 2
+    assert s.models_explored == {"fct_orders", "stg_payments", "stg_orders"}
+
+
+def test_bash_classification():
+    s = parse_session(os.path.join(SESSIONS, "debug_fct_orders.jsonl"))
+    # `cat models/...` is context; `dbt test` is implementation
+    ctx_bash = [c for c in s.context_calls if c.name == "Bash"]
+    impl_bash = [c for c in s.impl_calls if c.name == "Bash"]
+    assert len(ctx_bash) == 1 and "cat" in ctx_bash[0].input["command"]
+    assert len(impl_bash) == 1 and "dbt test" in impl_bash[0].input["command"]
+
+
+def test_detect_focus_model_longest_match():
+    names = {"fct_orders", "stg_orders", "dim_customers"}
+    assert detect_focus_model("fix the fct_orders amount bug", names) == "fct_orders"
+    # longest (most specific) match wins when several appear
+    assert (
+        detect_focus_model("compare stg_orders with dim_customers", names)
+        == "dim_customers"
+    )
+    assert detect_focus_model("nothing relevant here", names) is None
+
+
+def test_compare_session_metrics():
+    s = parse_session(os.path.join(SESSIONS, "debug_fct_orders.jsonl"))
+    capsule = {
+        "pivots": [{"name": "fct_orders"}],
+        "upstream": [{"name": "stg_payments"}],
+        "downstream": [],
+        "similar_models": [],
+    }
+    names = {"fct_orders", "stg_payments", "stg_orders", "dim_customers"}
+    row = compare_session(s, capsule, names)
+    # agent explored 3 models, capsule covers 2 of them
+    assert row["overlap_pct"] == round(100.0 * 2 / 3, 1)
+    # saved calls: read fct_orders, grep stg_payments, read stg_payments;
+    # the stg_orders cat is NOT covered
+    assert row["potential_savings"] == 3
+
+
+def test_replay_against_real_capsules(index):
+    out = replay_sessions(index, SESSIONS)
+    assert out["sessions"] == 3
+    by_id = {r["session_id"]: r for r in out["per_session"]}
+    assert by_id["debug_fct_orders"]["focus_model"] == "fct_orders"
+    # debug intent traverses up 2 / down 1 from fct_orders → covers
+    # everything the synthetic agent explored
+    assert by_id["debug_fct_orders"]["overlap_pct"] == 100.0
+    assert out["avg_overlap_pct"] >= 80.0
+    assert out["total_potential_savings"] >= 6
