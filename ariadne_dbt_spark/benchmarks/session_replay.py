@@ -212,6 +212,114 @@ def compare_session(
     }
 
 
+def early_models(session: SessionAnalysis, limit: int, index_model_names: set[str]) -> list[str]:
+    """Models discovered in the first ``limit`` context calls — the
+    entry_models feedback an agent could supply (reference:
+    ab_entry_models.py:49-56)."""
+    found: set[str] = set()
+    for tc in session.context_calls[:limit]:
+        found.update(m for m in tc.models_referenced if m in index_model_names)
+    return sorted(found)
+
+
+def ab_entry_models(
+    index, sessions_dir: str | Path, *, early_calls: int = 3, token_budget: int = 10000
+) -> dict:
+    """A/B: capsule(focus_model) vs capsule(entry_models=early discoveries)
+    (reference: ab_entry_models.py — same two scenarios; B feeds back the
+    models the agent found in its first N context calls)."""
+    from ariadne_dbt_spark.operators.capsule import CapsuleBuilder
+
+    builder = CapsuleBuilder(index)
+    names = {r["name"] for r in index.models.select("name").collect()}
+    rows = []
+    for path in sorted(Path(sessions_dir).glob("*.jsonl")):
+        session = parse_session(path)
+        if session is None:
+            continue
+        focus = detect_focus_model(session.task, names)
+        entries = early_models(session, early_calls, names)
+        cap_a = builder.build(session.task, focus_model=focus, token_budget=token_budget)
+        cap_b = builder.build(
+            session.task, entry_models=entries or None, token_budget=token_budget
+        )
+        a = compare_session(session, cap_a.to_dict(), names)
+        b = compare_session(session, cap_b.to_dict(), names)
+        rows.append(
+            {
+                "session_id": session.session_id,
+                "entry_models": entries,
+                "overlap_a": a["overlap_pct"],
+                "overlap_b": b["overlap_pct"],
+                "savings_a": a["potential_savings"],
+                "savings_b": b["potential_savings"],
+            }
+        )
+    n = len(rows)
+    return {
+        "sessions": n,
+        "early_calls": early_calls,
+        "avg_overlap_a": round(sum(r["overlap_a"] for r in rows) / n, 1) if n else 0.0,
+        "avg_overlap_b": round(sum(r["overlap_b"] for r in rows) / n, 1) if n else 0.0,
+        "per_session": rows,
+    }
+
+
+def diagnose_misses(
+    index, sessions_dir: str | Path, *, max_depth: int = 8, token_budget: int = 10000
+) -> dict:
+    """For every model the agent explored but the capsule missed: was it
+    DAG-reachable from the capsule's pivots, and at what minimum distance?
+    (reference: diagnose_misses.py:48-61 — reachable misses indicate
+    traversal-depth tuning, unreachable ones indicate search recall)."""
+    from ariadne_dbt_spark.operators.capsule import CapsuleBuilder
+    from ariadne_dbt_spark.operators.graph import DOWNSTREAM, UPSTREAM, bfs
+
+    builder = CapsuleBuilder(index)
+    names = {r["name"] for r in index.models.select("name").collect()}
+    uid_by_name = {
+        r["name"]: r["unique_id"] for r in index.models.select("name", "unique_id").collect()
+    }
+    out = []
+    for path in sorted(Path(sessions_dir).glob("*.jsonl")):
+        session = parse_session(path)
+        if session is None:
+            continue
+        focus = detect_focus_model(session.task, names)
+        cap = builder.build(session.task, focus_model=focus, token_budget=token_budget)
+        capd = cap.to_dict()
+        covered = capsule_model_names(capd) & names
+        missed = (session.models_explored & names) - covered
+        pivot_ids = [p["unique_id"] for p in capd.get("pivots", [])]
+        # one BFS per direction for ALL misses of this session (not one
+        # per missed model — J7 anti-pattern)
+        reach: dict[str, int] = {}
+        if pivot_ids and missed:
+            missed_uids = {uid_by_name[m] for m in missed}
+            for direction in (UPSTREAM, DOWNSTREAM):
+                frontier = bfs(index.edges, pivot_ids, direction, max_depth=max_depth)
+                for r in frontier.collect():
+                    uid, dist = r["unique_id"], r["distance"]
+                    if uid in missed_uids and (uid not in reach or dist < reach[uid]):
+                        reach[uid] = dist
+        for name in sorted(missed):
+            dist = reach.get(uid_by_name[name])
+            out.append(
+                {
+                    "session_id": session.session_id,
+                    "missed_model": name,
+                    "min_dag_distance": dist,
+                    "reachable": dist is not None,
+                }
+            )
+    reachable = [r for r in out if r["reachable"]]
+    return {
+        "misses": len(out),
+        "reachable_misses": len(reachable),
+        "per_miss": out,
+    }
+
+
 def replay_sessions(index, sessions_dir: str | Path, *, token_budget: int = 10000) -> dict:
     """Replay every ``*.jsonl`` under ``sessions_dir`` against a capsule
     built from each session's task (focus model auto-detected from the

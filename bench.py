@@ -135,14 +135,21 @@ def behavioral_main() -> None:
     """Session-replay benchmark (reference: benchmarks/session_analysis.py):
     replay the committed synthetic transcripts against capsules built from
     each session's task; print ONE JSON line with overlap/savings."""
-    from ariadne_dbt_spark.benchmarks.session_replay import replay_sessions
+    from ariadne_dbt_spark.benchmarks.session_replay import (
+        ab_entry_models,
+        diagnose_misses,
+        replay_sessions,
+    )
     from ariadne_dbt_spark.ingest.indexer import AriadneIndex
     from ariadne_dbt_spark.session import get_spark
 
     repo = os.path.dirname(os.path.abspath(__file__))
     spark = get_spark("ariadne-behavioral")
     idx = AriadneIndex.build(spark, os.path.join(repo, "tests", "fixtures", "manifest.json"))
-    out = replay_sessions(idx, os.path.join(repo, "tests", "fixtures", "sessions"))
+    sessions_dir = os.path.join(repo, "tests", "fixtures", "sessions")
+    out = replay_sessions(idx, sessions_dir)
+    ab = ab_entry_models(idx, sessions_dir)
+    misses = diagnose_misses(idx, sessions_dir)
     print(
         json.dumps(
             {
@@ -156,6 +163,12 @@ def behavioral_main() -> None:
                     {k: r[k] for k in ("session_id", "overlap_pct", "potential_savings", "focus_model")}
                     for r in out["per_session"]
                 ],
+                "ab_entry_models": {
+                    k: ab[k] for k in ("avg_overlap_a", "avg_overlap_b", "early_calls")
+                },
+                "miss_diagnosis": {
+                    k: misses[k] for k in ("misses", "reachable_misses")
+                },
             }
         )
     )

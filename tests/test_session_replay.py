@@ -62,6 +62,27 @@ def test_compare_session_metrics():
     assert row["potential_savings"] == 3
 
 
+def test_ab_entry_models(index):
+    from ariadne_dbt_spark.benchmarks.session_replay import ab_entry_models
+
+    out = ab_entry_models(index, SESSIONS, early_calls=3)
+    assert out["sessions"] == 3
+    # feeding discovered models back can only widen coverage on this corpus
+    assert out["avg_overlap_b"] >= out["avg_overlap_a"] - 1e-9
+    by_id = {r["session_id"]: r for r in out["per_session"]}
+    assert "fct_orders" in by_id["debug_fct_orders"]["entry_models"]
+
+
+def test_diagnose_misses(index):
+    from ariadne_dbt_spark.benchmarks.session_replay import diagnose_misses
+
+    out = diagnose_misses(index, SESSIONS)
+    # every miss row carries a reachability verdict
+    for r in out["per_miss"]:
+        assert ("min_dag_distance" in r) and isinstance(r["reachable"], bool)
+    assert out["reachable_misses"] <= out["misses"]
+
+
 def test_replay_against_real_capsules(index):
     out = replay_sessions(index, SESSIONS)
     assert out["sessions"] == 3
