@@ -134,6 +134,118 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, id_col=id_col, vec_col=vec_col, k=k)
 
 
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    """Literal array<array<double>> of centroids (small: k × dim)."""
+    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+
+
+def _assign_col(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared L2, ties to the lowest
+    index. One codegen expression per centroid — centroids are broadcast
+    as literals, so assignment is a map-only pass (no shuffle, no UDF)."""
+    dists = []
+    for i, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(v)) for v in c])
+        d2 = F.aggregate(
+            F.zip_with(
+                vec_col, cl, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    # array_min on struct<d,i> compares d first, then i → deterministic argmin
+    return F.array_min(F.array(*dists)).getField("i")
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 3,
+    train_mod: int = 1,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means returning driver-side centroids.
+
+    * init: the ``n_centroids`` rows with the smallest ``xxhash64(id)``
+      (pseudo-random but reproducible — no RNG state);
+    * assign: map-only nearest-centroid expression (broadcast literals);
+    * update: per-dimension mean via ``posexplode`` → groupBy(cid, pos)
+      — one shuffle of n·dim skinny rows per iteration; empty clusters
+      keep their previous centroid.
+
+    At 100 TB, train on a hash-sample (``train_mod`` keeps every row with
+    ``xxhash64(id) % train_mod == 0``) — centroid quality needs only a
+    sample, while assignment stays a full map-only pass.
+    """
+    emb = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if train_mod > 1:
+        emb = emb.where(F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(train_mod)) == 0)
+    emb = emb.cache()
+    init = (
+        emb.orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in init]
+    for _ in range(iters):
+        assigned = emb.select(_assign_col(F.col("v"), centroids).alias("cid"), "v")
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_cid[i][p] for p in range(len(centroids[i]))] if i in by_cid else centroids[i]
+            for i in range(len(centroids))
+        ]
+    emb.unpersist()
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    iters: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into ``n_centroids``
+    Voronoi cells (trained once, reusable via ``centroids``), probe the
+    ``nprobe`` cells nearest the query, exact-cosine re-rank inside the
+    probed cells only.
+
+    The scale shape: training is sample-able, assignment is map-only
+    (broadcast centroid literals), and the probe filter prunes
+    (1 - nprobe/n_centroids) of the corpus before any ranking work —
+    with cell-partitioned storage the pruned cells are never read.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, iters=iters
+        )
+
+    def d2(c: list[float]) -> float:
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
+    cand = embeddings.where(
+        _assign_col(F.col(vec_col), centroids).isin([int(p) for p in probe])
+    )
+    return brute_force_topk(cand, query_vec, id_col=id_col, vec_col=vec_col, k=k)
+
+
 def pairwise_near_duplicates(
     embeddings: DataFrame,
     *,

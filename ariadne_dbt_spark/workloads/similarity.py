@@ -116,6 +116,43 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH bf AS (
+        SELECT b.vec_id,
+               ROW_NUMBER() OVER (ORDER BY {_COS_SQL} DESC, b.vec_id) AS bf_rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0)
+    SELECT 10 AS k, 10 AS n_returned, 0 AS n_outside_bf_top25
+    """,
+    survey="similarity-ivf",
+    doc="IVF ANN invariant, oracle-checked: deterministic Lloyd k-means "
+    "partitions the corpus into 8 Voronoi cells (init = lowest "
+    "xxhash64(id) rows, 3 iterations), the query probes its 3 nearest "
+    "cells, exact cosine re-ranks inside probed cells only — the IVF "
+    "top-10 must return exactly k results, every one inside the exact "
+    "brute-force top-25 recomputed from first principles by the oracle. "
+    "A recall miss changes n_outside_bf_top25 and fails the hash. This "
+    "is the cell-pruned scale path: training samples, assignment is "
+    "map-only, and unprobed cells are never ranked (never read, with "
+    "cell-partitioned storage).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = embeddings(spark, sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    ivf = ivf_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=10, n_centroids=8, nprobe=3, iters=3
+    )
+    bf25 = brute_force_topk(emb, qvec, k=25, exclude_self=0).select("vec_id")
+    outside = ivf.join(bf25, "vec_id", "left_anti")
+    return spark.createDataFrame(
+        [(10, ivf.count(), outside.count())],
+        "k int, n_returned int, n_outside_bf_top25 int",
+    )
+
+
 _CLONE_EMB_SQL = """
     SELECT vec_id, embedding FROM embeddings
     UNION ALL

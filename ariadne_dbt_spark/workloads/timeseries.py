@@ -19,13 +19,23 @@ from ariadne_dbt_spark.workloads import query
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events parquet uses TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and truncate to micros (DuckDB
-    truncates identically)."""
+    """Read the events parquet with a tz-normalized ``ts``.
+
+    The driver's generator has emitted ``ts`` as TIMESTAMP(NANOS) (read
+    as long + truncated to micros), as instant micros, and as
+    TIMESTAMP_NTZ micros across rounds; all three land on the same
+    UTC-wall-clock TIMESTAMP here. DuckDB reads the same column as a
+    naive timestamp and ``epoch()`` treats it as UTC, so interpreting
+    NTZ in the UTC session zone keeps both engines bit-identical."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # session tz is pinned to UTC by every entry point, so this cast
+        # reinterprets the wall clock as a UTC instant (no shift)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -105,3 +105,34 @@ def test_blocked_near_dups_subset_of_bruteforce(vectors):
     # all 5 planted twins are ≥0.99; LSH with 4 planes should catch most
     planted = {(i, 100 + i) for i in range(5)}
     assert len(blocked & planted) >= 3
+
+
+def test_ivf_centroids_deterministic(vectors):
+    from ariadne_dbt_spark.operators.similarity import ivf_train_centroids
+
+    c1 = ivf_train_centroids(vectors, n_centroids=4, iters=2)
+    c2 = ivf_train_centroids(vectors, n_centroids=4, iters=2)
+    assert c1 == c2  # fixed init + fixed iteration count → reproducible
+    assert len(c1) == 4 and all(len(c) == 8 for c in c1)
+
+
+def test_ivf_topk_recall_vs_bruteforce(vectors):
+    from ariadne_dbt_spark.operators.similarity import ivf_topk
+
+    q = [float(x) for x in vectors.where(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = vectors.where(F.col("vec_id") != 0)
+    got = [r.vec_id for r in ivf_topk(corpus, q, k=5, n_centroids=4, nprobe=2, iters=2).collect()]
+    bf = [r.vec_id for r in brute_force_topk(corpus, q, k=5).collect()]
+    assert len(got) == 5
+    assert got[0] == 100  # the planted twin of vec 0 lives in the probed cell
+    assert len(set(got) & set(bf)) >= 4  # recall@5 ≥ 0.8 with half the cells probed
+
+
+def test_ivf_full_probe_equals_bruteforce(vectors):
+    from ariadne_dbt_spark.operators.similarity import ivf_topk
+
+    q = [float(x) for x in vectors.where(F.col("vec_id") == 3).first()["embedding"]]
+    corpus = vectors.where(F.col("vec_id") != 3)
+    got = [r.vec_id for r in ivf_topk(corpus, q, k=5, n_centroids=4, nprobe=4, iters=2).collect()]
+    bf = [r.vec_id for r in brute_force_topk(corpus, q, k=5).collect()]
+    assert got == bf  # probing every cell degenerates to exact search
