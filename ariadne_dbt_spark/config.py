@@ -73,6 +73,12 @@ class EngineConfig:
     # LocalIndexCache.bm25.
     stem_tokens: bool = True
     description_truncate: int = 200  # reference: server.py:389
+    # manifests at or under this model count derive degrees/PK-FK/postings
+    # driver-side (pure Python over the already-parsed rows) and register
+    # them as local relations — zero Spark jobs on the build path. Larger
+    # manifests route through the distributed DataFrame derivations
+    # (identical semantics, parity-pinned in tests/test_indexer.py).
+    local_build_max_models: int = 20_000
     intent_depths: dict[str, tuple[int, int]] = field(
         default_factory=lambda: dict(INTENT_DEPTHS)
     )

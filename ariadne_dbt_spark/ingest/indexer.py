@@ -27,6 +27,81 @@ from ariadne_dbt_spark.config import EngineConfig
 from ariadne_dbt_spark.ingest import manifest as mf
 from ariadne_dbt_spark.operators.search import build_postings
 
+def _derive_degrees_local(model_rows: list[dict], edge_rows: list[dict]) -> None:
+    """Python twin of ``_compute_degrees`` for metadata-scale manifests:
+    upstream = #edges where the model is the child, downstream = #edges
+    where it is the parent, centrality = (up+down)/max over models."""
+    up: dict[str, int] = {}
+    down: dict[str, int] = {}
+    for e in edge_rows:
+        up[e["child_id"]] = up.get(e["child_id"], 0) + 1
+        down[e["parent_id"]] = down.get(e["parent_id"], 0) + 1
+    degs = [
+        up.get(m["unique_id"], 0) + down.get(m["unique_id"], 0) for m in model_rows
+    ]
+    mx = max(degs, default=0)
+    for m, d in zip(model_rows, degs):
+        m["upstream_count"] = up.get(m["unique_id"], 0)
+        m["downstream_count"] = down.get(m["unique_id"], 0)
+        m["centrality"] = (d / mx) if mx > 0 else 0.0
+
+
+def _derive_pk_fk_local(column_rows: list[dict], test_rows: list[dict]) -> None:
+    """Python twin of ``_compute_pk_fk``: PK iff ≥2 distinct test types
+    among {unique, not_null} on the column; FK iff any relationships
+    test."""
+    pk_types: dict[tuple[str, str], set[str]] = {}
+    fk: set[tuple[str, str]] = set()
+    for t in test_rows:
+        col = t.get("column_name") or ""
+        if not col:
+            continue
+        key = (t["model_id"], col)
+        if t["test_type"] in ("unique", "not_null"):
+            pk_types.setdefault(key, set()).add(t["test_type"])
+        elif t["test_type"] == "relationships":
+            fk.add(key)
+    for c in column_rows:
+        key = (c["model_id"], c["name"])
+        c["is_primary_key"] = len(pk_types.get(key, ())) >= 2
+        c["is_foreign_key"] = key in fk
+
+
+def _build_postings_local(
+    model_rows: list[dict], column_rows: list[dict], config: EngineConfig
+) -> tuple[list[tuple], list[tuple]]:
+    """Python twin of ``_build_postings``: identical five fields, the
+    same tokenizer/stemmer as the distributed path (``tokenize_query``
+    is the pinned driver-side twin of ``functions.text.tokenize``)."""
+    from collections import Counter
+
+    from ariadne_dbt_spark.functions.text import tokenize_query
+
+    col_names: dict[str, list[str]] = {}
+    for c in column_rows:
+        col_names.setdefault(c["model_id"], []).append(c["name"])
+    postings: list[tuple] = []
+    docstats: list[tuple] = []
+    for m in model_rows:
+        uid = m["unique_id"]
+        sql_src = m.get("compiled_code") or m.get("raw_code") or ""
+        fields = {
+            "name": m.get("name") or "",
+            "description": m.get("description") or "",
+            "column_names": " ".join(col_names.get(uid, ())),
+            "sql_text": sql_src[: config.sql_index_chars],
+            "tags": " ".join(m.get("tags") or ()),
+        }
+        for fname, text in fields.items():
+            toks = tokenize_query(text, stem=config.stem_tokens)
+            if not toks:
+                continue
+            tf = Counter(toks)
+            postings.extend((uid, fname, term, n) for term, n in tf.items())
+            docstats.append((uid, fname, len(toks)))
+    return postings, docstats
+
+
 TABLES = (
     "models",
     "columns",
@@ -78,15 +153,34 @@ class AriadneIndex:
         def df(rows, schema):
             return spark.createDataFrame(rows, schema)
 
-        models = df(mf.parse_models(man), schemas.MODELS)
-        columns = df(mf.parse_columns(man), schemas.COLUMNS)
+        model_rows = mf.parse_models(man)
+        column_rows = mf.parse_columns(man)
+        test_rows = mf.parse_tests(man)
+        edge_rows = mf.parse_edges(man)
+
+        local_build = len(model_rows) <= config.local_build_max_models
+        if local_build:
+            # metadata-scale manifest: derive degrees/PK-FK/postings in
+            # pure Python over the parsed rows BEFORE creating any
+            # DataFrame — every index table becomes a local relation and
+            # the build runs zero Spark jobs. The distributed derivations
+            # below handle larger manifests with identical semantics
+            # (parity pinned in tests/test_indexer.py).
+            _derive_degrees_local(model_rows, edge_rows)
+            _derive_pk_fk_local(column_rows, test_rows)
+            posting_rows, docstat_rows = _build_postings_local(
+                model_rows, column_rows, config
+            )
+
+        models = df(model_rows, schemas.MODELS)
+        columns = df(column_rows, schemas.COLUMNS)
         src_rows, src_col_rows = mf.parse_sources(man)
         sources = df(src_rows, schemas.SOURCES)
         source_columns = df(src_col_rows, schemas.SOURCE_COLUMNS)
-        tests = df(mf.parse_tests(man), schemas.TESTS)
+        tests = df(test_rows, schemas.TESTS)
         macros = df(mf.parse_macros(man), schemas.MACROS)
         exposures = df(mf.parse_exposures(man), schemas.EXPOSURES)
-        edges = df(mf.parse_edges(man), schemas.EDGES)
+        edges = df(edge_rows, schemas.EDGES)
         meta = df(mf.parse_metadata(man), schemas.METADATA)
 
         idx = cls(
@@ -100,15 +194,26 @@ class AriadneIndex:
             exposures=exposures,
             edges=edges,
             index_metadata=meta,
-            postings=spark.createDataFrame([], "unique_id string, field string, term string, tf long"),
-            docstats=spark.createDataFrame([], "unique_id string, field string, dl long"),
+            postings=spark.createDataFrame(
+                posting_rows if local_build else [],
+                "unique_id string, field string, term string, tf long",
+            ),
+            docstats=spark.createDataFrame(
+                docstat_rows if local_build else [],
+                "unique_id string, field string, dl long",
+            ),
             config=config,
         )
-        # the index tables are metadata-scale (≤10k models); 32-way
-        # shuffles would spend more on task scheduling than on work, so
-        # the derived computations run with a small partition count
-        # (surface-B data queries are untouched — this is scoped to the
-        # build and restored after)
+        if local_build:
+            if catalog_path:
+                idx.enrich_from_catalog(catalog_path)
+            if run_results_path:
+                idx.enrich_from_run_results(run_results_path)
+            return idx
+        # distributed path: the index tables are bigger, but shuffles on
+        # them are still metadata-scale; a small partition count keeps
+        # task scheduling off the critical path (surface-B data queries
+        # are untouched — this is scoped to the build and restored after)
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:

@@ -72,19 +72,48 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """``(id, shingle)`` distinct word n-grams per doc. Docs with fewer
-    than ``n`` tokens yield no shingles (sequence(1, 0) would DESCEND and
-    produce an invalid slice start under ANSI mode, so the short case is
-    gated explicitly)."""
-    toks = tokenize(text_col, min_len=1, stop=False)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
+    """``(id, shingle, sz)`` distinct word n-grams per doc, with the
+    doc's distinct-shingle count fused in. Docs with fewer than ``n``
+    tokens yield no rows.
+
+    Shuffle-minimal by construction — one exchange total (the window's
+    hash-partition on id):
+
+    * tokens come from ONE ``posexplode(tokenize(...))`` generator pass
+      (higher-order ``transform``/``slice`` lambdas re-evaluate the
+      inlined tokenizer per *element* after projection collapse — ~25 s
+      at sf0.1 — so shingles are assembled from window ``lead``s
+      instead, fully codegen'd);
+    * per-doc dedup happens in ``collect_set`` ON the window's existing
+      id-partitioning (no ``distinct()`` exchange), and ``sz`` =
+      ``size(set)`` rides along, saving downstream size-joins;
+    * the result stays hash-partitioned by id, which later per-doc
+      groupBys/joins reuse without re-shuffling.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(text_col, min_len=1, stop=False)).alias("pos", "tok"),
     )
+    w = Window.partitionBy("id").orderBy("pos")
+    shingled = (
+        toks.select(
+            "id",
+            F.concat_ws(
+                " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, n)]
+            ).alias("shingle"),
+            F.lead("tok", n - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("_set"))
+    )
+    return shingled.select(
+        "id",
+        F.size("_set").alias("sz"),
+        F.explode("_set").alias("shingle"),
+    ).select("id", "shingle", "sz")
 
 
 def ngram_jaccard_pairs(
@@ -98,8 +127,8 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs ``(id_a, id_b, jaccard)``, id_a < id_b.
 
-    ``auto``/``prefix`` is the production path — PPJoin-style and fully
-    exact at every density:
+    ``prefix`` is the scale path — PPJoin-style and fully exact at every
+    density:
 
     * candidates come ONLY from each doc's (|X| - ⌈τ|X|⌉ + 1)
       globally-rarest shingles (lossless for Jaccard ≥ τ: two qualifying
@@ -110,36 +139,47 @@ def ngram_jaccard_pairs(
       happens. Cost is Σ_candidates |A|, i.e. proportional to real
       near-dup mass, not to vocabulary heat.
 
-    ``count`` (full shingle self-join → groupBy(pair)) is kept for tests
-    and tiny corpora only; it is Σdf² in the hot-shingle count and does
-    not survive dense vocabularies.
+    ``count`` (shingle self-join → groupBy(pair)) materializes
+    Σ df·(df-1)/2 intermediate pairs — cheaper in *stages* (2 shuffles
+    vs ~6) but explosive on hot vocabularies.
+
+    ``auto`` measures instead of guessing: it aggregates the pair mass
+    from the document-frequency table (one tiny job over the cached
+    postings — dfreq is an input of the prefix path anyway, so nothing
+    extra is materialized when prefix wins) and picks ``count`` only
+    when the intermediate-pair mass is provably bounded
+    (Σ df·(df-1)/2 ≤ 50 × postings); any hot-shingle skew pushes the
+    mass over the bound and routes to ``prefix``.
 
     |A∪B| = |A|+|B|-|A∩B| from integer counts → the one float division is
-    deterministic, so both strategies hash-match the SQL oracle. No
-    dispatch statistics are materialized (auto is static).
+    deterministic, so both strategies hash-match the SQL oracle.
     """
     sh = shingle_sets(df, id_col, text_col, n).cache()
-    if strategy in ("auto", "prefix"):
+    if strategy == "prefix":
         return _jaccard_pairs_prefix(sh, threshold)
-    return _jaccard_pairs_count(sh, threshold)
+    if strategy == "count":
+        return _jaccard_pairs_count(sh, threshold)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
+    stats = dfreq.agg(
+        F.sum((F.col("df").cast("double") * (F.col("df") - 1)) / 2).alias("pair_mass"),
+        F.sum("df").alias("postings"),
+    ).first()
+    if stats["pair_mass"] is not None and stats["pair_mass"] <= 50.0 * stats["postings"]:
+        return _jaccard_pairs_count(sh, threshold)
+    return _jaccard_pairs_prefix(sh, threshold, dfreq=dfreq)
 
 
 def _jaccard_pairs_count(sh: DataFrame, threshold: float) -> DataFrame:
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
@@ -149,15 +189,20 @@ def _jaccard_pairs_count(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _jaccard_pairs_prefix(sh: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs_prefix(
+    sh: DataFrame, threshold: float, dfreq: DataFrame | None = None
+) -> DataFrame:
     from pyspark.sql.window import Window
 
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # df(shingle) over distinct postings. No broadcast hint: vocabulary
+    # is unbounded at corpus scale, so a hard hint could OOM the driver —
+    # AQE converts the join to broadcast at runtime whenever dfreq is
+    # actually small, skipping the re-shuffle of sh by shingle.
+    if dfreq is None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "shingle")
     prefix = (
         sh.join(dfreq, "shingle")
-        .join(sizes, "id")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
         .select("id", "shingle", "sz")
@@ -175,24 +220,23 @@ def _jaccard_pairs_prefix(sh: DataFrame, threshold: float) -> DataFrame:
     )
     # verification by COUNTING posting matches restricted to candidates —
     # |A∩B| = #{shingle : (id_a, shingle) ∈ sh ∧ (id_b, shingle) ∈ sh};
-    # no collect_set, no arrays through the shuffle, cost Σ_cand |A|
-    pa = cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+    # no arrays through the shuffle, cost Σ_cand |A|. Doc sizes ride on
+    # the postings (shingle_sets fuses sz), so no size-joins are needed;
+    # sh's id-hash partitioning from the build is reused by the id_a join.
+    pa = cand.join(
+        sh.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a")),
+        "id_a",
+    )
     inter = (
         pa.join(
-            sh.select(F.col("id").alias("id_b"), "shingle"),
+            sh.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b")),
             ["id_b", "shingle"],
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    # no broadcast hint on sizes: it is per-doc (unbounded at scale); AQE
-    # broadcasts it when it is actually small
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),

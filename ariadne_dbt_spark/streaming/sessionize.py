@@ -122,15 +122,17 @@ def sessionize_stream(
     *,
     gap_sec: int = 1800,
     watermark: str = "1 hour",
+    path_glob: str | None = None,
 ) -> DataFrame:
     """readStream(events parquet) → watermark → groupBy(user_id) →
     ``applyInPandasWithState`` gap-sessionizer. Returns the streaming
-    DataFrame of CLOSED sessions (append mode)."""
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
-        .parquet(events_dir)
-    )
+    DataFrame of CLOSED sessions (append mode). ``path_glob`` selects a
+    file subset when ``events_dir`` holds other tables (the file source
+    requires a directory path)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 16)
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.parquet(events_dir)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -149,11 +151,15 @@ def run_sessionize_once(
     events_dir: str,
     *,
     gap_sec: int = 1800,
+    watermark: str = "1 second",
+    path_glob: str | None = None,
     query_name: str = "sessions_closed",
 ) -> DataFrame:
     """Drive the sessionizer over everything currently in ``events_dir``
     and return the closed sessions as a batch DataFrame (memory sink)."""
-    out = sessionize_stream(spark, events_dir, gap_sec=gap_sec)
+    out = sessionize_stream(
+        spark, events_dir, gap_sec=gap_sec, watermark=watermark, path_glob=path_glob
+    )
     q = (
         out.writeStream.outputMode("append")
         .format("memory")

@@ -127,6 +127,75 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stateful streaming sessionization, EXECUTED AS A STREAM: readStream
+# over the events parquet → applyInPandasWithState gap-sessionizer →
+# memory sink. The closed-session set is deterministic and
+# SQL-expressible: a session closes either because a later event of the
+# same user opened a new one (gap > 30 min), or because the final
+# event-time watermark (max ts - 1 s) advanced beyond its
+# last_ts + 30 min timeout — each user's non-last sessions always close,
+# and the last session closes iff its timeout precedes the watermark.
+@query(
+    "stream_sessionize_closed",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    ),
+    ranked AS (
+        SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS last_sid FROM agg
+    )
+    SELECT user_id,
+           epoch_us(session_start) AS start_us,
+           epoch_us(session_end) AS end_us,
+           CAST(n_events AS INT) AS n_events
+    FROM ranked, mx
+    WHERE sid < last_sid OR epoch(session_end) + 1800.0 < epoch(m) - 1.0
+    ORDER BY user_id, start_us
+    """,
+    survey="streaming-stateful,§2.11,sessionization",
+    doc="Gap-sessionization run as a REAL Structured Streaming query "
+    "(applyInPandasWithState, event-time timeout, 1 s watermark) over "
+    "the events table; emits each closed session. The oracle derives "
+    "the identical closed set from the batch gap-split plus the "
+    "watermark-timeout rule, so the stream's state semantics — not "
+    "just a batch twin — are hash-checked.",
+)
+def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.streaming.sessionize import run_sessionize_once
+
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    out = run_sessionize_once(
+        spark,
+        sf_dir,
+        gap_sec=1800,
+        path_glob="events.parquet",
+        query_name="wl_sessions_closed",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("start_us"),
+        F.unix_micros(F.col("session_end")).alias("end_us"),
+        F.col("n_events"),
+    ).orderBy("user_id", "start_us")
+
+
 # A10 top-k: most active users (deterministic tie-break on user_id).
 @query(
     "topk_active_users",

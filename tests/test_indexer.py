@@ -107,3 +107,28 @@ def test_save_load_roundtrip(spark, index, tmp_path):
     assert {r.unique_id for r in idx2.models.collect()} == {
         r.unique_id for r in index.models.collect()
     }
+
+
+def test_local_vs_distributed_build_parity(spark):
+    """The driver-side fast build (local_build_max_models) must produce
+    byte-identical derived tables to the distributed DataFrame path."""
+    from ariadne_dbt_spark.config import EngineConfig
+    from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+    from tests.conftest import MANIFEST
+
+    loc = AriadneIndex.build(spark, MANIFEST)
+    dist = AriadneIndex.build(
+        spark, MANIFEST, config=EngineConfig(local_build_max_models=0)
+    )
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    m_cols = ["unique_id", "upstream_count", "downstream_count", "centrality"]
+    assert rows(loc.models, m_cols) == rows(dist.models, m_cols)
+    c_cols = ["model_id", "name", "is_primary_key", "is_foreign_key"]
+    assert rows(loc.columns, c_cols) == rows(dist.columns, c_cols)
+    p_cols = ["unique_id", "field", "term", "tf"]
+    assert rows(loc.postings, p_cols) == rows(dist.postings, p_cols)
+    d_cols = ["unique_id", "field", "dl"]
+    assert rows(loc.docstats, d_cols) == rows(dist.docstats, d_cols)
