@@ -99,12 +99,13 @@ def quality_score_millionths(text: Column | str) -> Column:
     return (len_term + punct_term + stop_term).alias("quality_millionths")
 
 
-def detect_language(text: Column | str) -> Column:
-    """argmax over marker-lexicon hit counts; ties and zero-hits →
-    'unknown'. Keyword-hit-counting intent detection generalized
-    (reference: capsule.py:24-43 scores 6 intent lexicons the same way)."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = tokenize(c, min_len=1, stop=False)
+def detect_language_from_tokens(toks: Column) -> Column:
+    """argmax over marker-lexicon hit counts on a pre-tokenized array;
+    zero-hits → 'unknown', positive-hit ties → lexicographically larger
+    lang (deterministic). Callers should materialize the token array
+    behind an exchange barrier — referencing an inlined ``tokenize``
+    here would re-run the tokenizer once per lexicon after projection
+    collapse (see lang_detect_confusion)."""
     pairs = []
     for lang, markers in LANG_MARKERS.items():
         hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -113,6 +114,13 @@ def detect_language(text: Column | str) -> Column:
     # lang tie-break makes argmax deterministic
     best = F.array_max(F.array(*pairs))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def detect_language(text: Column | str) -> Column:
+    """Keyword-hit-counting language ID over raw text (reference:
+    capsule.py:24-43 scores 6 intent lexicons the same way)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return detect_language_from_tokens(tokenize(c, min_len=1, stop=False))
 
 
 def fingerprint_md5(text: Column | str) -> Column:

@@ -87,9 +87,20 @@ def _lang_oracle() -> str:
     "(keyword-hit argmax — the reference's intent-detection shape, capsule.py:24-43).",
 )
 def lang_detect_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.functions.text import tokenize
+    from ariadne_dbt_spark.operators.text import detect_language_from_tokens
+
     docs = documents(spark, sf_dir)
+    # tokenize ONCE below an exchange barrier: without it, projection
+    # collapse inlines the tokenizer into every per-language filter
+    # lambda (len(LANG_MARKERS) re-tokenizations per doc, interpreted,
+    # on however few partitions the parquet came in as). The repartition
+    # shuffles ~MBs of token arrays and parallelizes the lexicon scans.
+    toked = docs.select(
+        "lang", tokenize("text", min_len=1, stop=False).alias("toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
     return (
-        docs.select("lang", detect_language("text").alias("detected"))
+        toked.select("lang", detect_language_from_tokens(F.col("toks")).alias("detected"))
         .groupBy("lang", "detected")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "detected")
