@@ -48,6 +48,7 @@ def build_postings(
     min_len: int = 2,
     stop: bool = True,
     stem: bool = False,
+    repartition_to: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build ``postings(unique_id, field, term, tf)`` and
     ``docstats(unique_id, field, dl)`` from one or more text fields.
@@ -72,6 +73,11 @@ def build_postings(
         F.col(id_col).alias("unique_id"),
         F.stack(*stack_args).alias("field", "text"),
     )
+    if repartition_to:
+        # corpus parquet often arrives as 1-2 partitions at test scale;
+        # the tokenize+explode map side of the aggregation would run on
+        # that few cores. One small shuffle of raw text spreads it.
+        stacked = stacked.repartition(repartition_to)
     toks_col = tokenize("text", min_len=min_len, stop=stop)
     if stem:
         from ariadne_dbt_spark.functions.porter import stem_array_udf

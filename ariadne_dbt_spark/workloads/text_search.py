@@ -70,7 +70,10 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
     if not force and os.path.exists(done):
         return out
     docs = documents(spark, sf_dir)
-    postings, docstats = build_postings(docs, "doc_id", {"text": "text"})
+    postings, docstats = build_postings(
+        docs, "doc_id", {"text": "text"},
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
     n_docs = docs.count()
     postings.repartition(F.col("term")).write.mode("overwrite").parquet(
         os.path.join(out, "postings")
@@ -109,7 +112,10 @@ def read_bm25_index(
 )
 def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents(spark, sf_dir)
-    postings, _ = build_postings(docs, "doc_id", {"text": "text"})
+    postings, _ = build_postings(
+        docs, "doc_id", {"text": "text"},
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
     return (
         postings.groupBy("term")
         .agg(F.sum("tf").alias("tf"), F.countDistinct("unique_id").alias("df"))

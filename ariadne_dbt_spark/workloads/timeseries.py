@@ -196,6 +196,55 @@ def stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "start_us")
 
 
+# Native session windows: Spark's built-in gap-merge operator
+# (F.session_window), the declarative sibling of both the lag-based
+# user_sessions and the stateful stream_sessionize_closed. Boundary rule
+# differs from lag-split: session_window MERGES an event only while
+# ts < previous end (= prev_ts + gap), so an exactly-gap-length silence
+# SPLITS here (oracle uses >=) where the lag formulation (> gap) merges.
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800.0
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+    survey="A10,session-window,§2.11",
+    doc="30-minute session windows via Spark's native session_window "
+    "merge (window end = last event + gap), hash-checked against the "
+    "SQL gap-split derivation.",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
 # A10 top-k: most active users (deterministic tie-break on user_id).
 @query(
     "topk_active_users",
