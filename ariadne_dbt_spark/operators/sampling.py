@@ -1,0 +1,76 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus pipeline samples constantly — held-out splits, per-source
+mixing ratios, quality-stratified subsets. ``rand()``-based sampling is
+non-reproducible across retries and engines, so everything here keys the
+decision on a hash of the ROW IDENTITY instead:
+
+* ``hash_sample`` — keep a row iff ``xxhash64(key) pmod 1e6 < fraction·1e6``.
+  Reproducible anywhere xxhash64 exists, stable under re-partitioning,
+  speculative retries, and incremental re-runs (a row's fate never
+  changes), and exactly expressible in SQL for the oracle.
+* ``stratified_quota_sample`` — per-stratum exact quotas: rank rows
+  inside each stratum by hash order (a deterministic shuffle) and keep
+  ``row_number ≤ quota``. One window pass; at scale this is the standard
+  top-k-per-group shape (partial ranks prune in the shuffle via the
+  window group limit optimization).
+* ``split`` — disjoint train/val/test by hash range over the same keyed
+  hash, so membership is stable as the corpus grows (new rows land in a
+  split; old rows never migrate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_M = 1_000_000
+
+
+def _bucket(key: Column) -> Column:
+    """Uniform [0, 1e6) bucket from the row key (non-negative pmod)."""
+    return F.pmod(F.xxhash64(key), F.lit(_M))
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``key``."""
+    return df.where(_bucket(F.col(key)) < int(fraction * _M))
+
+
+def split(
+    df: DataFrame, key: str, fractions: dict[str, float], out_col: str = "split"
+) -> DataFrame:
+    """Label each row with a stable split name by hash range. Fractions
+    must sum to ≤ 1; any remainder is labeled NULL (excluded rows)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = _bucket(F.col(key))
+    expr, lo = F.lit(None).cast("string"), 0
+    bounds = []
+    for name, frac in fractions.items():
+        hi = lo + int(frac * _M)
+        bounds.append((name, lo, hi))
+        lo = hi
+    for name, lo_b, hi_b in reversed(bounds):
+        expr = F.when((b >= lo_b) & (b < hi_b), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_quota_sample(
+    df: DataFrame, stratum_col: str, quotas: dict, *, key: str
+) -> DataFrame:
+    """Exactly ``quotas[stratum]`` rows per stratum (fewer if the stratum
+    is smaller), chosen by deterministic hash order on ``key`` — a
+    reproducible 'random' subset with hard per-group counts, the usual
+    contract for balanced eval sets and per-source mixing."""
+    w = Window.partitionBy(stratum_col).orderBy(_bucket(F.col(key)), key)
+    quota_map = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= quota_map[F.col(stratum_col)])
+        .drop("_rn")
+    )

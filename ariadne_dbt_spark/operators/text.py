@@ -129,15 +129,32 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), "\\s+", " "))
 
 
-def with_simhash(df, text_col: str, out_col: str = "simhash", *, shingle: int = 2):
+def with_simhash(
+    df,
+    text_col: str,
+    out_col: str = "simhash",
+    *,
+    shingle: int = 2,
+    repartition_to: int | None = None,
+):
     """64-bit SimHash over word shingles, pure SQL-lambda expressions.
 
     Per shingle: xxhash64 → each of the 64 bits votes +1/-1; the sign of
     each bit's vote sum forms the fingerprint. The bit loops need
     variable shift counts, which only the SQL forms of shiftleft /
     shiftright accept — hence one F.expr over a named hashes column.
+
+    ``repartition_to`` materializes the token array behind an exchange
+    barrier: the shingle lambdas then reference an attribute instead of
+    the inlined tokenizer (which projection collapse would re-run per
+    shingle), and the vote folds parallelize past however few partitions
+    the source arrived in.
     """
-    toks = tokenize(F.col(text_col), min_len=1, stop=False)
+    tmp_toks = "_simhash_toks"
+    df = df.withColumn(tmp_toks, tokenize(F.col(text_col), min_len=1, stop=False))
+    if repartition_to:
+        df = df.repartition(repartition_to)
+    toks = F.col(tmp_toks)
     # short/empty docs → no shingles (sequence(1,0) descends; see
     # dedup.shingle_sets for the same ANSI-mode guard)
     idx = F.when(
@@ -148,6 +165,7 @@ def with_simhash(df, text_col: str, out_col: str = "simhash", *, shingle: int = 
     tmp = "_simhash_hashes"
     return (
         df.withColumn(tmp, hashes)
+        .drop(tmp_toks)
         .withColumn(
             out_col,
             F.expr(

@@ -41,6 +41,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "textstats",
+    "sampling",
     "dbt_pipeline",
     "olap_ext",
     "meta_ops",

@@ -188,7 +188,9 @@ def minhash_lsh_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_exact_dups(spark, sf_dir)
-    fps = with_simhash(corpus, "text").select("doc_id", "simhash")
+    fps = with_simhash(
+        corpus, "text", repartition_to=spark.sparkContext.defaultParallelism
+    ).select("doc_id", "simhash")
     orig = fps.where(F.col("doc_id") < 1000000).select(
         F.col("doc_id").alias("k"), F.col("simhash").alias("h_a")
     )

@@ -1,0 +1,91 @@
+"""Sampling workloads (training-pipeline extensions) over `documents`.
+
+xxhash64 is engine-private, so the oracles check the EXACT provable
+contracts instead of row identity: per-stratum quota counts equal
+``least(quota, stratum_size)`` (SQL-computable without knowing which
+rows were chosen), hash-sampling is growth-stable (a row's fate never
+changes when the corpus shrinks/grows), and hash-range splits partition
+the corpus totally. Row-level determinism is pinned in
+tests/test_sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.sampling import (
+    hash_sample,
+    split,
+    stratified_quota_sample,
+)
+from ariadne_dbt_spark.session import table_path
+from ariadne_dbt_spark.workloads import query
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+@query(
+    "stratified_sample_counts",
+    oracle="""
+    SELECT lang, CAST(LEAST(30, COUNT(*)) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    survey="sampling-stratified",
+    doc="Exact per-language quotas (30) drawn in deterministic hash order "
+    "(window row_number over xxhash64(doc_id)); the sampled count per "
+    "stratum is provably least(quota, stratum_size), which the oracle "
+    "recomputes from the raw table.",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    samp = stratified_quota_sample(docs, "lang", {la: 30 for la in langs}, key="doc_id")
+    return (
+        samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
+    )
+
+
+@query(
+    "hash_sample_stability",
+    oracle="SELECT 0 AS n_violations, TRUE AS fraction_within_5pct",
+    survey="sampling-hash",
+    doc="Hash-keyed sampling invariants, oracle-checked: sampling the "
+    "even-id half of the corpus must select a SUBSET of what sampling "
+    "the full corpus selects (a row's fate is a pure function of its "
+    "key — retry/growth stability), and the realized fraction lands "
+    "within 5 points of the requested 25%.",
+)
+def hash_sample_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir).select("doc_id")
+    s_full = hash_sample(docs, "doc_id", 0.25)
+    s_half = hash_sample(docs.where(F.col("doc_id") % 2 == 0), "doc_id", 0.25)
+    violations = s_half.join(s_full, "doc_id", "left_anti").count()
+    frac = s_full.count() / docs.count()
+    return spark.createDataFrame(
+        [(violations, abs(frac - 0.25) < 0.05)],
+        "n_violations int, fraction_within_5pct boolean",
+    )
+
+
+@query(
+    "split_partition_check",
+    oracle="""
+    SELECT COUNT(*) AS n_total, COUNT(*) AS n_labeled, 0 AS n_unlabeled
+    FROM documents
+    """,
+    survey="sampling-split",
+    doc="80/10/10 train/val/test by hash range: the three buckets tile "
+    "[0, 1e6) exactly, so every row gets exactly one stable label — the "
+    "oracle checks total coverage from the raw table.",
+)
+def split_partition_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir).select("doc_id")
+    labeled = split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("split").alias("n_labeled"),
+        (F.count(F.lit(1)) - F.count("split")).cast("int").alias("n_unlabeled"),
+    )

@@ -1,0 +1,76 @@
+"""Deterministic sampling operators: reproducibility, stability, quotas."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.sampling import (
+    hash_sample,
+    split,
+    stratified_quota_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+
+
+def test_hash_sample_deterministic(corpus):
+    a = {r.doc_id for r in hash_sample(corpus, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in hash_sample(corpus, "doc_id", 0.3).collect()}
+    assert a == b
+    assert abs(len(a) / 2_000 - 0.3) < 0.05
+
+
+def test_hash_sample_growth_stable(corpus):
+    full = {r.doc_id for r in hash_sample(corpus, "doc_id", 0.3).collect()}
+    sub = {
+        r.doc_id
+        for r in hash_sample(corpus.where(F.col("doc_id") < 500), "doc_id", 0.3).collect()
+    }
+    assert sub == {d for d in full if d < 500}  # fate is a pure function of the key
+
+
+def test_hash_sample_fraction_monotone(corpus):
+    s10 = {r.doc_id for r in hash_sample(corpus, "doc_id", 0.1).collect()}
+    s40 = {r.doc_id for r in hash_sample(corpus, "doc_id", 0.4).collect()}
+    assert s10 <= s40  # smaller fraction is a prefix of the bigger one
+
+
+def test_stratified_quota_exact(corpus):
+    samp = stratified_quota_sample(
+        corpus, "lang", {"0": 50, "1": 10, "2": 700, "3": 0}, key="doc_id"
+    )
+    counts = {r.lang: r.n for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 500 rows per stratum: quota binds at 50/10, stratum size at 700, 0 drops out
+    assert counts == {"0": 50, "1": 10, "2": 500}
+
+
+def test_stratified_deterministic(corpus):
+    q = {"0": 25, "1": 25, "2": 25, "3": 25}
+    a = sorted(r.doc_id for r in stratified_quota_sample(corpus, "lang", q, key="doc_id").collect())
+    b = sorted(r.doc_id for r in stratified_quota_sample(corpus, "lang", q, key="doc_id").collect())
+    assert a == b
+
+
+def test_split_partitions_totally(corpus):
+    labeled = split(corpus, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = labeled.groupBy("split").agg(F.count("*").alias("n")).collect()
+    counts = {r.split: r.n for r in rows}
+    assert None not in counts and sum(counts.values()) == 2_000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # membership is stable: re-labeling agrees row for row
+    again = split(corpus, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert labeled.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")
+    ).count() == 0
+
+
+def test_split_rejects_overfull():
+    with pytest.raises(ValueError):
+        split(None, "doc_id", {"a": 0.9, "b": 0.2})
