@@ -203,3 +203,76 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(ham == 0, 1).otherwise(0)).alias("n_hamming_zero"),
         F.sum(F.when(ham != 0, 1).otherwise(0)).cast("int").alias("n_hamming_nonzero"),
     )
+
+
+# End-to-end training-corpus pipeline: quality filter → exact dedup →
+# token accounting, every stage deterministic and re-derived by the
+# oracle over the identical planted-duplicate corpus. This is the
+# composition a real 100 TB data pipeline runs nightly; each stage is
+# individually oracle-verified elsewhere (doc_quality_scores,
+# exact_dedup_groups, doc_token_stats) — this row proves they compose.
+_QUALITY_SQL = f"""
+    SELECT doc_id, text,
+           least(CAST(length(text) AS BIGINT) * 800, 400000)
+           + (CASE WHEN length(text) > 0
+                   THEN 300000 - least((CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) * 1200000) // length(text), 300000)
+                   ELSE 300000 END)
+           + (CASE WHEN list_count(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> length(t) >= 1)) > 0
+                   THEN least((CAST(list_count(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> length(t) >= 1 AND t IN ({{stops}}))) AS BIGINT) * 1500000)
+                              // list_count(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> length(t) >= 1)), 300000)
+                   ELSE 0 END) AS quality
+    FROM corpus
+"""
+
+
+def _pipeline_oracle() -> str:
+    from ariadne_dbt_spark.functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    quality = _QUALITY_SQL.format(stops=stops)
+    return f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    scored AS ({quality}),
+    passed AS (SELECT doc_id, text FROM scored WHERE quality >= 600000),
+    fps AS (SELECT doc_id, text,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM passed),
+    keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fps GROUP BY fp),
+    uniq AS (SELECT f.doc_id, f.text FROM fps f JOIN keep k ON f.doc_id = k.keep_id)
+    SELECT (SELECT COUNT(*) FROM corpus) AS n_input,
+           (SELECT COUNT(*) FROM passed) AS n_quality,
+           (SELECT COUNT(*) FROM uniq) AS n_unique,
+           (SELECT CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+            FROM uniq) AS total_ws_tokens
+    """
+
+
+@query(
+    "training_corpus_pipeline",
+    oracle=_pipeline_oracle(),
+    survey="pipeline-composition,quality-scoring,dedup-exact,token-counting",
+    doc="Quality-filter (integer-millionths score >= 600000) → exact "
+    "dedup (min-id survivor per normalized fingerprint) → whitespace "
+    "token accounting, over the planted-duplicate corpus; the oracle "
+    "re-derives every stage and the stage counts must agree exactly.",
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import dedup_exact
+    from ariadne_dbt_spark.operators.text import (
+        quality_score_millionths,
+        whitespace_token_count,
+    )
+
+    corpus = corpus_with_exact_dups(spark, sf_dir)
+    passed = corpus.where(quality_score_millionths("text") >= 600000)
+    uniq = dedup_exact(passed, "doc_id", "text")
+    n_input = corpus.count()
+    n_quality = passed.count()
+    stats = uniq.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(whitespace_token_count("text").cast("bigint")).alias("total_ws_tokens"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_input, n_quality, stats["n_unique"], stats["total_ws_tokens"])],
+        "n_input bigint, n_quality bigint, n_unique bigint, total_ws_tokens bigint",
+    )

@@ -1,0 +1,60 @@
+"""Physical-plan audits: the SCALE.md claims, asserted on executedPlan.
+
+These queries' wall-clock varies with sandbox load; their PLAN SHAPE is
+the stable contract — filters reach the parquet scan, projections prune
+the read schema, dims broadcast, top-k never global-sorts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from ariadne_dbt_spark.workloads import load_all
+
+    return load_all()
+
+
+def _plan(spark, registry, name):
+    df = registry[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark, registry):
+    plan = _plan(spark, registry, "pricing_summary")
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    # projection pruning: the wide lineitem scan must NOT read unused cols
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_dims_broadcast_not_shuffled(spark, registry):
+    plan = _plan(spark, registry, "revenue_by_region")
+    assert plan.count("BroadcastHashJoin") >= 3  # region, nation, customer(+agg side)
+
+
+def test_topk_compiles_to_take_ordered(spark, registry):
+    plan = _plan(spark, registry, "topk_active_users")
+    assert "TakeOrderedAndProject" in plan  # no global Sort materializes
+
+
+def test_semi_join_for_in_list(spark, registry):
+    plan = _plan(spark, registry, "customers_with_urgent_orders")
+    assert "Semi" in plan  # IN-list runs as a semi join, not inner+distinct
+
+
+def test_multimodal_payload_pruned(spark, tmp_path):
+    """Binary payloads must not be read by metadata-only queries."""
+    from ariadne_dbt_spark.operators.multimodal import metadata_stats, synthetic_assets
+
+    tmp = str(tmp_path / "assets.parquet")
+    synthetic_assets(spark, 32).write.mode("overwrite").parquet(tmp)
+    stats = metadata_stats(spark.read.parquet(tmp))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema:" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "payload" not in read
