@@ -161,3 +161,38 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+# Sketch + order-statistics aggregates: exact interpolated percentiles
+# (cross-engine checkable) and HyperLogLog approximate distinct pinned by
+# an error-bound invariant (the sketch itself is engine-private, its
+# accuracy contract is not).
+@query(
+    "sketch_aggregates",
+    oracle="""
+    SELECT ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           COUNT(DISTINCT user_id) AS n_exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM events
+    """,
+    survey="percentiles,approx-distinct,A4",
+    doc="Exact interpolated value percentiles (Spark percentile == "
+    "DuckDB quantile_cont) + approx_count_distinct bounded within 5% of "
+    "the exact distinct count.",
+)
+def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    row = ev.agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.countDistinct("user_id").alias("nd"),
+        F.approx_count_distinct("user_id").alias("hll"),
+    ).first()
+    ok = abs(row["hll"] - row["nd"]) / row["nd"] <= 0.05
+    return spark.createDataFrame(
+        [(round(row["p50"], 4), round(row["p90"], 4), round(row["p99"], 4), row["nd"], ok)],
+        "p50 double, p90 double, p99 double, n_exact_distinct bigint, hll_within_5pct boolean",
+    )

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 records it has none).
+
+The highest-value property is driver/JVM tokenizer parity:
+``tokenize_query`` (pure Python) is the pinned twin of
+``functions.text.tokenize`` (Spark expressions), and the zero-job index
+build + LocalIndexCache query path both lean on that equivalence. Each
+example batch round-trips once through a single DataFrame to keep Spark
+invocations bounded.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from ariadne_dbt_spark.functions.text import tokenize, tokenize_query  # noqa: E402
+
+# engine input domain: manifest names/descriptions/SQL — printable ASCII
+# plus whitespace variety (the FTS5 reference tokenizer is ascii-mode
+# too, schema.sql:209, so non-ASCII folding is out of contract)
+_texts = st.text(
+    alphabet=st.characters(min_codepoint=9, max_codepoint=126),
+    max_size=200,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=25))
+def test_tokenizer_twin_parity(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    jvm = [r["toks"] for r in df.select(tokenize("t").alias("toks")).collect()]
+    py = [tokenize_query(t) for t in texts]
+    assert jvm == py
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=25))
+def test_tokenizer_twin_parity_stemmed(spark, texts):
+    from ariadne_dbt_spark.functions.porter import stem_array_udf
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    jvm = [
+        r["toks"]
+        for r in df.select(stem_array_udf()(tokenize("t")).alias("toks")).collect()
+    ]
+    py = [tokenize_query(t, stem=True) for t in texts]
+    assert jvm == py
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=20))
+def test_quality_score_bounded(spark, texts):
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.text import quality_score_millionths
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    scores = [r["q"] for r in df.select(quality_score_millionths("t").alias("q")).collect()]
+    assert all(0 <= s <= 1_000_000 for s in scores)
+
+
+_words = st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=8)
+_sentences = st.lists(_words, min_size=3, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_sentences, min_size=2, max_size=10))
+def test_minhash_clone_invariance(spark, texts):
+    """Byte-identical texts must produce identical MinHash signatures
+    regardless of row identity (the LSH guaranteed-recall premise)."""
+    from ariadne_dbt_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(1000 + i, t) for i, t in enumerate(texts)]  # clones
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: tuple(r["sig"]) for r in minhash_signatures(df, "doc_id", "text").collect()}
+    for i in range(len(texts)):
+        if i in sigs or (1000 + i) in sigs:
+            assert sigs.get(i) == sigs.get(1000 + i)
