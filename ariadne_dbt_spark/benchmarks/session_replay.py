@@ -222,16 +222,27 @@ def early_models(session: SessionAnalysis, limit: int, index_model_names: set[st
     return sorted(found)
 
 
+def _serving(index):
+    """The replay target: the serving-path snapshot (LocalIndexCache).
+
+    The reference harness replays transcripts against the serving process
+    (session_analysis.py drives the MCP server's capsule path), not
+    against raw index machinery — and a transcript is KB-scale driver
+    data, so per-session Spark jobs would be pure overhead. Accepts an
+    AriadneIndex (snapshots via .local()) or a LocalIndexCache directly;
+    Spark/local capsule parity is pinned by tests/test_local_serving.py.
+    """
+    return index.local() if hasattr(index, "local") else index
+
+
 def ab_entry_models(
     index, sessions_dir: str | Path, *, early_calls: int = 3, token_budget: int = 10000
 ) -> dict:
     """A/B: capsule(focus_model) vs capsule(entry_models=early discoveries)
     (reference: ab_entry_models.py — same two scenarios; B feeds back the
     models the agent found in its first N context calls)."""
-    from ariadne_dbt_spark.operators.capsule import CapsuleBuilder
-
-    builder = CapsuleBuilder(index)
-    names = {r["name"] for r in index.models.select("name").collect()}
+    cache = _serving(index)
+    names = {m["name"] for m in cache.models.values()}
     rows = []
     for path in sorted(Path(sessions_dir).glob("*.jsonl")):
         session = parse_session(path)
@@ -239,12 +250,12 @@ def ab_entry_models(
             continue
         focus = detect_focus_model(session.task, names)
         entries = early_models(session, early_calls, names)
-        cap_a = builder.build(session.task, focus_model=focus, token_budget=token_budget)
-        cap_b = builder.build(
+        cap_a = cache.capsule(session.task, focus_model=focus, token_budget=token_budget)
+        cap_b = cache.capsule(
             session.task, entry_models=entries or None, token_budget=token_budget
         )
-        a = compare_session(session, cap_a.to_dict(), names)
-        b = compare_session(session, cap_b.to_dict(), names)
+        a = compare_session(session, cap_a, names)
+        b = compare_session(session, cap_b, names)
         rows.append(
             {
                 "session_id": session.session_id,
@@ -272,22 +283,16 @@ def diagnose_misses(
     DAG-reachable from the capsule's pivots, and at what minimum distance?
     (reference: diagnose_misses.py:48-61 — reachable misses indicate
     traversal-depth tuning, unreachable ones indicate search recall)."""
-    from ariadne_dbt_spark.operators.capsule import CapsuleBuilder
-    from ariadne_dbt_spark.operators.graph import DOWNSTREAM, UPSTREAM, bfs
-
-    builder = CapsuleBuilder(index)
-    names = {r["name"] for r in index.models.select("name").collect()}
-    uid_by_name = {
-        r["name"]: r["unique_id"] for r in index.models.select("name", "unique_id").collect()
-    }
+    cache = _serving(index)
+    names = {m["name"] for m in cache.models.values()}
+    uid_by_name = {m["name"]: uid for uid, m in cache.models.items()}
     out = []
     for path in sorted(Path(sessions_dir).glob("*.jsonl")):
         session = parse_session(path)
         if session is None:
             continue
         focus = detect_focus_model(session.task, names)
-        cap = builder.build(session.task, focus_model=focus, token_budget=token_budget)
-        capd = cap.to_dict()
+        capd = cache.capsule(session.task, focus_model=focus, token_budget=token_budget)
         covered = capsule_model_names(capd) & names
         missed = (session.models_explored & names) - covered
         pivot_ids = [p["unique_id"] for p in capd.get("pivots", [])]
@@ -296,10 +301,8 @@ def diagnose_misses(
         reach: dict[str, int] = {}
         if pivot_ids and missed:
             missed_uids = {uid_by_name[m] for m in missed}
-            for direction in (UPSTREAM, DOWNSTREAM):
-                frontier = bfs(index.edges, pivot_ids, direction, max_depth=max_depth)
-                for r in frontier.collect():
-                    uid, dist = r["unique_id"], r["distance"]
+            for direction in ("upstream", "downstream"):
+                for uid, dist in cache.bfs(pivot_ids, direction, max_depth):
                     if uid in missed_uids and (uid not in reach or dist < reach[uid]):
                         reach[uid] = dist
         for name in sorted(missed):
@@ -324,18 +327,16 @@ def replay_sessions(index, sessions_dir: str | Path, *, token_budget: int = 1000
     """Replay every ``*.jsonl`` under ``sessions_dir`` against a capsule
     built from each session's task (focus model auto-detected from the
     task text, like the reference harness)."""
-    from ariadne_dbt_spark.operators.capsule import CapsuleBuilder
-
-    builder = CapsuleBuilder(index)
-    names = {r["name"] for r in index.models.select("name").collect()}
+    cache = _serving(index)
+    names = {m["name"] for m in cache.models.values()}
     per_session = []
     for path in sorted(Path(sessions_dir).glob("*.jsonl")):
         session = parse_session(path)
         if session is None:
             continue
         focus = detect_focus_model(session.task, names)
-        cap = builder.build(session.task, focus_model=focus, token_budget=token_budget)
-        row = compare_session(session, cap.to_dict(), names)
+        cap = cache.capsule(session.task, focus_model=focus, token_budget=token_budget)
+        row = compare_session(session, cap, names)
         row["focus_model"] = focus
         per_session.append(row)
     n = len(per_session)
