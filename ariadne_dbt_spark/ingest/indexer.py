@@ -67,6 +67,29 @@ def _derive_pk_fk_local(column_rows: list[dict], test_rows: list[dict]) -> None:
         c["is_foreign_key"] = key in fk
 
 
+def _doc_signature(m: dict, col_names: list[str], config: EngineConfig) -> str:
+    """Content hash of EXACTLY the fields that feed a model's search doc
+    (the five posting fields, SQL pre-truncated) — two models with equal
+    signatures produce identical posting rows, so the incremental refresh
+    may reuse them. Column order matters (it changes the column_names
+    text), so it is preserved, not sorted."""
+    import hashlib
+    import json
+
+    sql_src = m.get("compiled_code") or m.get("raw_code") or ""
+    payload = json.dumps(
+        [
+            m.get("name") or "",
+            m.get("description") or "",
+            " ".join(col_names),
+            sql_src[: config.sql_index_chars],
+            " ".join(m.get("tags") or ()),
+        ],
+        ensure_ascii=False,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 def _build_postings_local(
     model_rows: list[dict], column_rows: list[dict], config: EngineConfig
 ) -> tuple[list[tuple], list[tuple]]:
@@ -236,6 +259,144 @@ class AriadneIndex:
 
     _local = None
     _patterns = None
+    #: delta of the last ``refresh()``: {"changed": n, "reused": n, "removed": n}
+    last_refresh_stats: dict | None = None
+
+    def doc_signatures(self) -> dict[str, str]:
+        """Per-model search-doc content hashes for the CURRENT index
+        state (what the existing postings encode). Metadata-scale
+        collect — the same envelope every serving snapshot already pays."""
+        cols_by_model: dict[str, list[str]] = {}
+        for r in self.columns.select("model_id", "name").collect():
+            cols_by_model.setdefault(r["model_id"], []).append(r["name"])
+        out = {}
+        for r in self.models.select(
+            "unique_id", "name", "description", "compiled_code", "raw_code", "tags"
+        ).collect():
+            m = r.asDict()
+            out[m["unique_id"]] = _doc_signature(
+                m, cols_by_model.get(m["unique_id"], []), self.config
+            )
+        return out
+
+    def refresh(
+        self,
+        manifest_path: str,
+        *,
+        catalog_path: str | None = None,
+        run_results_path: str | None = None,
+    ) -> "AriadneIndex":
+        """Incremental hash-delta reindex (the reference's README roadmap
+        defers this to v1.0; its v0.1 ships only full snapshot replace,
+        reference: indexer.py:90-98). Returns a NEW index; ``self`` is
+        untouched (snapshot semantics, like the serving cache).
+
+        What is incremental: posting/docstat rows — the only per-model
+        derived artifact whose rebuild cost is real (tokenize + Porter
+        stem). Models whose doc signature (``_doc_signature``) is
+        unchanged keep their existing rows via a broadcast anti-join on
+        the (typically small) changed∪removed id set + union — at cluster
+        scale that is one map-side join over the old postings, no
+        re-tokenization. Parse tables are always replaced (parsing the
+        manifest is the unavoidable driver cost), and degrees/centrality/
+        PK-FK always recompute: they are global aggregates an edge change
+        anywhere can shift, and they cost a handful of metadata-scale
+        shuffles.
+
+        Equality with a from-scratch ``build()`` on the new manifest is
+        pinned by tests/test_incremental.py (modify / add / remove /
+        no-op cases)."""
+        spark, config = self.spark, self.config
+        man = mf.load_manifest(manifest_path)
+        model_rows = mf.parse_models(man)
+        column_rows = mf.parse_columns(man)
+        test_rows = mf.parse_tests(man)
+        edge_rows = mf.parse_edges(man)
+
+        cols_by_model: dict[str, list[str]] = {}
+        for c in column_rows:
+            cols_by_model.setdefault(c["model_id"], []).append(c["name"])
+        new_sigs = {
+            m["unique_id"]: _doc_signature(
+                m, cols_by_model.get(m["unique_id"], []), config
+            )
+            for m in model_rows
+        }
+        old_sigs = self.doc_signatures()
+        changed = {u for u, s in new_sigs.items() if old_sigs.get(u) != s}
+        removed = set(old_sigs) - set(new_sigs)
+        reused = set(new_sigs) - changed
+        # rows to drop from the old postings: changed docs (stale) and
+        # removed docs (gone); reused docs pass through untouched
+        dropped = sorted(changed | removed)
+
+        def df(rows, schema):
+            return spark.createDataFrame(rows, schema)
+
+        local_build = len(model_rows) <= config.local_build_max_models
+        if local_build:
+            _derive_degrees_local(model_rows, edge_rows)
+            _derive_pk_fk_local(column_rows, test_rows)
+            posting_rows, docstat_rows = _build_postings_local(
+                [m for m in model_rows if m["unique_id"] in changed],
+                [c for c in column_rows if c["model_id"] in changed],
+                config,
+            )
+
+        src_rows, src_col_rows = mf.parse_sources(man)
+        drop_df = df([(u,) for u in dropped], "unique_id string")
+        kept_postings = self.postings.join(F.broadcast(drop_df), "unique_id", "left_anti")
+        kept_docstats = self.docstats.join(F.broadcast(drop_df), "unique_id", "left_anti")
+
+        idx = AriadneIndex(
+            spark=spark,
+            models=df(model_rows, schemas.MODELS),
+            columns=df(column_rows, schemas.COLUMNS),
+            sources=df(src_rows, schemas.SOURCES),
+            source_columns=df(src_col_rows, schemas.SOURCE_COLUMNS),
+            tests=df(test_rows, schemas.TESTS),
+            macros=df(mf.parse_macros(man), schemas.MACROS),
+            exposures=df(mf.parse_exposures(man), schemas.EXPOSURES),
+            edges=df(edge_rows, schemas.EDGES),
+            index_metadata=df(mf.parse_metadata(man), schemas.METADATA),
+            postings=kept_postings,
+            docstats=kept_docstats,
+            config=config,
+        )
+        if local_build:
+            idx.postings = kept_postings.unionByName(
+                df(posting_rows, "unique_id string, field string, term string, tf long")
+            )
+            idx.docstats = kept_docstats.unionByName(
+                df(docstat_rows, "unique_id string, field string, dl long")
+            )
+        else:
+            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            try:
+                idx._compute_degrees()
+                idx._compute_pk_fk()
+                if changed:
+                    idx._build_postings(only_ids=sorted(changed))
+                    # _build_postings replaced postings/docstats with the
+                    # changed-docs-only build; merge the reused rows back
+                    idx.postings = kept_postings.unionByName(
+                        idx.postings
+                    ).localCheckpoint(eager=True)
+                    idx.docstats = kept_docstats.unionByName(idx.docstats)
+                idx.cache(tables=("models", "columns", "tests"))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if catalog_path:
+            idx.enrich_from_catalog(catalog_path)
+        if run_results_path:
+            idx.enrich_from_run_results(run_results_path)
+        idx.last_refresh_stats = {
+            "changed": len(changed),
+            "reused": len(reused),
+            "removed": len(removed),
+        }
+        return idx
 
     def local(self):
         """Driver-local snapshot for latency-critical serving (built
@@ -334,17 +495,25 @@ class AriadneIndex:
         )
         return out
 
-    def _build_postings(self) -> None:
+    def _build_postings(self, only_ids: list[str] | None = None) -> None:
         """S6/T9: one search doc per model — name, description, column
         names (space-joined), SQL truncated to 2000 chars, tags.
         Tokens are Porter-stemmed when ``config.stem_tokens`` (default,
         matching FTS5 ``tokenize='porter ascii'``); the query side stems
-        through the same flag so index and query always agree."""
+        through the same flag so index and query always agree.
+        ``only_ids`` restricts the build to those docs (incremental
+        refresh — the caller merges the reused rows back)."""
+        models = self.models
+        if only_ids is not None:
+            ids_df = self.spark.createDataFrame(
+                [(u,) for u in only_ids], "unique_id string"
+            )
+            models = models.join(F.broadcast(ids_df), "unique_id", "left_semi")
         col_names = self.columns.groupBy(F.col("model_id").alias("unique_id")).agg(
             F.concat_ws(" ", F.collect_list("name")).alias("column_names")
         )
         docs = (
-            self.models.select(
+            models.select(
                 "unique_id",
                 F.col("name"),
                 F.col("description"),
