@@ -155,14 +155,43 @@ def extract_column_lineage(model_name: str, raw_sql: str) -> list[dict]:
     return rows
 
 
+_LINEAGE_SCHEMA = (
+    "target_model string, target_column string, source_relation string,"
+    " source_column string, transformation string"
+)
+_LINEAGE_COLS = [
+    "target_model",
+    "target_column",
+    "source_relation",
+    "source_column",
+    "transformation",
+]
+
+
 def build_column_lineage(spark: SparkSession, models: list[dict]) -> DataFrame:
     """Lineage DataFrame over parsed manifest model rows
     (``column_lineage`` table shape, FIXTURES.md §3)."""
     rows = []
     for m in models:
         rows.extend(extract_column_lineage(m["name"], m.get("raw_code") or ""))
-    return spark.createDataFrame(
-        rows or [],
-        "target_model string, target_column string, source_relation string,"
-        " source_column string, transformation string",
-    )
+    return spark.createDataFrame(rows or [], _LINEAGE_SCHEMA)
+
+
+def column_lineage_df(
+    models: DataFrame, *, name_col: str = "name", sql_col: str = "raw_code"
+) -> DataFrame:
+    """Distributed lineage extraction: the same parser applied per model
+    inside Arrow-batched ``mapInPandas``. Parsing is per-row work with no
+    cross-row state — the canonical scale-out shape for a pure-Python
+    transform (at 10M managed models this is a map-only pass; the
+    driver-side ``build_column_lineage`` remains for metadata-scale)."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for nm, sql in zip(pdf[name_col], pdf[sql_col]):
+                rows.extend(extract_column_lineage(nm, sql or ""))
+            yield pd.DataFrame(rows, columns=_LINEAGE_COLS)
+
+    return models.select(name_col, sql_col).mapInPandas(parse, _LINEAGE_SCHEMA)

@@ -446,3 +446,83 @@ def meta_search_layer_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "unique_id", "name", "layer", F.round("score", 4).alias("score")
     )
+
+
+# --------------------------------------------------------------------------
+# §1.1 column_lineage: the reference RESERVES this table but ships no
+# populating code in v0.1 (reference: schema.sql:151-163, README roadmap).
+# The engine populates it with operators/column_lineage.py; here the
+# distributed mapInPandas path parses a deterministic dbt-SQL corpus
+# derived from `part` (three projection shapes by k%3: rename+direct,
+# aggregate+direct, join+derived expression) and the oracle states the
+# expected lineage rows per residue class in plain SQL.
+# --------------------------------------------------------------------------
+@query(
+    "column_lineage_extract",
+    oracle="""
+    WITH r AS (
+        SELECT 'm_' || CAST(p_partkey AS VARCHAR) AS target_model,
+               p_partkey % 3 AS res, p_partkey AS k
+        FROM part)
+    SELECT target_model, 'm_id' AS target_column,
+           'model:m_' || CAST(k + 1 AS VARCHAR) AS source_relation,
+           'id' AS source_column, 'renamed' AS transformation
+    FROM r WHERE res = 0
+    UNION ALL
+    SELECT target_model, 'amount', 'model:m_' || CAST(k + 1 AS VARCHAR),
+           'amount', 'direct' FROM r WHERE res = 0
+    UNION ALL
+    SELECT target_model, 'total_amount',
+           'source:raw.src_' || CAST(k AS VARCHAR), 'amount', 'aggregated'
+    FROM r WHERE res = 1
+    UNION ALL
+    SELECT target_model, 'id', 'source:raw.src_' || CAST(k AS VARCHAR),
+           'id', 'direct' FROM r WHERE res = 1
+    UNION ALL
+    SELECT target_model, 'id', 'model:m_' || CAST(k + 1 AS VARCHAR),
+           'id', 'direct' FROM r WHERE res = 2
+    UNION ALL
+    SELECT target_model, 'amount_x2', 'model:m_' || CAST(k + 2 AS VARCHAR),
+           'amount', 'derived' FROM r WHERE res = 2
+    """,
+    survey="§1.1 column_lineage",
+    doc="Distributed column-lineage extraction (Arrow-batched mapInPandas "
+    "over per-model SQL text) vs a closed-form oracle: direct / renamed / "
+    "aggregated / derived classifications and ref()/source() resolution.",
+)
+def column_lineage_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.column_lineage import column_lineage_df
+    from ariadne_dbt_spark.session import table_path
+
+    k = F.col("p_partkey")
+    models = (
+        spark.read.parquet(table_path(sf_dir, "part"))
+        .select(
+            F.concat(F.lit("m_"), k.cast("string")).alias("name"),
+            F.when(
+                k % 3 == 0,
+                F.format_string(
+                    "select id as m_id, amount from {{ ref('m_%d') }}", k + 1
+                ),
+            )
+            .when(
+                k % 3 == 1,
+                F.format_string(
+                    "select sum(amount) as total_amount, id"
+                    " from {{ source('raw','src_%d') }}",
+                    k,
+                ),
+            )
+            .otherwise(
+                F.format_string(
+                    "select a.id, b.amount * 2 as amount_x2"
+                    " from {{ ref('m_%d') }} a join {{ ref('m_%d') }} b"
+                    " on a.id = b.id",
+                    k + 1,
+                    k + 2,
+                )
+            )
+            .alias("raw_code"),
+        )
+    )
+    return column_lineage_df(models)
