@@ -70,15 +70,26 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
     if not force and os.path.exists(done):
         return out
     docs = documents(spark, sf_dir)
-    postings, docstats = build_postings(
+    postings, _ = build_postings(
         docs, "doc_id", {"text": "text"},
         repartition_to=spark.sparkContext.defaultParallelism,
     )
     n_docs = docs.count()
-    postings.repartition(F.col("term")).write.mode("overwrite").parquet(
+    # 8 term-hashed files: enough parallelism for the query-side scan at
+    # this corpus scale while keeping listing/footer overhead low (at
+    # cluster scale this becomes partitionBy/bucketBy on term ranges)
+    postings.repartition(8, F.col("term")).write.mode("overwrite").parquet(
         os.path.join(out, "postings")
     )
-    docstats.write.mode("overwrite").parquet(os.path.join(out, "docstats"))
+    # docstats = sum(tf) over the postings JUST WRITTEN — rolling up the
+    # parquet re-read costs one tiny job; recomputing from the un-cached
+    # `docstats` plan would tokenize the whole corpus a second time
+    docstats = (
+        spark.read.parquet(os.path.join(out, "postings"))
+        .groupBy("unique_id", "field")
+        .agg(F.sum("tf").alias("dl"))
+    )
+    docstats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "docstats"))
     with open(done, "w") as f:
         f.write(str(n_docs))
     return out
