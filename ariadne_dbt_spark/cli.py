@@ -62,6 +62,25 @@ def cmd_index(args):
     _emit({"indexed": project_stats(idx), "saved_to": args.out})
 
 
+def cmd_refresh(args):
+    """Incremental hash-delta reindex: load the saved index, refresh it
+    from the new manifest (only changed docs re-tokenize), save back."""
+    from ariadne_dbt_spark.config import EngineConfig
+    from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+
+    if not getattr(args, "index_dir", None):
+        raise SystemExit("refresh requires --index-dir (a saved index to refresh)")
+    spark = _spark()
+    prev = AriadneIndex.load(spark, args.index_dir, EngineConfig())
+    idx = prev.refresh(
+        args.manifest,
+        catalog_path=getattr(args, "catalog", None),
+        run_results_path=getattr(args, "run_results", None),
+    )
+    idx.save(args.out or args.index_dir)
+    _emit({"refreshed": idx.last_refresh_stats, "saved_to": args.out or args.index_dir})
+
+
 def cmd_search(args):
     from ariadne_dbt_spark.operators.model_search import search_models
 
@@ -204,6 +223,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("refresh")
+    common(sp)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_refresh)
 
     sp = sub.add_parser("search")
     common(sp, manifest_required=False)

@@ -71,8 +71,10 @@ def _doc_signature(m: dict, col_names: list[str], config: EngineConfig) -> str:
     """Content hash of EXACTLY the fields that feed a model's search doc
     (the five posting fields, SQL pre-truncated) — two models with equal
     signatures produce identical posting rows, so the incremental refresh
-    may reuse them. Column order matters (it changes the column_names
-    text), so it is preserved, not sorted."""
+    may reuse them. Column names are SORTED: postings are a bag of terms
+    (tf/dl are order-insensitive), and a saved/loaded index does not
+    preserve column row order, so an order-sensitive hash would flag
+    spurious deltas after every save/load round-trip."""
     import hashlib
     import json
 
@@ -81,7 +83,7 @@ def _doc_signature(m: dict, col_names: list[str], config: EngineConfig) -> str:
         [
             m.get("name") or "",
             m.get("description") or "",
-            " ".join(col_names),
+            " ".join(sorted(col_names)),
             sql_src[: config.sql_index_chars],
             " ".join(m.get("tags") or ()),
         ],

@@ -102,6 +102,18 @@ def test_refresh_added_model(spark, index, manifest_dict, tmp_path):
     _assert_same_index(new, AriadneIndex.build(spark, path))
 
 
+def test_refresh_after_save_load_roundtrip(spark, index, tmp_path):
+    """A saved/loaded index must refresh as a no-op on the same manifest:
+    parquet does not preserve column row order, so the doc signature has
+    to be order-insensitive (postings are a bag of terms)."""
+    out = str(tmp_path / "idx")
+    index.save(out)
+    loaded = AriadneIndex.load(spark, out)
+    new = loaded.refresh(MANIFEST)
+    assert new.last_refresh_stats == {"changed": 0, "reused": 5, "removed": 0}
+    _assert_same_index(new, index)
+
+
 def test_refresh_does_not_mutate_source_index(spark, index):
     before = _rows(index.postings, ["unique_id", "field", "term", "tf"])
     index.refresh(MANIFEST)
