@@ -323,6 +323,67 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, cluster_id)``,
+    where ``cluster_id`` is the MIN member id (the deterministic
+    canonical survivor). This is the step after pair generation in a
+    dedup pipeline: near-duplicate relations are not transitive, so
+    A~B and B~C must collapse into ONE keep-decision even when A~C was
+    never emitted.
+
+    Iterative min-label propagation as a driver loop of DataFrame joins
+    (the same adaptive shape as BFS, graph.py:34): each round every node
+    takes the min label over itself and its neighbors; converge when no
+    label changes. Rounds = component diameter — near-dup clusters are
+    shallow (stars/short chains), so this beats the large-star/small-star
+    alternation's constant factor at this workload; per-round cost is one
+    shuffle of the (small) pair set, labels are localCheckpoint'd so
+    plans stay flat. Never materializes components driver-side.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nb_label"))
+        )
+        updated = (
+            labels.join(nb_min, labels.id == nb_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nb_label", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("nb_label", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.where("_changed").count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_jaccard_estimate(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_perm: int = 64
 ) -> DataFrame:

@@ -276,3 +276,37 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_input, n_quality, stats["n_unique"], stats["total_ws_tokens"])],
         "n_input bigint, n_quality bigint, n_unique bigint, total_ws_tokens bigint",
     )
+
+
+# Connected components over near-dup pairs (the collapse step of a dedup
+# pipeline — near-duplication is not transitive, so A~B, B~C must merge
+# into one keep-decision even without an A~C pair). The pair graph here
+# is deterministic 5-node CHAINS (k+i·1M)—(k+(i+1)·1M), so min-label
+# propagation must run the full component diameter, not just one hop;
+# the oracle states the closed-form component membership.
+@query(
+    "near_dup_clusters",
+    oracle="""
+    WITH ks AS (SELECT doc_id AS k FROM documents WHERE doc_id % 10 = 0)
+    SELECT k + i * 1000000 AS doc_id, k AS cluster_id
+    FROM ks CROSS JOIN UNNEST(range(0, 5)) AS t(i)
+    """,
+    survey="dedup-clusters (beyond reference)",
+    doc="Iterative min-label connected components (driver-loop joins, "
+    "graph diameter rounds) assigning every chained near-dup to the "
+    "min-id canonical cluster.",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import dedup_clusters
+
+    ks = documents(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    pairs = (
+        ks.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+        .select(
+            (F.col("doc_id") + F.col("i") * 1000000).alias("id_a"),
+            (F.col("doc_id") + (F.col("i") + 1) * 1000000).alias("id_b"),
+        )
+    )
+    return dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )

@@ -140,3 +140,41 @@ def test_short_and_empty_docs_yield_no_shingles(spark):
     assert ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).count() == 0
     sims = with_simhash(df, "text", shingle=2).collect()
     assert len(sims) == 4  # empty/1-token docs get the all-zero-vote fingerprint
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Min-label propagation == union-find on an adversarial mix of
+    chains, a star, a triangle, and an isolated pair — including a chain
+    whose min id sits at the END (max propagation distance)."""
+    from ariadne_dbt_spark.operators.dedup import dedup_clusters
+
+    edges = [
+        (10, 11), (11, 12), (12, 13), (13, 14),   # chain, min at head
+        (24, 23), (23, 22), (22, 21), (21, 20),   # chain, min at tail
+        (30, 31), (30, 32), (30, 33),             # star
+        (40, 41), (41, 42), (42, 40),             # triangle
+        (50, 51),                                  # isolated pair
+        (12, 22),                                  # bridge: merges both chains
+    ]
+    expect = _union_find_components(edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == expect
