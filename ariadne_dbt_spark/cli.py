@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -158,6 +159,51 @@ def cmd_docs(args):
     _emit({"written": written})
 
 
+def cmd_sync(args):
+    """Re-index after `dbt compile` and regenerate context files
+    (reference: cli.py:164-207 `sync`). Incremental when a saved index
+    exists at --index-dir, full build otherwise."""
+    from ariadne_dbt_spark.config import EngineConfig
+    from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+    from ariadne_dbt_spark.operators.generator import DocsGenerator
+
+    spark = _spark()
+    idx_dir = getattr(args, "index_dir", None)
+    refreshed = None
+    if idx_dir and os.path.isdir(idx_dir):
+        prev = AriadneIndex.load(spark, idx_dir, EngineConfig())
+        idx = prev.refresh(
+            args.manifest,
+            catalog_path=getattr(args, "catalog", None),
+            run_results_path=getattr(args, "run_results", None),
+        )
+        refreshed = idx.last_refresh_stats
+    else:
+        idx = AriadneIndex.build(
+            spark,
+            args.manifest,
+            catalog_path=getattr(args, "catalog", None),
+            run_results_path=getattr(args, "run_results", None),
+        )
+    if idx_dir:
+        idx.save(idx_dir)
+    written = [] if args.skip_generate else DocsGenerator(idx).write_docs(args.out)
+    _emit({"refreshed": refreshed, "saved_to": idx_dir, "written": written})
+
+
+def cmd_usage(args):
+    """Usage-log analytics (reference: cli.py:248-364 `usage`): call
+    counts by tool/intent, daily trend, top focus models — or the 20
+    most recent queries with --recent."""
+    from ariadne_dbt_spark.operators.usage import UsageLog
+
+    log = UsageLog(_spark(), args.log_dir)
+    if args.recent:
+        _emit(log.recent(limit=20))
+    else:
+        _emit(log.stats(days=args.days))
+
+
 def _source_map(args) -> dict:
     out = {}
     for spec in args.source or []:
@@ -272,6 +318,18 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp, manifest_required=False)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_docs)
+
+    sp = sub.add_parser("sync")
+    common(sp)
+    sp.add_argument("--out", default=".claude")
+    sp.add_argument("--skip-generate", action="store_true", dest="skip_generate")
+    sp.set_defaults(fn=cmd_sync)
+
+    sp = sub.add_parser("usage")
+    sp.add_argument("--log-dir", dest="log_dir", required=True)
+    sp.add_argument("--days", type=int, default=30)
+    sp.add_argument("--recent", action="store_true")
+    sp.set_defaults(fn=cmd_usage)
 
     sp = sub.add_parser("run")
     sp.add_argument("--manifest", required=True)
