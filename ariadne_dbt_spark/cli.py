@@ -35,11 +35,37 @@ def _spark():
     return get_spark("ariadne-cli")
 
 
+def _resolve_args(args) -> None:
+    """Fill manifest/catalog/run_results/index_dir from project discovery
+    (ariadne_spark.toml / dbt_project.yml walk-up, project_config.py)
+    when not given explicitly — the reference's init/sync auto-discovery
+    (reference: cli.py:48, config.py:88-159)."""
+    if getattr(args, "manifest", None) or getattr(args, "index_dir", None):
+        return
+    from ariadne_dbt_spark.project_config import discover
+
+    cfg = discover()
+    if not cfg.manifest_path:
+        raise SystemExit(
+            "no --manifest given and no ariadne_spark.toml / dbt_project.yml "
+            "found walking up from the current directory"
+        )
+    args.manifest = cfg.manifest_path
+    for attr, val in (
+        ("catalog", cfg.catalog_path),
+        ("run_results", cfg.run_results_path),
+        ("index_dir", cfg.index_dir),
+    ):
+        if not getattr(args, attr, None) and val:
+            setattr(args, attr, val)
+
+
 def _index(args):
     from ariadne_dbt_spark.config import EngineConfig
     from ariadne_dbt_spark.ingest.indexer import AriadneIndex
 
     spark = _spark()
+    _resolve_args(args)
     if getattr(args, "index_dir", None) and not getattr(args, "manifest", None):
         return AriadneIndex.load(spark, args.index_dir, EngineConfig())
     return AriadneIndex.build(
@@ -69,6 +95,7 @@ def cmd_refresh(args):
     from ariadne_dbt_spark.config import EngineConfig
     from ariadne_dbt_spark.ingest.indexer import AriadneIndex
 
+    _resolve_args(args)
     if not getattr(args, "index_dir", None):
         raise SystemExit("refresh requires --index-dir (a saved index to refresh)")
     spark = _spark()
@@ -167,6 +194,7 @@ def cmd_sync(args):
     from ariadne_dbt_spark.ingest.indexer import AriadneIndex
     from ariadne_dbt_spark.operators.generator import DocsGenerator
 
+    _resolve_args(args)
     spark = _spark()
     idx_dir = getattr(args, "index_dir", None)
     refreshed = None
@@ -217,6 +245,8 @@ def cmd_run(args):
     from ariadne_dbt_spark.ingest.manifest import load_manifest
     from ariadne_dbt_spark.plans.dbt_executor import DbtSparkExecutor
 
+    _resolve_args(args)
+
     ex = DbtSparkExecutor(
         spark=_spark(),
         manifest=load_manifest(args.manifest),
@@ -232,6 +262,7 @@ def cmd_test(args):
     from ariadne_dbt_spark.plans.dbt_executor import DbtSparkExecutor
     from ariadne_dbt_spark.plans.quality import run_tests
 
+    _resolve_args(args)
     spark = _spark()
     man = load_manifest(args.manifest)
     ex = DbtSparkExecutor(
@@ -259,7 +290,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ariadne-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp, manifest_required=True):
+    def common(sp, manifest_required=False):
+        # manifest is optional everywhere: _resolve_args discovers it from
+        # ariadne_spark.toml / dbt_project.yml when omitted
         sp.add_argument("--manifest", required=manifest_required)
         sp.add_argument("--catalog")
         sp.add_argument("--run-results", dest="run_results")
