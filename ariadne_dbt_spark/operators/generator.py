@@ -107,14 +107,27 @@ class DocsGenerator:
             raise RuntimeError("jinja2 required for doc generation")
         self.index = index
         self.env = jinja2.Environment()
+        self._key_models = None
+
+    def _patterns(self) -> dict:
+        # index.patterns() memoizes extract_patterns per build — the
+        # generator renders several files from the same bundle, and a
+        # fresh extraction per render multiplied the whole pattern-query
+        # fan-out by the number of templates
+        return self.index.patterns()
+
+    def _keys(self):
+        if self._key_models is None:
+            self._key_models = high_centrality_models(self.index, limit=5).collect()
+        return self._key_models
 
     def _meta(self) -> dict:
         return {r.key: r.value for r in self.index.index_metadata.collect()}
 
     def render_project_summary(self) -> str:
-        pat = extract_patterns(self.index)
+        pat = self._patterns()
         meta = self._meta()
-        key_models = high_centrality_models(self.index, limit=5).collect()
+        key_models = self._keys()
         return self.env.from_string(_PROJECT_TMPL).render(
             project_name=meta.get("project_name", "project"),
             adapter=meta.get("adapter_type", "spark"),
@@ -130,7 +143,7 @@ class DocsGenerator:
 
     def render_dag_summary(self, *, max_edges: int = 200) -> str:
         meta = self._meta()
-        pat = extract_patterns(self.index)
+        pat = self._patterns()
         edges = (
             self.index.edges.orderBy("parent_id", "child_id").limit(max_edges).collect()
         )
@@ -142,9 +155,9 @@ class DocsGenerator:
         )
 
     def _full_ctx(self) -> dict:
-        pat = extract_patterns(self.index)
+        pat = self._patterns()
         meta = self._meta()
-        key_models = high_centrality_models(self.index, limit=5).collect()
+        key_models = self._keys()
         cov = pat["coverage"]
         overall = round(sum(cov.values()) / len(cov), 1) if cov else 0.0
         return {
