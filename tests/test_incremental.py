@@ -135,3 +135,34 @@ def test_refresh_distributed_path_parity(spark, manifest_dict, tmp_path):
     new = base.refresh(path)
     assert new.last_refresh_stats["changed"] == 1
     _assert_same_index(new, AriadneIndex.build(spark, path))
+
+
+def test_refresh_random_edit_sets_match_full_rebuild(spark, manifest_dict, tmp_path):
+    """Property check over edit combinations: any subset of models
+    edited (description and/or added column) must refresh to exactly the
+    from-scratch index, with changed == |edited subset|."""
+    import itertools
+
+    base = AriadneIndex.build(spark, MANIFEST)
+    names = sorted(
+        n["name"] for n in manifest_dict["nodes"].values()
+        if n.get("resource_type") == "model"
+    )
+    # all 1- and 2-model subsets plus the full set — 16 cases, local path
+    cases = (
+        [(n,) for n in names]
+        + list(itertools.combinations(names, 2))
+        + [tuple(names)]
+    )
+    for i, subset in enumerate(cases):
+        man = json.loads(json.dumps(manifest_dict))
+        for name in subset:
+            node = man["nodes"][_model_key(man, name)]
+            node["description"] = f"edited {i} {name}"
+            node.setdefault("columns", {})[f"extra_{i}"] = {
+                "name": f"extra_{i}", "description": "", "data_type": "int"
+            }
+        path = _write(tmp_path, man)
+        new = base.refresh(path)
+        assert new.last_refresh_stats["changed"] == len(subset), subset
+        _assert_same_index(new, AriadneIndex.build(spark, path))
