@@ -8,7 +8,7 @@ Tools (names mirror the reference):
     search_models, get_model_details, get_lineage, get_impact_analysis,
     discover_models, get_context_capsule, get_project_patterns,
     refresh_index, usage_stats, find_models_by_column,
-    find_models_by_path, rate_capsule
+    find_models_by_path, rate_capsule, detect_antipatterns
 
 Every call is usage-logged (S8) with duration, like the reference.
 """
@@ -136,14 +136,33 @@ class ToolServer:
     def get_project_patterns(self) -> dict:
         return extract_patterns(self.index)
 
+    def detect_antipatterns(self, rules: list[str] | None = None) -> dict:
+        """Project anti-pattern report (reference README roadmap v1.0;
+        rule set in operators/antipatterns.py)."""
+        from ariadne_dbt_spark.operators.antipatterns import RULES, detect_antipatterns
+
+        wanted = tuple(r for r in (rules or RULES) if r in RULES)
+        rows = [r.asDict() for r in detect_antipatterns(self.index, wanted).collect()]
+        by_rule: dict[str, int] = {}
+        for r in rows:
+            by_rule[r["rule"]] = by_rule.get(r["rule"], 0) + 1
+        return {"rules": list(wanted), "counts": by_rule, "violations": rows}
+
     def refresh_index(self, manifest_path: str, catalog_path: str | None = None,
                       run_results_path: str | None = None) -> dict:
-        self.index = AriadneIndex.build(
-            self.index.spark, manifest_path,
+        # incremental hash-delta refresh: only changed docs re-tokenize
+        # (the reference rebuilds fully — server.py:449-492; its roadmap
+        # defers the delta path to v1.0)
+        self.index = self.index.refresh(
+            manifest_path,
             catalog_path=catalog_path, run_results_path=run_results_path,
         )
         self.builder = CapsuleBuilder(self.index)
-        return {"status": "ok", "models": self.index.models.count()}
+        return {
+            "status": "ok",
+            "models": self.index.models.count(),
+            "delta": self.index.last_refresh_stats,
+        }
 
     def usage_stats(self, days: int = 30) -> dict:
         if self.usage is None:
@@ -155,7 +174,7 @@ class ToolServer:
         "search_models", "get_model_details", "get_lineage", "get_impact_analysis",
         "discover_models", "get_context_capsule", "get_project_patterns",
         "refresh_index", "usage_stats", "find_models_by_column",
-        "find_models_by_path", "rate_capsule",
+        "find_models_by_path", "rate_capsule", "detect_antipatterns",
     )
 
     def handle(self, request: dict) -> dict:

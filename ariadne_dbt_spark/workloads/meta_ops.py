@@ -526,3 +526,51 @@ def column_lineage_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return column_lineage_df(models)
+
+
+# --------------------------------------------------------------------------
+# Anti-pattern detection (reference README roadmap v1.0 — unimplemented
+# in v0.1; rule set in operators/antipatterns.py). The corpus fires
+# no_tests and view_mart in closed form; source_direct_to_mart and
+# layer_inversion are structurally impossible there (sources feed only
+# staging, chains never flow backwards), so their oracle arm is empty —
+# a false positive from either rule breaks the hash.
+# --------------------------------------------------------------------------
+@query(
+    "meta_antipatterns",
+    oracle=f"""
+    WITH {META_SQL}
+    SELECT 'no_tests' AS rule, m.unique_id, m.name, m.layer
+    FROM models m
+    WHERE NOT EXISTS (SELECT 1 FROM tsts t WHERE t.model_id = m.unique_id)
+    UNION ALL
+    SELECT 'view_mart', unique_id, name, layer
+    FROM models WHERE layer = 'marts' AND materialization = 'view'
+    UNION ALL
+    SELECT 'source_direct_to_mart', m.unique_id, m.name, m.layer
+    FROM models m
+    WHERE m.layer = 'marts'
+      AND EXISTS (SELECT 1 FROM medges e
+                  WHERE e.child_id = m.unique_id
+                    AND e.parent_id LIKE 'source.%')
+    UNION ALL
+    SELECT DISTINCT 'layer_inversion', c.unique_id, c.name, c.layer
+    FROM medges e
+    JOIN models p ON e.parent_id = p.unique_id
+    JOIN models c ON e.child_id = c.unique_id
+    WHERE (CASE p.layer WHEN 'staging' THEN 0 WHEN 'intermediate' THEN 1 ELSE 2 END)
+        > (CASE c.layer WHEN 'staging' THEN 0 WHEN 'intermediate' THEN 1 ELSE 2 END)
+    """,
+    survey="antipatterns (roadmap v1.0)",
+    doc="Anti-pattern rules over the corpus index: no_tests and "
+    "view_mart fire in closed form; the two structural rules must "
+    "return exactly zero rows (false-positive guard).",
+)
+def meta_antipatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.antipatterns import detect_antipatterns
+
+    idx = synthetic_index(spark, sf_dir)
+    return detect_antipatterns(
+        idx,
+        ("no_tests", "view_mart", "source_direct_to_mart", "layer_inversion"),
+    )

@@ -23,11 +23,33 @@ def _call(server, tool, **args):
     return server.handle({"id": 1, "tool": tool, "args": args})
 
 
-def test_tool_surface_is_twelve(server):
-    assert len(ToolServer.TOOLS) == 12
-    assert {"find_models_by_column", "find_models_by_path", "rate_capsule"} <= set(
-        ToolServer.TOOLS
-    )
+def test_tool_surface(server):
+    # reference's 10 tools + rate_capsule-adjacent additions + the
+    # roadmap-v1.0 anti-pattern report
+    assert len(ToolServer.TOOLS) == 13
+    assert {
+        "find_models_by_column", "find_models_by_path", "rate_capsule",
+        "detect_antipatterns",
+    } <= set(ToolServer.TOOLS)
+
+
+def test_detect_antipatterns_tool(server):
+    r = _call(server, "detect_antipatterns")["result"]
+    assert set(r["counts"]) <= {
+        "no_tests", "view_mart", "source_direct_to_mart", "layer_inversion",
+        "undocumented",
+    }
+    # jaffle fixture: stg_payments has no tests
+    flagged = {v["name"] for v in r["violations"] if v["rule"] == "no_tests"}
+    assert "stg_payments" in flagged
+
+
+def test_refresh_index_tool_is_incremental(server):
+    import os
+    man = os.path.join(os.path.dirname(__file__), "fixtures", "manifest.json")
+    r = _call(server, "refresh_index", manifest_path=man)["result"]
+    assert r["status"] == "ok"
+    assert r["delta"] == {"changed": 0, "reused": 5, "removed": 0}
 
 
 def test_find_models_by_column(server):
