@@ -109,6 +109,32 @@ def cmd_refresh(args):
     _emit({"refreshed": idx.last_refresh_stats, "saved_to": args.out or args.index_dir})
 
 
+def cmd_diff(args):
+    """What changed between the saved index and a new manifest, with
+    blast radius: the changed/added/removed model sets plus everything
+    downstream of the changed+removed set (the "what changed since the
+    last compile" view — reference roadmap's git-aware context, derived
+    here from manifest deltas instead of git)."""
+    from ariadne_dbt_spark.config import EngineConfig
+    from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+    from ariadne_dbt_spark.operators.graph import DOWNSTREAM, bfs
+
+    _resolve_args(args)
+    if not getattr(args, "index_dir", None):
+        raise SystemExit("diff requires --index-dir (a saved index to diff against)")
+    spark = _spark()
+    prev = AriadneIndex.load(spark, args.index_dir, EngineConfig())
+    delta = prev.manifest_delta(args.manifest)
+    starts = delta["changed"] + delta["removed"]
+    impacted: dict[str, list] = {"models": [], "exposures": [], "other": []}
+    if starts:
+        for r in bfs(prev.edges, starts, DOWNSTREAM, max_depth=10).collect():
+            kind = r["unique_id"].split(".", 1)[0]
+            bucket = {"model": "models", "exposure": "exposures"}.get(kind, "other")
+            impacted[bucket].append({"unique_id": r["unique_id"], "distance": r["distance"]})
+    _emit({**delta, "downstream_impact": impacted})
+
+
 def cmd_search(args):
     from ariadne_dbt_spark.operators.model_search import search_models
 
@@ -307,6 +333,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_refresh)
+
+    sp = sub.add_parser("diff")
+    common(sp)
+    sp.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser("search")
     common(sp, manifest_required=False)

@@ -281,6 +281,32 @@ class AriadneIndex:
             )
         return out
 
+    def manifest_delta(self, manifest_path: str) -> dict:
+        """Doc-level diff of a new manifest against THIS index's state:
+        ``{"changed": [...], "added": [...], "removed": [...]}`` by
+        unique_id (the same signatures ``refresh`` uses to decide what
+        to re-tokenize). Parse-only — no index is built."""
+        man = mf.load_manifest(manifest_path)
+        model_rows = mf.parse_models(man)
+        column_rows = mf.parse_columns(man)
+        cols_by_model: dict[str, list[str]] = {}
+        for c in column_rows:
+            cols_by_model.setdefault(c["model_id"], []).append(c["name"])
+        new_sigs = {
+            m["unique_id"]: _doc_signature(
+                m, cols_by_model.get(m["unique_id"], []), self.config
+            )
+            for m in model_rows
+        }
+        old_sigs = self.doc_signatures()
+        return {
+            "changed": sorted(
+                u for u, s in new_sigs.items() if u in old_sigs and old_sigs[u] != s
+            ),
+            "added": sorted(set(new_sigs) - set(old_sigs)),
+            "removed": sorted(set(old_sigs) - set(new_sigs)),
+        }
+
     def refresh(
         self,
         manifest_path: str,

@@ -166,3 +166,16 @@ def test_refresh_random_edit_sets_match_full_rebuild(spark, manifest_dict, tmp_p
         new = base.refresh(path)
         assert new.last_refresh_stats["changed"] == len(subset), subset
         _assert_same_index(new, AriadneIndex.build(spark, path))
+
+
+def test_manifest_delta_parse_only(spark, index, manifest_dict, tmp_path):
+    man = manifest_dict
+    man["nodes"][_model_key(man, "stg_orders")]["description"] = "delta probe"
+    path = _write(tmp_path, man)
+    delta = index.manifest_delta(path)
+    assert delta == {
+        "changed": ["model.webshop.stg_orders"], "added": [], "removed": [],
+    }
+    assert index.manifest_delta(MANIFEST) == {
+        "changed": [], "added": [], "removed": [],
+    }
