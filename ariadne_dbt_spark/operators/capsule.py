@@ -66,6 +66,10 @@ class Capsule:
     sources: list[dict] = field(default_factory=list)
     similar_models: list[str] = field(default_factory=list)
     patterns: dict = field(default_factory=dict)
+    #: session memory (reference models.py:184 reserves this; the
+    #: reference server always emits {} — the ToolServer fills it from
+    #: the session-event log within the 5% session budget fraction)
+    session_context: dict = field(default_factory=dict)
     token_estimate: int = 0
     token_budget: int = 0
 
@@ -82,6 +86,7 @@ class Capsule:
             "sources": self.sources,
             "similar_models": self.similar_models,
             "patterns": self.patterns,
+            "session_context": self.session_context,
             "token_estimate": self.token_estimate,
             "token_budget": self.token_budget,
         }

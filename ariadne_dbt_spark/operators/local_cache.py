@@ -385,6 +385,7 @@ class LocalIndexCache:
             "task": task, "intent": intent, "confidence": confidence,
             "pivots": [], "upstream": [], "downstream": [], "tests": [],
             "macros": [], "sources": [], "similar_models": [], "patterns": {},
+            "session_context": {},
             "token_estimate": 0, "token_budget": token_budget,
         }
         if not pivots:

@@ -51,6 +51,8 @@ class ToolServer:
         #: log id of the most recent get_context_capsule call — the target
         #: of rate_capsule (reference: server.py:21,111,513)
         self._last_capsule_log_id: int | None = None
+        #: one server process = one session in the events log
+        self._session_id = "server"
 
     # -- tools ---------------------------------------------------------------
     def search_models(self, query: str, limit: int = 10, layer: str | None = None,
@@ -101,7 +103,37 @@ class ToolServer:
             task, focus_model=focus_model, entry_models=entry_models,
             entry_paths=entry_paths, token_budget=token_budget,
         )
-        return cap.to_dict()
+        out = cap.to_dict()
+        # session memory (reference reserves session_context and its 5%
+        # budget fraction but always emits {}; roadmap v1.0 "session
+        # memory"): prior events of THIS server session, newest first,
+        # greedy-filled into the session allocation
+        if self.events is not None:
+            from ariadne_dbt_spark.config import BUDGET_FRACTIONS
+            from ariadne_dbt_spark.operators.capsule import estimate_tokens
+
+            alloc = int(out["token_budget"] * BUDGET_FRACTIONS["session"])
+            recent = self.events.for_session(self._session_id)[-10:]
+            items = [
+                {
+                    "event_type": e["event_type"],
+                    "tool_name": e["tool_name"],
+                    "ts": str(e["created_at"]),
+                    "payload": e["payload"],
+                }
+                for e in reversed(recent)
+            ]
+            out["session_context"] = {
+                "recent_events": CapsuleBuilder._greedy_fill(
+                    items, alloc, break_on_overflow=False
+                )
+            }
+            out["token_estimate"] = estimate_tokens(out)
+            self.events.record(
+                self._session_id, "capsule", tool_name="get_context_capsule",
+                payload={"task": task[:200], "intent": out["intent"]},
+            )
+        return out
 
     def find_models_by_column(self, column_name: str, limit: int = 20) -> dict:
         """Reference: server.py:399-420 — partial column-name match."""
@@ -128,7 +160,7 @@ class ToolServer:
         self.usage.rate(log_id, rating, notes or "")
         if self.events is not None:
             self.events.record(
-                "server", "validation", tool_name="rate_capsule",
+                self._session_id, "validation", tool_name="rate_capsule",
                 payload={"log_id": log_id, "rating": rating, "notes": notes or ""},
             )
         return {"success": True, "log_id": log_id, "rating": rating}

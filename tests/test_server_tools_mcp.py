@@ -93,8 +93,11 @@ def test_rate_capsule_roundtrip(server):
     assert stats2["avg_rating"] == 1.0
     # feedback event landed in the session_events sink
     events = server.events.for_session("server")
-    assert [e["event_type"] for e in events] == ["validation", "validation"]
-    assert events[0]["tool_name"] == "rate_capsule"
+    # capsule calls record session-memory events alongside the two
+    # rating feedback events
+    validations = [e for e in events if e["event_type"] == "validation"]
+    assert len(validations) == 2
+    assert validations[0]["tool_name"] == "rate_capsule"
 
 
 def test_ratings_subdir_hidden_from_usage_scan(server):
@@ -159,3 +162,19 @@ def test_mcp_adapter_registers_all_tools(server, monkeypatch):
     assert {r["name"] for r in out["results"]} == {"dim_customers", "fct_orders"}
     # docstrings surfaced for MCP schema generation
     assert app.tools["search_models"].__doc__
+
+
+def test_session_memory_fills_capsule(index, tmp_path):
+    """Second capsule call in a server session sees the first call as a
+    recent event in session_context (reference reserves session_context
+    but always emits {}; roadmap v1.0 'session memory')."""
+    srv = ToolServer(index, usage_dir=str(tmp_path / "usage"))
+    first = _call(srv, "get_context_capsule", task="debug failing revenue test")["result"]
+    assert first["session_context"]["recent_events"] == []
+    second = _call(srv, "get_context_capsule", task="add a customer column")["result"]
+    events = second["session_context"]["recent_events"]
+    assert events and events[0]["event_type"] == "capsule"
+    assert "revenue" in events[0]["payload"]
+    # the filled session slot counts against the estimate and the
+    # capsule still respects its overall budget envelope
+    assert second["token_estimate"] <= 1.2 * second["token_budget"]
