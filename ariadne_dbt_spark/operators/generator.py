@@ -14,7 +14,6 @@ import os
 
 from ariadne_dbt_spark.ingest.indexer import AriadneIndex
 from ariadne_dbt_spark.operators.lineage import high_centrality_models
-from ariadne_dbt_spark.operators.patterns import extract_patterns
 
 try:
     import jinja2
