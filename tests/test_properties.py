@@ -80,3 +80,38 @@ def test_minhash_clone_invariance(spark, texts):
     for i in range(len(texts)):
         if i in sigs or (1000 + i) in sigs:
             assert sigs.get(i) == sigs.get(1000 + i)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges)
+def test_dedup_clusters_random_graphs_match_union_find(spark, edges):
+    """Min-label propagation must agree with a reference union-find on
+    arbitrary random pair graphs (any topology, duplicate edges, both
+    orientations)."""
+    from ariadne_dbt_spark.operators.dedup import dedup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == expect
