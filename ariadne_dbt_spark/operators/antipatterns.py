@@ -15,7 +15,10 @@ each derivable from the index tables alone):
 
 All rules are broadcast-scale DataFrame ops over the (metadata-sized)
 index tables: anti-joins and self-joins on models/tests/edges, no
-collect, no UDFs.
+collect, no UDFs. The model/test dims carry explicit broadcast hints —
+index tables come from local relations whose stats the planner may not
+fold, and without the hint every rule planned as a sort-merge join
+(verified via executedPlan; now 0 SMJs).
 """
 
 from __future__ import annotations
@@ -57,7 +60,9 @@ def detect_antipatterns(index, rules: tuple[str, ...] | None = None) -> DataFram
         tested = index.tests.select(
             F.col("model_id").alias("unique_id")
         ).distinct()
-        parts.append(tag(models.join(tested, "unique_id", "left_anti"), "no_tests"))
+        parts.append(
+            tag(models.join(F.broadcast(tested), "unique_id", "left_anti"), "no_tests")
+        )
     if "view_mart" in rules:
         parts.append(
             tag(
@@ -77,7 +82,7 @@ def detect_antipatterns(index, rules: tuple[str, ...] | None = None) -> DataFram
         parts.append(
             tag(
                 models.where(F.col("layer") == "marts").join(
-                    src_children, "unique_id", "left_semi"
+                    F.broadcast(src_children), "unique_id", "left_semi"
                 ),
                 "source_direct_to_mart",
             )
@@ -94,8 +99,8 @@ def detect_antipatterns(index, rules: tuple[str, ...] | None = None) -> DataFram
             _layer_rank(F.col("layer")).alias("c_rank"),
         )
         inv = (
-            index.edges.join(p, "parent_id")
-            .join(c, "child_id")
+            index.edges.join(F.broadcast(p), "parent_id")
+            .join(F.broadcast(c), "child_id")
             .where(F.col("p_rank") > F.col("c_rank"))
             .select(F.col("child_id").alias("unique_id"), "name", "layer")
             .distinct()
