@@ -276,6 +276,69 @@ def ab_entry_models(
     }
 
 
+def ab_discover(
+    index, sessions_dir: str | Path, *, early_calls: int = 3, token_budget: int = 10000
+) -> dict:
+    """A/B: capsule with early entry_models vs discover→pick→capsule
+    (reference: ab_discover.py:84-140 — scenario B simulates the agent
+    calling discover_models, picking the discovered names it actually
+    needed (∩ explored), and feeding them back as entry_models; models
+    the agent saw in the discovery list count as covered even when the
+    capsule's budget drops them)."""
+    cache = _serving(index)
+    names = {m["name"] for m in cache.models.values()}
+    max_pivots = 3  # CapsuleConfig.max_pivots (config.py:65)
+    rows = []
+    for path in sorted(Path(sessions_dir).glob("*.jsonl")):
+        session = parse_session(path)
+        if session is None:
+            continue
+        agent_in_idx = session.models_explored & names
+        if not agent_in_idx:
+            continue
+        focus = detect_focus_model(session.task, names)
+        entries = early_models(session, early_calls, names)
+        entry_a = sorted(set(entries) - {focus}) if focus else entries
+
+        cap_a = cache.capsule(
+            session.task, focus_model=focus, entry_models=entry_a or None,
+            token_budget=token_budget,
+        )
+        models_a = capsule_model_names(cap_a) & names
+        pct_a = 100.0 * len(agent_in_idx & models_a) / len(agent_in_idx)
+
+        discovered = cache.discover(
+            session.task, focus_model=focus, entry_models=entry_a or None, limit=40
+        )
+        discovered_names = {m["name"] for m in discovered}
+        # ideal pick from discovery = discovered ∩ actually-explored
+        picks = agent_in_idx & discovered_names
+        entry_b = sorted((set(entry_a) | picks) - ({focus} if focus else set()))
+        cap_b = cache.capsule(
+            session.task, focus_model=focus,
+            entry_models=entry_b[:max_pivots] or None, token_budget=token_budget,
+        )
+        models_b = (capsule_model_names(cap_b) & names) | discovered_names
+        pct_b = 100.0 * len(agent_in_idx & models_b) / len(agent_in_idx)
+        rows.append(
+            {
+                "session_id": session.session_id,
+                "overlap_a": round(pct_a, 1),
+                "overlap_b": round(pct_b, 1),
+                "discovered": len(discovered_names),
+                "picks": sorted(picks),
+            }
+        )
+    n = len(rows)
+    return {
+        "sessions": n,
+        "early_calls": early_calls,
+        "avg_overlap_a": round(sum(r["overlap_a"] for r in rows) / n, 1) if n else 0.0,
+        "avg_overlap_b": round(sum(r["overlap_b"] for r in rows) / n, 1) if n else 0.0,
+        "per_session": rows,
+    }
+
+
 def diagnose_misses(
     index, sessions_dir: str | Path, *, max_depth: int = 8, token_budget: int = 10000
 ) -> dict:

@@ -340,27 +340,47 @@ class CapsuleBuilder:
         self,
         task: str,
         *,
+        focus_model: str | None = None,
+        entry_models: list[str] | None = None,
+        entry_paths: list[str] | None = None,
         limit: int = 40,
     ) -> list[dict]:
-        """Names-only orientation list: pivots (cap 5) + depth-4 DAG
-        labels + FTS fill, ≤limit rows, ~12 tokens/row."""
+        """Names-only orientation list: pivots (cap 5, seeded by the same
+        focus/entry anchors as build — reference: capsule.py:432-452) +
+        depth-4 DAG labels + FTS fill, ≤limit rows, ~12 tokens/row.
+        Rows carry name/layer/file_path/relationship/distance
+        (reference: capsule.py:470-476); search fill is labeled
+        ``search`` (reference: capsule.py:499)."""
         limit = max(1, min(limit, self.config.discover_limit))
         intent = detect_intent(task)
-        pivots, _, _ = self._select_pivots(task, intent, None, None, None, max_pivots=5)
+        pivots, _, _ = self._select_pivots(
+            task, intent, focus_model, entry_models, entry_paths, max_pivots=5
+        )
         out: list[dict] = []
         seen: set[str] = set()
-
-        def add(uid: str, name: str, rel: str, dist: int):
-            if uid not in seen and len(out) < limit:
-                seen.add(uid)
-                out.append({"unique_id": uid, "name": name, "relationship": rel, "distance": dist})
-
-        names = {
-            r.unique_id: r.name
-            for r in self.index.models.select("unique_id", "name").collect()
+        meta = {
+            r.unique_id: (r.name, r.layer or "other", r.file_path or "")
+            for r in self.index.models.select("unique_id", "name", "layer", "file_path").collect()
         }
+
+        def add(uid: str, rel: str, dist: int):
+            if uid in seen or len(out) >= limit or uid not in meta:
+                return
+            name, layer, file_path = meta[uid]
+            seen.add(uid)
+            out.append(
+                {
+                    "unique_id": uid,
+                    "name": name,
+                    "layer": layer,
+                    "file_path": file_path,
+                    "relationship": rel,
+                    "distance": dist,
+                }
+            )
+
         for p in pivots:
-            add(p, names.get(p, p), "pivot", 0)
+            add(p, "pivot", 0)
         for direction, rel in ((UPSTREAM, "upstream"), (DOWNSTREAM, "downstream")):
             if len(out) >= limit:
                 break
@@ -371,11 +391,11 @@ class CapsuleBuilder:
                 .collect()
             )
             for r in hits:
-                add(r.unique_id, names.get(r.unique_id, r.unique_id), rel, r.distance)
+                add(r.unique_id, rel, r.distance)
         if len(out) < limit:
             fill = search_models(
                 self.index, task, intent=intent, limit=limit - len(out), exclude_ids=list(seen)
             ).collect()
             for r in fill:
-                add(r.unique_id, r.name, "related", -1)
+                add(r.unique_id, "search", -1)
         return out

@@ -442,6 +442,70 @@ class LocalIndexCache:
         cap["token_estimate"] = estimate_tokens(cap)
         return cap
 
+    def discover(
+        self,
+        task: str,
+        *,
+        focus_model: str | None = None,
+        entry_models: list[str] | None = None,
+        entry_paths: list[str] | None = None,
+        limit: int = 40,
+    ) -> list[dict]:
+        """Names-only orientation list — local twin of
+        CapsuleBuilder.discover (same pivot seeding, depth-4 DAG labels,
+        search fill labeled ``search``; reference: capsule.py:432-501)."""
+        from ariadne_dbt_spark.config import EngineConfig
+        from ariadne_dbt_spark.operators.capsule import detect_intent
+
+        limit = max(1, min(int(limit), EngineConfig().discover_limit))
+        intent = detect_intent(task)
+
+        pivots: list[str] = []
+        for name in ([focus_model] if focus_model else []) + list(entry_models or []):
+            m = self.by_name(name)
+            if m and m["unique_id"] not in pivots and len(pivots) < 5:
+                pivots.append(m["unique_id"])
+        for uid in self.resolve_paths(entry_paths or []):
+            if uid not in pivots and len(pivots) < 5:
+                pivots.append(uid)
+        if len(pivots) < 5:
+            for h in self.search(task, intent=intent, limit=5 - len(pivots), exclude_ids=pivots):
+                if h["unique_id"] not in pivots:
+                    pivots.append(h["unique_id"])
+
+        out: list[dict] = []
+        seen: set[str] = set()
+
+        def add(uid: str, rel: str, dist: int):
+            m = self.models.get(uid)
+            if uid in seen or len(out) >= limit or m is None:
+                return
+            seen.add(uid)
+            out.append(
+                {
+                    "unique_id": uid,
+                    "name": m["name"],
+                    "layer": m.get("layer") or "other",
+                    "file_path": m.get("file_path") or "",
+                    "relationship": rel,
+                    "distance": dist,
+                }
+            )
+
+        for p in pivots:
+            add(p, "pivot", 0)
+        for direction, rel in (("upstream", "upstream"), ("downstream", "downstream")):
+            if len(out) >= limit:
+                break
+            hits = sorted(self.bfs(pivots, direction, 4), key=lambda x: (x[1], x[0]))
+            for uid, dist in hits:
+                if uid.startswith("model."):
+                    add(uid, rel, dist)
+        if len(out) < limit:
+            for h in self.search(task, intent=intent, limit=limit - len(out), exclude_ids=list(seen)):
+                add(h["unique_id"], "search", -1)
+        return out
+
 
 def _neg_name(name: str | None):
     """Sort helper: makes LOWER names win ties under max-comparison."""

@@ -109,6 +109,7 @@ def bm25(
     k1: float = K1,
     b: float = B,
     stem_query: bool = False,
+    avgdl_by_field: dict[str, float] | None = None,
 ) -> DataFrame:
     """Score every matching doc: ``(unique_id, bm25_score)`` descending.
 
@@ -116,6 +117,17 @@ def bm25(
     count). Per-field scores are weighted then summed per doc.
     ``stem_query=True`` Porter-stems the query tokens — required when the
     postings were built with ``stem=True`` (both sides must agree).
+
+    ``avgdl_by_field`` short-circuits the average-doc-length aggregate —
+    pass the stats persisted at index-build time (they are corpus
+    constants, not query state) so the query path never scans docstats
+    beyond the per-doc ``dl`` join.
+
+    Plan shape: the query-term predicate is an ``isin`` literal, so it
+    pushes into the postings scan (term-partitioned storage prunes at
+    100 TB); field weights and avgdl are literal CASE expressions; the
+    only runtime statistic computed per query is df per (field, term)
+    over the already-filtered scan (a tiny broadcast aggregate).
     """
     spark = postings.sparkSession
     terms = tokenize_query(query_text, stem=stem_query)
@@ -123,19 +135,35 @@ def bm25(
         return spark.createDataFrame([], "unique_id string, bm25_score double")
     weights = field_weights or DEFAULT_FIELD_WEIGHTS
 
-    qterms = spark.createDataFrame([(t,) for t in set(terms)], "term string")
-    # df per (field, term) over the full corpus
-    dfreq = (
-        postings.join(F.broadcast(qterms), "term")
-        .groupBy("field", "term")
-        .agg(F.countDistinct("unique_id").alias("df"))
+    tset = sorted(set(terms))
+    matched = postings.where(F.col("term").isin(tset))
+    # df per (field, term) over the corpus = over the term-filtered scan
+    dfreq = matched.groupBy("field", "term").agg(
+        F.countDistinct("unique_id").alias("df")
     )
-    avgdl = (
-        docstats.groupBy("field").agg(F.avg("dl").alias("avgdl"))
-    )
-    weight_map = spark.createDataFrame(
-        [(f, w) for f, w in weights.items()], "field string, weight double"
-    )
+    if avgdl_by_field:
+        avgdl_expr = None
+        for fname, val in avgdl_by_field.items():
+            cond = F.col("field") == fname
+            avgdl_expr = (
+                F.when(cond, F.lit(float(val)))
+                if avgdl_expr is None
+                else avgdl_expr.when(cond, F.lit(float(val)))
+            )
+        scored_base = matched.join(
+            docstats.select("unique_id", "field", "dl"), ["unique_id", "field"]
+        ).withColumn("avgdl", avgdl_expr)
+    else:
+        avgdl = docstats.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+        scored_base = (
+            matched.join(docstats.select("unique_id", "field", "dl"), ["unique_id", "field"])
+            .join(F.broadcast(avgdl), "field")
+        )
+    weight_expr = F.lit(1.0)
+    for fname, wval in weights.items():
+        weight_expr = F.when(F.col("field") == fname, F.lit(float(wval))).otherwise(
+            weight_expr
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -146,13 +174,8 @@ def bm25(
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), ["field", "term"])
-        .join(docstats, ["unique_id", "field"])
-        .join(F.broadcast(avgdl), "field")
-        .join(F.broadcast(weight_map), "field", "left")
-        .withColumn("weight", F.coalesce("weight", F.lit(1.0)))
-        .withColumn("term_score", idf * tf_norm * F.col("weight"))
+        scored_base.join(F.broadcast(dfreq), ["field", "term"])
+        .withColumn("term_score", idf * tf_norm * weight_expr)
         .groupBy("unique_id")
         .agg(F.sum("term_score").alias("bm25_score"))
     )

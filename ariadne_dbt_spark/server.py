@@ -92,8 +92,25 @@ class ToolServer:
         imp.pop("affected", None)
         return imp
 
-    def discover_models(self, task: str, limit: int = 40) -> dict:
-        return {"models": self.builder.discover(task, limit=limit)}
+    def discover_models(
+        self,
+        task: str,
+        focus_model: str | None = None,
+        entry_models: list[str] | None = None,
+        entry_paths: list[str] | None = None,
+        limit: int = 40,
+    ) -> dict:
+        # reference: server.py:117-146 — discover accepts the same
+        # focus/entry anchors as get_context_capsule
+        return {
+            "models": self.builder.discover(
+                task,
+                focus_model=focus_model,
+                entry_models=entry_models,
+                entry_paths=entry_paths,
+                limit=limit,
+            )
+        }
 
     def get_context_capsule(self, task: str, focus_model: str | None = None,
                             entry_models: list[str] | None = None,

@@ -418,7 +418,7 @@ _DISC_LIMIT = 30
         SELECT m.unique_id, m.name, n.nb * 0.55 + m.centrality * 0.20 AS scoref
         FROM normf n JOIN models m ON n.doc_id = m.unique_id),
     phase4 AS (
-        SELECT 4 AS phase, ord, unique_id, name, 'related' AS relationship,
+        SELECT 4 AS phase, ord, unique_id, name, 'search' AS relationship,
                -1 AS distance
         FROM (SELECT unique_id, name,
                      ROW_NUMBER() OVER (ORDER BY scoref DESC, unique_id) AS ord

@@ -11,6 +11,7 @@ contract (reference validates rank-order vs FTS5 too, SURVEY §7).
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,7 +57,8 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_index_dir(sf_dir: str) -> str:
     docs_path = table_path(sf_dir, "documents")
     mtime = int(os.path.getmtime(docs_path))
-    key = hashlib.md5(f"{docs_path}:{mtime}".encode()).hexdigest()[:12]
+    # v2: _BUILT carries JSON stats (n_docs + avgdl), not a bare count
+    key = hashlib.md5(f"{docs_path}:{mtime}:v2".encode()).hexdigest()[:12]
     return os.path.join(_REPO, ".tmp", f"bm25_index_{key}")
 
 
@@ -90,23 +92,33 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
         .agg(F.sum("tf").alias("dl"))
     )
     docstats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "docstats"))
+    # corpus constants (n_docs, avgdl per field) are index metadata —
+    # persisting them here keeps the query path free of stats jobs
+    avgdl = {
+        r["field"]: r["avgdl"]
+        for r in spark.read.parquet(os.path.join(out, "docstats"))
+        .groupBy("field")
+        .agg(F.avg("dl").alias("avgdl"))
+        .collect()
+    }
     with open(done, "w") as f:
-        f.write(str(n_docs))
+        json.dump({"n_docs": n_docs, "avgdl": avgdl}, f)
     return out
 
 
 def read_bm25_index(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, int]:
-    """(postings, docstats, n_docs) from the persisted index, building it
-    first if absent."""
+) -> tuple[DataFrame, DataFrame, int, dict[str, float]]:
+    """(postings, docstats, n_docs, avgdl_by_field) from the persisted
+    index, building it first if absent."""
     out = build_bm25_index(spark, sf_dir)
     with open(os.path.join(out, "_BUILT")) as f:
-        n_docs = int(f.read().strip())
+        meta = json.load(f)
     return (
         spark.read.parquet(os.path.join(out, "postings")),
         spark.read.parquet(os.path.join(out, "docstats")),
-        n_docs,
+        int(meta["n_docs"]),
+        meta["avgdl"],
     )
 
 
@@ -155,7 +167,7 @@ def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_bm25_index(spark, sf_dir, force=True)
-    postings, _, _ = read_bm25_index(spark, sf_dir)
+    postings, _, _, _ = read_bm25_index(spark, sf_dir)
     return postings.agg(
         F.count(F.lit(1)).alias("n_postings"),
         F.countDistinct("term").alias("n_terms"),
@@ -195,11 +207,13 @@ def bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="BM25 top-20 for query 'spark vector stream'.",
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    postings, docstats, n_docs = read_bm25_index(spark, sf_dir)
-    # term filter as an isin predicate → pushed to the parquet scan
-    # (the broadcast-join inside bm25() can't push down into the file)
-    postings = postings.where(F.col("term").isin("spark", "vector", "stream"))
-    scored = bm25(postings, docstats, n_docs, "spark vector stream", field_weights={"text": 1.0})
+    postings, docstats, n_docs, avgdl = read_bm25_index(spark, sf_dir)
+    # bm25() filters terms via isin → pushed to the parquet scan; the
+    # persisted avgdl stats keep the query free of corpus-stats jobs
+    scored = bm25(
+        postings, docstats, n_docs, "spark vector stream",
+        field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+    )
     return (
         scored.orderBy(F.desc("bm25_score"), "unique_id")
         .limit(20)

@@ -136,6 +136,7 @@ def behavioral_main() -> None:
     replay the committed synthetic transcripts against capsules built from
     each session's task; print ONE JSON line with overlap/savings."""
     from ariadne_dbt_spark.benchmarks.session_replay import (
+        ab_discover,
         ab_entry_models,
         diagnose_misses,
         replay_sessions,
@@ -149,6 +150,7 @@ def behavioral_main() -> None:
     sessions_dir = os.path.join(repo, "tests", "fixtures", "sessions")
     out = replay_sessions(idx, sessions_dir)
     ab = ab_entry_models(idx, sessions_dir)
+    abd = ab_discover(idx, sessions_dir)
     misses = diagnose_misses(idx, sessions_dir)
     print(
         json.dumps(
@@ -165,6 +167,9 @@ def behavioral_main() -> None:
                 ],
                 "ab_entry_models": {
                     k: ab[k] for k in ("avg_overlap_a", "avg_overlap_b", "early_calls")
+                },
+                "ab_discover": {
+                    k: abd[k] for k in ("avg_overlap_a", "avg_overlap_b", "sessions")
                 },
                 "miss_diagnosis": {
                     k: misses[k] for k in ("misses", "reachable_misses")

@@ -78,3 +78,15 @@ def test_local_capsule_matches_spark(index, cache):
 def test_local_capsule_respects_budget(cache):
     cap = cache.capsule("add a new revenue metric", token_budget=2000)
     assert cap["token_estimate"] <= 1.2 * 2000  # reference invariant
+
+
+def test_local_discover_matches_spark(index, cache):
+    for kwargs in (
+        {"task": "debug revenue order totals"},
+        {"task": "add a column", "focus_model": "fct_orders"},
+        {"task": "explore payments", "entry_models": ["stg_payments"], "limit": 10},
+    ):
+        task = kwargs.pop("task")
+        spark_rows = CapsuleBuilder(index).discover(task, **kwargs)
+        local_rows = cache.discover(task, **kwargs)
+        assert local_rows == spark_rows

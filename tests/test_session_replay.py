@@ -93,3 +93,14 @@ def test_replay_against_real_capsules(index):
     assert by_id["debug_fct_orders"]["overlap_pct"] == 100.0
     assert out["avg_overlap_pct"] >= 80.0
     assert out["total_potential_savings"] >= 6
+
+
+def test_ab_discover(index):
+    from ariadne_dbt_spark.benchmarks.session_replay import ab_discover
+
+    out = ab_discover(index, SESSIONS, early_calls=3)
+    assert out["sessions"] == 3
+    # discovery can only add coverage: B counts discovered names as seen
+    assert out["avg_overlap_b"] >= out["avg_overlap_a"] - 1e-9
+    for r in out["per_session"]:
+        assert 0.0 <= r["overlap_a"] <= 100.0 and 0.0 <= r["overlap_b"] <= 100.0
