@@ -64,12 +64,10 @@ WINDOW: tuple[str, ...] = (
     "revenue_by_region",
     "customer_lifetime_value",
     "customers_with_urgent_orders",
-    "point_lookup_and_like",
-    "distinct_counts",
-    "mode_priority_per_status",
-    "biggest_order_per_customer",
-    "term_containment_join",
+    "relational_point_suite",
     "budget_fill_orders",
+    # OLAP extensions (rollup / cube / grouping sets / sketches)
+    "olap_ext_suite",
     # metadata engine: coverage / lookups / search (P3-P6, J2-J8, A5-A7, T5-T8, O6-O7)
     "meta_test_coverage",
     "meta_lookup_suite",
@@ -80,6 +78,9 @@ WINDOW: tuple[str, ...] = (
     "meta_budget_fill_break_vs_skip",
     "meta_pivot_selection",
     "meta_explore",
+    # roadmap-parity operators (anti-patterns, column lineage)
+    "meta_antipatterns",
+    "column_lineage_extract",
     # ingest / sources / sinks (S1-S9, J3, P7)
     "manifest_models_index",
     "manifest_pk_fk",
@@ -88,10 +89,8 @@ WINDOW: tuple[str, ...] = (
     "config_usage_roundtrip",
     "generator_file_set",
     # text search (S6, T1-T4, T10, O1)
-    "term_frequency_topk",
+    "text_index_suite",
     "bm25_search",
-    "porter_stem_tokens",
-    "like_fallback_search",
     # graph (G1-G5, G8, O4)
     "bfs_reachability",
     "impact_by_kind",
@@ -100,23 +99,26 @@ WINDOW: tuple[str, ...] = (
     "dq_test_suite",
     "dbt_run_fct_orders",
     "dbt_test_results",
-    # timeseries + streaming twin (A10, A11, O3, P8, §2.11)
-    "daily_event_stats",
+    # timeseries + streaming (A10, A11, O3, P8, §2.11 incl. stateful sessionize)
+    "event_stats_suite",
     "tumbling_window_counts",
-    "topk_active_users",
-    "user_activity_span",
+    "stream_sessionize_closed",
     "json_payload_extract",
-    # LLM pipeline: dedup
+    # LLM pipeline: dedup (+ clustering + end-to-end corpus pipeline)
     "exact_dedup_groups",
     "ngram_jaccard_near_dups",
     "sketch_dedup_invariants",
-    # LLM pipeline: similarity search
+    "near_dup_clusters",
+    "training_corpus_pipeline",
+    # LLM pipeline: similarity search (exact, LSH, IVF, blocking)
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "embedding_near_dup_pairs",
-    # LLM pipeline: text analysis
+    # LLM pipeline: text analysis + sampling
     "doc_profile_suite",
     "lang_detect_confusion",
+    "sampling_suite",
     # temporal joins
     "asof_click_before_purchase",
     "range_join_value_bands",

@@ -33,8 +33,13 @@ from ariadne_dbt_spark.workloads import (  # noqa: F401
     graph,
     ingest_ops,
     meta_ops,
+    olap_ext,
     query,
+    relational,
+    sampling,
+    text_search,
     textstats,
+    timeseries,
 )
 
 _DUCK = {
@@ -190,6 +195,107 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "simhash",
             "simhash_fingerprints",
             {"n_clones": "bigint", "n_hamming_zero": "bigint", "n_hamming_nonzero": "int"},
+        ),
+    ],
+    "relational_point_suite": [
+        (
+            "lookup",
+            "point_lookup_and_like",
+            {"p_partkey": "bigint", "p_name": "string", "p_brand": "string", "p_type": "string"},
+        ),
+        (
+            "distinct",
+            "distinct_counts",
+            {"n_orders": "bigint", "n_part_supp": "bigint", "n_flags": "bigint"},
+        ),
+        (
+            "mode",
+            "mode_priority_per_status",
+            {"o_orderstatus": "string", "mode_priority": "string", "cnt": "bigint"},
+        ),
+        (
+            "argmax",
+            "biggest_order_per_customer",
+            {"o_custkey": "bigint", "top_orderkey": "bigint", "top_totalprice": "double"},
+        ),
+        (
+            "containment",
+            "term_containment_join",
+            {"term": "string", "doc_count": "bigint", "min_doc_id": "bigint"},
+        ),
+    ],
+    "event_stats_suite": [
+        (
+            "daily",
+            "daily_event_stats",
+            {
+                "event_date": "date",
+                "event_type": "string",
+                "n_events": "bigint",
+                "n_users": "bigint",
+                "total_value": "double",
+            },
+        ),
+        (
+            "topk_users",
+            "topk_active_users",
+            {"user_id": "bigint", "n_events": "bigint", "total_value": "double"},
+        ),
+        (
+            "span",
+            "user_activity_span",
+            {"user_id": "bigint", "span_seconds": "double", "n_events": "bigint"},
+        ),
+    ],
+    "text_index_suite": [
+        ("tf", "term_frequency_topk", {"term": "string", "tf": "bigint", "df": "bigint"}),
+        ("stems", "porter_stem_tokens", {"term": "string", "stem": "string", "tf": "bigint"}),
+        (
+            "like_fallback",
+            "like_fallback_search",
+            {"doc_id": "bigint", "score": "double", "snippet": "string"},
+        ),
+    ],
+    "olap_ext_suite": [
+        (
+            "rollup",
+            "rollup_orders",
+            {
+                "o_orderstatus": "string",
+                "o_orderpriority": "string",
+                "n": "bigint",
+                "total": "double",
+            },
+        ),
+        ("cube", "cube_events", {"event_type": "string", "event_date": "date", "n": "bigint"}),
+        (
+            "grouping_sets",
+            "grouping_sets_orders",
+            {"o_orderstatus": "string", "o_orderpriority": "string", "n": "bigint"},
+        ),
+        (
+            "sketches",
+            "sketch_aggregates",
+            {
+                "p50": "double",
+                "p90": "double",
+                "p99": "double",
+                "n_exact_distinct": "bigint",
+                "hll_within_5pct": "boolean",
+            },
+        ),
+    ],
+    "sampling_suite": [
+        ("stratified", "stratified_sample_counts", {"lang": "string", "n_sampled": "bigint"}),
+        (
+            "hash_stability",
+            "hash_sample_stability",
+            {"n_violations": "int", "fraction_within_5pct": "boolean"},
+        ),
+        (
+            "split",
+            "split_partition_check",
+            {"n_total": "bigint", "n_labeled": "bigint", "n_unlabeled": "int"},
         ),
     ],
     "doc_profile_suite": [
