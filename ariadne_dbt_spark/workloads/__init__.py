@@ -43,6 +43,7 @@ _MODULES = (
     "textstats",
     "sampling",
     "dbt_pipeline",
+    "multimodal_ops",
     "olap_ext",
     "meta_ops",
     "capsule_ops",

@@ -33,6 +33,7 @@ from ariadne_dbt_spark.workloads import (  # noqa: F401
     graph,
     ingest_ops,
     meta_ops,
+    multimodal_ops,
     olap_ext,
     query,
     relational,
@@ -311,6 +312,18 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
         ),
         ("quality", "doc_quality_scores", {"doc_id": "bigint", "quality_millionths": "bigint"}),
         ("fingerprint", "doc_fingerprints", {"doc_id": "bigint", "fingerprint": "string"}),
+        (
+            "multimodal",
+            "multimodal_pipeline",
+            {
+                "asset_id": "bigint",
+                "kind": "string",
+                "f0": "int",
+                "f1": "int",
+                "payload_len": "bigint",
+                "n_frames": "bigint",
+            },
+        ),
     ],
 }
 
