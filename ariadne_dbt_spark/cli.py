@@ -3,7 +3,10 @@ argparse here to stay inside the baked-in dependency set).
 
 Commands mirror the reference's tool surface:
 
+    init      one-shot onboarding: index + generate agent context files
     index     build the index from a manifest (+ optional catalog/run_results)
+    refresh   incremental hash-delta reindex of a saved index
+    diff      changed/added/removed models + downstream blast radius
     search    hybrid model search
     capsule   token-budgeted context capsule
     discover  names-only orientation list
@@ -11,9 +14,12 @@ Commands mirror the reference's tool surface:
     impact    blast-radius analysis
     patterns  project pattern bundle
     docs      render markdown docs
+    sync      re-index after dbt compile + regenerate context files
     run       execute the dbt project on Spark SQL
     test      run the project's data-quality tests
     stats     usage analytics
+    usage     usage-log analytics over a trailing window
+    serve     JSON-lines tool server (MCP via fastmcp when installed)
 
 Every command loads (or builds) the index, runs DataFrame queries, and
 prints JSON — the same request/response shapes an MCP server would
@@ -87,6 +93,37 @@ def cmd_index(args):
     from ariadne_dbt_spark.operators.patterns import project_stats
 
     _emit({"indexed": project_stats(idx), "saved_to": args.out})
+
+
+def cmd_init(args):
+    """One-shot onboarding (reference: cli.py:26-129 `init`): index the
+    dbt artifacts (catalog/run_results when present), optionally save the
+    index, generate agent context files for the requested targets, and
+    print an index summary."""
+    from ariadne_dbt_spark.operators.generator import DocsGenerator
+    from ariadne_dbt_spark.operators.patterns import project_stats
+
+    idx = _index(args)
+    if getattr(args, "index_dir", None):
+        idx.save(args.index_dir)
+    written = (
+        []
+        if args.skip_generate
+        else DocsGenerator(idx).generate_all(args.project_root, targets=args.targets)
+    )
+    _emit(
+        {
+            "indexed": project_stats(idx),
+            "catalog": bool(getattr(args, "catalog", None)),
+            "run_results": bool(getattr(args, "run_results", None)),
+            "saved_to": getattr(args, "index_dir", None),
+            "generated": written,
+            "next_steps": [
+                "serve the tools: ariadne-spark serve",
+                "after dbt compile: ariadne-spark sync",
+            ],
+        }
+    )
 
 
 def cmd_refresh(args):
@@ -328,6 +365,19 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("init")
+    common(sp)
+    sp.add_argument("--project-root", dest="project_root", default=".")
+    sp.add_argument(
+        "--target",
+        dest="targets",
+        action="append",
+        default=None,
+        help="agent targets (claude_code, cursor, windsurf); repeatable",
+    )
+    sp.add_argument("--skip-generate", action="store_true", dest="skip_generate")
+    sp.set_defaults(fn=cmd_init)
 
     sp = sub.add_parser("refresh")
     common(sp)

@@ -1,0 +1,58 @@
+"""CLI surface: commands parse, run against the fixture manifest, and
+print the JSON shapes the reference's typer commands expose
+(reference: src/ariadne_dbt/cli.py — init/search/capsule/discover)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ariadne_dbt_spark.cli import main
+
+MANIFEST = os.path.join(os.path.dirname(__file__), "fixtures", "manifest.json")
+
+
+def _run(capsys, *argv) -> dict:
+    assert main(list(argv)) == 0
+    return json.loads(capsys.readouterr().out)
+
+
+@pytest.mark.usefixtures("spark")
+def test_cli_init_generates_context(tmp_path, capsys):
+    out = _run(
+        capsys,
+        "init",
+        "--manifest", MANIFEST,
+        "--project-root", str(tmp_path),
+        "--target", "claude_code",
+        "--target", "cursor",
+    )
+    assert out["indexed"]["models"] == 5
+    gen = {os.path.relpath(p, tmp_path) for p in out["generated"]}
+    assert ".claude/CLAUDE.md" in gen
+    assert ".cursor/rules/ariadne.mdc" in gen
+    assert (tmp_path / ".claude" / "CLAUDE.md").exists()
+
+
+@pytest.mark.usefixtures("spark")
+def test_cli_init_skip_generate(tmp_path, capsys):
+    out = _run(
+        capsys,
+        "init",
+        "--manifest", MANIFEST,
+        "--project-root", str(tmp_path),
+        "--skip-generate",
+    )
+    assert out["generated"] == []
+    assert not (tmp_path / ".claude").exists()
+
+
+@pytest.mark.usefixtures("spark")
+def test_cli_search_and_discover(capsys):
+    out = _run(capsys, "search", "--manifest", MANIFEST, "orders revenue")
+    assert out["results"] and all("unique_id" in h for h in out["results"])
+    rows = _run(capsys, "discover", "--manifest", MANIFEST, "orders revenue")
+    names = {m["name"] for m in rows}
+    assert "fct_orders" in names
