@@ -17,7 +17,7 @@ Commands mirror the reference's tool surface:
     sync      re-index after dbt compile + regenerate context files
     run       execute the dbt project on Spark SQL
     test      run the project's data-quality tests
-    stats     usage analytics
+    stats     index/project statistics
     usage     usage-log analytics over a trailing window
     serve     JSON-lines tool server (MCP via fastmcp when installed)
 
@@ -338,9 +338,27 @@ def cmd_test(args):
 
 
 def cmd_stats(args):
-    from ariadne_dbt_spark.operators.usage import UsageLog
+    """Index/project statistics (reference: cli.py:210-246 `stats` —
+    project name, adapter, totals, per-layer model counts, column test
+    coverage). Usage analytics live under `usage`."""
+    from ariadne_dbt_spark.operators.patterns import models_per_layer, project_stats
 
-    _emit(UsageLog(_spark(), args.log_dir).stats(days=args.days))
+    idx = _index(args)
+    meta = {r["key"]: r["value"] for r in idx.index_metadata.collect()}
+    st = project_stats(idx)
+    layers = {r["layer"]: r["n"] for r in models_per_layer(idx).collect()}
+    coverage = (
+        round(100.0 * st["tested_columns"] / st["columns"], 1) if st["columns"] else 0.0
+    )
+    _emit(
+        {
+            "project_name": meta.get("project_name"),
+            "adapter": meta.get("adapter_type"),
+            **st,
+            "models_per_layer": layers,
+            "column_coverage_pct": coverage,
+        }
+    )
 
 
 def cmd_serve(args):
@@ -458,8 +476,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_test)
 
     sp = sub.add_parser("stats")
-    sp.add_argument("--log-dir", dest="log_dir", required=True)
-    sp.add_argument("--days", type=int, default=30)
+    common(sp, manifest_required=False)
     sp.set_defaults(fn=cmd_stats)
 
     sp = sub.add_parser("serve", help="JSON-lines tool server on stdio")

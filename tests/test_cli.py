@@ -56,3 +56,12 @@ def test_cli_search_and_discover(capsys):
     rows = _run(capsys, "discover", "--manifest", MANIFEST, "orders revenue")
     names = {m["name"] for m in rows}
     assert "fct_orders" in names
+
+
+@pytest.mark.usefixtures("spark")
+def test_cli_stats_project_shape(capsys):
+    out = _run(capsys, "stats", "--manifest", MANIFEST)
+    assert out["models"] == 5 and out["sources"] == 3 and out["tests"] == 5
+    assert out["project_name"] == "webshop" and out["adapter"] == "spark"
+    assert set(out["models_per_layer"]) >= {"staging", "marts"}
+    assert 0.0 <= out["column_coverage_pct"] <= 100.0
