@@ -121,10 +121,41 @@ def latency_section(spark) -> dict:
     misses = [k for k, v in out.items() if not v["meets_target"]]
     if build_sec > 5.0:
         misses.append("index_build")
+
+    # token reduction vs naive all-models dump (BASELINE.md: reported %,
+    # required capsule < naive; reference: benchmarks/run.py:155-196 —
+    # same chars/4 estimator on both sides)
+    naive_parts = []
+    for uid, m in cache.models.items():
+        cols = cache.columns.get(uid, [])
+        col_text = ", ".join(
+            f"{c['name']} {c.get('data_type') or ''}".strip() for c in cols
+        )
+        naive_parts.append(
+            f"{m['name']} [{m['layer']}/{m['materialization']}] "
+            f"{m['description'] or ''}\ncolumns: {col_text}\n{m['raw_code'] or ''}"
+        )
+    for tests in cache.tests.values():
+        for t in tests:
+            naive_parts.append(
+                f"test: {t['name']} ({t['test_type']}) on {t['model_id']} {t['column_name']}"
+            )
+    for s in cache.sources.values():
+        naive_parts.append(f"source: {s['source_name']}.{s['name']} {s['description'] or ''}")
+    naive_tokens = max(1, len("\n\n".join(naive_parts)) // 4)
+    cap = cache.capsule("explore the project", token_budget=10000)
+    capsule_tokens = cap["token_estimate"]
+    if capsule_tokens >= naive_tokens:
+        misses.append("token_reduction")
     return {
         "index_build_sec": build_sec,
         "index_build_target_sec": 5.0,
         "ops": out,
+        "token_reduction": {
+            "capsule_tokens": capsule_tokens,
+            "naive_tokens": naive_tokens,
+            "reduction_pct": round((1 - capsule_tokens / naive_tokens) * 100, 1),
+        },
         # explicit miss list so target regressions are visible at a glance
         # (round-2 ADVICE: nothing flagged the 2.7x build overshoot)
         "target_misses": misses,

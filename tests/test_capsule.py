@@ -103,3 +103,14 @@ def test_capsule_serializable(builder):
     cap = builder.build("document the orders models")
     js = json.dumps(cap.to_dict())
     assert len(js) > 100
+
+
+def test_token_reduction_vs_naive_dump(index, builder):
+    """Capsule beats the naive all-models dump (reference:
+    tests/test_integration.py:133-147 — same chars/4 estimator)."""
+    cap = builder.build("explore the project", token_budget=10000)
+    naive_chars = sum(
+        len(f"{r['name']} {r['description'] or ''} {r['raw_code'] or ''}")
+        for r in (m.asDict() for m in index.models.collect())
+    )
+    assert cap.token_estimate < max(1, naive_chars // 4)
