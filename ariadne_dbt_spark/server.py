@@ -62,15 +62,45 @@ class ToolServer:
         return {"results": [r.asDict() for r in hits.collect()]}
 
     def get_model_details(self, model_name: str) -> dict:
+        # name OR unique_id lookup (reference: server.py:196); error text
+        # points at search_models like the reference's hint
         row = get_model_by_name(self.index, model_name).first()
         if row is None:
-            return {"error": f"model not found: {model_name}"}
+            from ariadne_dbt_spark.operators.model_search import get_model_by_id
+
+            row = get_model_by_id(self.index, model_name).first()
+        if row is None:
+            return {
+                "error": f"model not found: {model_name}. "
+                "Use search_models to find similar names."
+            }
         uid = row.unique_id
+        from ariadne_dbt_spark.operators.graph import neighbors
+
+        names = {
+            r["unique_id"]: r["name"]
+            for r in self.index.models.select("unique_id", "name").collect()
+        }
+        nbrs = neighbors(self.index.edges, uid).collect()
         return {
             "model": {k: row[k] for k in (
                 "unique_id", "name", "layer", "materialization", "description",
                 "file_path", "upstream_count", "downstream_count", "centrality")},
+            # reference returns the executable definition too (server.py:226)
+            "compiled_sql": row["compiled_code"] or row["raw_code"] or "",
             "columns": [r.asDict() for r in columns_with_tests(self.index, uid).collect()],
+            "tests": [
+                {k: t[k] for k in ("unique_id", "name", "test_type", "column_name")}
+                for t in self.index.tests.where(F.col("model_id") == uid).collect()
+            ],
+            "upstream": sorted(
+                names[r["unique_id"]] for r in nbrs
+                if r["relationship"] == "upstream" and r["unique_id"] in names
+            ),
+            "downstream": sorted(
+                names[r["unique_id"]] for r in nbrs
+                if r["relationship"] == "downstream" and r["unique_id"] in names
+            ),
             "coverage": coverage_stats(self.index, uid),
             "macros": [r.asDict() for r in macros_used(self.index, uid).collect()],
             "sources": [r.asDict() for r in direct_sources(self.index, uid).collect()],

@@ -36,6 +36,15 @@ def test_server_model_details(server):
     assert r["model"]["layer"] == "marts"
     assert r["coverage"]["total_columns"] == 6
     assert any(c["name"] == "order_id" and c["is_primary_key"] for c in r["columns"])
+    # reference parity: executable SQL, tests list, 1-hop neighbor names
+    # (reference server.py:179-231), and unique_id lookup fallback
+    assert "select" in r["compiled_sql"].lower()
+    assert {t["test_type"] for t in r["tests"]} >= {"not_null"}
+    assert "stg_orders" in r["upstream"]
+    by_id = _call(
+        server, "get_model_details", model_name=r["model"]["unique_id"]
+    )["result"]
+    assert by_id["model"]["unique_id"] == r["model"]["unique_id"]
 
 
 def test_server_capsule_and_usage_logged(server):
