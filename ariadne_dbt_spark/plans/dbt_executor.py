@@ -13,7 +13,21 @@ executor does what dbt-spark does, minus the packaging:
    honors the model config: ``view`` → temp view (lazy, fused into
    downstream plans by Catalyst), ``table`` → parquet write + re-read
    (cuts lineage, downstream stages scan columnar data — at 100 TB this
-   is the shuffle-boundary you want between marts)
+   is the shuffle-boundary you want between marts), ``incremental`` →
+   dbt's incremental contract: ``is_incremental()`` is False on the
+   first build (full write), True on subsequent runs where ``{{ this }}``
+   resolves to the existing target so the model SQL can filter to new
+   rows; merge semantics follow ``unique_key`` (delete+insert: existing
+   rows with an incoming key are replaced) or plain append without one.
+   ``full_refresh=True`` rebuilds from scratch, exactly dbt's flag.
+
+At 100 TB the incremental merge is the one operator whose physical form
+depends on the table format: on plain parquet it is anti-join + union +
+atomic directory swap (what this executor does — safe because the tmp
+write materializes before the old dir is dropped); on Delta/Iceberg it
+becomes a native MERGE INTO, and date-partitioned models should prefer
+dynamic partition-overwrite (``insert_overwrite``) so only touched
+partitions rewrite.
 
 Scale posture: the executor itself never touches rows — every model is a
 declarative plan; Catalyst fuses view-materialized staging models into
@@ -98,8 +112,12 @@ class DbtSparkExecutor:
     def _view_name(self, model_name: str) -> str:
         return f"dbt__{model_name}"
 
-    def render(self, model_name: str) -> str:
-        """Jinja-render one model's raw_code to executable Spark SQL."""
+    def render(self, model_name: str, *, is_incremental: bool = False) -> str:
+        """Jinja-render one model's raw_code to executable Spark SQL.
+
+        ``is_incremental`` drives dbt's ``is_incremental()`` predicate;
+        ``{{ this }}`` resolves to a view over the model's existing
+        target (only registered when an incremental target exists)."""
         row = self._models[model_name]
 
         def ref(name, package=None):
@@ -114,7 +132,14 @@ class DbtSparkExecutor:
         def config(*args, **kwargs):
             return ""
 
-        ctx = {"ref": ref, "source": source, "config": config, **self._macros}
+        ctx = {
+            "ref": ref,
+            "source": source,
+            "config": config,
+            "is_incremental": lambda: is_incremental,
+            "this": self._this_name(model_name),
+            **self._macros,
+        }
         return self._env.from_string(row["raw_code"]).render(**ctx)
 
     # -- execution -----------------------------------------------------------
@@ -153,18 +178,60 @@ class DbtSparkExecutor:
             raise ValueError(f"dependency cycle among models: {cyclic}")
         return order
 
-    def run(self, subset: list[str] | None = None) -> dict[str, DataFrame]:
+    def _this_name(self, model_name: str) -> str:
+        return f"dbt_this__{model_name}"
+
+    def _unique_key(self, model_name: str) -> list[str]:
+        """unique_key from the model config; manifest configs arrive as a
+        stringified map, so '["a", "b"]' / "['a','b']" / 'a' all parse."""
+        raw = (self._models[model_name].get("config") or {}).get("unique_key") or ""
+        return [k for k in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", raw)]
+
+    def _run_incremental(self, name: str, full_refresh: bool) -> DataFrame:
+        out = os.path.join(self.target_dir, name)
+        exists = not full_refresh and os.path.exists(
+            os.path.join(out, "_SUCCESS")
+        )
+        if exists:
+            old = self.spark.read.parquet(out)
+            old.createOrReplaceTempView(self._this_name(name))
+        new = self.spark.sql(self.render(name, is_incremental=exists))
+        if not exists:
+            new.write.mode("overwrite").parquet(out)
+        else:
+            key = self._unique_key(name)
+            if key:
+                # delete+insert: incoming keys replace existing rows
+                kept = old.join(new.select(*key).distinct(), key, "left_anti")
+            else:
+                kept = old
+            final = kept.select(*old.columns).unionByName(new.select(*old.columns))
+            # the tmp write EXECUTES the read of `out`, so the swap below
+            # never drops data that hasn't been rewritten yet
+            tmp = out + "__tmp"
+            final.write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            shutil.rmtree(out)
+            os.replace(tmp, out)
+        return self.spark.read.parquet(out)
+
+    def run(
+        self, subset: list[str] | None = None, *, full_refresh: bool = False
+    ) -> dict[str, DataFrame]:
         """Execute the project (or a subset closure): returns
         name → result DataFrame, registered as temp views."""
         self._register_sources()
         for name in self.topo_order(subset):
-            sql = self.render(name)
-            df = self.spark.sql(sql)
             mat = self._models[name]["materialization"]
-            if mat == "table" and self.target_dir:
-                out = os.path.join(self.target_dir, name)
-                df.write.mode("overwrite").parquet(out)
-                df = self.spark.read.parquet(out)
+            if mat == "incremental" and self.target_dir:
+                df = self._run_incremental(name, full_refresh)
+            else:
+                df = self.spark.sql(self.render(name))
+                if mat == "table" and self.target_dir:
+                    out = os.path.join(self.target_dir, name)
+                    df.write.mode("overwrite").parquet(out)
+                    df = self.spark.read.parquet(out)
             df.createOrReplaceTempView(self._view_name(name))
             self._relations[name] = df
         return dict(self._relations)

@@ -160,3 +160,82 @@ def test_view_models_fuse_into_consumer(executor):
     # stg_orders: a view → its consumer plan should NOT contain a
     # dbt-view boundary operator, just parquet scans.
     assert "Scan parquet" in plan
+
+
+# -- incremental materialization (dbt contract: is_incremental / this /
+# unique_key merge / full_refresh) -------------------------------------------
+
+
+def _inc_manifest(raw_code: str, config: dict) -> dict:
+    return {
+        "metadata": {"project_name": "incproj", "adapter_type": "spark"},
+        "nodes": {
+            "model.incproj.inc_events": {
+                "resource_type": "model",
+                "name": "inc_events",
+                "fqn": ["incproj", "marts", "inc_events"],
+                "path": "models/marts/inc_events.sql",
+                "raw_code": raw_code,
+                "config": {"materialized": "incremental", **config},
+                "depends_on": {"nodes": []},
+            }
+        },
+        "sources": {},
+        "macros": {},
+    }
+
+
+def _run_inc(spark, tmpdir, src_df, raw_code, config):
+    ex = DbtSparkExecutor(
+        spark=spark,
+        manifest=_inc_manifest(raw_code, config),
+        source_map={("raw", "ev"): src_df},
+        target_dir=str(tmpdir),
+    )
+    return ex.run()["inc_events"]
+
+
+def test_incremental_first_build_then_append(spark, tmp_path):
+    sql = (
+        "SELECT id, val FROM {{ source('raw','ev') }}"
+        "{% if is_incremental() %} WHERE id > (SELECT max(id) FROM {{ this }})"
+        "{% endif %}"
+    )
+    src1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, val string")
+    out1 = _run_inc(spark, tmp_path, src1, sql, {})
+    assert sorted((r.id, r.val) for r in out1.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # second run: source grew; only id>3 pass the is_incremental filter
+    src2 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")], "id long, val string"
+    )
+    out2 = _run_inc(spark, tmp_path, src2, sql, {})
+    assert sorted((r.id, r.val) for r in out2.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"),
+    ]
+
+
+def test_incremental_unique_key_merge(spark, tmp_path):
+    sql = "SELECT id, val FROM {{ source('raw','ev') }}"
+    src1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    _run_inc(spark, tmp_path, src1, sql, {"unique_key": "id"})
+
+    # incoming key 2 replaces the old row (delete+insert), 3 appends
+    src2 = spark.createDataFrame([(2, "b2"), (3, "c")], "id long, val string")
+    out = _run_inc(spark, tmp_path, src2, sql, {"unique_key": "id"})
+    assert sorted((r.id, r.val) for r in out.collect()) == [(1, "a"), (2, "b2"), (3, "c")]
+
+
+def test_incremental_full_refresh(spark, tmp_path):
+    sql = "SELECT id, val FROM {{ source('raw','ev') }}"
+    src1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    _run_inc(spark, tmp_path, src1, sql, {})
+    src2 = spark.createDataFrame([(9, "z")], "id long, val string")
+    ex = DbtSparkExecutor(
+        spark=spark,
+        manifest=_inc_manifest(sql, {}),
+        source_map={("raw", "ev"): src2},
+        target_dir=str(tmp_path),
+    )
+    out = ex.run(full_refresh=True)["inc_events"]
+    assert [(r.id, r.val) for r in out.collect()] == [(9, "z")]
