@@ -30,6 +30,7 @@ _TOOL_DOCS = {
     "find_models_by_column": "Find models containing a column name (partial match).",
     "find_models_by_path": "Find models by file-path LIKE pattern.",
     "rate_capsule": "Rate the most recent context capsule 1-5.",
+    "detect_antipatterns": "Scan the project for modeling anti-patterns.",
 }
 
 
