@@ -58,3 +58,18 @@ def test_multimodal_payload_pruned(spark, tmp_path):
     assert "ReadSchema:" in plan
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "payload" not in read
+
+
+def test_bm25_query_term_filter_pushed(spark, registry):
+    """The persisted-index BM25 query must push its term isin predicate
+    into the postings parquet scan (SCALE.md search section)."""
+    plan = _plan(spark, registry, "bm25_search")
+    pushed = plan.split("PushedFilters:")[1][:300] if "PushedFilters:" in plan else ""
+    assert "term" in pushed and "In(" in pushed
+
+
+def test_bm25_query_runs_no_stats_aggregate(spark, registry):
+    """avgdl/n_docs come from persisted index metadata — the query plan
+    must not aggregate docstats beyond the per-doc dl join (no avg())."""
+    plan = _plan(spark, registry, "bm25_search")
+    assert "avg(" not in plan.lower().replace("avgdl", "")
