@@ -206,7 +206,14 @@ def cmd_discover(args):
     from ariadne_dbt_spark.operators.capsule import CapsuleBuilder
 
     idx = _index(args)
-    _emit(CapsuleBuilder(idx).discover(args.task, limit=args.limit))
+    _emit(
+        CapsuleBuilder(idx).discover(
+            args.task,
+            focus_model=args.focus_model,
+            entry_models=args.entry_models,
+            limit=args.limit,
+        )
+    )
 
 
 def cmd_lineage(args):
@@ -425,6 +432,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("discover")
     common(sp, manifest_required=False)
     sp.add_argument("task")
+    sp.add_argument("--focus-model", dest="focus_model")
+    sp.add_argument("--entry-models", dest="entry_models", nargs="*")
     sp.add_argument("--limit", type=int, default=40)
     sp.set_defaults(fn=cmd_discover)
 
