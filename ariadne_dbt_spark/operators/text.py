@@ -188,3 +188,50 @@ def with_simhash(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# -- PII scrubbing + repetition signals (training-data pipeline staples) ------
+
+#: conservative, engine-portable patterns (same regex dialect subset works
+#: in Java regex and DuckDB's RE2)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def count_pii(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_urls) occurrence counts — JVM regexp, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("int"),
+        F.size(F.regexp_extract_all(c, F.lit(URL_RE), F.lit(0))).cast("int"),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails/URLs with typed placeholder tags. At 100 TB this is
+    a map-only pass (whole-stage codegen'd regexp_replace chain)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, URL_RE, "<URL>")
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Per-doc repetition signals (Gopher/C4-style quality filters):
+
+    * ``dup_tok_millionths`` — floor(1e6 × (total − distinct) / total)
+    * ``top_tok_millionths`` — floor(1e6 × max-token-count / total)
+
+    Shape: explode tokens → two-level groupBy — the scalable path for
+    per-doc distinct/mode statistics (per-row array folds would be
+    O(distinct×total) per document). Integer millionths keep the values
+    exactly comparable across engines.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return per_tok.groupBy("id").agg(
+        F.expr("div(1000000 * (sum(n) - count(1)), sum(n))").alias("dup_tok_millionths"),
+        F.expr("div(1000000 * max(n), sum(n))").alias("top_tok_millionths"),
+    )

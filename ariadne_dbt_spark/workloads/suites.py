@@ -313,6 +313,18 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
         ("quality", "doc_quality_scores", {"doc_id": "bigint", "quality_millionths": "bigint"}),
         ("fingerprint", "doc_fingerprints", {"doc_id": "bigint", "fingerprint": "string"}),
         (
+            "pii_repetition",
+            "doc_pii_repetition",
+            {
+                "doc_id": "bigint",
+                "n_emails": "int",
+                "n_urls": "int",
+                "redacted_len": "bigint",
+                "dup_tok_millionths": "bigint",
+                "top_tok_millionths": "bigint",
+            },
+        ),
+        (
             "multimodal",
             "multimodal_pipeline",
             {

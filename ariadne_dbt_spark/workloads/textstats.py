@@ -156,3 +156,75 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents(spark, sf_dir)
     return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint")).orderBy("doc_id")
+
+
+# PII scrubbing + repetition quality signals. The synthetic corpus is
+# PII-free, so the workload plants deterministic emails/URLs from doc_id
+# on BOTH sides (same concat in Spark and SQL) — the redaction math is
+# exercised on non-trivial values and still exactly oracle-checkable.
+@query(
+    "doc_pii_repetition",
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text,
+               CASE WHEN doc_id % 3 = 0 THEN
+                    text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or https://example.com/d/'
+                         || CAST(doc_id AS VARCHAR)
+               ELSE text END AS text2
+        FROM documents),
+    pii AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text2, 'https?://[^\s]+')) AS INT) AS n_urls,
+               CAST(length(regexp_replace(regexp_replace(text2,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    'https?://[^\s]+', '<URL>', 'g')) AS BIGINT) AS redacted_len
+        FROM dirty),
+    toks AS (
+        SELECT doc_id, tok
+        FROM dirty, UNNEST(string_split(text, ' ')) AS t(tok)
+        WHERE tok <> ''),
+    per_tok AS (
+        SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    rep AS (
+        SELECT doc_id,
+               (1000000 * (SUM(n) - COUNT(*))) // SUM(n) AS dup_tok_millionths,
+               (1000000 * MAX(n)) // SUM(n) AS top_tok_millionths
+        FROM per_tok GROUP BY doc_id)
+    SELECT p.doc_id, p.n_emails, p.n_urls, p.redacted_len,
+           r.dup_tok_millionths, r.top_tok_millionths
+    FROM pii p JOIN rep r ON p.doc_id = r.doc_id
+    """,
+    survey="pii-redaction,repetition-quality",
+    doc="PII scrub (email/URL counts + redacted length) and Gopher-style "
+    "repetition signals per document, integer-exact vs the oracle.",
+)
+def doc_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.text import count_pii, redact_pii, repetition_stats
+
+    docs = documents(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or https://example.com/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text2"),
+    )
+    n_emails, n_urls = count_pii("text2")
+    pii = dirty.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        F.length(redact_pii("text2")).cast("bigint").alias("redacted_len"),
+    )
+    rep = repetition_stats(dirty, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    return pii.join(rep, "doc_id")

@@ -178,3 +178,31 @@ def test_dedup_clusters_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == expect
+
+
+def test_pii_redaction_and_repetition(spark):
+    """redact_pii replaces emails/urls with typed tags; repetition stats
+    are exact integer millionths."""
+    from ariadne_dbt_spark.operators.text import count_pii, redact_pii, repetition_stats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob@x.io or see https://x.io/page now"),
+            (2, "a a a b"),
+            (3, "unique words only here"),
+        ],
+        "id long, text string",
+    )
+    n_emails, n_urls = count_pii("text")
+    red = df.select("id", n_emails.alias("e"), n_urls.alias("u"),
+                    redact_pii("text").alias("r")).orderBy("id").collect()
+    assert (red[0].e, red[0].u) == (1, 1)
+    assert "<EMAIL>" in red[0].r and "<URL>" in red[0].r and "bob@x.io" not in red[0].r
+    assert (red[1].e, red[1].u) == (0, 0)
+
+    rep = {r.id: r for r in repetition_stats(df, "id", "text").collect()}
+    # doc 2: 4 tokens, 2 distinct -> dup = 1e6*2/4 = 500000; top = 1e6*3/4
+    assert rep[2].dup_tok_millionths == 500_000
+    assert rep[2].top_tok_millionths == 750_000
+    assert rep[3].dup_tok_millionths == 0
