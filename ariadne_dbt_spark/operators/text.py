@@ -235,3 +235,52 @@ def repetition_stats(df, id_col: str, text_col: str):
         F.expr("div(1000000 * (sum(n) - count(1)), sum(n))").alias("dup_tok_millionths"),
         F.expr("div(1000000 * max(n), sum(n))").alias("top_tok_millionths"),
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+):
+    """Split documents into token-window chunks for embedding pipelines:
+    ``(id, chunk_id, chunk_text, n_tokens)``; windows of ``chunk_tokens``
+    whitespace tokens every ``stride`` (overlap = chunk_tokens − stride).
+
+    Scale shape: one exchange — tokens are materialized into a real
+    per-doc array via posexplode → groupBy/collect (the projection-
+    collapse-safe pattern; an inlined split() referenced from a
+    slice-per-chunk lambda would re-tokenize the document once per
+    chunk), then chunk assembly is pure array ops on the materialized
+    column and the explode is map-side.
+    """
+    assert 0 < stride <= chunk_tokens
+    toks_tbl = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    arr = (
+        toks_tbl.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("_pt"))
+        .select("id", F.transform("_pt", lambda s: s["tok"]).alias("_toks"))
+    )
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = arr.select(
+        "id",
+        n.alias("_n"),
+        F.col("_toks"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    return chunks.select(
+        "id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(
+            F.slice("_toks", F.col("start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("start"))
+        .cast("int")
+        .alias("n_tokens"),
+    )

@@ -325,6 +325,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "chunks",
+            "doc_chunks",
+            {
+                "doc_id": "bigint",
+                "chunk_id": "bigint",
+                "chunk_text": "string",
+                "n_tokens": "int",
+            },
+        ),
+        (
             "multimodal",
             "multimodal_pipeline",
             {

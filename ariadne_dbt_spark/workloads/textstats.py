@@ -228,3 +228,34 @@ def doc_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = repetition_stats(dirty, "doc_id", "text").withColumnRenamed("id", "doc_id")
     return pii.join(rep, "doc_id")
+
+
+# Embedding-prep chunking: token windows with overlap. Chunk starts are
+# 0, stride, 2·stride, … < n_tokens; the last window may be short.
+@query(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+    starts AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(range(0, len(toks), 48)) AS st
+        FROM t)
+    SELECT doc_id,
+           CAST(st // 48 AS BIGINT) AS chunk_id,
+           array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text,
+           CAST(least(64, n - st) AS INT) AS n_tokens
+    FROM starts
+    """,
+    survey="chunking",
+    doc="Token-window chunking (64-token windows, stride 48) for "
+    "embedding pipelines; chunk text and sizes exact vs the oracle.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.text import chunk_documents
+
+    docs = documents(spark, sf_dir)
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48).select(
+        F.col("id").alias("doc_id"), "chunk_id", "chunk_text", "n_tokens"
+    )

@@ -206,3 +206,24 @@ def test_pii_redaction_and_repetition(spark):
     assert rep[2].dup_tok_millionths == 500_000
     assert rep[2].top_tok_millionths == 750_000
     assert rep[3].dup_tok_millionths == 0
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    from ariadne_dbt_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    rows = sorted(
+        chunk_documents(df, "id", "text", chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts 0,3,6,9 -> 4 chunks; last is short
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[3].chunk_text == "w9" and rows[3].n_tokens == 1
+    # every token is covered by at least one chunk
+    covered = set()
+    for r in rows:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"w{i}" for i in range(10)}
