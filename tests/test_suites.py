@@ -34,6 +34,9 @@ def test_window_covers_every_survey_family():
         "S1", "S7", "J3", "C2", "T2", "T5", "G1", "G4", "A10", "P3", "P8",
         "dedup-exact", "dedup-minhash-lsh", "dedup-simhash", "dedup-ngram-jaccard",
         "similarity-bruteforce", "similarity-lsh", "dedup-embedding-cosine",
+        "similarity-ivf", "dedup-clusters", "multimodal", "pii-redaction",
+        "chunking", "sampling-stratified", "streaming-stateful", "antipatterns",
+        "column_lineage", "rollup", "grouping-sets",
     ]:
         assert any(family in c for c in covered), f"{family} not covered in WINDOW"
 
