@@ -13,4 +13,4 @@ form ``reference: <file>:<line>`` in docstrings point at the *behavior*
 being reproduced (see SURVEY.md for the full inventory).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
