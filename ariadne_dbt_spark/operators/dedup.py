@@ -400,3 +400,38 @@ def minhash_jaccard_estimate(
         .withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_perm)))
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def decontamination_flags(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Test-set decontamination: flag training docs sharing ≥ ``min_hits``
+    distinct word n-grams with a benchmark/eval corpus —
+    ``(id, n_hits, contaminated)`` for every training doc.
+
+    Scale shape: the benchmark shingle set is orders of magnitude smaller
+    than the corpus, so after ``distinct`` it is the broadcast-able side
+    of a semi-join against the training postings; cost is one pass over
+    training shingles (AQE promotes the join to broadcast when the bench
+    set fits). Docs with fewer than ``n`` tokens yield no shingles and
+    are clean by definition.
+    """
+    tsh = shingle_sets(train, id_col, text_col, n)
+    bsh = shingle_sets(bench, id_col, text_col, n).select("shingle").distinct()
+    hits = (
+        tsh.join(bsh, "shingle")
+        .groupBy("id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+    ids = train.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+    )

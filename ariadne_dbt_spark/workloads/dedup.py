@@ -310,3 +310,52 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+
+
+# Test-set decontamination: benchmark = every 10th doc, train = the rest;
+# a training doc is contaminated when it shares >= 5 distinct 3-gram
+# shingles with any benchmark doc. The tiny synthetic vocabulary makes
+# shingle collisions common, so n_hits values are non-trivial.
+@query(
+    "decontamination_check",
+    oracle=r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+                   t -> length(t) >= 1) AS toks
+        FROM documents
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+              FROM toked)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 10 = 0),
+    train AS (SELECT * FROM shingled WHERE doc_id % 10 <> 0),
+    hits AS (
+        SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
+        FROM train t JOIN bench b ON t.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 5 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    survey="decontamination",
+    doc="Benchmark-overlap decontamination: training docs sharing >=5 "
+    "distinct 3-gram shingles with the held-out set are flagged.",
+)
+def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import decontamination_flags
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return decontamination_flags(
+        train, bench, "doc_id", "text", n=3, min_hits=5
+    ).select(F.col("id").alias("doc_id"), "n_hits", "contaminated")

@@ -197,6 +197,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "simhash_fingerprints",
             {"n_clones": "bigint", "n_hamming_zero": "bigint", "n_hamming_nonzero": "int"},
         ),
+        (
+            "decontamination",
+            "decontamination_check",
+            {"doc_id": "bigint", "n_hits": "bigint", "contaminated": "boolean"},
+        ),
     ],
     "relational_point_suite": [
         (
