@@ -227,3 +227,27 @@ def test_chunk_documents_overlap_and_reconstruction(spark):
     for r in rows:
         covered.update(r.chunk_text.split(" "))
     assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    from ariadne_dbt_spark.operators.dedup import decontamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),      # shares 3-gram shingles
+            (2, "completely unrelated words entirely"),  # clean
+            (3, "ab"),                                   # < n tokens -> clean
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in decontamination_flags(
+        train, bench, "doc_id", "text", n=3, min_hits=1
+    ).collect()}
+    assert rows[1].contaminated and rows[1].n_hits >= 3
+    assert not rows[2].contaminated and rows[2].n_hits == 0
+    assert not rows[3].contaminated and rows[3].n_hits == 0
+    assert set(rows) == {1, 2, 3}  # every training doc gets a row
