@@ -369,9 +369,24 @@ def cmd_stats(args):
 
 
 def cmd_serve(args):
+    """Serve the tool surface: MCP over stdio/SSE when fastmcp is
+    importable and --transport is given (reference: cli.py:131-161),
+    JSON-lines on stdio otherwise."""
     from ariadne_dbt_spark.server import ToolServer
 
-    ToolServer(_index(args), usage_dir=args.usage_dir).serve()
+    server = ToolServer(_index(args), usage_dir=args.usage_dir)
+    transport = getattr(args, "transport", None)
+    if transport:
+        from ariadne_dbt_spark.mcp_adapter import mcp_available, serve_mcp
+
+        if not mcp_available():
+            raise SystemExit(
+                "fastmcp is not installed; omit --transport to use the "
+                "JSON-lines protocol on stdio"
+            )
+        serve_mcp(server, transport=transport)
+    else:
+        server.serve()
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -488,9 +503,17 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp, manifest_required=False)
     sp.set_defaults(fn=cmd_stats)
 
-    sp = sub.add_parser("serve", help="JSON-lines tool server on stdio")
+    sp = sub.add_parser(
+        "serve", help="tool server: JSON-lines on stdio, or MCP via --transport"
+    )
     common(sp, manifest_required=False)
     sp.add_argument("--usage-dir", dest="usage_dir")
+    sp.add_argument(
+        "--transport",
+        choices=("stdio", "sse"),
+        default=None,
+        help="MCP transport (requires fastmcp); default: JSON-lines stdio",
+    )
     sp.set_defaults(fn=cmd_serve)
     return p
 

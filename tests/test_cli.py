@@ -65,3 +65,15 @@ def test_cli_stats_project_shape(capsys):
     assert out["project_name"] == "webshop" and out["adapter"] == "spark"
     assert set(out["models_per_layer"]) >= {"staging", "marts"}
     assert 0.0 <= out["column_coverage_pct"] <= 100.0
+
+
+@pytest.mark.usefixtures("spark")
+def test_cli_serve_transport_requires_fastmcp(capsys):
+    # fastmcp is absent from this image: --transport must fail loudly
+    # with the JSON-lines fallback hint, not crash into MCP
+    from ariadne_dbt_spark.mcp_adapter import mcp_available
+
+    if mcp_available():  # pragma: no cover - not in this image
+        pytest.skip("fastmcp installed")
+    with pytest.raises(SystemExit, match="fastmcp"):
+        main(["serve", "--manifest", MANIFEST, "--transport", "stdio"])
