@@ -183,6 +183,25 @@ def behavioral_main() -> None:
     ab = ab_entry_models(idx, sessions_dir)
     abd = ab_discover(idx, sessions_dir)
     misses = diagnose_misses(idx, sessions_dir)
+
+    # 60-model replay set: large enough that capsules genuinely miss
+    # models, so overlap/uplift/miss metrics are non-degenerate
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_big_manifest", os.path.join(repo, "tests", "fixtures", "make_big_manifest.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    big_path = os.path.join(repo, ".tmp", "manifest_behavioral.json")
+    os.makedirs(os.path.dirname(big_path), exist_ok=True)
+    with open(big_path, "w") as f:
+        json.dump(mod.make_manifest(60), f)
+    big_idx = AriadneIndex.build(spark, big_path)
+    big_dir = os.path.join(repo, "tests", "fixtures", "sessions_big")
+    big = replay_sessions(big_idx, big_dir)
+    big_abd = ab_discover(big_idx, big_dir)
+    big_misses = diagnose_misses(big_idx, big_dir)
     print(
         json.dumps(
             {
@@ -204,6 +223,16 @@ def behavioral_main() -> None:
                 },
                 "miss_diagnosis": {
                     k: misses[k] for k in ("misses", "reachable_misses")
+                },
+                "big_manifest": {
+                    "models": 60,
+                    "avg_overlap_pct": big["avg_overlap_pct"],
+                    "ab_discover": {
+                        k: big_abd[k] for k in ("avg_overlap_a", "avg_overlap_b")
+                    },
+                    "miss_diagnosis": {
+                        k: big_misses[k] for k in ("misses", "reachable_misses")
+                    },
                 },
             }
         )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from ariadne_dbt_spark.benchmarks.session_replay import (
     compare_session,
     detect_focus_model,
@@ -104,3 +106,54 @@ def test_ab_discover(index):
     assert out["avg_overlap_b"] >= out["avg_overlap_a"] - 1e-9
     for r in out["per_session"]:
         assert 0.0 <= r["overlap_a"] <= 100.0 and 0.0 <= r["overlap_b"] <= 100.0
+
+
+@pytest.fixture(scope="module")
+def big_index(spark, tmp_path_factory):
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "make_big_manifest",
+        os.path.join(os.path.dirname(__file__), "fixtures", "make_big_manifest.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    p = tmp_path_factory.mktemp("beh") / "manifest_60.json"
+    with open(p, "w") as f:
+        _json.dump(mod.make_manifest(60), f)
+    from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+
+    return AriadneIndex.build(spark, str(p))
+
+
+SESSIONS_BIG = os.path.join(os.path.dirname(__file__), "fixtures", "sessions_big")
+
+
+def test_big_replay_is_non_degenerate(big_index):
+    """On a 60-model DAG the capsule genuinely misses models the agent
+    explored — overlap sits strictly between 0 and 100."""
+    out = replay_sessions(big_index, SESSIONS_BIG)
+    assert out["sessions"] == 3
+    assert 0.0 < out["avg_overlap_pct"] < 100.0
+    assert any(r["overlap_pct"] < 100.0 for r in out["per_session"])
+
+
+def test_big_ab_discover_uplift(big_index):
+    """Discover→pick→capsule must recover coverage the plain capsule
+    missed (reference ab_discover's headline claim)."""
+    from ariadne_dbt_spark.benchmarks.session_replay import ab_discover
+
+    out = ab_discover(big_index, SESSIONS_BIG)
+    assert out["avg_overlap_b"] > out["avg_overlap_a"]
+
+
+def test_big_miss_diagnosis_reachable(big_index):
+    """The planted misses are DAG-reachable at distance 2 — the signal
+    that traversal depth (not search recall) is the tuning lever."""
+    from ariadne_dbt_spark.benchmarks.session_replay import diagnose_misses
+
+    out = diagnose_misses(big_index, SESSIONS_BIG)
+    assert out["misses"] >= 2
+    assert out["reachable_misses"] >= 2
+    assert all(r["min_dag_distance"] == 2 for r in out["per_miss"] if r["reachable"])
