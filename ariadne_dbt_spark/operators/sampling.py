@@ -74,3 +74,57 @@ def stratified_quota_sample(
         .where(F.col("_rn") <= quota_map[F.col(stratum_col)])
         .drop("_rn")
     )
+
+
+def pack_sequences(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int = 256,
+    n_buckets: int = 8,
+):
+    """Greedy sequence packing for LLM training: assign documents to
+    training sequences of at most ``max_tokens`` whitespace tokens —
+    ``(id, bucket, pack_id, n_tokens)``, where ``pack_id`` is unique
+    across the corpus (bucket-prefixed).
+
+    Greedy first-fit packing is a sequential recurrence (each pack
+    boundary depends on every earlier one), so it cannot be a window
+    cumsum. The distributed shape: documents hash into ``n_buckets``
+    deterministic buckets (``id % n_buckets`` — stable under
+    repartitioning and growth), each bucket packs independently in
+    doc-id order inside one Arrow-batched ``applyInPandas`` group.
+    Packing quality is per-bucket (≤ one underfull tail pack per
+    bucket); parallelism is n_buckets. Documents longer than
+    ``max_tokens`` get a pack of their own (never split here — chunk
+    first with ``chunk_documents`` if splitting is wanted).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    sized = df.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        pack_ids, cur_pack, cur_fill = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if cur_fill > 0 and cur_fill + n > max_tokens:
+                cur_pack += 1
+                cur_fill = 0
+            cur_fill += int(n)
+            pack_ids.append(cur_pack)
+        pdf["pack_id"] = [
+            int(pdf["bucket"].iloc[0]) * 1_000_000 + p for p in pack_ids
+        ]
+        return pdf[["id", "bucket", "pack_id", "n_tokens"]]
+
+    return sized.groupBy("bucket").applyInPandas(
+        pack, "id bigint, bucket int, pack_id bigint, n_tokens int"
+    )

@@ -89,3 +89,44 @@ def split_partition_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("split").alias("n_labeled"),
         (F.count(F.lit(1)) - F.count("split")).cast("int").alias("n_unlabeled"),
     )
+
+
+# Greedy sequence packing — the recurrence is sequential per bucket, so
+# the oracle walks it with a recursive CTE (one chain per bucket).
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH RECURSIVE sized AS (
+        SELECT doc_id AS id, CAST(doc_id % 8 AS INT) AS bucket,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n
+        FROM documents),
+    ordered AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY id) AS rn
+        FROM sized),
+    rec AS (
+        SELECT bucket, rn, id, n, 0 AS pack, n AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.id, o.n,
+               CASE WHEN r.fill > 0 AND r.fill + o.n > 256
+                    THEN r.pack + 1 ELSE r.pack END,
+               CASE WHEN r.fill > 0 AND r.fill + o.n > 256
+                    THEN o.n ELSE r.fill + o.n END
+        FROM rec r JOIN ordered o ON o.bucket = r.bucket AND o.rn = r.rn + 1)
+    SELECT id AS doc_id, bucket,
+           CAST(bucket * 1000000 + pack AS BIGINT) AS pack_id,
+           n AS n_tokens
+    FROM rec
+    """,
+    survey="sequence-packing",
+    doc="Greedy first-fit packing of documents into <=256-token training "
+    "sequences, bucket-parallel (applyInPandas recurrence vs recursive-"
+    "CTE oracle).",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return pack_sequences(docs, "doc_id", "text", max_tokens=256, n_buckets=8).select(
+        F.col("id").alias("doc_id"), "bucket", "pack_id", "n_tokens"
+    )

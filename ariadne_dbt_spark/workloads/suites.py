@@ -303,6 +303,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "split_partition_check",
             {"n_total": "bigint", "n_labeled": "bigint", "n_unlabeled": "int"},
         ),
+        (
+            "packing",
+            "sequence_packing",
+            {"doc_id": "bigint", "bucket": "int", "pack_id": "bigint", "n_tokens": "int"},
+        ),
     ],
     "doc_profile_suite": [
         (

@@ -74,3 +74,30 @@ def test_split_partitions_totally(corpus):
 def test_split_rejects_overfull():
     with pytest.raises(ValueError):
         split(None, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    from ariadne_dbt_spark.operators.sampling import pack_sequences
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(0, 100), (8, 100), (16, 80), (24, 300), (32, 50), (1, 10)]],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, "doc_id", "text", max_tokens=256, n_buckets=8)
+    rows = sorted(out.collect(), key=lambda r: r.id)
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    # no pack exceeds max unless it is a single oversized doc
+    for members in by_pack.values():
+        total = sum(m.n_tokens for m in members)
+        assert total <= 256 or len(members) == 1
+    # bucket 0 greedy walk: 100+100 fits, +80 overflows, 300 alone, 50 after
+    b0 = {r.id: r.pack_id for r in rows if r.bucket == 0}
+    assert b0[0] == b0[8] and b0[16] != b0[0]
+    assert b0[24] not in (b0[16],) or True  # 80+300 > 256 -> separate
+    assert b0[24] != b0[16] and b0[32] != b0[24]
+    # bucket isolation: doc 1 lives in bucket 1's pack-id space
+    assert next(r.pack_id for r in rows if r.id == 1) >= 1_000_000
