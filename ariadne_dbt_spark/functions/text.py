@@ -63,3 +63,14 @@ def tokenize_query(
 
         out = [porter_stem(t) for t in out]
     return out
+
+
+def truncate_sql(col: Column | str, n_chars: int = 2000) -> Column:
+    """T9: cap SQL text entering the search index at ``n_chars``
+    (default 2000 — reference: indexer.py:475-476 stores
+    ``sql[:2000]`` in the FTS docs so one pathological compiled model
+    can't dominate the index). Shared by the manifest indexer's posting
+    build and the truncation workloads so the semantics live in exactly
+    one place."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, n_chars)

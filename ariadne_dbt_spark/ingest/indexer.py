@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ariadne_dbt_spark import schemas
 from ariadne_dbt_spark.config import EngineConfig
 from ariadne_dbt_spark.ingest import manifest as mf
+from ariadne_dbt_spark.functions.text import truncate_sql
 from ariadne_dbt_spark.operators.search import build_postings
 
 def _derive_degrees_local(model_rows: list[dict], edge_rows: list[dict]) -> None:
@@ -545,11 +546,10 @@ class AriadneIndex:
                 "unique_id",
                 F.col("name"),
                 F.col("description"),
-                F.substring(
+                truncate_sql(
                     F.coalesce(
                         F.nullif(F.col("compiled_code"), F.lit("")), F.col("raw_code")
                     ),
-                    1,
                     self.config.sql_index_chars,
                 ).alias("sql_text"),
                 F.concat_ws(" ", F.col("tags")).alias("tags_text"),

@@ -153,20 +153,40 @@ def ngram_jaccard_pairs(
 
     |A∪B| = |A|+|B|-|A∩B| from integer counts → the one float division is
     deterministic, so both strategies hash-match the SQL oracle.
+
+    Cache lifecycle: the shingle postings (and dfreq, when built) are
+    cached only while the pair set is computed — the RESULT is cached and
+    eagerly materialized, then the inputs are unpersisted before
+    returning, so repeated calls in a long-lived session (the serving
+    path holds one SparkSession) never accumulate postings-sized blocks.
+    The caller owns the returned frame's (small — near-dup pairs are
+    orders of magnitude fewer than postings) cache: call
+    ``out.unpersist()`` when done to release the last block.
     """
     sh = shingle_sets(df, id_col, text_col, n).cache()
-    if strategy == "prefix":
-        return _jaccard_pairs_prefix(sh, threshold)
-    if strategy == "count":
-        return _jaccard_pairs_count(sh, threshold)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
-    stats = dfreq.agg(
-        F.sum((F.col("df").cast("double") * (F.col("df") - 1)) / 2).alias("pair_mass"),
-        F.sum("df").alias("postings"),
-    ).first()
-    if stats["pair_mass"] is not None and stats["pair_mass"] <= 50.0 * stats["postings"]:
-        return _jaccard_pairs_count(sh, threshold)
-    return _jaccard_pairs_prefix(sh, threshold, dfreq=dfreq)
+    dfreq = None
+    try:
+        if strategy == "prefix":
+            out = _jaccard_pairs_prefix(sh, threshold)
+        elif strategy == "count":
+            out = _jaccard_pairs_count(sh, threshold)
+        else:
+            dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
+            stats = dfreq.agg(
+                F.sum((F.col("df").cast("double") * (F.col("df") - 1)) / 2).alias("pair_mass"),
+                F.sum("df").alias("postings"),
+            ).first()
+            if stats["pair_mass"] is not None and stats["pair_mass"] <= 50.0 * stats["postings"]:
+                out = _jaccard_pairs_count(sh, threshold)
+            else:
+                out = _jaccard_pairs_prefix(sh, threshold, dfreq=dfreq)
+        out = out.cache()
+        out.count()  # materialize THROUGH the input caches before they drop
+        return out
+    finally:
+        sh.unpersist()
+        if dfreq is not None:
+            dfreq.unpersist()
 
 
 def _jaccard_pairs_count(sh: DataFrame, threshold: float) -> DataFrame:

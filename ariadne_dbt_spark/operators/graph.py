@@ -40,6 +40,8 @@ def bfs(
     direction: str = DOWNSTREAM,
     max_depth: int = 10,
     exclude_start: bool = True,
+    *,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """BFS over ``edges(parent_id, child_id)``.
 
@@ -51,14 +53,28 @@ def bfs(
     Spark jobs per level); large ones run the distributed iterative-join
     loop. Results are identical — tests pin both paths against the same
     recursive-SQL oracle.
+
+    Dispatch costs ONE job, which doubles as the local path's fetch: a
+    ``limit(LOCAL+1).collect()`` either returns the whole (small) edge
+    list — consumed directly, no second execution of the edge plan — or
+    overflows the limit, routing to the distributed loop (the limit
+    short-circuits, so the probe never scans a huge graph fully).
+    Callers that already know the edge count (e.g. an index holding
+    cached edges) pass ``n_edges`` to skip the probe entirely.
     """
     if direction not in (UPSTREAM, DOWNSTREAM):
         raise ValueError(f"direction must be {UPSTREAM}/{DOWNSTREAM}, got {direction!r}")
     max_depth = max(0, min(int(max_depth), 10))  # reference clamps depth ≤ 10
-    n_edges = edges.count()  # cheap: edges are cached/checkpointed upstream
-    if n_edges <= LOCAL_BFS_EDGE_LIMIT:
-        return _bfs_local(edges, start_ids, direction, max_depth, exclude_start)
-    return _bfs_distributed(edges, start_ids, direction, max_depth, exclude_start)
+    if n_edges is not None and n_edges > LOCAL_BFS_EDGE_LIMIT:
+        return _bfs_distributed(edges, start_ids, direction, max_depth, exclude_start)
+    edge_rows = (
+        edges.select("parent_id", "child_id")
+        .limit(LOCAL_BFS_EDGE_LIMIT + 1)
+        .collect()
+    )
+    if len(edge_rows) > LOCAL_BFS_EDGE_LIMIT:
+        return _bfs_distributed(edges, start_ids, direction, max_depth, exclude_start)
+    return _bfs_local(edges, start_ids, direction, max_depth, exclude_start, edge_rows)
 
 
 def _bfs_local(
@@ -67,9 +83,11 @@ def _bfs_local(
     direction: str,
     max_depth: int,
     exclude_start: bool,
+    edge_rows: list | None = None,
 ) -> DataFrame:
-    """Driver-side BFS: one collect of the edge list, pure-Python frontier
-    expansion, one createDataFrame back out."""
+    """Driver-side BFS: one collect of the edge list (reused from the
+    dispatch probe when available), pure-Python frontier expansion, one
+    createDataFrame back out."""
     spark = edges.sparkSession
     if isinstance(start_ids, DataFrame):
         starts = [r[0] for r in start_ids.collect()]
@@ -77,7 +95,9 @@ def _bfs_local(
         starts = list(start_ids)
     adj: dict[str, list[str]] = {}
     fwd = direction == DOWNSTREAM
-    for r in edges.select("parent_id", "child_id").collect():
+    if edge_rows is None:
+        edge_rows = edges.select("parent_id", "child_id").collect()
+    for r in edge_rows:
         k, v = (r.parent_id, r.child_id) if fwd else (r.child_id, r.parent_id)
         adj.setdefault(k, []).append(v)
     dist = {s: 0 for s in starts}

@@ -87,7 +87,9 @@ def pack_sequences(
     """Greedy sequence packing for LLM training: assign documents to
     training sequences of at most ``max_tokens`` whitespace tokens —
     ``(id, bucket, pack_id, n_tokens)``, where ``pack_id`` is unique
-    across the corpus (bucket-prefixed).
+    across the corpus: ``(bucket << 44) | pack`` — 2^44 packs per bucket
+    (≈4.5e12 · max_tokens tokens/bucket) before any collision, far past
+    the 100 TB envelope, with room for 2^19 buckets in the high bits.
 
     Greedy first-fit packing is a sequential recurrence (each pack
     boundary depends on every earlier one), so it cannot be a window
@@ -121,7 +123,7 @@ def pack_sequences(
             cur_fill += int(n)
             pack_ids.append(cur_pack)
         pdf["pack_id"] = [
-            int(pdf["bucket"].iloc[0]) * 1_000_000 + p for p in pack_ids
+            (int(pdf["bucket"].iloc[0]) << 44) | p for p in pack_ids
         ]
         return pdf[["id", "bucket", "pack_id", "n_tokens"]]
 

@@ -142,6 +142,18 @@ def bm25(
         F.countDistinct("unique_id").alias("df")
     )
     if avgdl_by_field:
+        # a field scored by `weights` but missing from the persisted stats
+        # would get NULL avgdl → NULL term_score → silently dropped by the
+        # sum aggregate, skewing scores instead of erroring. Fail loudly
+        # at plan time for declared fields, and at execution time (via
+        # raise_error) for any posting field outside the stats map.
+        missing = set(weights) - set(avgdl_by_field)
+        if missing:
+            raise ValueError(
+                f"avgdl_by_field is missing scored fields {sorted(missing)}; "
+                "rebuild the index stats or pass avgdl_by_field=None to "
+                "recompute from docstats"
+            )
         avgdl_expr = None
         for fname, val in avgdl_by_field.items():
             cond = F.col("field") == fname
@@ -150,6 +162,11 @@ def bm25(
                 if avgdl_expr is None
                 else avgdl_expr.when(cond, F.lit(float(val)))
             )
+        avgdl_expr = avgdl_expr.otherwise(
+            F.raise_error(
+                F.concat(F.lit("bm25: no persisted avgdl for field "), F.col("field"))
+            ).cast("double")
+        )
         scored_base = matched.join(
             docstats.select("unique_id", "field", "dl"), ["unique_id", "field"]
         ).withColumn("avgdl", avgdl_expr)

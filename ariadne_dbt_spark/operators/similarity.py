@@ -252,26 +252,69 @@ def pairwise_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    bands: int = 4,
+    planes_per_band: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH blocking + exact re-rank:
-    ``(id_a, id_b, cos_sim)`` with id_a < id_b, cos ≥ threshold.
+    """Embedding-cosine near-dup pairs via MULTI-BAND random-hyperplane
+    LSH blocking + exact re-rank: ``(id_a, id_b, cos_sim)`` with
+    id_a < id_b, cos ≥ threshold.
 
-    The bucket equi-join replaces the O(n²) crossJoin; at 100 TB this is
-    the only viable shape (shuffle on bucket id, AQE handles skew).
+    Blocking is banded exactly like the MinHash path (dedup.py
+    ``minhash_lsh_candidates``): ``bands`` independent sets of
+    ``planes_per_band`` hyperplanes each → one (band, bucket) row per
+    vector per band → candidates are pairs sharing ANY band's bucket.
+    A pair at angle θ collides in one band with p = (1-θ/π)^r and
+    overall with 1-(1-p^r)^b, so ``planes_per_band`` (r) keeps each
+    band's buckets small — within-band candidate mass is Σ n_b²/2 over
+    bucket occupancies n_b, shrinking geometrically in r — while
+    ``bands`` (b) amplifies recall back toward 1 for genuinely-close
+    pairs. A single fixed-width table (the old shape) degraded toward
+    n²/2^planes as the corpus grew; with banding, r scales with corpus
+    density and b with the recall target, independently.
+
+    Shuffle discipline: vectors do NOT ride through the bucket join —
+    only (id, band, bucket) rows shuffle; pairs are deduped across
+    bands, then the two skinny id-joins rehydrate vectors for the exact
+    cosine verification, whose cost is proportional to real candidate
+    mass. AQE splits residual hot buckets.
     """
     first = embeddings.select(vec_col).first()
     dim = len(first[vec_col])
-    sigged = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket_signature(F.col(vec_col), dim, n_planes=n_planes).alias("b"),
-    )
-    a = sigged.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "b")
-    b = sigged.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "b")
-    return (
-        a.join(b, "b")
+    planes = _hyperplanes(dim, bands * planes_per_band)
+    emb = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def band_bucket(bi: int) -> Column:
+        bucket = F.lit(0).cast("long")
+        for j in range(planes_per_band):
+            p = F.array(*[F.lit(x) for x in planes[bi * planes_per_band + j]])
+            bit = F.when(
+                _dot(F.col("v"), p) >= 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+            bucket = bucket.bitwiseOR(bit)
+        return bucket
+
+    banded = emb.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), band_bucket(bi).alias("bucket"))
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pa = cand.join(emb.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+    return (
+        pa.join(emb.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         .withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))

@@ -23,8 +23,11 @@ executor does what dbt-spark does, minus the packaging:
 
 At 100 TB the incremental merge is the one operator whose physical form
 depends on the table format: on plain parquet it is anti-join + union +
-atomic directory swap (what this executor does — safe because the tmp
-write materializes before the old dir is dropped); on Delta/Iceberg it
+a rename-aside directory swap (what this executor does — the tmp write
+materializes before any rename, and the live dir is moved aside rather
+than deleted first, so a readable target exists at every step; the swap
+is crash-safe but not a single atomic operation — true atomicity needs a
+transactional table format); on Delta/Iceberg it
 becomes a native MERGE INTO, and date-partitioned models should prefer
 dynamic partition-overwrite (``insert_overwrite``) so only touched
 partitions rewrite.
@@ -207,13 +210,21 @@ class DbtSparkExecutor:
                 kept = old
             final = kept.select(*old.columns).unionByName(new.select(*old.columns))
             # the tmp write EXECUTES the read of `out`, so the swap below
-            # never drops data that hasn't been rewritten yet
+            # never drops data that hasn't been rewritten yet. Swap order:
+            # move the live dir ASIDE first, then promote tmp — a crash
+            # between the two steps leaves the data recoverable in __old
+            # and never a window with no readable target path about to be
+            # created from nothing (rmtree-then-replace had one).
             tmp = out + "__tmp"
             final.write.mode("overwrite").parquet(tmp)
             import shutil
 
-            shutil.rmtree(out)
+            old_dir = out + "__old"
+            if os.path.exists(old_dir):
+                shutil.rmtree(old_dir)
+            os.replace(out, old_dir)
             os.replace(tmp, out)
+            shutil.rmtree(old_dir)
         return self.spark.read.parquet(out)
 
     def run(

@@ -27,6 +27,20 @@ _EDGE_SQL = """
 """
 
 
+def _with_ord(bfs_out: DataFrame) -> DataFrame:
+    """Materialize the engine's (distance, unique_id) output ordering as
+    an ``ord`` rank column — the driver's value hash is row-order
+    insensitive, so O4 (deterministic ordering, reference graph.py:74-75)
+    is only hash-verifiable as data. The single-partition window is fine
+    here: BFS closures at metadata scale are thousands of rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("distance", "unique_id")
+    return bfs_out.select(
+        F.row_number().over(w).cast("bigint").alias("ord"), "unique_id", "distance"
+    )
+
+
 def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge list ``(parent_id, child_id)`` — reference G8 edge construction
     (indexer.py:447-456): explode parent_map with prefixed kind ids."""
@@ -54,17 +68,22 @@ def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.child_id, w.distance + 1
         FROM walk w JOIN edges e ON e.parent_id = w.unique_id
         WHERE w.distance < 2
-    )
-    SELECT unique_id, MIN(distance) AS distance
-    FROM walk GROUP BY unique_id
-    ORDER BY distance, unique_id
+    ),
+    dedup AS (SELECT unique_id, MIN(distance) AS distance FROM walk GROUP BY unique_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY distance, unique_id) AS BIGINT) AS ord,
+           unique_id, distance
+    FROM dedup
+    ORDER BY ord
     """,
-    survey="G1,G8,E2",
-    doc="Downstream BFS depth 2 from region.3 with min-distance semantics.",
+    survey="G1,G8,E2,O4",
+    doc="Downstream BFS depth 2 from region.3 with min-distance semantics; "
+    "`ord` materializes the engine's deterministic (distance, id) output "
+    "ordering (O4, reference graph.py:74-75) so the driver's "
+    "order-insensitive hash still verifies it.",
 )
 def bfs_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = hierarchy_edges(spark, sf_dir)
-    return bfs(edges, ["region.3"], DOWNSTREAM, max_depth=2)
+    return _with_ord(bfs(edges, ["region.3"], DOWNSTREAM, max_depth=2))
 
 
 @query(
@@ -77,17 +96,20 @@ def bfs_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.parent_id, w.distance + 1
         FROM walk w JOIN edges e ON e.child_id = w.unique_id
         WHERE w.distance < 10
-    )
-    SELECT unique_id, MIN(distance) AS distance
-    FROM walk GROUP BY unique_id
-    ORDER BY distance, unique_id
+    ),
+    dedup AS (SELECT unique_id, MIN(distance) AS distance FROM walk GROUP BY unique_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY distance, unique_id) AS BIGINT) AS ord,
+           unique_id, distance
+    FROM dedup
+    ORDER BY ord
     """,
-    survey="G1,G4",
-    doc="Upstream closure (source-dependency analog, graph.py:136-150).",
+    survey="G1,G4,O4",
+    doc="Upstream closure (source-dependency analog, graph.py:136-150); "
+    "`ord` hash-pins the deterministic (distance, id) ordering (O4).",
 )
 def bfs_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = hierarchy_edges(spark, sf_dir)
-    return bfs(edges, ["customer.7"], UPSTREAM, max_depth=10)
+    return _with_ord(bfs(edges, ["customer.7"], UPSTREAM, max_depth=10))
 
 
 @query(

@@ -457,16 +457,25 @@ def nation_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="E4",
 )
 def segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT cardinalities in ONE declarative pass: mark each
+    BUILDING customer with a left join against the distinct big-spender
+    keys, then a single aggregate splits hit/miss — one Spark job instead
+    of two independent count() actions (and no driver-side
+    createDataFrame), so the set-overlap scalars ride the same
+    oracle-hash path as every other workload."""
     customer = T(spark, sf_dir, "customer")
     orders = T(spark, sf_dir, "orders")
     building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     big = (
         orders.where(dec("o_totalprice") > 150000)
         .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
     )
-    n_both = building.intersect(big).count()
-    n_only = building.subtract(big).count()
-    return spark.createDataFrame([(n_both, n_only)], "n_both long, n_only_building long")
+    marked = building.join(big.withColumn("_hit", F.lit(1)), "c_custkey", "left")
+    return marked.agg(
+        F.count("_hit").alias("n_both"),
+        (F.count(F.lit(1)) - F.count("_hit")).alias("n_only_building"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -114,7 +114,7 @@ def split_partition_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN o.n ELSE r.fill + o.n END
         FROM rec r JOIN ordered o ON o.bucket = r.bucket AND o.rn = r.rn + 1)
     SELECT id AS doc_id, bucket,
-           CAST(bucket * 1000000 + pack AS BIGINT) AS pack_id,
+           CAST(bucket * 17592186044416 + pack AS BIGINT) AS pack_id, -- (bucket << 44) | pack
            n AS n_tokens
     FROM rec
     """,

@@ -192,4 +192,6 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x + x).alias("embedding"),
     )
     corpus = emb.union(clones)
-    return pairwise_near_duplicates(corpus, threshold=0.9, n_planes=6).orderBy("id_a", "id_b")
+    return pairwise_near_duplicates(
+        corpus, threshold=0.9, bands=3, planes_per_band=4
+    ).orderBy("id_a", "id_b")

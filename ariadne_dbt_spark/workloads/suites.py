@@ -183,8 +183,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
         ),
     ],
     "bfs_reachability": [
-        ("downstream", "bfs_downstream", {"unique_id": "string", "distance": "int"}),
-        ("upstream", "bfs_upstream", {"unique_id": "string", "distance": "int"}),
+        (
+            "downstream",
+            "bfs_downstream",
+            {"ord": "bigint", "unique_id": "string", "distance": "int"},
+        ),
+        (
+            "upstream",
+            "bfs_upstream",
+            {"ord": "bigint", "unique_id": "string", "distance": "int"},
+        ),
     ],
     "sketch_dedup_invariants": [
         (
@@ -229,6 +237,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "term_containment_join",
             {"term": "string", "doc_count": "bigint", "min_doc_id": "bigint"},
         ),
+        (
+            "overlap",
+            "segment_overlap",
+            {"n_both": "bigint", "n_only_building": "bigint"},
+        ),
     ],
     "event_stats_suite": [
         (
@@ -260,6 +273,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "like_fallback",
             "like_fallback_search",
             {"doc_id": "bigint", "score": "double", "snippet": "string"},
+        ),
+        (
+            "truncation",
+            "sql_truncation_guard",
+            {
+                "doc_id": "bigint",
+                "orig_len": "bigint",
+                "stored_len": "bigint",
+                "truncated": "boolean",
+            },
         ),
     ],
     "olap_ext_suite": [

@@ -354,3 +354,40 @@ def like_fallback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 80).alias("snippet"),
         )
     )
+
+
+# T9: SQL-truncation-at-2000 semantics, hash-verified per doc. Documents
+# are 44-577 chars, so repeat(text, 8) spans both sides of the cap —
+# truncation genuinely fires for the long tail and is a no-op for the
+# short one, and both the stored length and a truncated flag become
+# oracle-hashed data (the engine side runs the SAME truncate_sql the
+# manifest indexer's posting build uses, functions/text.py).
+@query(
+    "sql_truncation_guard",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(repeat(text, 8)) AS BIGINT) AS orig_len,
+           CAST(LEAST(length(repeat(text, 8)), 2000) AS BIGINT) AS stored_len,
+           length(repeat(text, 8)) > 2000 AS truncated
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey="T9",
+    doc="Index-side SQL truncation to 2000 chars (reference: "
+    "indexer.py:475-476), exercised through the shared truncate_sql "
+    "helper the real posting build uses.",
+)
+def sql_truncation_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.functions.text import truncate_sql
+
+    docs = documents(spark, sf_dir)
+    sql_col = F.repeat(F.col("text"), 8)
+    return (
+        docs.select(
+            "doc_id",
+            F.length(sql_col).cast("bigint").alias("orig_len"),
+            F.length(truncate_sql(sql_col)).cast("bigint").alias("stored_len"),
+            (F.length(sql_col) > 2000).alias("truncated"),
+        )
+        .orderBy("doc_id")
+    )

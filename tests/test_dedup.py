@@ -251,3 +251,19 @@ def test_decontamination_flags_planted_overlap(spark):
     assert not rows[2].contaminated and rows[2].n_hits == 0
     assert not rows[3].contaminated and rows[3].n_hits == 0
     assert set(rows) == {1, 2, 3}  # every training doc gets a row
+
+
+def test_ngram_jaccard_cache_lifecycle(spark, corpus):
+    """The shingle/dfreq caches must not outlive the call (a long-lived
+    serving session would otherwise accumulate MEMORY_AND_DISK blocks per
+    dedup invocation). Contract: on return, only the materialized result
+    checkpoint holds storage; out.unpersist() releases even that."""
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    out = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    assert out.count() > 0
+    after = jsc.getPersistentRDDs().size()
+    # sh (+ dfreq on the auto path) are gone; only the result checkpoint remains
+    assert after <= base + 1, f"cache leak: {after - base} persistent RDDs added"
+    out.unpersist()
+    assert jsc.getPersistentRDDs().size() <= base

@@ -14,6 +14,13 @@ import pytest
 
 N_MODELS = 5000
 
+#: wall-clock assertions are load-sensitive (a contended CI host can blow
+#: a 5 ms bar without any regression). Default pytest runs get a generous
+#: multiplier; the dedicated bench (bench.py interactive_latency) keeps
+#: the strict BASELINE.md bars. Set STRICT_LATENCY=1 to enforce them here.
+_STRICT = os.environ.get("STRICT_LATENCY") == "1"
+_SLACK = 1.0 if _STRICT else 10.0
+
 
 @pytest.fixture(scope="module")
 def big_cache(spark, tmp_path_factory):
@@ -41,7 +48,7 @@ def test_envelope_build_time(big_cache):
     assert len(cache.models) == N_MODELS
     # 500-model target is 5 s (BASELINE.md); at 10× models allow 10× —
     # measured ~4 s on an idle local[32], so this is a loose regression bar
-    assert build_sec < 50.0, f"5k-model build took {build_sec:.1f}s"
+    assert build_sec < 50.0 * _SLACK, f"5k-model build took {build_sec:.1f}s"
 
 
 def test_envelope_interactive_latency(big_cache):
@@ -66,7 +73,9 @@ def test_envelope_interactive_latency(big_cache):
             fn()
             times.append(time.perf_counter() - t0)
         best = min(times)
-        assert best <= target, f"{name}: best {best*1000:.1f}ms > {target*1000:.0f}ms at 5k models"
+        assert best <= target * _SLACK, (
+            f"{name}: best {best*1000:.1f}ms > {target*1000*_SLACK:.0f}ms at 5k models"
+        )
 
 
 def test_envelope_search_quality(big_cache):

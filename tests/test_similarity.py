@@ -92,7 +92,9 @@ def test_lsh_topk_sparse_bucket_not_empty(spark):
 def test_blocked_near_dups_subset_of_bruteforce(vectors):
     blocked = {
         (r.id_a, r.id_b)
-        for r in pairwise_near_duplicates(vectors, threshold=0.99, n_planes=4).collect()
+        for r in pairwise_near_duplicates(
+            vectors, threshold=0.99, bands=2, planes_per_band=2
+        ).collect()
     }
     rows = {r.vec_id: list(r.embedding) for r in vectors.collect()}
     brute = {
@@ -102,9 +104,25 @@ def test_blocked_near_dups_subset_of_bruteforce(vectors):
         if a < b and _np_cos(rows[a], rows[b]) >= 0.99
     }
     assert blocked <= brute
-    # all 5 planted twins are ≥0.99; LSH with 4 planes should catch most
     planted = {(i, 100 + i) for i in range(5)}
     assert len(blocked & planted) >= 3
+
+
+@pytest.mark.parametrize("bands,planes_per_band", [(4, 4), (8, 6)])
+def test_banded_near_dup_recall_full(vectors, bands, planes_per_band):
+    """Multi-band blocking recall invariant: every planted near-twin
+    pair (cos ≈ 0.99997, angle θ ≈ 0.4°) must survive blocking — per
+    band p = (1-θ/π)^r ≥ 0.987^6, so missing ALL of b ≥ 4 bands has
+    probability < 1e-6 under the deterministic plane set; these two
+    (b, r) settings are pinned exactly (recall = 1.0)."""
+    got = {
+        (r.id_a, r.id_b)
+        for r in pairwise_near_duplicates(
+            vectors, threshold=0.999, bands=bands, planes_per_band=planes_per_band
+        ).collect()
+    }
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= got, f"missed planted pairs: {planted - got}"
 
 
 def test_ivf_centroids_deterministic(vectors):
