@@ -369,22 +369,21 @@ def cmd_stats(args):
 
 
 def cmd_serve(args):
-    """Serve the tool surface: MCP over stdio/SSE when fastmcp is
-    importable and --transport is given (reference: cli.py:131-161),
-    JSON-lines on stdio otherwise."""
+    """Serve the tool surface: MCP when --transport is given (reference:
+    cli.py:131-161) — fastmcp for any transport when installed, the
+    built-in minimal MCP stdio server otherwise — or the JSON-lines
+    protocol on stdio without --transport."""
     from ariadne_dbt_spark.server import ToolServer
 
     server = ToolServer(_index(args), usage_dir=args.usage_dir)
     transport = getattr(args, "transport", None)
     if transport:
-        from ariadne_dbt_spark.mcp_adapter import mcp_available, serve_mcp
+        from ariadne_dbt_spark.mcp_adapter import serve_mcp
 
-        if not mcp_available():
-            raise SystemExit(
-                "fastmcp is not installed; omit --transport to use the "
-                "JSON-lines protocol on stdio"
-            )
-        serve_mcp(server, transport=transport)
+        try:
+            serve_mcp(server, transport=transport)
+        except ImportError as e:
+            raise SystemExit(str(e)) from e
     else:
         server.serve()
 
@@ -512,7 +511,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--transport",
         choices=("stdio", "sse"),
         default=None,
-        help="MCP transport (requires fastmcp); default: JSON-lines stdio",
+        help="MCP transport: stdio works standalone (built-in minimal MCP server), sse requires fastmcp; default: JSON-lines stdio",
     )
     sp.set_defaults(fn=cmd_serve)
     return p

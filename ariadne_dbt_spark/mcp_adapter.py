@@ -1,20 +1,35 @@
-"""MCP transport adapter: expose ToolServer's tools over fastmcp when the
-library is importable (reference: src/ariadne_dbt/server.py:26-520 builds
-a FastMCP app with @mcp.tool() per tool; cli.py:131-161 runs it over
-stdio or SSE). fastmcp is not in this image, so the adapter is
-import-guarded — `mcp_available()` is False and callers fall back to the
-JSON-lines transport in server.py, which serves the identical tool
-surface. The adapter is pure plumbing: every tool closure delegates to
-the corresponding ToolServer method, so semantics/tests stay in one
-place.
+"""MCP transport adapter: expose ToolServer's tools over the Model
+Context Protocol (reference: src/ariadne_dbt/server.py:26-520 builds a
+FastMCP app with @mcp.tool() per tool; cli.py:131-161 runs it over stdio
+or SSE).
+
+Two implementations of the same tool surface:
+
+* fastmcp, when importable (not in this image — import-guarded);
+* a minimal self-contained stdio MCP server (`serve_mcp_stdio`) speaking
+  JSON-RPC 2.0 per the public MCP spec (protocol 2024-11-05,
+  newline-delimited messages): initialize → initialized →
+  tools/list → tools/call, with tool input schemas derived from the
+  ToolServer method signatures. This makes a REAL MCP handshake
+  testable/servable without any third-party dependency.
+
+The adapter is pure plumbing: every tool call routes through
+`ToolServer.handle()`, so semantics, usage logging, and tests stay in
+one place.
 """
 
 from __future__ import annotations
 
 import importlib
+import inspect
+import json
+import sys
 from typing import Any
 
 from ariadne_dbt_spark.server import ToolServer
+
+MCP_PROTOCOL_VERSION = "2024-11-05"
+SERVER_VERSION = "1.0.0"
 
 #: MCP descriptions, mirrored from the reference's tool docstrings
 _TOOL_DOCS = {
@@ -74,6 +89,126 @@ def build_mcp_app(server: ToolServer, *, name: str = "ariadne-dbt-spark") -> Any
 
 
 def serve_mcp(server: ToolServer, *, transport: str = "stdio") -> None:
-    """Run the MCP app (stdio or sse), mirroring `ariadne serve`
-    (reference: cli.py:131-161)."""
-    build_mcp_app(server).run(transport=transport)
+    """Run the MCP app, mirroring `ariadne serve` (reference:
+    cli.py:131-161). fastmcp handles any transport when installed;
+    without it, stdio is served by the built-in minimal implementation
+    (sse genuinely needs fastmcp's HTTP stack)."""
+    if mcp_available():
+        build_mcp_app(server).run(transport=transport)
+    elif transport == "stdio":
+        serve_mcp_stdio(server)
+    else:
+        raise ImportError(
+            f"transport {transport!r} requires fastmcp; the built-in "
+            "minimal MCP server supports stdio only"
+        )
+
+
+# -- minimal stdio MCP server (no third-party deps) --------------------------
+
+_JSON_TYPES = {str: "string", int: "integer", float: "number", bool: "boolean"}
+
+
+def tool_input_schema(server: ToolServer, tool_name: str) -> dict:
+    """JSON Schema for one tool's arguments, derived from the ToolServer
+    method signature (Optional/union annotations reduce to their first
+    scalar member; parameters without defaults are required)."""
+    sig = inspect.signature(getattr(server, tool_name))
+    props: dict[str, dict] = {}
+    required: list[str] = []
+    for pname, p in sig.parameters.items():
+        if pname == "self":
+            continue
+        jtype = "string"
+        ann = p.annotation
+        for py, js in _JSON_TYPES.items():
+            if ann is py or (isinstance(ann, str) and ann.startswith(py.__name__)):
+                jtype = js
+                break
+        props[pname] = {"type": jtype}
+        if p.default is inspect.Parameter.empty:
+            required.append(pname)
+    schema: dict = {"type": "object", "properties": props}
+    if required:
+        schema["required"] = required
+    return schema
+
+
+def tool_descriptors(server: ToolServer) -> list[dict]:
+    return [
+        {
+            "name": name,
+            "description": _TOOL_DOCS.get(name, getattr(server, name).__doc__ or name),
+            "inputSchema": tool_input_schema(server, name),
+        }
+        for name in ToolServer.TOOLS
+    ]
+
+
+def handle_mcp_message(server: ToolServer, msg: dict) -> dict | None:
+    """One JSON-RPC 2.0 message → response dict (None for notifications,
+    which get no response per spec)."""
+    method = msg.get("method")
+    msg_id = msg.get("id")
+    if method and msg_id is None:
+        return None  # notification (e.g. notifications/initialized)
+
+    def ok(result: dict) -> dict:
+        return {"jsonrpc": "2.0", "id": msg_id, "result": result}
+
+    def err(code: int, message: str) -> dict:
+        return {"jsonrpc": "2.0", "id": msg_id, "error": {"code": code, "message": message}}
+
+    if method == "initialize":
+        return ok(
+            {
+                "protocolVersion": MCP_PROTOCOL_VERSION,
+                "capabilities": {"tools": {}},
+                "serverInfo": {"name": "ariadne-dbt-spark", "version": SERVER_VERSION},
+            }
+        )
+    if method == "ping":
+        return ok({})
+    if method == "tools/list":
+        return ok({"tools": tool_descriptors(server)})
+    if method == "tools/call":
+        params = msg.get("params") or {}
+        name = params.get("name")
+        if name not in ToolServer.TOOLS:
+            return err(-32602, f"unknown tool: {name}")
+        resp = server.handle({"tool": name, "args": params.get("arguments") or {}})
+        is_error = "error" in resp or resp.get("status") == "error"
+        payload = resp.get("result", resp)
+        return ok(
+            {
+                "content": [{"type": "text", "text": json.dumps(payload, default=str)}],
+                "isError": bool(is_error),
+            }
+        )
+    return err(-32601, f"method not found: {method}")
+
+
+def serve_mcp_stdio(server: ToolServer, infile=None, outfile=None) -> None:
+    """Blocking newline-delimited JSON-RPC loop over stdio (or any file
+    pair — tests drive it with in-memory pipes). Parse errors respond
+    with JSON-RPC -32700 as the spec requires; notifications produce no
+    output; EOF ends the session."""
+    infile = infile or sys.stdin
+    outfile = outfile or sys.stdout
+    for line in infile:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            msg = json.loads(line)
+        except json.JSONDecodeError as e:
+            resp: dict | None = {
+                "jsonrpc": "2.0",
+                "id": None,
+                "error": {"code": -32700, "message": f"parse error: {e}"},
+            }
+        else:
+            resp = handle_mcp_message(server, msg)
+        if resp is not None:
+            outfile.write(json.dumps(resp, default=str) + "\n")
+            outfile.flush()

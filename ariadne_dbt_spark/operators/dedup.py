@@ -229,14 +229,22 @@ def _jaccard_pairs_prefix(
     )
     a = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     b = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    # candidate dedup as groupBy(id_a) + collect_set instead of
+    # distinct(): a (id_a, id_b)-keyed distinct leaves the data
+    # hash-partitioned on BOTH ids, forcing a re-shuffle for the id_a
+    # verification join below; aggregating by id_a alone dedups the same
+    # pairs while leaving the frame partitioned exactly how that join
+    # wants it (sh is already id-hash-partitioned from the shingle
+    # build), eliminating one exchange from the hot path.
     cand = (
         a.join(b, "shingle")
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a")
+        .agg(F.collect_set("id_b").alias("_ids"))
+        .select("id_a", F.explode("_ids").alias("id_b"))
     )
     # verification by COUNTING posting matches restricted to candidates —
     # |A∩B| = #{shingle : (id_a, shingle) ∈ sh ∧ (id_b, shingle) ∈ sh};

@@ -2,11 +2,20 @@
 
 Image/audio/video payloads ride as opaque `binary` columns with a typed
 metadata struct; all Spark-side mechanics are real — schema, Arrow-batched
-mapInPandas, deterministic partitioning, frame-sample plan — while the
-codec calls are stubbed (the decode libraries are not in this container):
-`decode_image`/`decode_audio` raise NotImplementedError unless
-``fake=True``, which substitutes a deterministic hash-derived feature
-vector so pipelines are testable end-to-end.
+mapInPandas, deterministic partitioning, frame-sample plan.
+
+Decoding tiers (``extract_features``):
+
+* ``fake=True`` (default, what the oracle gate runs): deterministic
+  hash-derived feature vector — reproducible in SQL, no codec needed.
+* ``fake=False``: REAL decode. Prefers PIL / soundfile when importable
+  (not in this image — import-guarded); falls back to built-in pure-
+  stdlib codecs: a minimal PNG decoder (zlib inflate + per-scanline
+  unfilter, 8-bit gray/RGB/RGBA non-interlaced — the PNG spec's required
+  baseline) and WAV PCM via the stdlib ``wave`` module. Features are
+  real signal statistics (dimensions, per-channel means, RMS). Video
+  payloads still raise NotImplementedError — no stdlib video codec
+  exists (disclosed stub).
 
 At 100 TB: binary payloads dominate row size, so asset tables are stored
 payload-last, scanned with column pruning (metadata-only queries never
@@ -17,6 +26,8 @@ each Arrow batch holds whole assets.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -63,13 +74,163 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [h[i] / 255.0 for i in range(dim)]
 
 
+# -- real codecs (stdlib fallbacks; PIL/soundfile preferred when present) ----
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (8-bit, non-interlaced baseline)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Minimal pure-stdlib PNG decode → (width, height, channels, flat
+    pixel bytes). Supports the spec's 8-bit non-interlaced baseline
+    (gray / gray+alpha / RGB / RGBA); raises ValueError otherwise."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width, height, channels, idat = 8, 0, 0, 0, b""
+    while pos < len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG (depth={depth} color={color} interlace={interlace})")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        row = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ftype == 1:  # Sub
+                row[x] = (row[x] + a) & 0xFF
+            elif ftype == 2:  # Up
+                row[x] = (row[x] + b) & 0xFF
+            elif ftype == 3:  # Average
+                row[x] = (row[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        out += row
+        prev = row
+    return width, height, channels, list(out)
+
+
+def encode_png(width: int, height: int, channels: int, pixels: list[int]) -> bytes:
+    """Tiny PNG writer (filter 0 rows) — the test-side inverse of
+    :func:`decode_png`, also handy for producing real fixtures."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride]) for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image features: [width, height, channels, per-channel means
+    (0-1), overall mean, overall std, 0-pad]. PIL when importable,
+    stdlib PNG decode otherwise."""
+    try:
+        import io as _io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(_io.BytesIO(payload))
+        width, height = img.size
+        channels = len(img.getbands())
+        pixels = list(img.tobytes())
+    except ImportError:
+        width, height, channels, pixels = decode_png(payload)
+    n = max(len(pixels), 1)
+    mean = sum(pixels) / n
+    var = sum((p - mean) ** 2 for p in pixels) / n
+    ch_means = []
+    for c in range(min(channels, 4)):
+        ch = pixels[c::channels]
+        ch_means.append(sum(ch) / (255.0 * max(len(ch), 1)))
+    feats = [float(width), float(height), float(channels), *ch_means,
+             mean / 255.0, var ** 0.5 / 255.0]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def _audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real audio features: [sample_rate, n_frames, n_channels, mean
+    amplitude, RMS, peak, 0-pad]. soundfile when importable, stdlib
+    ``wave`` (PCM16 WAV) otherwise."""
+    import io as _io
+
+    try:
+        import soundfile as sf  # type: ignore
+
+        data, rate = sf.read(_io.BytesIO(payload))
+        nch = int(data.shape[1]) if getattr(data, "ndim", 1) == 2 else 1
+        samples = [float(x) for x in (data.flatten() if hasattr(data, "flatten") else data)]
+    except ImportError:
+        import wave
+
+        with wave.open(_io.BytesIO(payload), "rb") as w:
+            rate, nch, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
+            if w.getsampwidth() != 2:
+                raise ValueError("stdlib WAV fallback supports PCM16 only")
+            raw = w.readframes(nframes)
+        ints = struct.unpack(f"<{len(raw) // 2}h", raw)
+        samples = [x / 32768.0 for x in ints]
+    n = max(len(samples), 1)
+    mean = sum(samples) / n
+    rms = (sum(x * x for x in samples) / n) ** 0.5
+    peak = max((abs(x) for x in samples), default=0.0)
+    feats = [float(rate), float(len(samples)), float(nch), mean, rms, peak]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def real_features(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> list[float]:
+    """Dispatch a REAL decode by asset kind (see module docstring for
+    codec tiers). Video has no stdlib codec → NotImplementedError."""
+    if kind == "image":
+        return _image_features(payload, dim)
+    if kind == "audio":
+        return _audio_features(payload, dim)
+    raise NotImplementedError(
+        f"real decode for kind={kind!r} requires ffmpeg/torchaudio — not in this image"
+    )
+
+
 def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """payload → feature vector via Arrow-batched mapInPandas.
 
-    With ``fake=False`` this is where PIL/torchaudio/ffmpeg decode would
-    run; the container has none of them, so it raises (clearly marked
-    stub). The Spark plumbing (schema, batching, partition shape) is the
-    production path either way.
+    ``fake=True`` (the oracle-gate path) emits the deterministic
+    hash-derived vector; ``fake=False`` runs a REAL decode per asset —
+    PIL/soundfile when importable, the stdlib PNG/WAV codecs otherwise
+    (video raises NotImplementedError; see module docstring). The Spark
+    plumbing (schema, batching, partition shape) is identical either way.
     """
     out_schema = T.StructType(
         [
@@ -83,15 +244,17 @@ def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real decode requires PIL/torchaudio/ffmpeg — not in this image"
-                )
+            if fake:
+                feats = [_fake_features(p) for p in pdf["payload"]]
+            else:
+                feats = [
+                    real_features(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "features": [ _fake_features(p) for p in pdf["payload"] ],
+                    "features": feats,
                 }
             )
 

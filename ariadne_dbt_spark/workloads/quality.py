@@ -58,40 +58,44 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     doc="All five dbt test types executed as assertion queries (violation counts).",
 )
 def dq_test_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five dbt test types as violation-count assertions, batched
+    into ONE Spark action: each test's violating-row frame collapses to
+    a single (test_name, failures) aggregate row and the seven
+    aggregates union into one plan — the scheduler runs their stages
+    concurrently instead of seven driver-sequential count() jobs, and
+    the scalars ride the declarative path (no driver createDataFrame)."""
     orders = T(spark, sf_dir, "orders")
     lineitem = T(spark, sf_dir, "lineitem")
     customer = T(spark, sf_dir, "customer")
 
-    results = [
-        ("not_null_o_custkey", orders.where(F.col("o_custkey").isNull()).count()),
-        (
-            "unique_o_orderkey",
-            orders.groupBy("o_orderkey").count().where(F.col("count") > 1).count(),
+    violations = {
+        "not_null_o_custkey": orders.where(F.col("o_custkey").isNull()),
+        "unique_o_orderkey": (
+            orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
         ),
-        (
-            "unique_lineitem_pk",
+        "unique_lineitem_pk": (
             lineitem.groupBy("l_orderkey", "l_linenumber")
             .count()
             .where(F.col("count") > 1)
-            .count(),
         ),
-        (
-            "accepted_values_o_orderstatus",
-            orders.where(~F.col("o_orderstatus").isin("P", "O", "F")).count(),
+        "accepted_values_o_orderstatus": orders.where(
+            ~F.col("o_orderstatus").isin("P", "O", "F")
         ),
-        (
-            "relationships_orders_customer",
-            orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti").count(),
+        "relationships_orders_customer": orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
         ),
-        (
-            "relationships_lineitem_orders",
-            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti").count(),
+        "relationships_lineitem_orders": lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
         ),
-        (
-            "singular_no_negative_prices",
-            lineitem.where(F.col("l_extendedprice") < 0).count(),
-        ),
+        "singular_no_negative_prices": lineitem.where(F.col("l_extendedprice") < 0),
+    }
+    parts = [
+        v.agg(F.count(F.lit(1)).alias("failures")).select(
+            F.lit(name).alias("test_name"), "failures"
+        )
+        for name, v in violations.items()
     ]
-    return spark.createDataFrame(
-        sorted(results), "test_name string, failures long"
-    )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.union(part)
+    return out.orderBy("test_name")

@@ -73,3 +73,22 @@ def test_bm25_query_runs_no_stats_aggregate(spark, registry):
     must not aggregate docstats beyond the per-doc dl join (no avg())."""
     plan = _plan(spark, registry, "bm25_search")
     assert "avg(" not in plan.lower().replace("avgdl", "")
+
+
+def test_ngram_prefix_exchange_ceiling(spark):
+    """The PPJoin prefix path's exchange count is pinned: candidate
+    dedup aggregates by id_a (reusing sh's id-hash partitioning for the
+    verification join) instead of a (id_a, id_b) distinct, which would
+    add an extra re-shuffle before the join. A regression past this
+    ceiling means a new exchange crept into the hot path."""
+    from ariadne_dbt_spark.operators.dedup import _jaccard_pairs_prefix, shingle_sets
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = shingle_sets(corpus, "doc_id", "text", 3).cache()
+    try:
+        sh.count()
+        out = _jaccard_pairs_prefix(sh, 0.8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 14, plan
+    finally:
+        sh.unpersist()

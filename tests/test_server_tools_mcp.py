@@ -178,3 +178,75 @@ def test_session_memory_fills_capsule(index, tmp_path):
     # the filled session slot counts against the estimate and the
     # capsule still respects its overall budget envelope
     assert second["token_estimate"] <= 1.2 * second["token_budget"]
+
+
+def test_mcp_stdio_real_handshake(server):
+    """Drive the built-in minimal MCP server through a REAL protocol
+    session — initialize, initialized notification, tools/list,
+    tools/call, ping, and an unknown method — over in-memory pipes
+    (the same newline-delimited JSON-RPC frames a stdio client sends)."""
+    import io
+    import json
+
+    from ariadne_dbt_spark.mcp_adapter import serve_mcp_stdio
+    from ariadne_dbt_spark.server import ToolServer
+
+    frames = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+         "params": {"protocolVersion": "2024-11-05",
+                    "capabilities": {},
+                    "clientInfo": {"name": "pytest-client", "version": "0"}}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+         "params": {"name": "search_models",
+                    "arguments": {"query": "orders revenue", "limit": 3}}},
+        {"jsonrpc": "2.0", "id": 4, "method": "ping"},
+        {"jsonrpc": "2.0", "id": 5, "method": "no/such/method"},
+    ]
+    infile = io.StringIO("".join(json.dumps(f) + "\n" for f in frames))
+    outfile = io.StringIO()
+    serve_mcp_stdio(server, infile=infile, outfile=outfile)
+    resps = {r["id"]: r for r in map(json.loads, outfile.getvalue().splitlines())}
+
+    # the notification produced NO response; everything else did
+    assert set(resps) == {1, 2, 3, 4, 5}
+    init = resps[1]["result"]
+    assert init["protocolVersion"] == "2024-11-05"
+    assert init["serverInfo"]["name"] == "ariadne-dbt-spark"
+    assert "tools" in init["capabilities"]
+
+    tools = {t["name"]: t for t in resps[2]["result"]["tools"]}
+    assert set(tools) == set(ToolServer.TOOLS)
+    sm = tools["search_models"]["inputSchema"]
+    assert sm["type"] == "object" and sm["properties"]["query"]["type"] == "string"
+    assert sm["properties"]["limit"]["type"] == "integer"
+    assert "query" in sm.get("required", [])
+
+    call = resps[3]["result"]
+    assert call["isError"] is False
+    payload = json.loads(call["content"][0]["text"])
+    assert payload["results"] and "fct_orders" in {
+        r["name"] for r in payload["results"]
+    }
+
+    assert resps[4]["result"] == {}
+    assert resps[5]["error"]["code"] == -32601
+
+
+def test_mcp_stdio_tool_error_and_parse_error(server):
+    import io
+    import json
+
+    from ariadne_dbt_spark.mcp_adapter import serve_mcp_stdio
+
+    infile = io.StringIO(
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                    "params": {"name": "not_a_tool", "arguments": {}}}) + "\n"
+        + "this is not json\n"
+    )
+    outfile = io.StringIO()
+    serve_mcp_stdio(server, infile=infile, outfile=outfile)
+    bad_tool, parse_err = map(json.loads, outfile.getvalue().splitlines())
+    assert bad_tool["error"]["code"] == -32602
+    assert parse_err["error"]["code"] == -32700 and parse_err["id"] is None
