@@ -54,27 +54,32 @@ def bfs(
     loop. Results are identical — tests pin both paths against the same
     recursive-SQL oracle.
 
-    Dispatch costs ONE job, which doubles as the local path's fetch: a
-    ``limit(LOCAL+1).collect()`` either returns the whole (small) edge
-    list — consumed directly, no second execution of the edge plan — or
-    overflows the limit, routing to the distributed loop (the limit
-    short-circuits, so the probe never scans a huge graph fully).
-    Callers that already know the edge count (e.g. an index holding
-    cached edges) pass ``n_edges`` to skip the probe entirely.
+    Dispatch executes the edge plan ONCE: edges are persisted for the
+    duration of the call, the dispatch ``count()`` materializes the
+    cache in parallel, and whichever path wins reads the cached blocks
+    (the r3 shape re-executed the upstream edge join for count and
+    fetch separately; a limit-probe alternative fetches serially via
+    CollectLimit — both measurably slower). The cache is released
+    before returning. Callers that already know the edge count (e.g. an
+    index holding cached edges) pass ``n_edges`` to skip the persist +
+    count entirely.
     """
     if direction not in (UPSTREAM, DOWNSTREAM):
         raise ValueError(f"direction must be {UPSTREAM}/{DOWNSTREAM}, got {direction!r}")
     max_depth = max(0, min(int(max_depth), 10))  # reference clamps depth ≤ 10
-    if n_edges is not None and n_edges > LOCAL_BFS_EDGE_LIMIT:
-        return _bfs_distributed(edges, start_ids, direction, max_depth, exclude_start)
-    edge_rows = (
-        edges.select("parent_id", "child_id")
-        .limit(LOCAL_BFS_EDGE_LIMIT + 1)
-        .collect()
-    )
-    if len(edge_rows) > LOCAL_BFS_EDGE_LIMIT:
-        return _bfs_distributed(edges, start_ids, direction, max_depth, exclude_start)
-    return _bfs_local(edges, start_ids, direction, max_depth, exclude_start, edge_rows)
+    if n_edges is not None:
+        if n_edges > LOCAL_BFS_EDGE_LIMIT:
+            return _bfs_distributed(edges, start_ids, direction, max_depth, exclude_start)
+        return _bfs_local(edges, start_ids, direction, max_depth, exclude_start)
+    edges_c = edges.persist()
+    try:
+        if edges_c.count() > LOCAL_BFS_EDGE_LIMIT:
+            # the loop materializes every level eagerly (isEmpty per
+            # depth), so nothing lazily re-reads edges after return
+            return _bfs_distributed(edges_c, start_ids, direction, max_depth, exclude_start)
+        return _bfs_local(edges_c, start_ids, direction, max_depth, exclude_start)
+    finally:
+        edges_c.unpersist()
 
 
 def _bfs_local(
@@ -83,11 +88,9 @@ def _bfs_local(
     direction: str,
     max_depth: int,
     exclude_start: bool,
-    edge_rows: list | None = None,
 ) -> DataFrame:
-    """Driver-side BFS: one collect of the edge list (reused from the
-    dispatch probe when available), pure-Python frontier expansion, one
-    createDataFrame back out."""
+    """Driver-side BFS: one collect of the (cached) edge list,
+    pure-Python frontier expansion, one createDataFrame back out."""
     spark = edges.sparkSession
     if isinstance(start_ids, DataFrame):
         starts = [r[0] for r in start_ids.collect()]
@@ -95,9 +98,7 @@ def _bfs_local(
         starts = list(start_ids)
     adj: dict[str, list[str]] = {}
     fwd = direction == DOWNSTREAM
-    if edge_rows is None:
-        edge_rows = edges.select("parent_id", "child_id").collect()
-    for r in edge_rows:
+    for r in edges.select("parent_id", "child_id").collect():
         k, v = (r.parent_id, r.child_id) if fwd else (r.child_id, r.parent_id)
         adj.setdefault(k, []).append(v)
     dist = {s: 0 for s in starts}

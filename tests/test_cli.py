@@ -68,12 +68,41 @@ def test_cli_stats_project_shape(capsys):
 
 
 @pytest.mark.usefixtures("spark")
-def test_cli_serve_transport_requires_fastmcp(capsys):
-    # fastmcp is absent from this image: --transport must fail loudly
-    # with the JSON-lines fallback hint, not crash into MCP
+def test_cli_serve_transport_sse_requires_fastmcp(capsys):
+    # fastmcp is absent from this image: sse has no standalone fallback
+    # (the built-in minimal MCP server is stdio-only) → loud SystemExit
     from ariadne_dbt_spark.mcp_adapter import mcp_available
 
     if mcp_available():  # pragma: no cover - not in this image
         pytest.skip("fastmcp installed")
     with pytest.raises(SystemExit, match="fastmcp"):
-        main(["serve", "--manifest", MANIFEST, "--transport", "stdio"])
+        main(["serve", "--manifest", MANIFEST, "--transport", "sse"])
+
+
+def test_cli_serve_transport_stdio_speaks_mcp(capsys, monkeypatch):
+    # stdio works WITHOUT fastmcp via the built-in minimal MCP server:
+    # a real initialize + tools/list session through the CLI entrypoint
+    import io
+    import json as _json
+
+    frames = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+         "params": {"protocolVersion": "2024-11-05", "capabilities": {},
+                    "clientInfo": {"name": "cli-test", "version": "0"}}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+    ]
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("".join(_json.dumps(f) + "\n" for f in frames))
+    )
+    main(["serve", "--manifest", MANIFEST, "--transport", "stdio"])
+    out = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith("{") and '"jsonrpc"' in line
+    ]
+    resps = {r["id"]: r for r in out}
+    assert resps[1]["result"]["serverInfo"]["name"] == "ariadne-dbt-spark"
+    assert {t["name"] for t in resps[2]["result"]["tools"]} >= {
+        "search_models", "get_context_capsule",
+    }

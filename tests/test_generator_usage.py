@@ -101,14 +101,19 @@ def test_multimodal_features(spark):
     assert all(again[r.asset_id] == r.features for r in rows)
 
 
-def test_multimodal_decode_stub_raises(spark):
+def test_multimodal_real_decode_rejects_garbage(spark):
+    # synthetic_assets payloads are hash bytes, not valid PNG/WAV: the
+    # real-decode path must fail LOUDLY (ValueError from the codec, or
+    # NotImplementedError for video), never silently fake features.
+    # Real decodes of valid payloads: tests/test_multimodal_decode.py.
     import pytest
 
     assets = synthetic_assets(spark, n=3)
     with pytest.raises(Exception) as ei:
         extract_features(assets, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+    assert any(
+        name in str(ei.value)
+        for name in ("NotImplementedError", "ValueError", "not a PNG")
     )
 
 
