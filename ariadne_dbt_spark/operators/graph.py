@@ -42,12 +42,19 @@ def bfs(
     exclude_start: bool = True,
     *,
     n_edges: int | None = None,
+    with_ord: bool = False,
 ) -> DataFrame:
     """BFS over ``edges(parent_id, child_id)``.
 
     Returns ``(unique_id, distance)`` with minimum distance per node,
     distance counted from the nearest start node. ``start_ids`` may be a
-    one-column DataFrame or a list of id strings.
+    one-column DataFrame or a list of id strings. ``with_ord=True``
+    prepends an ``ord`` rank column materializing the deterministic
+    (distance, unique_id) output ordering (O4, reference graph.py:74-75
+    — the rank is DATA so an order-insensitive comparison still verifies
+    it): free in the local path (rows are produced sorted), one
+    single-partition ``row_number`` window in the distributed path
+    (bounded: BFS closures are frontier-sized, not corpus-sized).
 
     Adaptive execution: small edge tables run a driver-side BFS (zero
     Spark jobs per level); large ones run the distributed iterative-join
@@ -69,15 +76,19 @@ def bfs(
     max_depth = max(0, min(int(max_depth), 10))  # reference clamps depth ≤ 10
     if n_edges is not None:
         if n_edges > LOCAL_BFS_EDGE_LIMIT:
-            return _bfs_distributed(edges, start_ids, direction, max_depth, exclude_start)
-        return _bfs_local(edges, start_ids, direction, max_depth, exclude_start)
+            return _bfs_distributed(
+                edges, start_ids, direction, max_depth, exclude_start, with_ord
+            )
+        return _bfs_local(edges, start_ids, direction, max_depth, exclude_start, with_ord)
     edges_c = edges.persist()
     try:
         if edges_c.count() > LOCAL_BFS_EDGE_LIMIT:
             # the loop materializes every level eagerly (isEmpty per
             # depth), so nothing lazily re-reads edges after return
-            return _bfs_distributed(edges_c, start_ids, direction, max_depth, exclude_start)
-        return _bfs_local(edges_c, start_ids, direction, max_depth, exclude_start)
+            return _bfs_distributed(
+                edges_c, start_ids, direction, max_depth, exclude_start, with_ord
+            )
+        return _bfs_local(edges_c, start_ids, direction, max_depth, exclude_start, with_ord)
     finally:
         edges_c.unpersist()
 
@@ -88,6 +99,7 @@ def _bfs_local(
     direction: str,
     max_depth: int,
     exclude_start: bool,
+    with_ord: bool = False,
 ) -> DataFrame:
     """Driver-side BFS: one collect of the (cached) edge list,
     pure-Python frontier expansion, one createDataFrame back out."""
@@ -117,7 +129,27 @@ def _bfs_local(
         ((u, d) for u, d in dist.items() if not (exclude_start and u in set(starts))),
         key=lambda t: (t[1], t[0]),
     )
-    return spark.createDataFrame(rows or [], "unique_id string, distance int")
+    # pandas + Arrow → LocalRelation: consumed JVM-side with no
+    # parallelize job and no Python-worker spin-up (the plain-list path
+    # costs ~1s of worker startup the first time a session touches it)
+    import pandas as pd
+
+    if with_ord:
+        # rows are already in (distance, id) order — the rank costs a
+        # Python enumerate, zero extra Spark work
+        ranked = [(i + 1, u, d) for i, (u, d) in enumerate(rows)]
+        schema = "ord long, unique_id string, distance int"
+        if not ranked:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(
+            pd.DataFrame(ranked, columns=["ord", "unique_id", "distance"]), schema
+        )
+    schema = "unique_id string, distance int"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["unique_id", "distance"]), schema
+    )
 
 
 def _bfs_distributed(
@@ -126,6 +158,7 @@ def _bfs_distributed(
     direction: str,
     max_depth: int,
     exclude_start: bool,
+    with_ord: bool = False,
 ) -> DataFrame:
     """Iterative-join BFS for edge tables too big to collect: per level,
     frontier ⋈ edges (the frontier side is broadcast — it is always the
@@ -156,6 +189,13 @@ def _bfs_distributed(
     out = visited
     if exclude_start:
         out = out.join(F.broadcast(start_ids.select("unique_id")), "unique_id", "left_anti")
+    if with_ord:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy("distance", "unique_id")
+        return out.select(
+            F.row_number().over(w).cast("bigint").alias("ord"), "unique_id", "distance"
+        )
     return out.orderBy("distance", "unique_id")
 
 

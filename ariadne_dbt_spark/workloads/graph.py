@@ -27,20 +27,6 @@ _EDGE_SQL = """
 """
 
 
-def _with_ord(bfs_out: DataFrame) -> DataFrame:
-    """Materialize the engine's (distance, unique_id) output ordering as
-    an ``ord`` rank column — the driver's value hash is row-order
-    insensitive, so O4 (deterministic ordering, reference graph.py:74-75)
-    is only hash-verifiable as data. The single-partition window is fine
-    here: BFS closures at metadata scale are thousands of rows."""
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("distance", "unique_id")
-    return bfs_out.select(
-        F.row_number().over(w).cast("bigint").alias("ord"), "unique_id", "distance"
-    )
-
-
 def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge list ``(parent_id, child_id)`` — reference G8 edge construction
     (indexer.py:447-456): explode parent_map with prefixed kind ids."""
@@ -83,7 +69,7 @@ def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bfs_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = hierarchy_edges(spark, sf_dir)
-    return _with_ord(bfs(edges, ["region.3"], DOWNSTREAM, max_depth=2))
+    return bfs(edges, ["region.3"], DOWNSTREAM, max_depth=2, with_ord=True)
 
 
 @query(
@@ -109,7 +95,7 @@ def bfs_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bfs_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = hierarchy_edges(spark, sf_dir)
-    return _with_ord(bfs(edges, ["customer.7"], UPSTREAM, max_depth=10))
+    return bfs(edges, ["customer.7"], UPSTREAM, max_depth=10, with_ord=True)
 
 
 @query(

@@ -85,22 +85,28 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
     )
     # docstats = sum(tf) over the postings JUST WRITTEN — rolling up the
     # parquet re-read costs one tiny job; recomputing from the un-cached
-    # `docstats` plan would tokenize the whole corpus a second time
+    # `docstats` plan would tokenize the whole corpus a second time.
+    # Cached so the avgdl rollup below reads the aggregate, not a third
+    # pass over parquet.
     docstats = (
         spark.read.parquet(os.path.join(out, "postings"))
         .groupBy("unique_id", "field")
         .agg(F.sum("tf").alias("dl"))
+        .cache()
     )
-    docstats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "docstats"))
-    # corpus constants (n_docs, avgdl per field) are index metadata —
-    # persisting them here keeps the query path free of stats jobs
-    avgdl = {
-        r["field"]: r["avgdl"]
-        for r in spark.read.parquet(os.path.join(out, "docstats"))
-        .groupBy("field")
-        .agg(F.avg("dl").alias("avgdl"))
-        .collect()
-    }
+    try:
+        # corpus constants (n_docs, avgdl per field) are index metadata —
+        # persisting them here keeps the query path free of stats jobs.
+        # The avgdl aggregate runs FIRST: it materializes the cache with
+        # full parallelism, so the coalesce(1) write below reads cached
+        # blocks instead of computing the rollup in its single task.
+        avgdl = {
+            r["field"]: r["avgdl"]
+            for r in docstats.groupBy("field").agg(F.avg("dl").alias("avgdl")).collect()
+        }
+        docstats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "docstats"))
+    finally:
+        docstats.unpersist()
     with open(done, "w") as f:
         json.dump({"n_docs": n_docs, "avgdl": avgdl}, f)
     return out

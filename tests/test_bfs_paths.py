@@ -51,3 +51,19 @@ def test_cycle_terminates(spark):
     assert out == [("b", 1), ("c", 2)]
     out2 = _norm(_bfs_distributed(edf, ["a"], DOWNSTREAM, 10, True))
     assert out == out2
+
+
+def test_paths_agree_with_ord(spark):
+    """with_ord ranks identically on both paths: the local path
+    enumerates its sorted rows, the distributed path ranks via
+    row_number — byte-identical (ord, unique_id, distance) triples."""
+    import random
+
+    rnd = random.Random(11)
+    edges = {(f"n{rnd.randrange(40)}", f"n{rnd.randrange(40)}") for _ in range(120)}
+    edf = spark.createDataFrame(sorted(edges), "parent_id string, child_id string")
+    local = _bfs_local(edf, ["n0", "n1"], DOWNSTREAM, 4, True, True).collect()
+    dist = _bfs_distributed(edf, ["n0", "n1"], DOWNSTREAM, 4, True, True).collect()
+    as_triples = lambda rows: [(r.ord, r.unique_id, r.distance) for r in rows]
+    assert as_triples(local) == as_triples(dist)
+    assert [r.ord for r in local] == list(range(1, len(local) + 1))
