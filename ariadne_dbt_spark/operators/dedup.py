@@ -463,3 +463,59 @@ def decontamination_flags(
         F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
     )
+
+
+def incremental_near_dup_flags(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental ingestion dedup: flag each BATCH doc that is an exact
+    or near duplicate (word-n-gram Jaccard ≥ threshold) of any EXISTING
+    corpus doc — ``(id, n_dups, max_jaccard, is_dup)`` for every batch
+    doc, without ever comparing existing docs to each other.
+
+    This is the production shape for continuously-ingested corpora: the
+    existing side contributes only its posting list (at scale it is
+    prebuilt and persisted — the same postings the full-corpus dedup
+    already maintains), the batch side is orders of magnitude smaller,
+    so the shingle equi-join is batch-bounded: cost ∝ batch postings ×
+    per-shingle document frequency, never corpus². Batch-internal pairs
+    are deliberately out of scope here — run ``ngram_jaccard_pairs`` on
+    the batch itself (tiny) for those.
+
+    Jaccard from integer counts (|A∪B| = |A|+|B|-|A∩B|) → deterministic,
+    SQL-oracle-exact.
+    """
+    sh_b = shingle_sets(batch, id_col, text_col, n)
+    sh_e = shingle_sets(existing, id_col, text_col, n)
+    inter = (
+        sh_b.select(F.col("id").alias("b_id"), "shingle", F.col("sz").alias("sz_b"))
+        .join(
+            sh_e.select(F.col("id").alias("e_id"), "shingle", F.col("sz").alias("sz_e")),
+            "shingle",
+        )
+        .groupBy("b_id", "e_id", "sz_b", "sz_e")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_b") + F.col("sz_e") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    per_doc = inter.groupBy("b_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+    ids = batch.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(per_doc, ids.id == per_doc.b_id, "left").select(
+        "id",
+        F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        "max_jaccard",
+        (F.coalesce("n_dups", F.lit(0)) > 0).alias("is_dup"),
+    )

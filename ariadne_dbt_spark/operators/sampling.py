@@ -130,3 +130,46 @@ def pack_sequences(
     return sized.groupBy("bucket").applyInPandas(
         pack, "id bigint, bucket int, pack_id bigint, n_tokens int"
     )
+
+
+def temperature_mixing(
+    df: DataFrame,
+    source_col: str,
+    *,
+    tau: float = 0.7,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights for multi-source training
+    corpora: ``(source, n_docs, weight_millionths, target_docs)`` where
+    weight_i = n_i^tau / Σ_j n_j^tau.
+
+    tau < 1 up-weights small sources relative to proportional sampling
+    (tau=1 ≡ natural mix, tau=0 ≡ uniform) — the standard recipe for
+    balancing dominant web crawl against small high-quality sources.
+    One groupBy + a broadcast total join. Float discipline (the oracle
+    hash-compares values): weights round to 6 decimals, which absorbs
+    any last-ULP divergence between engines' ``pow``; tau=0.5 is exact
+    everywhere (IEEE sqrt is correctly rounded, unlike general pow), so
+    oracle-gated workloads pin that setting. ``target_docs`` is the
+    rounded per-source quota for a ``budget``-doc epoch — feed it
+    straight into ``stratified_quota_sample``'s quotas.
+    """
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    powered = counts.withColumn(
+        "_p", F.pow(F.col("n_docs").cast("double"), F.lit(float(tau)))
+    )
+    total = powered.agg(F.sum("_p").alias("_tot"))
+    return (
+        powered.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_p") / F.col("_tot"), 6).alias("weight"),
+            F.round(F.col("_p") / F.col("_tot") * F.lit(float(budget)))
+            .cast("bigint")
+            .alias("target_docs"),
+        )
+        .orderBy("source")
+    )

@@ -359,3 +359,91 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontamination_flags(
         train, bench, "doc_id", "text", n=3, min_hits=5
     ).select(F.col("id").alias("doc_id"), "n_hits", "contaminated")
+
+
+# -- incremental (batch-vs-corpus) dedup -------------------------------------
+# Existing corpus = even doc_ids; incoming batch = odd doc_ids UNION
+# near-dup mutations of every 20th even doc (first word dropped,
+# id+2000000) — so the batch contains both genuinely-new docs and docs
+# that collide with the existing corpus. Both engines build the
+# identical split, making the per-batch-doc flags exactly checkable.
+_SHINGLE_SQL = """
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1) AS toks
+        FROM {src}
+"""
+
+
+@query(
+    "incremental_dedup_flags",
+    oracle=f"""
+    WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               substring(text, strpos(text, ' ') + 1) AS text
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    etoks AS ({_SHINGLE_SQL.format(src="existing")}),
+    btoks AS ({_SHINGLE_SQL.format(src="batch")}),
+    esh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM etoks)
+    ),
+    bsh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM btoks)
+    ),
+    esz AS (SELECT doc_id, COUNT(*) AS sz FROM esh GROUP BY 1),
+    bsz AS (SELECT doc_id, COUNT(*) AS sz FROM bsh GROUP BY 1),
+    inter AS (
+        SELECT b.doc_id AS b_id, e.doc_id AS e_id, COUNT(*) AS inter
+        FROM bsh b JOIN esh e ON b.shingle = e.shingle
+        GROUP BY 1, 2
+    ),
+    hits AS (
+        SELECT i.b_id, COUNT(*) AS n_dups,
+               ROUND(MAX(CAST(i.inter AS DOUBLE)
+                         / CAST(bz.sz + ez.sz - i.inter AS DOUBLE)), 6) AS max_jaccard
+        FROM inter i
+        JOIN bsz bz ON bz.doc_id = i.b_id
+        JOIN esz ez ON ez.doc_id = i.e_id
+        WHERE CAST(i.inter AS DOUBLE) / CAST(bz.sz + ez.sz - i.inter AS DOUBLE) >= 0.8
+        GROUP BY 1
+    )
+    SELECT b.doc_id AS id,
+           CAST(COALESCE(h.n_dups, 0) AS BIGINT) AS n_dups,
+           h.max_jaccard,
+           COALESCE(h.n_dups, 0) > 0 AS is_dup
+    FROM (SELECT DISTINCT doc_id FROM batch) b
+    LEFT JOIN hits h ON h.b_id = b.doc_id
+    ORDER BY id
+    """,
+    survey="dedup-incremental",
+    doc="Incremental ingestion dedup: flag each incoming-batch doc that "
+    "near-duplicates (Jaccard >= 0.8 on word 3-grams) any EXISTING "
+    "corpus doc — batch-bounded cost, the existing side contributes "
+    "only its (persistable) posting list; planted mutations of even "
+    "docs must flag, genuinely-new odd docs must not.",
+)
+def incremental_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import incremental_near_dup_flags
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).union(
+        docs.where(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    return incremental_near_dup_flags(
+        existing, batch, "doc_id", "text", n=3, threshold=0.8
+    ).orderBy("id")

@@ -130,3 +130,30 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "text", max_tokens=256, n_buckets=8).select(
         F.col("id").alias("doc_id"), "bucket", "pack_id", "n_tokens"
     )
+
+
+@query(
+    "temperature_mixing_weights",
+    oracle="""
+    WITH counts AS (SELECT lang AS source, COUNT(*) AS n_docs
+                    FROM documents GROUP BY 1),
+    powered AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS p FROM counts),
+    tot AS (SELECT SUM(p) AS t FROM powered)
+    SELECT source, n_docs,
+           ROUND(p / t, 6) AS weight,
+           CAST(ROUND(p / t * 100000) AS BIGINT) AS target_docs
+    FROM powered CROSS JOIN tot
+    ORDER BY source
+    """,
+    survey="sampling-mixing",
+    doc="Temperature-scaled source mixing (tau=0.5 -> sqrt, IEEE-exact "
+    "across engines): per-language weights n^tau / sum(n^tau) and the "
+    "per-source doc quota for a 100k-doc epoch. tau<1 up-weights small "
+    "sources vs the natural mix — the standard multi-source balancing "
+    "recipe; quotas feed stratified_quota_sample directly.",
+)
+def temperature_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sampling import temperature_mixing
+
+    docs = documents(spark, sf_dir)
+    return temperature_mixing(docs, "lang", tau=0.5, budget=100_000)

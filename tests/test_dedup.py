@@ -267,3 +267,26 @@ def test_ngram_jaccard_cache_lifecycle(spark, corpus):
     assert after <= base + 1, f"cache leak: {after - base} persistent RDDs added"
     out.unpersist()
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_incremental_near_dup_flags(spark):
+    from ariadne_dbt_spark.operators.dedup import incremental_near_dup_flags
+
+    existing = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog today"),
+         (4, "completely different text about database engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "quick brown fox jumps over the lazy dog today"),   # near-dup of 2
+         (3, "an entirely novel document about spark shuffles"),  # clean
+         (5, "xy")],                                              # < n tokens -> clean
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in incremental_near_dup_flags(
+        existing, batch, "doc_id", "text", n=3, threshold=0.5
+    ).collect()}
+    assert set(rows) == {1, 3, 5}          # one row per batch doc, never existing
+    assert rows[1].is_dup and rows[1].n_dups == 1 and rows[1].max_jaccard > 0.5
+    assert not rows[3].is_dup and rows[3].n_dups == 0 and rows[3].max_jaccard is None
+    assert not rows[5].is_dup

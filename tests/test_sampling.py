@@ -100,3 +100,25 @@ def test_pack_sequences_greedy_invariants(spark):
     assert b0[24] != b0[16] and b0[32] != b0[24]  # 80+300 > 256 -> separate
     # bucket isolation: doc 1 lives in bucket 1's (bucket << 44) pack-id space
     assert next(r.pack_id for r in rows if r.id == 1) >= (1 << 44)
+
+
+def test_temperature_mixing_limits(spark):
+    """tau=1 reproduces the natural mix; tau=0 is uniform; weights sum
+    to ~1 and quotas to ~budget."""
+    from ariadne_dbt_spark.operators.sampling import temperature_mixing
+
+    rows = [(i, "web" if i < 90 else ("books" if i < 99 else "code")) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    nat = {r.source: r for r in temperature_mixing(df, "source", tau=1.0, budget=1000).collect()}
+    assert nat["web"].weight == 0.9 and nat["web"].target_docs == 900
+    assert nat["books"].weight == 0.09 and nat["code"].weight == 0.01
+
+    uni = {r.source: r for r in temperature_mixing(df, "source", tau=0.0, budget=900).collect()}
+    assert all(abs(r.weight - 1 / 3) < 1e-5 for r in uni.values())
+    assert sum(r.target_docs for r in uni.values()) == 900
+
+    # tau=0.5 sits between: small sources up-weighted vs natural
+    mid = {r.source: r for r in temperature_mixing(df, "source", tau=0.5).collect()}
+    assert nat["code"].weight < mid["code"].weight < uni["code"].weight
+    assert abs(sum(r.weight for r in mid.values()) - 1.0) < 1e-5
