@@ -267,7 +267,8 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
 
     Pure column ops — the timestamp grid comes from the metadata, not the
     payload, so this stage never deserializes video bytes; the downstream
-    decode stage (stubbed) receives (asset_id, frame_ts) work units.
+    decode stage (real for PNG/WAV, stubbed for video — module
+    docstring) receives (asset_id, frame_ts) work units.
     """
     vids = df.where(F.col("kind") == "video")
     grid = F.sequence(

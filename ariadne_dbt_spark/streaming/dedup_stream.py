@@ -1,0 +1,98 @@
+"""Streaming exact deduplication (training-pipeline streaming twin).
+
+Continuously-ingested corpora dedup AT INGEST, not in nightly batches:
+``dedup_docs_stream`` reads a document stream, fingerprints normalized
+text (the same md5 normalization the batch ``exact_duplicates`` uses),
+and keeps only the first occurrence per fingerprint via Spark's
+``dropDuplicatesWithinWatermark`` — the bounded-state streaming dedup
+operator: fingerprint state is dropped once the event-time watermark
+passes, so state size is (dup-window × ingest rate), not corpus size.
+That is the only viable shape at 100 TB: an unbounded ``dropDuplicates``
+would accumulate every fingerprint ever seen in the state store, while
+the watermark bound matches the real-world contract (duplicate bursts —
+re-crawls, retries, mirror posts — cluster in time; cross-epoch dedup is
+the batch pipeline's job, operators/dedup.py).
+
+The gate drives it over the static corpus (clones injected IN-stream so
+the stream and the SQL oracle construct the identical corpus) and checks
+the deduped output against the batch distinct-fingerprint truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.text import fingerprint_md5
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def dedup_docs_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    *,
+    watermark: str = "60 seconds",
+    path_glob: str | None = None,
+    clone_every: int = 10,
+) -> DataFrame:
+    """readStream(documents parquet) → in-stream clone injection (every
+    ``clone_every``-th doc re-appears under id+1000000 — gate corpus
+    construction; pass 0 to disable) → normalized-md5 fingerprint →
+    event-time watermark → ``dropDuplicatesWithinWatermark`` on the
+    fingerprint. Returns the streaming DataFrame of KEPT (first-seen)
+    docs.
+
+    Event time is derived deterministically as ``1000 + doc_id % 20``
+    seconds from epoch — clones (+1000000 ≡ 0 mod 20) share their
+    original's event time, so original and clone are always inside one
+    watermark window and the dedup decision is deterministic. The
+    constant offset keeps every event strictly ABOVE the query's initial
+    watermark (epoch 0): a row sitting exactly on the watermark is
+    discarded as late, which silently dropped the ``ts = 0`` cohort in
+    an earlier version.
+    """
+    reader = spark.readStream.schema(DOCS_SCHEMA).option("maxFilesPerTrigger", 16)
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.parquet(docs_dir).select("doc_id", "text")
+    if clone_every:
+        both = F.when(
+            F.col("doc_id") % clone_every == 0,
+            F.array(
+                F.struct(F.col("doc_id"), F.col("text")),
+                F.struct((F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")),
+            ),
+        ).otherwise(F.array(F.struct(F.col("doc_id"), F.col("text"))))
+        stream = stream.select(F.explode(both).alias("r")).select("r.doc_id", "r.text")
+    fp = stream.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fingerprint"),
+        F.timestamp_seconds(F.lit(1000) + F.pmod(F.col("doc_id"), F.lit(20))).alias("ts"),
+    )
+    return fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+
+
+def run_dedup_stream_once(
+    spark: SparkSession,
+    docs_dir: str,
+    *,
+    path_glob: str | None = "documents.parquet",
+    query_name: str = "stream_dedup_kept",
+) -> DataFrame:
+    """Drive the streaming dedup over everything currently in
+    ``docs_dir`` (memory sink), return the kept docs as a batch frame."""
+    out = dedup_docs_stream(spark, docs_dir, path_glob=path_glob)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -3,9 +3,11 @@
 table derived from `documents`, with a DuckDB oracle that re-computes
 every output value independently.
 
-The decode stage is the disclosed stub (`fake=True`: feature[i] =
-byte_i(sha256(payload)) / 255 — deterministic, engine-independent), so
-the oracle can reproduce the features exactly via DuckDB's sha256():
+This gate workload runs the deterministic `fake=True` decode
+(feature[i] = byte_i(sha256(payload)) / 255 — engine-independent), so
+the oracle can reproduce the features exactly via DuckDB's sha256()
+(REAL PNG/WAV decodes run in tests/test_multimodal_decode.py through
+the same mapInPandas stage with `fake=False`):
 payload is the UTF-8 text bytes on both sides. What this verifies is
 the part that matters at 100 TB — the mapInPandas schema/batching, the
 payload-metadata split, and the frame-sampling plan that derives work
@@ -72,7 +74,8 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="multimodal",
     doc="Asset table from documents → Arrow mapInPandas feature "
-    "extraction (stubbed decode, real plumbing) + metadata-only frame "
+    "extraction (deterministic fake decode for oracle parity; real "
+    "PNG/WAV decode pytest-pinned) + metadata-only frame "
     "sampling; per-asset features/frame counts re-derived by the oracle.",
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -342,3 +342,50 @@ def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("k")
     )
+
+
+# Streaming exact dedup: the at-ingest twin of exact_dedup_groups. The
+# kept-row IDENTITY depends on arrival order (any member of a dup group
+# may be first-seen), so the oracle checks the arrival-independent
+# contract: exactly ONE survivor per distinct fingerprint, every
+# fingerprint covered.
+@query(
+    "stream_dedup_kept",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    fps AS (
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM corpus
+    )
+    SELECT CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_kept,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_input
+    FROM fps
+    """,
+    survey="dedup-streaming,§2.11",
+    doc="Streaming exact dedup via dropDuplicatesWithinWatermark "
+    "(bounded fingerprint state): a REAL stream with in-stream clone "
+    "injection; kept rows = exactly one survivor per distinct "
+    "normalized fingerprint.",
+)
+def stream_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.streaming.dedup_stream import run_dedup_stream_once
+
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    kept = run_dedup_stream_once(spark, sf_dir, query_name="wl_stream_dedup")
+    total = documents_corpus_size(spark, sf_dir)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("fingerprint").alias("n_unique_fp"),
+        F.lit(total).cast("bigint").alias("n_input"),
+    )
+
+
+def documents_corpus_size(spark: SparkSession, sf_dir: str) -> int:
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    n = docs.count()
+    return n + docs.where(F.col("doc_id") % 10 == 0).count()
