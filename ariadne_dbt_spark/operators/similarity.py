@@ -101,16 +101,20 @@ def lsh_topk(
     min_candidates: int | None = None,
 ) -> DataFrame:
     """Approximate top-k with MULTI-PROBE widening: probe the query's
-    bucket first, then neighboring buckets in increasing Hamming distance
-    (deterministic tie-break on bucket id) until the probed buckets hold
-    at least ``min_candidates`` vectors (default ``max(8*k, 128)``), then
+    bucket first, then whole Hamming-distance shells of neighboring
+    buckets in increasing distance until the probed shells hold at least
+    ``min_candidates`` vectors (default ``max(8*k, 128)``), then
     exact-cosine re-rank inside the probed set only.
 
     Never returns empty when the corpus is non-empty: in the worst case
-    the probe set widens to every bucket (= brute force). The bucket
-    histogram used to pick the probe radius is tiny (≤ 2^n_planes rows),
-    so the driver-side widening decision costs one cheap aggregate —
-    the expensive exact re-rank still touches only probed buckets.
+    the probe radius widens to ``n_planes`` (= brute force). The
+    widening decision collects a histogram of vector counts PER HAMMING
+    DISTANCE from the query bucket — at most ``n_planes + 1`` rows,
+    independent of corpus size and bucket count (an earlier per-bucket
+    histogram collected up to 2^n_planes rows and filtered with a
+    bucket-id literal list, both of which stop scaling once the plane
+    count grows) — and the probe filter is one scalar
+    ``bit_count(bucket XOR query_bucket) <= radius`` predicate.
     """
     dim = len(query_vec)
     spark = embeddings.sparkSession
@@ -121,16 +125,21 @@ def lsh_topk(
     sigged = embeddings.withColumn(
         "_b", lsh_bucket_signature(F.col(vec_col), dim, n_planes=n_planes)
     )
-    # tiny histogram (≤ 2^n_planes rows) drives the probe-radius choice
-    hist = {r["_b"]: r["cnt"] for r in sigged.groupBy("_b").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    by_dist = sorted(hist.items(), key=lambda kv: (bin(kv[0] ^ bucket).count("1"), kv[0]))
-    probed, total = [], 0
-    for b, cnt in by_dist:
-        probed.append(b)
-        total += cnt
+    hdist = F.bit_count(F.col("_b").bitwiseXOR(F.lit(bucket)))
+    # ≤ n_planes+1 rows regardless of corpus/bucket count
+    shell = {
+        r["d"]: r["cnt"]
+        for r in sigged.groupBy(hdist.alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total, radius = 0, n_planes
+    for d in range(n_planes + 1):
+        total += shell.get(d, 0)
         if total >= target:
+            radius = d
             break
-    cand = sigged.where(F.col("_b").isin(probed))
+    cand = sigged.where(hdist <= radius)
     return brute_force_topk(cand, query_vec, id_col=id_col, vec_col=vec_col, k=k)
 
 

@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from ariadne_dbt_spark.operators.similarity import (
     brute_force_topk,
-    lsh_bucket_signature,
     pairwise_near_duplicates,
 )
 from ariadne_dbt_spark.session import table_path

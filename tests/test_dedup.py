@@ -290,3 +290,50 @@ def test_incremental_near_dup_flags(spark):
     assert rows[1].is_dup and rows[1].n_dups == 1 and rows[1].max_jaccard > 0.5
     assert not rows[3].is_dup and rows[3].n_dups == 0 and rows[3].max_jaccard is None
     assert not rows[5].is_dup
+
+
+def test_incremental_flags_agree_with_full_pairs(spark):
+    """Cross-validation: flagging a batch against an existing corpus must
+    agree exactly with running the FULL pairwise near-dup computation on
+    existing ∪ batch and keeping only the cross (batch × existing) pairs
+    — same threshold, same shingles, per-doc n_dups/max_jaccard equal."""
+    from ariadne_dbt_spark.operators.dedup import (
+        incremental_near_dup_flags,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).union(
+        docs.where(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    flags = {
+        r.id: r
+        for r in incremental_near_dup_flags(
+            existing, batch, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    full = ngram_jaccard_pairs(
+        existing.union(batch), "doc_id", "text", n=3, threshold=0.8
+    )
+    existing_ids = {r.doc_id for r in existing.collect()}
+    batch_ids = set(flags)
+    cross: dict[int, list[float]] = {}
+    for r in full.collect():
+        for b, e in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            if b in batch_ids and e in existing_ids:
+                cross.setdefault(b, []).append(r.jaccard)
+    full.unpersist()
+    assert any(v for v in cross.values())  # planted mutations produce hits
+    for bid, row in flags.items():
+        expected = cross.get(bid, [])
+        assert row.n_dups == len(expected), bid
+        if expected:
+            assert row.max_jaccard == round(max(expected), 6)
+        else:
+            assert row.max_jaccard is None and not row.is_dup
