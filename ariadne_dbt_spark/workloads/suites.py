@@ -210,6 +210,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "decontamination_check",
             {"doc_id": "bigint", "n_hits": "bigint", "contaminated": "boolean"},
         ),
+        (
+            "incremental",
+            "incremental_dedup_flags",
+            {
+                "id": "bigint",
+                "n_dups": "bigint",
+                "max_jaccard": "double",
+                "is_dup": "boolean",
+            },
+        ),
     ],
     "relational_point_suite": [
         (
@@ -331,6 +341,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "sequence_packing",
             {"doc_id": "bigint", "bucket": "int", "pack_id": "bigint", "n_tokens": "int"},
         ),
+        (
+            "mixing",
+            "temperature_mixing_weights",
+            {
+                "source": "string",
+                "n_docs": "bigint",
+                "weight": "double",
+                "target_docs": "bigint",
+            },
+        ),
     ],
     "doc_profile_suite": [
         (
@@ -378,6 +398,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "payload_len": "bigint",
                 "n_frames": "bigint",
             },
+        ),
+        (
+            "stream_dedup",
+            "stream_dedup_kept",
+            {"n_kept": "bigint", "n_unique_fp": "bigint", "n_input": "bigint"},
         ),
     ],
 }
