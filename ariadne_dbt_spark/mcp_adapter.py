@@ -106,26 +106,31 @@ def serve_mcp(server: ToolServer, *, transport: str = "stdio") -> None:
 
 # -- minimal stdio MCP server (no third-party deps) --------------------------
 
-_JSON_TYPES = {str: "string", int: "integer", float: "number", bool: "boolean"}
-
-
 def tool_input_schema(server: ToolServer, tool_name: str) -> dict:
     """JSON Schema for one tool's arguments, derived from the ToolServer
     method signature (Optional/union annotations reduce to their first
-    scalar member; parameters without defaults are required)."""
+    non-None member; ``list[...]`` parameters become JSON arrays of
+    their element type — a client following a scalar schema would send
+    "fct_orders" where a list is expected and the tool would iterate it
+    character-by-character; parameters without defaults are required)."""
     sig = inspect.signature(getattr(server, tool_name))
     props: dict[str, dict] = {}
     required: list[str] = []
+    scalar = {"str": "string", "int": "integer", "float": "number", "bool": "boolean"}
     for pname, p in sig.parameters.items():
         if pname == "self":
             continue
-        jtype = "string"
         ann = p.annotation
-        for py, js in _JSON_TYPES.items():
-            if ann is py or (isinstance(ann, str) and ann.startswith(py.__name__)):
-                jtype = js
-                break
-        props[pname] = {"type": jtype}
+        ann_s = ann if isinstance(ann, str) else getattr(ann, "__name__", str(ann))
+        ann_s = ann_s.split("|")[0].strip()  # "list[str] | None" -> "list[str]"
+        if ann_s.startswith("list"):
+            inner = ann_s[5:-1].strip() if "[" in ann_s else "str"
+            props[pname] = {
+                "type": "array",
+                "items": {"type": scalar.get(inner, "string")},
+            }
+        else:
+            props[pname] = {"type": scalar.get(ann_s, "string")}
         if p.default is inspect.Parameter.empty:
             required.append(pname)
     schema: dict = {"type": "object", "properties": props}

@@ -235,7 +235,12 @@ def _jaccard_pairs_prefix(
     # verification join below; aggregating by id_a alone dedups the same
     # pairs while leaving the frame partitioned exactly how that join
     # wants it (sh is already id-hash-partitioned from the shingle
-    # build), eliminating one exchange from the hot path.
+    # build), eliminating one exchange from the hot path. Trade-off:
+    # one doc's candidate set becomes a single aggregation-buffer array
+    # (unbounded by partitioning), so run exact dedup FIRST — standard
+    # pipeline order — to collapse clone clusters, which are the only
+    # way one doc accrues pathological candidate counts; a doc's
+    # organic near-dup candidates are prefix-filter bounded.
     cand = (
         a.join(b, "shingle")
         .where(

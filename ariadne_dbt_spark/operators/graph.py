@@ -162,13 +162,24 @@ def _bfs_distributed(
 ) -> DataFrame:
     """Iterative-join BFS for edge tables too big to collect: per level,
     frontier ⋈ edges (the frontier side is broadcast — it is always the
-    small side), anti-join the visited set, stop on empty frontier."""
+    small side), anti-join the visited set, stop on empty frontier.
+
+    Cache lifecycle: the per-level frontier/visited caches are scoped to
+    the call — the final result is cached and eagerly materialized
+    (which also guarantees nothing lazily re-reads ``edges`` after the
+    caller's `finally` releases it, even when the loop exits by
+    max_depth with a live frontier), then every intermediate is
+    unpersisted. The caller owns the (closure-sized) returned cache:
+    ``out.unpersist()`` when done — repeated lineage/impact calls in a
+    long-lived serving session would otherwise accumulate up to
+    max_depth+1 level caches per call."""
     spark = edges.sparkSession
     src, dst = ("parent_id", "child_id") if direction == DOWNSTREAM else ("child_id", "parent_id")
     if not isinstance(start_ids, DataFrame):
         start_ids = spark.createDataFrame([(s,) for s in start_ids], "unique_id string")
     visited = start_ids.select("unique_id").distinct().withColumn("distance", F.lit(0)).cache()
     frontier = visited
+    intermediates = [visited]
 
     for depth in range(1, max_depth + 1):
         nxt = (
@@ -180,10 +191,11 @@ def _bfs_distributed(
             .withColumn("distance", F.lit(depth))
             .cache()
         )
+        intermediates.append(nxt)
         if nxt.isEmpty():
-            nxt.unpersist()
             break
         visited = visited.union(nxt).cache()
+        intermediates.append(visited)
         frontier = nxt
 
     out = visited
@@ -193,10 +205,16 @@ def _bfs_distributed(
         from pyspark.sql.window import Window
 
         w = Window.orderBy("distance", "unique_id")
-        return out.select(
+        out = out.select(
             F.row_number().over(w).cast("bigint").alias("ord"), "unique_id", "distance"
         )
-    return out.orderBy("distance", "unique_id")
+    else:
+        out = out.orderBy("distance", "unique_id")
+    out = out.cache()
+    out.count()  # materialize THROUGH the level caches before they drop
+    for df in intermediates:
+        df.unpersist()
+    return out
 
 
 def neighbors(edges: DataFrame, node_id: str) -> DataFrame:

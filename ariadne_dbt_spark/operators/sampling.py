@@ -140,7 +140,7 @@ def temperature_mixing(
     budget: int = 1_000_000,
 ) -> DataFrame:
     """Temperature-scaled source-mixing weights for multi-source training
-    corpora: ``(source, n_docs, weight_millionths, target_docs)`` where
+    corpora: ``(source, n_docs, weight, target_docs)`` where
     weight_i = n_i^tau / Σ_j n_j^tau.
 
     tau < 1 up-weights small sources relative to proportional sampling

@@ -25,9 +25,10 @@ At 100 TB the incremental merge is the one operator whose physical form
 depends on the table format: on plain parquet it is anti-join + union +
 a rename-aside directory swap (what this executor does — the tmp write
 materializes before any rename, and the live dir is moved aside rather
-than deleted first, so a readable target exists at every step; the swap
-is crash-safe but not a single atomic operation — true atomicity needs a
-transactional table format); on Delta/Iceberg it
+than deleted first, so the data is recoverable at every step and the
+no-readable-target window shrinks to the instant between the two
+renames; crash-safe but not atomic — true atomicity and concurrent
+readers need a transactional table format); on Delta/Iceberg it
 becomes a native MERGE INTO, and date-partitioned models should prefer
 dynamic partition-overwrite (``insert_overwrite``) so only touched
 partitions rewrite.

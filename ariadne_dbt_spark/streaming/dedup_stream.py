@@ -27,6 +27,10 @@ from ariadne_dbt_spark.operators.text import fingerprint_md5
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
+#: gate-corpus clone modulus — every DEFAULT_CLONE_EVERY-th doc re-appears
+#: under id+1000000 (workloads derive input counts from this constant)
+DEFAULT_CLONE_EVERY = 10
+
 
 def dedup_docs_stream(
     spark: SparkSession,
@@ -34,7 +38,7 @@ def dedup_docs_stream(
     *,
     watermark: str = "60 seconds",
     path_glob: str | None = None,
-    clone_every: int = 10,
+    clone_every: int = DEFAULT_CLONE_EVERY,
 ) -> DataFrame:
     """readStream(documents parquet) → in-stream clone injection (every
     ``clone_every``-th doc re-appears under id+1000000 — gate corpus

@@ -124,9 +124,15 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_near_dups(spark, sf_dir)
-    return ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8).orderBy(
-        "id_a", "id_b"
-    )
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8)
+    # honor the operator's cache contract: the pair set is already
+    # materialized and tiny at gate scale, so hand it back as a
+    # LocalRelation and release the cached frame — repeated gate/bench
+    # invocations must not accumulate blocks in the session
+    pdf = pairs.toPandas()
+    pairs.unpersist()
+    out = spark.createDataFrame(pdf, "id_a bigint, id_b bigint, jaccard double")
+    return out.orderBy("id_a", "id_b")
 
 
 @query(

@@ -373,19 +373,25 @@ def json_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalized fingerprint.",
 )
 def stream_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ariadne_dbt_spark.streaming.dedup_stream import run_dedup_stream_once
+    from ariadne_dbt_spark.streaming.dedup_stream import (
+        DEFAULT_CLONE_EVERY,
+        run_dedup_stream_once,
+    )
 
     spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     kept = run_dedup_stream_once(spark, sf_dir, query_name="wl_stream_dedup")
-    total = documents_corpus_size(spark, sf_dir)
+    # input size = docs + injected clones, ONE aggregate job; the clone
+    # modulus is the operator's own constant so the two can't drift
+    # (the oracle SQL's % 10 is the remaining mirror, like every other
+    # derived-corpus oracle here)
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    total = docs.agg(
+        F.sum(
+            F.when(F.col("doc_id") % DEFAULT_CLONE_EVERY == 0, 2).otherwise(1)
+        ).alias("n")
+    ).first()["n"]
     return kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.countDistinct("fingerprint").alias("n_unique_fp"),
-        F.lit(total).cast("bigint").alias("n_input"),
+        F.lit(int(total)).cast("bigint").alias("n_input"),
     )
-
-
-def documents_corpus_size(spark: SparkSession, sf_dir: str) -> int:
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    n = docs.count()
-    return n + docs.where(F.col("doc_id") % 10 == 0).count()

@@ -67,3 +67,21 @@ def test_paths_agree_with_ord(spark):
     as_triples = lambda rows: [(r.ord, r.unique_id, r.distance) for r in rows]
     assert as_triples(local) == as_triples(dist)
     assert [r.ord for r in local] == list(range(1, len(local) + 1))
+
+
+def test_distributed_bfs_cache_lifecycle(spark):
+    """Level caches are scoped to the call: after consuming and
+    releasing the returned frame, no persistent RDDs remain (a serving
+    session doing repeated lineage calls must not accumulate
+    max_depth+1 blocks per call)."""
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    edf = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(30)], "parent_id string, child_id string"
+    )
+    out = _bfs_distributed(edf, ["n0"], DOWNSTREAM, 5, True)
+    assert out.count() == 5
+    after = jsc.getPersistentRDDs().size()
+    assert after <= base + 1, f"leaked {after - base} persistent RDDs"
+    out.unpersist()
+    assert jsc.getPersistentRDDs().size() <= base

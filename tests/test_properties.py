@@ -144,16 +144,20 @@ def test_pack_sequences_invariants(spark, texts, max_tokens):
     for members in packs.values():
         total = sum(m.n_tokens for m in members)
         assert total <= max_tokens or len(members) == 1
-    # greedy first-fit: the doc opening pack p+1 could not have fit in p
+    # greedy first-fit: replay the recurrence and assert the returned
+    # pack assignment matches it exactly (a doc opens pack p+1 iff it
+    # could not fit in p)
     by_bucket: dict[int, list] = {}
     for r in sorted(rows, key=lambda r: r.id):
         by_bucket.setdefault(r.bucket, []).append(r)
-    for seq in by_bucket.values():
-        fill = 0
+    for bucket, seq in by_bucket.items():
+        fill, pack = 0, 0
         for r in seq:
             if fill > 0 and fill + r.n_tokens > max_tokens:
+                pack += 1
                 fill = 0
             fill += r.n_tokens
+            assert r.pack_id == (bucket << 44) | pack, r
 
 
 @settings(max_examples=8, deadline=None)

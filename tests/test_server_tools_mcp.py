@@ -222,6 +222,12 @@ def test_mcp_stdio_real_handshake(server):
     assert sm["type"] == "object" and sm["properties"]["query"]["type"] == "string"
     assert sm["properties"]["limit"]["type"] == "integer"
     assert "query" in sm.get("required", [])
+    # list-typed params advertise as arrays (a scalar schema would make
+    # conformant clients send strings the tool iterates char-by-char)
+    cap = tools["get_context_capsule"]["inputSchema"]["properties"]
+    assert cap["entry_models"] == {"type": "array", "items": {"type": "string"}}
+    rules = tools["detect_antipatterns"]["inputSchema"]["properties"]["rules"]
+    assert rules["type"] == "array"
 
     call = resps[3]["result"]
     assert call["isError"] is False
