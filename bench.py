@@ -269,6 +269,14 @@ def main() -> None:
     latency = latency_section(spark)
 
     total = round(sum(times.values()), 3)
+    # host contention context: identical code has measured 27-60 s suite
+    # totals on this sandbox depending on load — record the 1-min load
+    # average so a reader can tell noise from regression (plan-shape
+    # audits in tests/test_plan_audit.py are the stable perf contract)
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-unix
+        load_1m = None
     print(
         json.dumps(
             {
@@ -277,6 +285,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "host_load_1m": load_1m,
                 "interactive_latency": latency,
             }
         )
