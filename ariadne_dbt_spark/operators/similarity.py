@@ -328,3 +328,52 @@ def pairwise_near_duplicates(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def topk_per_query(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch exact top-k: for EVERY query row, the k nearest corpus
+    vectors by cosine — ``(query_id, vec_id, cos_sim, rank)``.
+
+    Production retrieval scores query BATCHES, not one vector at a time
+    (the single-query functions re-scan the corpus per call). Shape: the
+    query set is the broadcast side of a nested-loop join (at 100 TB the
+    corpus scan happens ONCE for the whole batch), cosine is the same
+    JVM fold as the single-query path, and per-query top-k is a
+    ``row_number`` window over ``query_id`` — partial ranks prune in the
+    shuffle via the window group-limit optimization, so only ~k rows per
+    (query, partition) survive the exchange, never the full score
+    matrix. ``exclude_self`` drops corpus rows whose id equals the
+    query id (self-retrieval, for corpus-vs-itself joins).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cos_sim", cosine_similarity(F.col("_cv"), F.col("_qv"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -194,3 +194,39 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_near_duplicates(
         corpus, threshold=0.9, bands=3, planes_per_band=4
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT a.query_id, b.vec_id, {_COS_SQL} AS cs
+        FROM q a JOIN embeddings b ON b.vec_id <> a.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cs,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    survey="similarity-batch",
+    doc="Batch exact retrieval: top-5 cosine neighbors for EVERY query "
+    "in a deterministic query set (vec_id % 100 = 0), one corpus scan "
+    "for the whole batch (broadcast query side + per-query window "
+    "top-k with group-limit pruning) — the production shape; the "
+    "single-query functions re-scan per call.",
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.similarity import topk_per_query
+
+    emb = embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return topk_per_query(
+        emb, queries, k=5, exclude_self=True
+    ).orderBy("query_id", "rank")

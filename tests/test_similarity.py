@@ -154,3 +154,27 @@ def test_ivf_full_probe_equals_bruteforce(vectors):
     got = [r.vec_id for r in ivf_topk(corpus, q, k=5, n_centroids=4, nprobe=4, iters=2).collect()]
     bf = [r.vec_id for r in brute_force_topk(corpus, q, k=5).collect()]
     assert got == bf  # probing every cell degenerates to exact search
+
+
+def test_batch_topk_matches_single_query(vectors):
+    """topk_per_query must reproduce brute_force_topk per query, and the
+    plan must be one broadcast join + window (no per-query scans)."""
+    from ariadne_dbt_spark.operators.similarity import topk_per_query
+
+    rows = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    queries = vectors.where(F.col("vec_id").isin([0, 3, 101])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = topk_per_query(vectors, queries, k=5, exclude_self=True).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(batch, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 3, 101}
+    for qid, got in by_q.items():
+        want = brute_force_topk(vectors, rows[qid], k=5, exclude_self=qid).collect()
+        assert [r.vec_id for r in got] == [w.vec_id for w in want]
+        assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+        for g, w in zip(got, want):
+            assert abs(g.cos_sim - w.cos_sim) < 1e-6
+    plan = topk_per_query(vectors, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
