@@ -243,6 +243,15 @@ def main() -> None:
     if "--behavioral" in sys.argv:
         behavioral_main()
         return
+    # host contention at START (before this process generates load):
+    # identical code has measured 27-60 s suite totals on this sandbox —
+    # a pre-existing load average near the core count means the numbers
+    # below are contended; plan-shape audits (tests/test_plan_audit.py)
+    # are the stable perf contract
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-unix
+        load_1m = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -269,14 +278,6 @@ def main() -> None:
     latency = latency_section(spark)
 
     total = round(sum(times.values()), 3)
-    # host contention context: identical code has measured 27-60 s suite
-    # totals on this sandbox depending on load — record the 1-min load
-    # average so a reader can tell noise from regression (plan-shape
-    # audits in tests/test_plan_audit.py are the stable perf contract)
-    try:
-        load_1m = round(os.getloadavg()[0], 2)
-    except OSError:  # pragma: no cover - non-unix
-        load_1m = None
     print(
         json.dumps(
             {
