@@ -377,3 +377,75 @@ def topk_per_query(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 3,
+    train_mod: int = 1,
+) -> list[list[float]]:
+    """Persist a cell-partitioned IVF index: vectors written as parquet
+    PARTITIONED BY their Voronoi cell (``cell=<i>/`` directories), plus
+    the trained centroids as JSON metadata. Returns the centroids.
+
+    This is what makes the IVF pruning claim physical: a query that
+    probes ``nprobe`` of ``n_centroids`` cells compiles to a scan whose
+    ``PartitionFilters`` prune the other directories — the unprobed
+    (1 - nprobe/n_centroids) of the corpus is never READ, not merely
+    never ranked (asserted on the executed plan in tests). Assignment is
+    the same map-only broadcast-literal expression as ``ivf_topk``.
+    """
+    import json
+    import os
+
+    centroids = ivf_train_centroids(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        iters=iters,
+        train_mod=train_mod,
+    )
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _assign_col(F.col(vec_col), centroids).alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_query_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Serve one query from a persisted IVF index: pick the ``nprobe``
+    cells nearest the query from the (tiny) centroid metadata, scan ONLY
+    those partitions (`cell IN (...)` → PartitionFilters), exact-cosine
+    re-rank inside them."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = json.load(f)
+
+    def d2(c: list[float]) -> float:
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    cand = vectors.where(F.col("cell").isin([int(p) for p in probe]))
+    return brute_force_topk(cand, query_vec, k=k)

@@ -178,3 +178,30 @@ def test_batch_topk_matches_single_query(vectors):
             assert abs(g.cos_sim - w.cos_sim) < 1e-6
     plan = topk_per_query(vectors, queries, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivf_persisted_index_prunes_partitions(vectors, tmp_path):
+    """The persisted IVF index makes pruning PHYSICAL: querying nprobe
+    cells compiles to a parquet scan whose PartitionFilters exclude the
+    unprobed cell directories, and results match the in-memory ivf_topk
+    at the same settings."""
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+
+    idx = str(tmp_path / "ivf")
+    centroids = ivf_build_index(vectors, idx, n_centroids=4, iters=2)
+    assert len(centroids) == 4
+
+    q = [float(x) for x in vectors.where(F.col("vec_id") == 0).first()["embedding"]]
+    served = ivf_query_index(vectors.sparkSession, idx, q, k=5, nprobe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+    got = [(r.vec_id, round(r.cos_sim, 6)) for r in served.collect()]
+    mem = ivf_topk(vectors, q, k=5, n_centroids=4, nprobe=2, iters=2, centroids=centroids)
+    want = [(r.vec_id, round(r.cos_sim, 6)) for r in mem.collect()]
+    assert got == want
+    assert got[0][0] == 0 or got[0][0] == 100  # self or planted twin leads
