@@ -117,11 +117,14 @@ def lsh_topk(
     ``bit_count(bucket XOR query_bucket) <= radius`` predicate.
     """
     dim = len(query_vec)
-    spark = embeddings.sparkSession
     target = min_candidates if min_candidates is not None else max(8 * k, 128)
-    qdf = spark.createDataFrame([(query_vec,)], "qv array<double>")
-    qsig = qdf.select(lsh_bucket_signature(F.col("qv"), dim, n_planes=n_planes).alias("b"))
-    bucket = qsig.collect()[0]["b"]
+    # the query's own signature needs no Spark job: same deterministic
+    # hyperplanes, plain-Python dot products (sign convention matches
+    # lsh_bucket_signature's `>= 0` exactly)
+    bucket = 0
+    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
+        if sum(float(x) * p for x, p in zip(query_vec, plane)) >= 0:
+            bucket |= 1 << i
     sigged = embeddings.withColumn(
         "_b", lsh_bucket_signature(F.col(vec_col), dim, n_planes=n_planes)
     )
