@@ -155,7 +155,14 @@ def handle_mcp_message(server: ToolServer, msg: dict) -> dict | None:
     which get no response per spec)."""
     method = msg.get("method")
     msg_id = msg.get("id")
-    if method and msg_id is None:
+    if not method:
+        # No method ⇒ either a malformed frame or a JSON-RPC RESPONSE
+        # from the client (result/error + id). The spec forbids replying
+        # to responses — answering with -32601 here risks an error loop
+        # with strict clients — so drop it; -32601 is reserved for
+        # genuine unknown-METHOD requests below.
+        return None
+    if msg_id is None:
         return None  # notification (e.g. notifications/initialized)
 
     def ok(result: dict) -> dict:

@@ -175,11 +175,21 @@ def ngram_jaccard_pairs(
             stats = dfreq.agg(
                 F.sum((F.col("df").cast("double") * (F.col("df") - 1)) / 2).alias("pair_mass"),
                 F.sum("df").alias("postings"),
+                F.max("df").alias("max_df"),
             ).first()
             if stats["pair_mass"] is not None and stats["pair_mass"] <= 50.0 * stats["postings"]:
                 out = _jaccard_pairs_count(sh, threshold)
             else:
-                out = _jaccard_pairs_prefix(sh, threshold, dfreq=dfreq)
+                # max_df rides on the dispatch action for free and upper-
+                # bounds any doc's candidate-set size (a clone cluster of
+                # size m makes every shared shingle's df ≥ m), proving
+                # the exchange-saving collect_set dedup safe — or not
+                out = _jaccard_pairs_prefix(
+                    sh,
+                    threshold,
+                    dfreq=dfreq,
+                    dedup_via_set=(stats["max_df"] or 0) <= _MAX_DF_FOR_SET_DEDUP,
+                )
         out = out.cache()
         out.count()  # materialize THROUGH the input caches before they drop
         return out
@@ -209,8 +219,20 @@ def _jaccard_pairs_count(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+#: collect_set candidate dedup is only proven safe when the corpus'
+#: hottest shingle df stays under this bound (a doc's candidate buffer is
+#: ≤ prefix_len × max_df rows of longs — ~8 MB at this cap); above it,
+#: fall back to distinct(), which costs one more exchange but never
+#: builds a per-doc array
+_MAX_DF_FOR_SET_DEDUP = 1_000_000
+
+
 def _jaccard_pairs_prefix(
-    sh: DataFrame, threshold: float, dfreq: DataFrame | None = None
+    sh: DataFrame,
+    threshold: float,
+    dfreq: DataFrame | None = None,
+    *,
+    dedup_via_set: bool | None = None,
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -237,20 +259,24 @@ def _jaccard_pairs_prefix(
     # wants it (sh is already id-hash-partitioned from the shingle
     # build), eliminating one exchange from the hot path. Trade-off:
     # one doc's candidate set becomes a single aggregation-buffer array
-    # (unbounded by partitioning), so run exact dedup FIRST — standard
-    # pipeline order — to collapse clone clusters, which are the only
-    # way one doc accrues pathological candidate counts; a doc's
-    # organic near-dup candidates are prefix-filter bounded.
-    cand = (
-        a.join(b, "shingle")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
-        )
-        .groupBy("id_a")
-        .agg(F.collect_set("id_b").alias("_ids"))
-        .select("id_a", F.explode("_ids").alias("id_b"))
+    # (unbounded by partitioning) that could OOM an executor if one doc
+    # sits in a huge clone cluster — so the array path runs only when
+    # PROVEN safe: the auto dispatcher passes dedup_via_set from a
+    # measured max-df probe (candidates/doc ≤ prefix_len × max_df, and a
+    # clone cluster of size m forces max_df ≥ m); callers that bypass
+    # the probe (dedup_via_set=None) get the safe distinct() shape.
+    raw_pairs = a.join(b, "shingle").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
     )
+    if dedup_via_set:
+        cand = (
+            raw_pairs.groupBy("id_a")
+            .agg(F.collect_set("id_b").alias("_ids"))
+            .select("id_a", F.explode("_ids").alias("id_b"))
+        )
+    else:
+        cand = raw_pairs.select("id_a", "id_b").distinct()
     # verification by COUNTING posting matches restricted to candidates —
     # |A∩B| = #{shingle : (id_a, shingle) ∈ sh ∧ (id_b, shingle) ∈ sh};
     # no arrays through the shuffle, cost Σ_cand |A|. Doc sizes ride on
@@ -470,14 +496,67 @@ def decontamination_flags(
     )
 
 
+#: shingle-hash partition fan-out for the persisted postings index —
+#: wide enough that a small batch's shingles hit a strict subset of
+#: directories (physical pruning), small enough that the per-partition
+#: file count stays manageable on object stores
+SHINGLE_INDEX_BUCKETS = 64
+
+
+def _shingle_bucket(n_buckets: int):
+    return F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)).cast("int")
+
+
+def build_shingle_index(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    n_buckets: int = SHINGLE_INDEX_BUCKETS,
+) -> dict:
+    """Persist the corpus' shingle postings as a queryable parquet index:
+    ``(id, shingle, sz)`` rows PARTITIONED BY ``bucket =
+    pmod(xxhash64(shingle), n_buckets)``, plus JSON metadata pinning the
+    shingle width. The incremental-dedup serving path
+    (:func:`incremental_near_dup_flags` with ``index_dir=``) then joins
+    each incoming batch against this index WITHOUT re-shingling the
+    corpus — and scans only the bucket directories the batch's own
+    shingles hash into (``bucket IN (...)`` → PartitionFilters, same
+    physical-pruning shape as ``ivf_build_index``; asserted on the
+    executed plan in tests/test_plan_audit.py).
+
+    This is the postings the full-corpus dedup already computes —
+    persisting them amortizes the shingle build across every future
+    batch (reference analog: the engine's own persisted FTS postings,
+    /root/reference/src/ariadne_dbt/schema.sql:202-210). Refresh by
+    re-running after appending accepted batch docs to the corpus, or
+    append-write the accepted batch's own postings with the identical
+    bucket expression.
+    """
+    import json
+    import os
+
+    sh = shingle_sets(df, id_col, text_col, n)
+    sh.withColumn("bucket", _shingle_bucket(n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(out_dir, "postings"))
+    meta = {"n": n, "n_buckets": n_buckets}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
 def incremental_near_dup_flags(
-    existing: DataFrame,
+    existing: DataFrame | None,
     batch: DataFrame,
     id_col: str,
     text_col: str,
     *,
     n: int = 3,
     threshold: float = 0.8,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: flag each BATCH doc that is an exact
     or near duplicate (word-n-gram Jaccard ≥ threshold) of any EXISTING
@@ -485,19 +564,55 @@ def incremental_near_dup_flags(
     doc, without ever comparing existing docs to each other.
 
     This is the production shape for continuously-ingested corpora: the
-    existing side contributes only its posting list (at scale it is
-    prebuilt and persisted — the same postings the full-corpus dedup
-    already maintains), the batch side is orders of magnitude smaller,
-    so the shingle equi-join is batch-bounded: cost ∝ batch postings ×
-    per-shingle document frequency, never corpus². Batch-internal pairs
-    are deliberately out of scope here — run ``ngram_jaccard_pairs`` on
-    the batch itself (tiny) for those.
+    existing side contributes only its posting list, the batch side is
+    orders of magnitude smaller, so the shingle equi-join is
+    batch-bounded: cost ∝ batch postings × per-shingle document
+    frequency, never corpus². Batch-internal pairs are deliberately out
+    of scope here — run ``ngram_jaccard_pairs`` on the batch itself
+    (tiny) for those.
+
+    Two sources for the existing side:
+
+    * ``existing=`` a DataFrame — postings are computed on the fly
+      (one-off comparisons, tests);
+    * ``index_dir=`` a :func:`build_shingle_index` directory — the SCALE
+      path: the corpus is never re-shingled; the scan is pruned to the
+      bucket partitions the batch's own shingles hash into (collected
+      driver-side — bounded by ``n_buckets``, never by data), so a small
+      batch physically reads a subset of the index.
 
     Jaccard from integer counts (|A∪B| = |A|+|B|-|A∩B|) → deterministic,
-    SQL-oracle-exact.
+    SQL-oracle-exact (identical results from both sources).
     """
+    if (existing is None) == (index_dir is None):
+        raise ValueError("pass exactly one of existing= or index_dir=")
     sh_b = shingle_sets(batch, id_col, text_col, n)
-    sh_e = shingle_sets(existing, id_col, text_col, n)
+    if index_dir is not None:
+        import json
+        import os
+
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        if meta["n"] != n:
+            raise ValueError(
+                f"index built with n={meta['n']}, queried with n={n}"
+            )
+        # the probe runs the batch shingle build once to learn which
+        # index partitions to read (≤ n_buckets values collected, never
+        # data-bounded); the final lazy plan recomputes the batch
+        # shingles — one extra batch-bounded pass, preferred over a
+        # caller-owned cache that could leak in a long-lived session
+        probe = sh_b.select(
+            _shingle_bucket(meta["n_buckets"]).alias("bucket")
+        ).distinct()
+        buckets = [int(r["bucket"]) for r in probe.collect()]
+        sh_e = (
+            batch.sparkSession.read.parquet(os.path.join(index_dir, "postings"))
+            .where(F.col("bucket").isin(buckets) if buckets else F.lit(False))
+            .select("id", "shingle", "sz")
+        )
+    else:
+        sh_e = shingle_sets(existing, id_col, text_col, n)
     inter = (
         sh_b.select(F.col("id").alias("b_id"), "shingle", F.col("sz").alias("sz_b"))
         .join(

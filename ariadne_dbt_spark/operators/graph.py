@@ -165,14 +165,16 @@ def _bfs_distributed(
     small side), anti-join the visited set, stop on empty frontier.
 
     Cache lifecycle: the per-level frontier/visited caches are scoped to
-    the call — the final result is cached and eagerly materialized
-    (which also guarantees nothing lazily re-reads ``edges`` after the
-    caller's `finally` releases it, even when the loop exits by
-    max_depth with a live frontier), then every intermediate is
-    unpersisted. The caller owns the (closure-sized) returned cache:
-    ``out.unpersist()`` when done — repeated lineage/impact calls in a
-    long-lived serving session would otherwise accumulate up to
-    max_depth+1 level caches per call."""
+    the call — the final result is eagerly materialized via
+    ``localCheckpoint(eager=True)`` (which also guarantees nothing
+    lazily re-reads ``edges`` after the caller's `finally` releases it,
+    even when the loop exits by max_depth with a live frontier), then
+    every intermediate is unpersisted. Unlike a returned ``.cache()``,
+    a local checkpoint's blocks are released by the ContextCleaner when
+    the DataFrame is garbage-collected — no caller-owned cache escapes
+    the call, so repeated lineage/impact calls in a long-lived serving
+    session cannot accumulate leaked closure caches even if a caller
+    never reads the docstring."""
     spark = edges.sparkSession
     src, dst = ("parent_id", "child_id") if direction == DOWNSTREAM else ("child_id", "parent_id")
     if not isinstance(start_ids, DataFrame):
@@ -210,8 +212,9 @@ def _bfs_distributed(
         )
     else:
         out = out.orderBy("distance", "unique_id")
-    out = out.cache()
-    out.count()  # materialize THROUGH the level caches before they drop
+    # materialize THROUGH the level caches before they drop; GC-managed
+    # blocks, not a caller-owned cache (see docstring)
+    out = out.localCheckpoint(eager=True)
     for df in intermediates:
         df.unpersist()
     return out

@@ -14,8 +14,13 @@ Decoding tiers (``extract_features``):
   unfilter, 8-bit gray/RGB/RGBA non-interlaced — the PNG spec's required
   baseline) and WAV PCM via the stdlib ``wave`` module. Features are
   real signal statistics (dimensions, per-channel means, RMS). Video
-  payloads still raise NotImplementedError — no stdlib video codec
-  exists (disclosed stub).
+  FRAME decode still raises NotImplementedError — no stdlib video
+  codec exists (disclosed stub) — but video METADATA is real: a pure-
+  stdlib ISO-BMFF box parser (``parse_mp4_metadata`` /
+  ``video_metadata``) reads duration / resolution / track layout from
+  the moov structure without a codec, so metadata-only routing,
+  ``metadata_stats`` and ``sample_frames`` run on provable numbers
+  (``with_probed_meta``).
 
 At 100 TB: binary payloads dominate row size, so asset tables are stored
 payload-last, scanned with column pruning (metadata-only queries never
@@ -151,6 +156,226 @@ def encode_png(width: int, height: int, channels: int, pixels: list[int]) -> byt
         + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+# -- video: ISO-BMFF (MP4) box-level metadata — no codec needed -------------
+#
+# Frame DECODE genuinely needs ffmpeg-class codecs (absent from this
+# image; real_features raises for video), but duration / resolution /
+# track layout live in the plain moov box structure, which stdlib
+# struct parses fine. This is what a 100 TB ingest pipeline needs from
+# video 99% of the time: route/filter/shard by duration and resolution
+# WITHOUT ever touching the (dominant) media bytes in mdat.
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for each ISO-BMFF box in
+    [start, end); handles 64-bit largesize and size=0 (to-end) boxes."""
+    pos = start
+    while pos + 8 <= end:
+        (size,), btype = struct.unpack(">I", buf[pos : pos + 4]), buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """Parse MP4/ISO-BMFF box structure (pure stdlib) →
+    ``{duration_ms, width, height, n_tracks, n_video_tracks,
+    n_audio_tracks, major_brand}``.
+
+    Reads ``mvhd`` (movie timescale + duration, version 0 and 1),
+    per-``trak`` ``tkhd`` (16.16 fixed-point presentation width/height)
+    and ``mdia``/``hdlr`` handler types (vide/soun). Raises ValueError
+    when the payload is not ISO-BMFF (no leading ``ftyp``)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 payload (no ftyp box)")
+    out = {
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "n_tracks": 0,
+        "n_video_tracks": 0,
+        "n_audio_tracks": 0,
+        "major_brand": payload[8:12].decode("ascii", "replace"),
+    }
+    for btype, s, e in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ct, cs, ce in _iter_boxes(payload, s, e):
+            if ct == b"mvhd":
+                ver = payload[cs]
+                if ver == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", payload[cs + 20 : cs + 32]
+                    )
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[cs + 12 : cs + 20]
+                    )
+                if timescale:
+                    out["duration_ms"] = int(duration * 1000 // timescale)
+            elif ct == b"trak":
+                out["n_tracks"] += 1
+                for tt, ts, te in _iter_boxes(payload, cs, ce):
+                    if tt == b"tkhd":
+                        off = ts + (88 if payload[ts] == 1 else 76)
+                        w, h = struct.unpack(">II", payload[off : off + 8])
+                        w, h = w >> 16, h >> 16
+                        if w and h:  # audio tracks carry 0x0
+                            out["width"], out["height"] = w, h
+                    elif tt == b"mdia":
+                        for mt, ms, me in _iter_boxes(payload, ts, te):
+                            if mt == b"hdlr":
+                                handler = payload[ms + 8 : ms + 12]
+                                if handler == b"vide":
+                                    out["n_video_tracks"] += 1
+                                elif handler == b"soun":
+                                    out["n_audio_tracks"] += 1
+    return out
+
+
+def encode_minimal_mp4(
+    *,
+    width: int = 640,
+    height: int = 360,
+    duration_ms: int = 5000,
+    timescale: int = 1000,
+    with_audio: bool = False,
+) -> bytes:
+    """Tiny structurally-real MP4 writer (ftyp + moov{mvhd, trak…} +
+    empty mdat) — the test-side inverse of :func:`parse_mp4_metadata`,
+    mirroring :func:`encode_png`. No media samples, but every box a
+    box-level parser touches is spec-shaped."""
+
+    def box(btype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(data)) + btype + data
+
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, duration) + b"\x00" * 80,
+    )
+
+    def trak(w: int, h: int, handler: bytes) -> bytes:
+        # v0 layout: version/flags(4) creation(4) modification(4)
+        # track_ID(4) reserved(4) duration(4) = 24, then reserved(8)
+        # layer(2) alt_group(2) volume(2) reserved(2) matrix(36) = 52,
+        # then 16.16 width/height at offset 76 (what the parser reads)
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B3xIIIII", 0, 0, 0, 1, 0, 0)
+            + b"\x00" * 52
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = box(b"hdlr", struct.pack(">B3x4x4s", 0, handler) + b"\x00" * 13)
+        return box(b"trak", tkhd + box(b"mdia", hdlr))
+
+    traks = trak(width, height, b"vide")
+    if with_audio:
+        traks += trak(0, 0, b"soun")
+    return (
+        box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+        + box(b"moov", mvhd + traks)
+        + box(b"mdat", b"")
+    )
+
+
+def video_metadata(df: DataFrame) -> DataFrame:
+    """Box-parse every video asset's payload → ``(asset_id, duration_ms,
+    width, height, n_tracks, n_video_tracks, n_audio_tracks)`` via
+    Arrow-batched mapInPandas (whole-payload batches, same partition
+    discipline as extract_features). Non-MP4 payloads yield NULLs
+    rather than failing the batch — at ingest scale a corrupt asset is
+    a row to quarantine, not a job to kill."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("n_video_tracks", T.IntegerType()),
+            T.StructField("n_audio_tracks", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    m = parse_mp4_metadata(bytes(payload or b""))
+                    rows.append(
+                        (
+                            aid,
+                            m["duration_ms"],
+                            m["width"],
+                            m["height"],
+                            m["n_tracks"],
+                            m["n_video_tracks"],
+                            m["n_audio_tracks"],
+                        )
+                    )
+                except ValueError:
+                    rows.append((aid, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "duration_ms",
+                    "width",
+                    "height",
+                    "n_tracks",
+                    "n_video_tracks",
+                    "n_audio_tracks",
+                ],
+            )
+
+    vids = df.where(F.col("kind") == "video").select("asset_id", "payload")
+    return vids.repartition("asset_id").mapInPandas(fn, out_schema)
+
+
+def with_probed_meta(df: DataFrame) -> DataFrame:
+    """Replace video rows' ``meta`` struct with values PROBED from the
+    payload bytes (box parse) instead of trusting upstream metadata —
+    then the existing metadata-only operators (``metadata_stats``,
+    ``sample_frames``) run unchanged on provable numbers. Non-video
+    rows pass through untouched; one skinny join on asset_id."""
+    probed = video_metadata(df).select(
+        "asset_id",
+        F.col("duration_ms").cast("int").alias("_probed_duration_ms"),
+        F.col("width").alias("_probed_width"),
+        F.col("height").alias("_probed_height"),
+    )
+    return df.join(probed, "asset_id", "left").select(
+        "asset_id",
+        "kind",
+        "payload",
+        F.when(
+            F.col("kind") == "video",
+            F.struct(
+                F.col("meta.mime").alias("mime"),
+                F.col("_probed_width").alias("width"),
+                F.col("_probed_height").alias("height"),
+                F.col("_probed_duration_ms").alias("duration_ms"),
+                F.col("meta.sample_rate").alias("sample_rate"),
+            ),
+        )
+        .otherwise(F.col("meta"))
+        .alias("meta"),
     )
 
 

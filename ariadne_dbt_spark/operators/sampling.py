@@ -157,9 +157,21 @@ def temperature_mixing(
     counts = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    powered = counts.withColumn(
-        "_p", F.pow(F.col("n_docs").cast("double"), F.lit(float(tau)))
-    )
+    # tau ∈ {0, 0.5, 1} compile to lit/sqrt/identity: IEEE requires
+    # sqrt to be correctly rounded where general pow has only a 1-ulp
+    # contract, so the oracle-pinned tau=0.5 setting is exact BY
+    # CONSTRUCTION, not by rounding luck (an ULP flip at an exact .5
+    # boundary could otherwise flip round(p/t*budget) by one doc).
+    n = F.col("n_docs").cast("double")
+    if tau == 0.0:
+        p = F.lit(1.0)
+    elif tau == 0.5:
+        p = F.sqrt(n)
+    elif tau == 1.0:
+        p = n
+    else:
+        p = F.pow(n, F.lit(float(tau)))
+    powered = counts.withColumn("_p", p)
     total = powered.agg(F.sum("_p").alias("_tot"))
     return (
         powered.crossJoin(F.broadcast(total))

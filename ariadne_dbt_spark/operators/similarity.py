@@ -266,10 +266,13 @@ def pairwise_near_duplicates(
     threshold: float = 0.95,
     bands: int = 4,
     planes_per_band: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via MULTI-BAND random-hyperplane
     LSH blocking + exact re-rank: ``(id_a, id_b, cos_sim)`` with
-    id_a < id_b, cos ≥ threshold.
+    id_a < id_b, cos ≥ threshold. Pass ``dim=`` (the vector dimension)
+    on serving paths to skip the one-row probe job that otherwise
+    learns it from the data.
 
     Blocking is banded exactly like the MinHash path (dedup.py
     ``minhash_lsh_candidates``): ``bands`` independent sets of
@@ -290,8 +293,9 @@ def pairwise_near_duplicates(
     cosine verification, whose cost is proportional to real candidate
     mass. AQE splits residual hot buckets.
     """
-    first = embeddings.select(vec_col).first()
-    dim = len(first[vec_col])
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        dim = len(first[vec_col])
     planes = _hyperplanes(dim, bands * planes_per_band)
     emb = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 

@@ -81,14 +81,26 @@ def dedup_docs_stream(
 
 def run_dedup_stream_once(
     spark: SparkSession,
-    docs_dir: str,
+    docs_path: str,
     *,
-    path_glob: str | None = "documents.parquet",
+    path_glob: str | None = None,
     query_name: str = "stream_dedup_kept",
 ) -> DataFrame:
-    """Drive the streaming dedup over everything currently in
-    ``docs_dir`` (memory sink), return the kept docs as a batch frame."""
-    out = dedup_docs_stream(spark, docs_dir, path_glob=path_glob)
+    """Drive the streaming dedup over everything currently at
+    ``docs_path`` (memory sink), return the kept docs as a batch frame.
+
+    ``docs_path`` should point at the documents table itself (a single
+    parquet file or a directory of part files) — NOT at a parent dir
+    plus a ``path_glob``: ``pathGlobFilter`` matches leaf FILE names
+    only, so a glob like ``documents.parquet`` silently reads zero rows
+    when the table is a standard directory of part-files. Both layouts
+    are handled here: the file-stream source requires a DIRECTORY, so a
+    single-file table is read as parent-dir + exact-leaf glob."""
+    import os
+
+    if path_glob is None and os.path.isfile(docs_path):
+        docs_path, path_glob = os.path.split(docs_path)
+    out = dedup_docs_stream(spark, docs_path, path_glob=path_glob)
     q = (
         out.writeStream.outputMode("append")
         .format("memory")

@@ -111,8 +111,8 @@ WINDOW: tuple[str, ...] = (
     "sketch_dedup_invariants",
     "near_dup_clusters",
     "training_corpus_pipeline",
-    # LLM pipeline: similarity search (exact, LSH, IVF, blocking)
-    "ann_brute_force_topk",
+    # LLM pipeline: similarity search (exact single+batch, LSH, IVF, blocking)
+    "ann_exact_suite",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "embedding_near_dup_pairs",

@@ -382,9 +382,9 @@ _SHINGLE_SQL = """
 """
 
 
-@query(
-    "incremental_dedup_flags",
-    oracle=f"""
+#: shared by the on-the-fly and persisted-index workloads — both must
+#: produce byte-identical flags, so they pin the SAME oracle
+_INCREMENTAL_ORACLE = f"""
     WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
     batch AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
@@ -431,7 +431,24 @@ _SHINGLE_SQL = """
     FROM (SELECT DISTINCT doc_id FROM batch) b
     LEFT JOIN hits h ON h.b_id = b.doc_id
     ORDER BY id
-    """,
+    """
+
+
+def _incremental_split(spark: SparkSession, sf_dir: str):
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).union(
+        docs.where(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    return existing, batch
+
+
+@query(
+    "incremental_dedup_flags",
+    oracle=_INCREMENTAL_ORACLE,
     survey="dedup-incremental",
     doc="Incremental ingestion dedup: flag each incoming-batch doc that "
     "near-duplicates (Jaccard >= 0.8 on word 3-grams) any EXISTING "
@@ -442,14 +459,38 @@ _SHINGLE_SQL = """
 def incremental_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_dbt_spark.operators.dedup import incremental_near_dup_flags
 
-    docs = documents(spark, sf_dir).select("doc_id", "text")
-    existing = docs.where(F.col("doc_id") % 2 == 0)
-    batch = docs.where(F.col("doc_id") % 2 == 1).union(
-        docs.where(F.col("doc_id") % 20 == 0).select(
-            (F.col("doc_id") + 2000000).alias("doc_id"),
-            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-        )
-    )
+    existing, batch = _incremental_split(spark, sf_dir)
     return incremental_near_dup_flags(
         existing, batch, "doc_id", "text", n=3, threshold=0.8
+    ).orderBy("id")
+
+
+@query(
+    "incremental_dedup_indexed",
+    oracle=_INCREMENTAL_ORACLE,
+    survey="dedup-incremental-index",
+    doc="Incremental dedup served from a PERSISTED shingle-postings "
+    "index (build_shingle_index): the existing corpus is shingled once "
+    "and written as bucket-partitioned parquet; the batch query joins "
+    "against that index with the scan pruned to the batch's own "
+    "shingle-hash buckets — the corpus is never re-shingled. Pinned to "
+    "the SAME oracle as the on-the-fly path: the index must change "
+    "nothing but the physical plan.",
+)
+def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ariadne_dbt_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_near_dup_flags,
+    )
+
+    existing, batch = _incremental_split(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"ariadne_shingle_idx_{tag}")
+    build_shingle_index(existing, index_dir, "doc_id", "text", n=3)
+    return incremental_near_dup_flags(
+        None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=index_dir
     ).orderBy("id")

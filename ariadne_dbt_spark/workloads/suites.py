@@ -38,6 +38,7 @@ from ariadne_dbt_spark.workloads import (  # noqa: F401
     query,
     relational,
     sampling,
+    similarity,
     text_search,
     textstats,
     timeseries,
@@ -220,6 +221,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "is_dup": "boolean",
             },
         ),
+        (
+            "incremental_indexed",
+            "incremental_dedup_indexed",
+            {
+                "id": "bigint",
+                "n_dups": "bigint",
+                "max_jaccard": "double",
+                "is_dup": "boolean",
+            },
+        ),
     ],
     "relational_point_suite": [
         (
@@ -349,6 +360,23 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "n_docs": "bigint",
                 "weight": "double",
                 "target_docs": "bigint",
+            },
+        ),
+    ],
+    "ann_exact_suite": [
+        (
+            "single",
+            "ann_brute_force_topk",
+            {"vec_id": "bigint", "cos_sim": "double"},
+        ),
+        (
+            "batch",
+            "ann_batch_topk",
+            {
+                "query_id": "bigint",
+                "vec_id": "bigint",
+                "cos_sim": "double",
+                "rank": "bigint",
             },
         ),
     ],

@@ -379,7 +379,9 @@ def stream_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
-    kept = run_dedup_stream_once(spark, sf_dir, query_name="wl_stream_dedup")
+    kept = run_dedup_stream_once(
+        spark, table_path(sf_dir, "documents"), query_name="wl_stream_dedup"
+    )
     # input size = docs + injected clones, ONE aggregate job; the clone
     # modulus is the operator's own constant so the two can't drift
     # (the oracle SQL's % 10 is the remaining mirror, like every other

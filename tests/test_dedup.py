@@ -337,3 +337,69 @@ def test_incremental_flags_agree_with_full_pairs(spark):
             assert row.max_jaccard == round(max(expected), 6)
         else:
             assert row.max_jaccard is None and not row.is_dup
+
+
+def test_shingle_index_matches_recompute(spark, tmp_path):
+    """The persisted-index path must be plan-only: identical flags to the
+    on-the-fly path on the gate corpus split, and its executed plan must
+    READ the index (pruned parquet scan) instead of re-shingling the
+    existing corpus."""
+    from ariadne_dbt_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_near_dup_flags,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    index_dir = str(tmp_path / "shidx")
+    meta = build_shingle_index(existing, index_dir, "doc_id", "text", n=3)
+    assert meta["n"] == 3
+
+    recompute = incremental_near_dup_flags(
+        existing, batch, "doc_id", "text", n=3, threshold=0.8
+    )
+    indexed = incremental_near_dup_flags(
+        None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=index_dir
+    )
+    a = sorted(map(tuple, recompute.collect()))
+    b = sorted(map(tuple, indexed.collect()))
+    assert a == b and len(a) > 0
+
+    # formatted explain keeps full scan Locations (toString abbreviates)
+    plan = indexed._sc._jvm.PythonSQLUtils.explainString(
+        indexed._jdf.queryExecution(), "formatted"
+    )
+    # existing side comes from the index files...
+    assert "shidx" in plan and "postings" in plan
+    # ...with partition-level pruning on the bucket directories
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+    # ...and the existing corpus is never re-scanned (hence never
+    # re-shingled): the only documents.parquet scans carry the batch's
+    # %2=1 filter; an existing-side recompute would scan with %2=0
+    assert "% 2) = 1" in plan, plan
+    assert "% 2) = 0" not in plan, plan
+
+
+def test_shingle_index_arg_validation(spark, tmp_path):
+    from ariadne_dbt_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_near_dup_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        incremental_near_dup_flags(df, df, "doc_id", "text", index_dir="/nope")
+    with pytest.raises(ValueError, match="exactly one"):
+        incremental_near_dup_flags(None, df, "doc_id", "text")
+    index_dir = str(tmp_path / "idx")
+    build_shingle_index(df, index_dir, "doc_id", "text", n=3)
+    with pytest.raises(ValueError, match="n=3"):
+        incremental_near_dup_flags(
+            None, df, "doc_id", "text", n=4, index_dir=index_dir
+        )

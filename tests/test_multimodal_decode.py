@@ -105,3 +105,71 @@ def test_video_real_decode_still_stubbed(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_mp4_metadata_roundtrip():
+    from ariadne_dbt_spark.operators.multimodal import (
+        encode_minimal_mp4,
+        parse_mp4_metadata,
+    )
+
+    m = parse_mp4_metadata(
+        encode_minimal_mp4(width=1920, height=1080, duration_ms=123456,
+                           timescale=90000, with_audio=True)
+    )
+    assert m["duration_ms"] == 123456
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["n_tracks"] == 2
+    assert (m["n_video_tracks"], m["n_audio_tracks"]) == (1, 1)
+    assert m["major_brand"] == "isom"
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_metadata(b"\x00" * 32)
+
+
+def test_video_metadata_and_probed_meta_through_spark(spark):
+    """Real MP4 fixture payloads through the Spark plumbing: box-parsed
+    duration/resolution land in video_metadata, a corrupt payload
+    yields NULLs (quarantine row, not a dead job), and metadata_stats /
+    sample_frames run off the PROBED meta struct."""
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.multimodal import (
+        encode_minimal_mp4,
+        metadata_stats,
+        sample_frames,
+        video_metadata,
+        with_probed_meta,
+    )
+
+    good = encode_minimal_mp4(width=640, height=360, duration_ms=3000)
+    rows = [
+        (1, "video", bytearray(good),
+         {"mime": "video/mp4", "width": None, "height": None,
+          "duration_ms": None, "sample_rate": None}),
+        (2, "video", bytearray(b"garbage-not-a-real-mp4-payload!!"),
+         {"mime": "video/mp4", "width": None, "height": None,
+          "duration_ms": None, "sample_rate": None}),
+        (3, "image", bytearray(b"\x00" * 8),
+         {"mime": "image/png", "width": 4, "height": 4,
+          "duration_ms": None, "sample_rate": None}),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+
+    meta = {r.asset_id: r for r in video_metadata(df).collect()}
+    assert set(meta) == {1, 2}  # image rows never reach the parser
+    assert (meta[1].duration_ms, meta[1].width, meta[1].height) == (3000, 640, 360)
+    assert meta[1].n_video_tracks == 1
+    assert meta[2].duration_ms is None and meta[2].width is None
+
+    probed = with_probed_meta(df)
+    stats = {r.kind: r for r in metadata_stats(probed).collect()}
+    assert stats["video"].n_assets == 2
+    assert stats["video"].avg_duration_ms == 3000.0  # NULL row excluded
+    assert stats["image"].n_assets == 1
+
+    frames = sample_frames(probed, every_ms=1000).collect()
+    by_asset: dict[int, list[int]] = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_ts_ms)
+    assert sorted(by_asset[1]) == [0, 1000, 2000, 3000]
+    assert sorted(by_asset[2]) == [0]  # unprobed duration coalesces to 0

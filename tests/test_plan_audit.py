@@ -87,8 +87,13 @@ def test_ngram_prefix_exchange_ceiling(spark):
     sh = shingle_sets(corpus, "doc_id", "text", 3).cache()
     try:
         sh.count()
-        out = _jaccard_pairs_prefix(sh, 0.8)
+        out = _jaccard_pairs_prefix(sh, 0.8, dedup_via_set=True)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") <= 14, plan
+        # the unproven-safe fallback (no max-df probe) costs at most one
+        # extra exchange for its (id_a, id_b) distinct
+        safe = _jaccard_pairs_prefix(sh, 0.8)
+        safe_plan = safe._jdf.queryExecution().executedPlan().toString()
+        assert safe_plan.count("Exchange hashpartitioning") <= 15, safe_plan
     finally:
         sh.unpersist()
