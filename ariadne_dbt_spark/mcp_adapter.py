@@ -11,7 +11,11 @@ Two implementations of the same tool surface:
   newline-delimited messages): initialize → initialized →
   tools/list → tools/call, with tool input schemas derived from the
   ToolServer method signatures. This makes a REAL MCP handshake
-  testable/servable without any third-party dependency.
+  testable/servable without any third-party dependency;
+* a minimal SSE server (`serve_mcp_sse` / `start_sse_server`) speaking
+  the MCP HTTP+SSE transport over stdlib http.server — same
+  handle_mcp_message core, different framing (endpoint event + POST
+  /messages + message events).
 
 The adapter is pure plumbing: every tool call routes through
 `ToolServer.handle()`, so semantics, usage logging, and tests stay in
@@ -91,16 +95,18 @@ def build_mcp_app(server: ToolServer, *, name: str = "ariadne-dbt-spark") -> Any
 def serve_mcp(server: ToolServer, *, transport: str = "stdio") -> None:
     """Run the MCP app, mirroring `ariadne serve` (reference:
     cli.py:131-161). fastmcp handles any transport when installed;
-    without it, stdio is served by the built-in minimal implementation
-    (sse genuinely needs fastmcp's HTTP stack)."""
+    without it, the built-in minimal implementations cover stdio
+    (`serve_mcp_stdio`) and SSE (`serve_mcp_sse`, pure http.server)."""
     if mcp_available():
         build_mcp_app(server).run(transport=transport)
     elif transport == "stdio":
         serve_mcp_stdio(server)
+    elif transport == "sse":
+        serve_mcp_sse(server)
     else:
         raise ImportError(
             f"transport {transport!r} requires fastmcp; the built-in "
-            "minimal MCP server supports stdio only"
+            "minimal MCP server supports stdio and sse"
         )
 
 
@@ -224,3 +230,125 @@ def serve_mcp_stdio(server: ToolServer, infile=None, outfile=None) -> None:
         if resp is not None:
             outfile.write(json.dumps(resp, default=str) + "\n")
             outfile.flush()
+
+
+# -- minimal SSE MCP server (no third-party deps) ----------------------------
+#
+# The reference serves SSE through fastmcp (reference: cli.py:131-161);
+# fastmcp is import-guarded above and absent from this image, so this is
+# a pure-stdlib implementation of the MCP HTTP+SSE transport
+# (protocol 2024-11-05): GET /sse opens a text/event-stream whose first
+# frame is an `endpoint` event naming the POST URL (with a per-session
+# id); the client POSTs JSON-RPC messages there and receives each
+# response as a `message` event on its stream. Same handle_mcp_message
+# core as stdio — the transports differ only in framing.
+
+
+def start_sse_server(server: ToolServer, host: str = "127.0.0.1", port: int = 0):
+    """Start the SSE MCP server on a daemon thread; returns the
+    ``ThreadingHTTPServer`` (``.server_address`` for the bound port,
+    ``.shutdown()`` to stop — how tests drive it)."""
+    import queue
+    import threading
+    import uuid
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    sessions: dict[str, queue.Queue] = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 so POST connections keep-alive (every POST response
+        # carries Content-Length); the SSE stream itself sends neither
+        # Content-Length nor chunked framing — read-until-close, which
+        # is exactly what an event stream is
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # silence per-request stderr
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path != "/sse":
+                self.send_error(404)
+                return
+            session_id = uuid.uuid4().hex
+            q: queue.Queue = queue.Queue()
+            sessions[session_id] = q
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(
+                    f"event: endpoint\ndata: /messages/?session_id={session_id}\n\n".encode()
+                )
+                self.wfile.flush()
+                while True:
+                    resp = q.get()
+                    if resp is None:  # server shutdown sentinel
+                        return
+                    self.wfile.write(
+                        b"event: message\ndata: "
+                        + json.dumps(resp, default=str).encode()
+                        + b"\n\n"
+                    )
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; drop the session
+            finally:
+                sessions.pop(session_id, None)
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path.rstrip("/") != "/messages":
+                self.send_error(404)
+                return
+            sid = (parse_qs(parsed.query).get("session_id") or [None])[0]
+            q = sessions.get(sid)
+            if q is None:
+                self.send_error(400, "unknown session_id")
+                return
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            try:
+                msg = json.loads(body)
+            except json.JSONDecodeError as e:
+                q.put(
+                    {
+                        "jsonrpc": "2.0",
+                        "id": None,
+                        "error": {"code": -32700, "message": f"parse error: {e}"},
+                    }
+                )
+            else:
+                resp = handle_mcp_message(server, msg)
+                if resp is not None:
+                    q.put(resp)
+            self.send_response(202)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.daemon_threads = True
+    # let shutdown() unblock live streams
+    _orig_shutdown = httpd.shutdown
+
+    def shutdown():
+        for q in list(sessions.values()):
+            q.put(None)
+        _orig_shutdown()
+
+    httpd.shutdown = shutdown  # type: ignore[method-assign]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd
+
+
+def serve_mcp_sse(server: ToolServer, host: str = "127.0.0.1", port: int = 8000) -> None:
+    """Blocking SSE serve loop (the `serve --transport sse` path)."""
+    import time as _time
+
+    httpd = start_sse_server(server, host, port)
+    print(f"MCP SSE server on http://{host}:{httpd.server_address[1]}/sse", file=sys.stderr)
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        httpd.shutdown()

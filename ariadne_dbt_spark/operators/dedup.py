@@ -227,6 +227,23 @@ def _jaccard_pairs_count(sh: DataFrame, threshold: float) -> DataFrame:
 _MAX_DF_FOR_SET_DEDUP = 1_000_000
 
 
+def _prefix_postings(sh: DataFrame, threshold: float, dfreq: DataFrame) -> DataFrame:
+    """Each doc's PPJoin prefix: its (|X| - ⌈τ|X|⌉ + 1) globally-RAREST
+    shingles. This is the structural skew defense of the exact path — a
+    shingle ubiquitous across the corpus ranks last in the rarity order
+    and lands in (almost) no prefix, so hot vocabulary never enters the
+    candidate join at all (pinned by tests/test_skew.py)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    return (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
+        .select("id", "shingle", "sz")
+    )
+
+
 def _jaccard_pairs_prefix(
     sh: DataFrame,
     threshold: float,
@@ -242,13 +259,7 @@ def _jaccard_pairs_prefix(
     # actually small, skipping the re-shuffle of sh by shingle.
     if dfreq is None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy("df", "shingle")
-    prefix = (
-        sh.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
-        .select("id", "shingle", "sz")
-    )
+    prefix = _prefix_postings(sh, threshold, dfreq)
     a = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     b = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
     # candidate dedup as groupBy(id_a) + collect_set instead of
@@ -546,6 +557,70 @@ def build_shingle_index(
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def append_to_shingle_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Index maintenance (mirrors ``ivf_append``): shingle a newly
+    ACCEPTED batch with the index's own pinned parameters and
+    append-write its postings into the same bucket-partitioned layout —
+    so the next batch's dedup sees this one without any corpus rebuild.
+    Batch-bounded: touches only the batch rows, never the stored
+    postings."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    sh = shingle_sets(df, id_col, text_col, meta["n"])
+    sh.withColumn("bucket", _shingle_bucket(meta["n_buckets"])).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
+
+
+def ingest_batch_dedup_gated(
+    batch: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end continuously-ingested-corpus shape: flag the batch
+    against the persisted shingle index, then append ONLY the accepted
+    (non-duplicate) docs' postings back into the index — the next batch
+    dedups against this one automatically. Returns the accepted batch
+    rows (original columns).
+
+    The whole cycle is batch-bounded: one pruned index join for the
+    flags + one batch shingle pass for the append; the stored corpus is
+    never rescanned. Batch-internal dups survive by design (flags are
+    batch-vs-corpus); run ``dedup_exact``/``ngram_jaccard_pairs`` on
+    the batch first when intra-batch collisions matter.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    flags = incremental_near_dup_flags(
+        None, batch, id_col, text_col, n=meta["n"], threshold=threshold,
+        index_dir=index_dir,
+    )
+    keep = flags.where(~F.col("is_dup")).select(F.col("id").alias("_keep_id"))
+    accepted = batch.join(
+        keep, batch[id_col] == F.col("_keep_id")
+    ).drop("_keep_id")
+    # materialize the accepted set ONCE: the append below and the
+    # caller's downstream both consume it, and recomputing it would
+    # re-run the index join
+    accepted = accepted.localCheckpoint(eager=True)
+    append_to_shingle_index(accepted, index_dir, id_col, text_col)
+    return accepted
 
 
 def incremental_near_dup_flags(

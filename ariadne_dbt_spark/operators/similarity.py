@@ -151,10 +151,11 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
     return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
 
 
-def _assign_col(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid by squared L2, ties to the lowest
-    index. One codegen expression per centroid — centroids are broadcast
-    as literals, so assignment is a map-only pass (no shuffle, no UDF)."""
+def _nearest_centroid(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """``struct<d, i>`` of the nearest centroid (squared L2 distance +
+    index, ties to the lowest index). One codegen expression per
+    centroid — centroids are broadcast as literals, so assignment is a
+    map-only pass (no shuffle, no UDF)."""
     dists = []
     for i, c in enumerate(centroids):
         cl = F.array(*[F.lit(float(v)) for v in c])
@@ -167,7 +168,12 @@ def _assign_col(vec_col: Column, centroids: list[list[float]]) -> Column:
         )
         dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
     # array_min on struct<d,i> compares d first, then i → deterministic argmin
-    return F.array_min(F.array(*dists)).getField("i")
+    return F.array_min(F.array(*dists))
+
+
+def _assign_col(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (see :func:`_nearest_centroid`)."""
+    return _nearest_centroid(vec_col, centroids).getField("i")
 
 
 def ivf_train_centroids(
@@ -418,17 +424,115 @@ def ivf_build_index(
         iters=iters,
         train_mod=train_mod,
     )
+    nearest = _nearest_centroid(F.col(vec_col), centroids)
     assigned = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        _assign_col(F.col(vec_col), centroids).alias("cell"),
+        nearest.getField("i").alias("cell"),
+        F.sqrt(nearest.getField("d")).alias("_dist"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+    assigned.drop("_dist").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_dir, "vectors")
     )
+    # build-time fit quality, the baseline the staleness metric compares
+    # against after appends (one extra agg pass at build time only)
+    stats = assigned.agg(
+        F.avg("_dist").alias("m"), F.count(F.lit(1)).alias("n")
+    ).first()
     with open(os.path.join(out_dir, "centroids.json"), "w") as f:
         json.dump(centroids, f)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "build_mean_dist": float(stats["m"] or 0.0),
+                "mean_dist": float(stats["m"] or 0.0),
+                "n_vectors": int(stats["n"]),
+            },
+            f,
+        )
     return centroids
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Index maintenance: assign a new batch to the EXISTING cells (no
+    retrain — the same map-only broadcast-literal expression as the
+    build) and append-write it into the cell-partitioned layout, so
+    queries see the new vectors immediately with partition pruning
+    intact. Returns the updated staleness stats.
+
+    Staleness: the index records mean distance-to-assigned-centroid at
+    build time; each append folds its batch into a running mean. When
+    the running mean drifts well above the build mean (``drift`` =
+    mean/build − 1), the data distribution has moved away from the
+    trained centroids — cells are getting baggy, probes less selective
+    — and it is time to retrain (``ivf_build_index`` again). Append is
+    batch-bounded: it touches only the batch rows, never the stored
+    corpus.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = json.load(f)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    # conform the batch's vector type to the stored layout (a footer
+    # read, no data scan): arithmetic upstream of an append silently
+    # promotes float arrays to double, and mixed element types in one
+    # partitioned dataset fail every subsequent read
+    stored = new_vectors.sparkSession.read.parquet(
+        os.path.join(index_dir, "vectors")
+    ).schema["embedding"].dataType
+    nearest = _nearest_centroid(F.col(vec_col), centroids)
+    assigned = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast(stored).alias("embedding"),
+        nearest.getField("i").alias("cell"),
+        F.sqrt(nearest.getField("d")).alias("_dist"),
+    )
+    assigned.drop("_dist").write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    b = assigned.agg(F.avg("_dist").alias("m"), F.count(F.lit(1)).alias("n")).first()
+    bm, bn = float(b["m"] or 0.0), int(b["n"])
+    n0, m0 = stats["n_vectors"], stats["mean_dist"]
+    stats["n_vectors"] = n0 + bn
+    if stats["n_vectors"]:
+        stats["mean_dist"] = (m0 * n0 + bm * bn) / stats["n_vectors"]
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    build = stats["build_mean_dist"]
+    return {
+        "n_appended": bn,
+        "batch_mean_dist": round(bm, 6),
+        "mean_dist": round(stats["mean_dist"], 6),
+        "build_mean_dist": round(build, 6),
+        "drift": round(stats["mean_dist"] / build - 1, 6) if build else None,
+    }
+
+
+def ivf_staleness(index_dir: str) -> dict:
+    """Current staleness of a persisted IVF index (metadata-only — no
+    Spark job): drift of the running mean centroid distance over the
+    build-time mean. Retrain when drift is large."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    build = stats["build_mean_dist"]
+    return {
+        "n_vectors": stats["n_vectors"],
+        "mean_dist": round(stats["mean_dist"], 6),
+        "build_mean_dist": round(build, 6),
+        "drift": round(stats["mean_dist"] / build - 1, 6) if build else None,
+    }
 
 
 def ivf_query_index(

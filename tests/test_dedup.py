@@ -403,3 +403,46 @@ def test_shingle_index_arg_validation(spark, tmp_path):
         incremental_near_dup_flags(
             None, df, "doc_id", "text", n=4, index_dir=index_dir
         )
+
+
+def test_ingest_batch_dedup_gated_cycle(spark, tmp_path):
+    """Two-batch ingest cycle against the persisted index: batch 1's
+    accepted docs are appended, so batch 2's clone OF A BATCH-1 DOC is
+    flagged without any corpus rebuild; rejected dups never enter the
+    index."""
+    from ariadne_dbt_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_near_dup_flags,
+        ingest_batch_dedup_gated,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_shingle_index(corpus, idx, "doc_id", "text", n=3)
+
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),    # dup of 1
+         (11, "completely novel text about spark adaptive query execution")],
+        "doc_id long, text string",
+    )
+    acc1 = ingest_batch_dedup_gated(b1, idx, "doc_id", "text", threshold=0.8)
+    assert {r.doc_id for r in acc1.collect()} == {11}
+
+    b2 = spark.createDataFrame(
+        [(20, "completely novel text about spark adaptive query execution"),  # dup of 11
+         (21, "alpha beta gamma delta epsilon zeta eta theta"),               # dup of 1
+         (22, "fresh unrelated words nobody wrote before in any batch here")],
+        "doc_id long, text string",
+    )
+    flags = {r.id: r for r in incremental_near_dup_flags(
+        None, b2, "doc_id", "text", index_dir=idx, threshold=0.8
+    ).collect()}
+    assert flags[20].is_dup      # caught via batch-1's APPENDED postings
+    assert flags[21].is_dup      # caught via the original build
+    assert not flags[22].is_dup
+    acc2 = ingest_batch_dedup_gated(b2, idx, "doc_id", "text", threshold=0.8)
+    assert {r.doc_id for r in acc2.collect()} == {22}

@@ -180,36 +180,117 @@ def test_session_memory_fills_capsule(index, tmp_path):
     assert second["token_estimate"] <= 1.2 * second["token_budget"]
 
 
-def test_mcp_stdio_real_handshake(server):
-    """Drive the built-in minimal MCP server through a REAL protocol
-    session — initialize, initialized notification, tools/list,
-    tools/call, ping, and an unknown method — over in-memory pipes
-    (the same newline-delimited JSON-RPC frames a stdio client sends)."""
+_HANDSHAKE_FRAMES = [
+    {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+     "params": {"protocolVersion": "2024-11-05",
+                "capabilities": {},
+                "clientInfo": {"name": "pytest-client", "version": "0"}}},
+    {"jsonrpc": "2.0", "method": "notifications/initialized"},
+    {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+    {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+     "params": {"name": "search_models",
+                "arguments": {"query": "orders revenue", "limit": 3}}},
+    {"jsonrpc": "2.0", "id": 4, "method": "ping"},
+    {"jsonrpc": "2.0", "id": 5, "method": "no/such/method"},
+    # a RESPONSE frame from the client (id, no method): the spec says
+    # servers must never answer these — no -32601, no reply at all
+    {"jsonrpc": "2.0", "id": 99, "result": {}},
+]
+
+
+def _drive_stdio(server, frames):
     import io
     import json
 
     from ariadne_dbt_spark.mcp_adapter import serve_mcp_stdio
-    from ariadne_dbt_spark.server import ToolServer
 
-    frames = [
-        {"jsonrpc": "2.0", "id": 1, "method": "initialize",
-         "params": {"protocolVersion": "2024-11-05",
-                    "capabilities": {},
-                    "clientInfo": {"name": "pytest-client", "version": "0"}}},
-        {"jsonrpc": "2.0", "method": "notifications/initialized"},
-        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
-        {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
-         "params": {"name": "search_models",
-                    "arguments": {"query": "orders revenue", "limit": 3}}},
-        {"jsonrpc": "2.0", "id": 4, "method": "ping"},
-        {"jsonrpc": "2.0", "id": 5, "method": "no/such/method"},
-    ]
     infile = io.StringIO("".join(json.dumps(f) + "\n" for f in frames))
     outfile = io.StringIO()
     serve_mcp_stdio(server, infile=infile, outfile=outfile)
-    resps = {r["id"]: r for r in map(json.loads, outfile.getvalue().splitlines())}
+    return [json.loads(line) for line in outfile.getvalue().splitlines()]
 
-    # the notification produced NO response; everything else did
+
+def _drive_sse(server, frames):
+    """Drive the stdlib SSE transport exactly as an HTTP client would:
+    GET /sse → endpoint event with the session POST URL, POST each
+    frame there (202), read each response as a `message` event."""
+    import http.client
+    import json
+
+    from ariadne_dbt_spark.mcp_adapter import start_sse_server
+
+    httpd = start_sse_server(server)
+    host, port = httpd.server_address
+    try:
+        stream = http.client.HTTPConnection(host, port, timeout=30)
+        stream.request("GET", "/sse", headers={"Accept": "text/event-stream"})
+        resp = stream.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/event-stream")
+
+        def read_event():
+            event, data = None, []
+            while True:
+                line = resp.fp.readline().decode().rstrip("\n")
+                if line == "":
+                    if event or data:
+                        return event, "\n".join(data)
+                    continue
+                if line.startswith("event: "):
+                    event = line[7:]
+                elif line.startswith("data: "):
+                    data.append(line[6:])
+
+        ev, endpoint = read_event()
+        assert ev == "endpoint" and endpoint.startswith("/messages")
+
+        out = []
+        post = http.client.HTTPConnection(host, port, timeout=30)
+        for frame in frames:
+            body = json.dumps(frame)
+            post.request("POST", endpoint, body=body,
+                         headers={"Content-Type": "application/json"})
+            accepted = post.getresponse()
+            assert accepted.status == 202 and accepted.read() == b""
+            # responses (when any) arrive on the stream in POST order
+            if frame.get("id") is not None and frame.get("method"):
+                ev, data = read_event()
+                assert ev == "message"
+                out.append(json.loads(data))
+        # prove the no-reply frames (notification, client response) left
+        # NOTHING queued: the next stream event must answer this ping
+        post.request(
+            "POST", endpoint,
+            body=json.dumps({"jsonrpc": "2.0", "id": 1000, "method": "ping"}),
+            headers={"Content-Type": "application/json"},
+        )
+        assert post.getresponse().status == 202
+        ev, data = read_event()
+        assert ev == "message" and json.loads(data)["id"] == 1000
+        post.close()
+        stream.close()
+        return out
+    finally:
+        httpd.shutdown()
+
+
+@pytest.mark.parametrize("transport", ["stdio", "sse"])
+def test_mcp_real_handshake(server, transport):
+    """Drive the built-in minimal MCP server through a REAL protocol
+    session — initialize, initialized notification, tools/list,
+    tools/call, ping, an unknown method, and a client response frame —
+    over both framings: newline-delimited stdio pipes and the stdlib
+    HTTP+SSE transport (endpoint event + POST /messages + message
+    events)."""
+    import json
+
+    from ariadne_dbt_spark.server import ToolServer
+
+    driver = _drive_stdio if transport == "stdio" else _drive_sse
+    resps = {r["id"]: r for r in driver(server, _HANDSHAKE_FRAMES)}
+
+    # the notification and the client-response frame produced NO
+    # response; everything else did
     assert set(resps) == {1, 2, 3, 4, 5}
     init = resps[1]["result"]
     assert init["protocolVersion"] == "2024-11-05"

@@ -205,3 +205,51 @@ def test_ivf_persisted_index_prunes_partitions(vectors, tmp_path):
     want = [(r.vec_id, round(r.cos_sim, 6)) for r in mem.collect()]
     assert got == want
     assert got[0][0] == 0 or got[0][0] == 100  # self or planted twin leads
+
+
+def test_ivf_append_and_staleness(vectors, tmp_path):
+    """ivf_append assigns a new batch into the existing cell layout (no
+    retrain): queries immediately see appended vectors with pruning
+    intact, in-distribution appends keep drift ~0, and a far-out-of-
+    distribution batch pushes the staleness drift up (retrain signal)."""
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_query_index,
+        ivf_staleness,
+    )
+
+    spark = vectors.sparkSession
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(vectors, idx, n_centroids=4, iters=2)
+    s0 = ivf_staleness(idx)
+    assert s0["n_vectors"] == 45 and s0["drift"] == 0.0
+
+    # append direction-identical twins of vector 0 under fresh ids
+    batch = vectors.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 500).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    rep = ivf_append(batch, idx)
+    assert rep["n_appended"] == 1
+
+    q = [float(x) for x in vectors.where(F.col("vec_id") == 0).first()["embedding"]]
+    served = ivf_query_index(spark, idx, q, k=5, nprobe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning survives the append
+    got = [r.vec_id for r in served.collect()]
+    assert 500 in got  # the appended twin is immediately queryable
+
+    # in-distribution append: drift stays small
+    indist = vectors.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    rep2 = ivf_append(indist, idx)
+    assert abs(rep2["drift"]) < 0.1
+
+    # far-out-of-distribution append: drift jumps (retrain signal)
+    far = vectors.select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 50).alias("embedding"),
+    )
+    rep3 = ivf_append(far, idx)
+    assert rep3["drift"] > 1.0
+    assert ivf_staleness(idx)["drift"] == rep3["drift"]
