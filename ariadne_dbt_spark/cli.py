@@ -371,8 +371,8 @@ def cmd_stats(args):
 def cmd_serve(args):
     """Serve the tool surface: MCP when --transport is given (reference:
     cli.py:131-161) — fastmcp for any transport when installed, the
-    built-in minimal MCP stdio server otherwise — or the JSON-lines
-    protocol on stdio without --transport."""
+    built-in minimal MCP stdio/SSE servers otherwise — or the
+    JSON-lines protocol on stdio without --transport."""
     from ariadne_dbt_spark.server import ToolServer
 
     server = ToolServer(_index(args), usage_dir=args.usage_dir)
@@ -511,7 +511,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--transport",
         choices=("stdio", "sse"),
         default=None,
-        help="MCP transport: stdio works standalone (built-in minimal MCP server), sse requires fastmcp; default: JSON-lines stdio",
+        help="MCP transport: both work standalone (built-in minimal MCP servers; fastmcp preferred when installed); default: JSON-lines stdio",
     )
     sp.set_defaults(fn=cmd_serve)
     return p

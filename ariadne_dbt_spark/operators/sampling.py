@@ -185,3 +185,34 @@ def temperature_mixing(
         )
         .orderBy("source")
     )
+
+
+def per_source_cap(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    *,
+    cap: int,
+) -> DataFrame:
+    """Per-domain/source document cap — the C4/RefinedWeb-style recipe
+    for stopping a handful of giant domains from dominating a web
+    corpus: keep at most ``cap`` docs per source, selected by a
+    deterministic hash priority (md5 of source:id — uniform, so the
+    kept subset is an unbiased sample of the source, yet reproducible
+    across engines/runs; id tiebreak makes it total).
+
+    One window over the source partitioning; the group-limit shuffle
+    optimization keeps only ~cap rows per (source, partition) through
+    the exchange, so output-bound cost even when one domain holds a
+    billion rows. md5 (not xxhash64) so the SQL oracle can replay the
+    exact selection.
+    """
+    pri = F.md5(
+        F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(source_col).orderBy(pri, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -392,6 +392,101 @@ def topk_per_query(
     )
 
 
+def batch_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_planes: int = 8,
+    radius: int = 1,
+    dim: int | None = None,
+    exact_fallback: bool = True,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch ANN: LSH-bucketed top-k for EVERY query row —
+    ``(query_id, vec_id, cos_sim, rank)``.
+
+    The scale path for batch retrieval. ``topk_per_query`` (exact)
+    scores the whole corpus against every query — one scan per batch,
+    but cost = |corpus| × |batch| cosines. Here both sides get the same
+    ``n_planes``-bit hyperplane signature; each query EXPLODES into its
+    probe buckets — every signature within Hamming distance ``radius``
+    of its own (Σ_{d≤radius} C(n_planes, d) masks, enumerated
+    driver-side: pure integers, no data) — and candidates come from a
+    bucket EQUI-join (shuffle-hash/SMJ on a long key; never a
+    theta-join/BNLJ), so per-query cosine cost tracks bucket occupancy
+    (~|corpus|·probes/2^n_planes), not corpus size.
+
+    Queries whose probed shells return fewer than ``k`` rows fall back
+    to the exact path — but only that residual subset re-scans the
+    corpus (``exact_fallback=True``; the same totality guarantee the
+    single-query multi-probe widening gives). At ``radius = n_planes``
+    every bucket is probed and the result equals the exact batch path
+    by construction — the convergence bound tests pin.
+    """
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(queries.select(query_vec_col).first()[query_vec_col])
+    masks = [
+        m for m in range(1 << n_planes) if bin(m).count("1") <= radius
+    ]
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qv"),
+    ).withColumn("_qb", lsh_bucket_signature(F.col("_qv"), dim, n_planes=n_planes))
+    probes = q.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.array(*[F.col("_qb").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_b"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_b", lsh_bucket_signature(F.col("_cv"), dim, n_planes=n_planes))
+    scored = probes.join(c, "_b").withColumn(
+        "cos_sim", cosine_similarity(F.col("_cv"), F.col("_qv"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+    if not exact_fallback:
+        return approx
+    approx = approx.localCheckpoint(eager=True)  # consumed twice below
+    counts = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    short = [r["query_id"] for r in counts.where(F.col("n") < k).collect()]
+    all_ids = {r["query_id"] for r in q.select("query_id").collect()}
+    short += sorted(all_ids - {r["query_id"] for r in counts.collect()})
+    if not short:
+        return approx
+    exact = topk_per_query(
+        embeddings,
+        queries.where(F.col(query_id_col).isin(short)),
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=k,
+        exclude_self=exclude_self,
+    )
+    return approx.where(~F.col("query_id").isin(short)).unionByName(exact)
+
+
 def ivf_build_index(
     embeddings: DataFrame,
     out_dir: str,

@@ -157,3 +157,44 @@ def temperature_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = documents(spark, sf_dir)
     return temperature_mixing(docs, "lang", tau=0.5, budget=100_000)
+
+
+@query(
+    "per_source_cap_sample",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 <> 0 THEN 'megacrawl' ELSE source END AS source
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM tagged
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 10
+    ORDER BY source, doc_id
+    """,
+    survey="sampling-domain-cap",
+    doc="Per-domain document cap (C4/RefinedWeb recipe): a derived "
+    "corpus where 80% of docs collapse into one 'megacrawl' source; "
+    "keep at most 10 docs per source by deterministic md5 priority — "
+    "the dominant domain is cut to the cap, small sources pass whole, "
+    "and the exact kept set is hash-checked (md5, not xxhash, so the "
+    "oracle replays the selection byte-for-byte).",
+)
+def per_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sampling import per_source_cap
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 != 0, F.lit("megacrawl"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    return per_source_cap(docs, "source", "doc_id", cap=10).orderBy(
+        "source", "doc_id"
+    )

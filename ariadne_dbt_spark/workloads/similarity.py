@@ -196,9 +196,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query(
-    "ann_batch_topk",
-    oracle=f"""
+#: shared by the exact batch path and the bucketed batch path at its
+#: convergence bound (radius = n_planes probes every bucket → must equal
+#: the exact ranking row for row)
+_BATCH_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
     scored AS (
         SELECT a.query_id, b.vec_id, {_COS_SQL} AS cs
@@ -212,7 +213,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@query(
+    "ann_batch_topk",
+    oracle=_BATCH_TOPK_ORACLE,
     survey="similarity-batch",
     doc="Batch exact retrieval: top-5 cosine neighbors for EVERY query "
     "in a deterministic query set (vec_id % 100 = 0), one corpus scan "
@@ -229,4 +235,28 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return topk_per_query(
         emb, queries, k=5, exclude_self=True
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_batch_lsh_topk",
+    oracle=_BATCH_TOPK_ORACLE,
+    survey="similarity-batch-lsh",
+    doc="Bucketed batch ANN at its convergence bound: every query "
+    "explodes into its Hamming-radius probe buckets and candidates "
+    "come from a bucket EQUI-join (cost ~ bucket occupancy, never "
+    "|corpus| x |batch|); with radius = n_planes every bucket is "
+    "probed, so the result must equal the exact batch ranking row for "
+    "row (the same oracle as ann_batch_topk). Partial-radius recall "
+    "and the per-query exact fallback are pinned by pytest.",
+)
+def ann_batch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.similarity import batch_lsh_topk
+
+    emb = embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_lsh_topk(
+        emb, queries, k=5, n_planes=6, radius=6, exclude_self=True
     ).orderBy("query_id", "rank")

@@ -362,6 +362,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "target_docs": "bigint",
             },
         ),
+        (
+            "source_cap",
+            "per_source_cap_sample",
+            {"doc_id": "bigint", "source": "string"},
+        ),
     ],
     "ann_exact_suite": [
         (
@@ -372,6 +377,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
         (
             "batch",
             "ann_batch_topk",
+            {
+                "query_id": "bigint",
+                "vec_id": "bigint",
+                "cos_sim": "double",
+                "rank": "bigint",
+            },
+        ),
+        (
+            "batch_lsh",
+            "ann_batch_lsh_topk",
             {
                 "query_id": "bigint",
                 "vec_id": "bigint",

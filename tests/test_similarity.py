@@ -253,3 +253,54 @@ def test_ivf_append_and_staleness(vectors, tmp_path):
     rep3 = ivf_append(far, idx)
     assert rep3["drift"] > 1.0
     assert ivf_staleness(idx)["drift"] == rep3["drift"]
+
+
+def test_batch_lsh_topk_convergence_and_fallback(vectors):
+    """At radius = n_planes every bucket is probed, so the bucketed
+    batch path must equal the exact batch path EXACTLY; at a partial
+    radius every query still returns k rows (short shells fall back to
+    the exact path for that query only) and recall@k stays high."""
+    from ariadne_dbt_spark.operators.similarity import batch_lsh_topk, topk_per_query
+
+    queries = vectors.where(F.col("vec_id").isin([0, 3, 101])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = topk_per_query(vectors, queries, k=5, exclude_self=True)
+    want = sorted(map(tuple, exact.collect()))
+
+    full = batch_lsh_topk(
+        vectors, queries, k=5, n_planes=6, radius=6, exclude_self=True
+    )
+    assert sorted(map(tuple, full.collect())) == want
+
+    part = batch_lsh_topk(
+        vectors, queries, k=5, n_planes=6, radius=1, exclude_self=True
+    ).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(by_q) == {0, 3, 101}
+    assert all(len(v) == 5 for v in by_q.values())  # totality via fallback
+    want_by_q = {}
+    for qid, vid, *_ in want:
+        want_by_q.setdefault(qid, set()).add(vid)
+    hits = sum(len(by_q[q] & want_by_q[q]) for q in by_q)
+    assert hits / 15 >= 0.6  # partial-radius recall floor on 45 vectors
+    # planted twins (101 = vector 1 + 0.01, 100 = vector 0 + 0.01) land
+    # within probe radius of their original -> always found
+    assert 100 in by_q[0] and 1 in by_q[101]
+
+
+def test_batch_lsh_topk_is_equi_join(vectors):
+    """The candidate join must be a bucket EQUI-join; only the residual
+    exact fallback may broadcast-nested-loop."""
+    from ariadne_dbt_spark.operators.similarity import batch_lsh_topk
+
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = batch_lsh_topk(
+        vectors, queries, k=3, n_planes=6, radius=1, exact_fallback=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
