@@ -162,6 +162,36 @@ def _ops() -> dict:
     }
 
 
+def _incremental_indexed_op(out_dir: str):
+    """Fixed 1000-doc batch flagged against a PERSISTED shingle index of
+    the whole corpus — the continuously-ingested-corpus serving shape.
+    The batch size is constant across sweep points, so this curve
+    isolates the corpus-size dependence of one ingest: near-flat slope
+    = the batch-bounded claim, measured (cost grows only with
+    per-shingle document frequency, not corpus rows). The index build
+    is amortized setup (one-time per corpus) and is excluded from the
+    timed region, like ivf_build_index vs ivf_query_index."""
+    import os
+
+    from ariadne_dbt_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_near_dup_flags,
+    )
+
+    def run(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        idx = os.path.join(out_dir, "shingle_index")
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            build_shingle_index(docs, idx, "doc_id", "text", n=3)
+        batch = docs.where(F.col("doc_id") < 1000).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        return incremental_near_dup_flags(
+            None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=idx
+        ).count()
+
+    return run
+
+
 def _fit_slope(xs: list[float], ys: list[float]) -> float:
     """Least-squares slope of log(y) on log(x)."""
     lx = [math.log(x) for x in xs]
@@ -187,9 +217,14 @@ def run_sweep(spark: SparkSession, base_dir: str, sizes=SWEEP_SIZES) -> dict:
 
     results: dict[str, dict] = {}
     first = True
-    for op_name, fn in _ops().items():
+    ops = dict(_ops())
+    # None marks the per-corpus op: its persisted index lives beside
+    # each corpus, so the callable is built per sweep point below
+    ops["incremental_indexed_1k_batch"] = None
+    for op_name, base_fn in ops.items():
         pts = {}
         for n, d in corpora:
+            fn = base_fn if base_fn is not None else _incremental_indexed_op(d)
             docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
             emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
             if first:
