@@ -76,18 +76,85 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+#: auto-mode target per-band bucket occupancy (vectors per bucket)
+_TARGET_BUCKET_DOCS = 32
+
+
+def auto_lsh_params(
+    n_rows: int, threshold: float, recall_target: float = 0.95
+) -> tuple[int, int]:
+    """Derive ``(bands, planes_per_band)`` from corpus size + cosine
+    threshold so the banding scheme ADAPTS as the corpus grows instead
+    of degrading.
+
+    ``planes_per_band`` (r) is the density lever: expected per-band
+    bucket occupancy is ~n/2^r, so ``r = log2(n / target_occupancy)``
+    holds within-bucket candidate mass LINEAR in n (any fixed r decays
+    toward n²/2^r as n grows — measured in SCALE.md: the pinned (4,8)
+    sweep curve bends toward slope ~1.9 between 16k and 64k vectors).
+    ``bands`` (b) then restores recall: a pair at angle θ shares one
+    band's bucket with p^r where p = 1-θ/π, overall 1-(1-p^r)^b, so
+    ``b = ceil(log(1-recall_target) / log(1-p^r))``.
+
+    Caps: r ≤ 24, b ≤ 32. Past those (≳10⁹ vectors at tight recall on
+    a low threshold) banded all-pairs LSH is the wrong tool — use
+    ``ivf_build_index``/``batch_lsh_topk`` for retrieval-shaped access
+    instead of materializing the full near-dup pair set in one job.
+    """
+    import math
+
+    r = int(min(24, max(4, math.ceil(math.log2(max(n_rows, 2) / _TARGET_BUCKET_DOCS)))))
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    pr = p**r
+    if pr >= 1.0 - 1e-12:
+        b = 1  # θ=0: identical directions share every bucket
+    else:
+        b = int(
+            min(
+                32,
+                max(
+                    1,
+                    math.ceil(
+                        math.log(max(1.0 - recall_target, 1e-12))
+                        / math.log(1.0 - pr)
+                    ),
+                ),
+            )
+        )
+    return b, r
+
+
 def lsh_bucket_signature(
     vec_col: Column, dim: int, *, n_planes: int = 16
 ) -> Column:
-    """n_planes-bit signed-projection signature as a bigint bucket id."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes(dim, n_planes)):
-        p = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(_dot(vec_col, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+    """n_planes-bit signed-projection signature as a bigint bucket id.
+
+    One array ``transform`` over a 2-D plane literal, folded to a long
+    — NOT one inlined dot-product expression per plane, which grows the
+    codegen projection quadratically with plane count (measured 20× on
+    the banded path at 165 planes; see ``pairwise_near_duplicates``).
+    Bit i (LSB-first) is plane i's sign, matching the driver-side
+    signature in ``lsh_topk``.
+    """
+    planes_2d = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in _hyperplanes(dim, n_planes)]
+    )
+    bits = F.transform(
+        planes_2d,
+        lambda p: F.when(_dot(vec_col, p) >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseOR(bit)
-    return sig
+        ),
+    )
+    # LSB-first: bit i = bits[i] << i (order must stay stable — the
+    # driver-side query signature in lsh_topk/batch_lsh_topk builds the
+    # same layout). shiftleft only takes a literal shift, so fold the
+    # REVERSED array accumulator-shift-style: acc<<1 | bit, first
+    # plane's bit ending up lowest.
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x),
+    )
 
 
 def lsh_topk(
@@ -270,15 +337,25 @@ def pairwise_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bands: int = 4,
-    planes_per_band: int = 8,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
+    recall_target: float = 0.95,
     dim: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via MULTI-BAND random-hyperplane
     LSH blocking + exact re-rank: ``(id_a, id_b, cos_sim)`` with
     id_a < id_b, cos ≥ threshold. Pass ``dim=`` (the vector dimension)
     on serving paths to skip the one-row probe job that otherwise
     learns it from the data.
+
+    ``bands``/``planes_per_band`` default to AUTO: when either is None
+    both are derived by :func:`auto_lsh_params` from the corpus row
+    count (a ``count()`` job unless ``n_rows=`` is passed), the
+    threshold, and ``recall_target`` — band width grows with log(n) to
+    hold bucket occupancy constant, band count with the collision
+    formula to hold recall. Pin both explicitly to freeze a config
+    (every oracle-checked workload does, for reproducible truth sets).
 
     Blocking is banded exactly like the MinHash path (dedup.py
     ``minhash_lsh_candidates``): ``bands`` independent sets of
@@ -299,33 +376,53 @@ def pairwise_near_duplicates(
     cosine verification, whose cost is proportional to real candidate
     mass. AQE splits residual hot buckets.
     """
+    if bands is None or planes_per_band is None:
+        if n_rows is None:
+            n_rows = embeddings.count()
+        bands, planes_per_band = auto_lsh_params(n_rows, threshold, recall_target)
     if dim is None:
         first = embeddings.select(vec_col).first()
         dim = len(first[vec_col])
     planes = _hyperplanes(dim, bands * planes_per_band)
     emb = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
-    def band_bucket(bi: int) -> Column:
-        bucket = F.lit(0).cast("long")
-        for j in range(planes_per_band):
-            p = F.array(*[F.lit(x) for x in planes[bi * planes_per_band + j]])
-            bit = F.when(
-                _dot(F.col("v"), p) >= 0, F.shiftleft(F.lit(1).cast("long"), j)
-            ).otherwise(F.lit(0).cast("long"))
-            bucket = bucket.bitwiseOR(bit)
-        return bucket
-
-    banded = emb.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), band_bucket(bi).alias("bucket"))
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    # all b×r sign bits in ONE array pass (transform over a 2-D plane
+    # literal), then each band's bucket folds its slice of the bits
+    # array. Inlining one F.aggregate dot per plane instead (the old
+    # shape) blows the codegen projection up quadratically with plane
+    # count — measured 13.5 s vs 0.7 s for the bucketing stage at 165
+    # planes × 64k vectors — which is exactly the regime auto-tuned
+    # (b, r) runs in.
+    planes_2d = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    bits = F.transform(
+        planes_2d,
+        lambda p: F.when(_dot(F.col("v"), p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    r = planes_per_band
+    banded = (
+        emb.select("id", bits.alias("_bits"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.aggregate(
+                                F.slice("_bits", bi * r + 1, r),
+                                F.lit(0).cast("long"),
+                                lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x),
+                            ).alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", "bb.band", "bb.bucket")
+    )
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
@@ -655,3 +752,185 @@ def ivf_query_index(
     vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
     cand = vectors.where(F.col("cell").isin([int(p) for p in probe]))
     return brute_force_topk(cand, query_vec, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m small codes so the
+# candidate scan reads BYTES instead of floats. The scale story beyond
+# IVF: at 100 TB of float32 embeddings, an m=8/k=256 code table is a
+# 1/((dim*4)/8) fraction of the data (e.g. 32x smaller at dim=64), and
+# asymmetric-distance (ADC) scoring replaces every per-pair dot product
+# with m table lookups against a driver-built query lookup table.
+# Reference scope analog: the engine's embedding columns stop at exact
+# cosine (/root/reference/src/ariadne_dbt/schema.sql has no ANN layer);
+# PQ is this repo's training-data-pipeline extension, composable with
+# ivf_build_index (coarse cells) exactly like FAISS's IVF-PQ.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    train_mod: int = 1,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: ``m`` codebooks of ``k`` centroids
+    over dim/m-wide vector slices (deterministic Lloyd, like
+    :func:`ivf_train_centroids`).
+
+    All m subspaces train JOINTLY: vectors explode once into
+    ``(sub, subvec)`` rows and every Lloyd iteration is ONE shuffle of
+    n·dim skinny ``(sub, cid, pos, val)`` rows for all subspaces — not
+    m independent trainings. ``train_mod`` hash-samples the training
+    set the same way (codebook quality needs a sample, not the corpus).
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    emb = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if train_mod > 1:
+        emb = emb.where(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(train_mod)) == 0
+        )
+    sub = emb.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice("v", j * d_sub + 1, d_sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "s.sub", "s.sv")
+    sub = sub.cache()
+    try:
+        seeds = (
+            emb.orderBy(F.xxhash64(F.col("id").cast("string")), "id").limit(k).collect()
+        )
+        codebooks = [
+            [[float(x) for x in r["v"][j * d_sub : (j + 1) * d_sub]] for r in seeds]
+            for j in range(m)
+        ]
+        for _ in range(iters):
+            # per-subspace nearest-centroid assignment, one map-only pass:
+            # CASE over sub, each arm a k-way argmin on that codebook
+            cid = None
+            for j in range(m):
+                arm = _assign_col(F.col("sv"), codebooks[j])
+                cid = (
+                    F.when(F.col("sub") == j, arm)
+                    if cid is None
+                    else cid.when(F.col("sub") == j, arm)
+                )
+            # cid in its OWN projection: combining a when(getField(..))
+            # chain with posexplode in one select trips a Spark 4
+            # analyzer bug (the Generate rewrite re-analyzes the when
+            # arm and loses the struct field aliases → FIELD_NOT_FOUND)
+            means = (
+                sub.select("sub", cid.alias("cid"), "sv")
+                .select("sub", "cid", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("sub", "cid", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("mu"))
+                .collect()
+            )
+            by_key: dict[tuple[int, int], dict[int, float]] = {}
+            for r in means:
+                by_key.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["mu"]
+            codebooks = [
+                [
+                    [by_key[(j, c)][p] for p in range(d_sub)]
+                    if (j, c) in by_key
+                    else codebooks[j][c]
+                    for c in range(k)
+                ]
+                for j in range(m)
+            ]
+    finally:
+        sub.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``(vec_id, pq_codes array<int>)`` — for
+    each subspace, the index of the nearest codebook centroid on that
+    slice. Map-only: codebooks ride as literals (m·k·d_sub = k·dim
+    doubles), no shuffle, no UDF; ties break to the lowest index."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(
+            *[
+                _assign_col(F.slice(F.col(vec_col), j * d_sub + 1, d_sub), codebooks[j])
+                .cast("int")
+                for j in range(m)
+            ]
+        ).alias("pq_codes"),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): score every
+    encoded row as ``sum_j lut[j][code_j]`` where the driver builds
+    ``lut[j][c] = dot(query_slice_j, codebooks[j][c])`` — so the scan
+    touches ONLY the m-byte-ish code column, never the float vectors,
+    and the per-row cost is m array lookups + adds in the JVM. Returns
+    ``(vec_id, adc_score)`` sorted desc, TakeOrdered top-k.
+
+    Scores approximate the DOT PRODUCT of the raw vectors; for cosine
+    semantics encode L2-normalized vectors and pass a normalized query
+    (then adc_score ≈ cos). Quantization error is bounded by per-slice
+    reconstruction error — lossless iff every subvector sits exactly on
+    a codebook centroid (the oracle construction in
+    workloads/suites.py exploits this)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                float(query_vec[j * d_sub + t]) * float(c[t]) for t in range(d_sub)
+            )
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    score = F.aggregate(
+        F.zip_with(
+            lut_lit,
+            F.col(codes_col),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.select(F.col(id_col).alias("vec_id"), score.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), "vec_id")
+        .limit(k)
+    )

@@ -260,3 +260,81 @@ def ann_batch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_lsh_topk(
         emb, queries, k=5, n_planes=6, radius=6, exclude_self=True
     ).orderBy("query_id", "rank")
+
+
+# -- product quantization (lossless construction) ---------------------------
+
+#: 4 codebook points per subspace, m=4 subspaces of width 2 (dim 8).
+#: Every value is a small dyadic rational (0, ±1, ±0.5) and the query
+#: below is dyadic too, so every product and partial sum is EXACT in
+#: IEEE double — the ADC per-subspace lookup-sum and the oracle's
+#: straight dot product agree bit for bit, not just to 6 decimals.
+_PQ_POINTS = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.5], [0.5, -1.0]]
+_PQ_M = 4
+_PQ_QUERY = [0.25, -0.75, 1.0, 0.5, -0.5, 1.25, 0.0, 0.75]
+
+
+def _pq_point_index(j: int):
+    # deterministic subspace-j point choice per vec_id (SQL-mirrorable)
+    return (F.col("vec_id") * (j + 3) + F.lit(j)) % 4
+
+
+def _pq_lut() -> list[list[float]]:
+    return [
+        [
+            _PQ_QUERY[2 * j] * p[0] + _PQ_QUERY[2 * j + 1] * p[1]
+            for p in _PQ_POINTS
+        ]
+        for j in range(_PQ_M)
+    ]
+
+
+def _pq_oracle() -> str:
+    # constant-fold the per-subspace contribution into CASE literals
+    lut = _pq_lut()
+    terms = []
+    for j in range(_PQ_M):
+        cases = " ".join(
+            f"WHEN {p} THEN CAST({lut[j][p]!r} AS DOUBLE)" for p in range(4)
+        )
+        terms.append(f"(CASE (vec_id * {j + 3} + {j}) % 4 {cases} END)")
+    score = " + ".join(terms)
+    return f"""
+    SELECT vec_id, ROUND({score}, 6) AS adc_score
+    FROM embeddings
+    ORDER BY {score} DESC, vec_id
+    LIMIT 20
+    """
+
+
+@query(
+    "ann_pq_lossless_topk",
+    oracle=_pq_oracle(),
+    survey="similarity-pq",
+    doc="Product-quantization retrieval on a LOSSLESS construction: "
+    "every vector's 2-wide subvectors sit exactly on a codebook point "
+    "(derived deterministically from vec_id), so pq_encode recovers the "
+    "exact point indices and the ADC lookup-sum equals the true dot "
+    "product — the oracle ranks by the straight dot, and the PQ path "
+    "must reproduce it exactly. Exercises encode (map-only argmin per "
+    "subspace) + ADC top-k (m table lookups per row, TakeOrdered).",
+)
+def ann_pq_lossless_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.similarity import pq_encode, pq_topk
+
+    pts = F.array(*[F.array(*[F.lit(x) for x in p]) for p in _PQ_POINTS])
+    corpus = embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.flatten(
+            F.array(
+                *[
+                    F.element_at(pts, _pq_point_index(j).cast("int") + 1)
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("embedding"),
+    )
+    codebooks = [_PQ_POINTS] * _PQ_M
+    codes = pq_encode(corpus, codebooks)
+    out = pq_topk(codes, codebooks, _PQ_QUERY, k=20)
+    return out.select("vec_id", F.round("adc_score", 6).alias("adc_score"))

@@ -394,6 +394,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "rank": "bigint",
             },
         ),
+        (
+            "pq_lossless",
+            "ann_pq_lossless_topk",
+            {"vec_id": "bigint", "adc_score": "double"},
+        ),
     ],
     "doc_profile_suite": [
         (

@@ -149,6 +149,16 @@ def _ops() -> dict:
             emb, threshold=0.9, bands=4, planes_per_band=8, dim=_EMB_DIM
         ).count()
 
+    def run_banded_lsh_auto(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        # default parameterization: (b, r) derived per corpus size by
+        # auto_lsh_params — the curve this is meant to flatten vs the
+        # pinned (4,8) row above, which degrades toward quadratic as
+        # fixed-width buckets fill up
+        n = emb.count()
+        return pairwise_near_duplicates(
+            emb, threshold=0.9, dim=_EMB_DIM, n_rows=n
+        ).count()
+
     def run_ivf(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
         q = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
         return ivf_topk(emb, q, k=10, n_centroids=16, nprobe=3, iters=2).count()
@@ -158,6 +168,7 @@ def _ops() -> dict:
         "ngram_jaccard": run_ngram,
         "minhash_lsh": run_minhash,
         "embedding_banded_lsh": run_banded_lsh,
+        "embedding_banded_lsh_auto": run_banded_lsh_auto,
         "ivf_topk": run_ivf,
     }
 
