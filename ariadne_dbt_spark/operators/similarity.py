@@ -934,3 +934,171 @@ def pq_topk(
         .orderBy(F.desc("adc_score"), "vec_id")
         .limit(k)
     )
+
+
+def ivf_pq_build_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 3,
+    train_mod: int = 1,
+    m: int = 8,
+    k_sub: int = 16,
+    dim: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> dict:
+    """Persist an IVF-PQ index: coarse Voronoi cells like
+    :func:`ivf_build_index`, but each cell partition stores ONLY
+    ``(vec_id, pq_codes)`` — m small ints per vector, no float arrays.
+    At 100 TB of float32 embeddings this makes the index a
+    ``m*4 / (dim*4)``-ish fraction of the corpus (32× smaller at
+    dim=64, m=8 with int8-range codes), so probing a cell reads bytes,
+    not vectors; the floats stay in the source table and are touched
+    only by the final skinny id-join re-rank in
+    :func:`ivf_pq_query_index`. Codes quantize RAW vectors (not
+    per-cell residuals — one query-global ADC table instead of one per
+    probed cell; residual PQ is the tighter-recall variant at the cost
+    of nprobe tables).
+
+    Writes ``codes/`` (parquet, ``partitionBy(cell)``),
+    ``centroids.json`` and ``pq_codebooks.json``. Returns
+    ``{"centroids": ..., "codebooks": ...}``.
+    """
+    import json
+    import os
+
+    centroids = ivf_train_centroids(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        iters=iters,
+        train_mod=train_mod,
+    )
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            m=m,
+            k=k_sub,
+            iters=iters,
+            train_mod=train_mod,
+            dim=dim,
+        )
+    coded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _assign_col(F.col(vec_col), centroids).alias("cell"),
+    )
+    # join is by the source's own unique id — co-partitioned tiny
+    # shuffle at gate scale, bucketable at warehouse scale
+    coded.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(out_dir, "codes"))
+    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    with open(os.path.join(out_dir, "pq_codebooks.json"), "w") as f:
+        json.dump(codebooks, f)
+    return {"centroids": centroids, "codebooks": codebooks}
+
+
+def ivf_pq_query_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 3,
+    refine: int = 4,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve one query from a persisted IVF-PQ index.
+
+    1. pick ``nprobe`` cells from the centroid metadata (driver-side);
+    2. scan ONLY those code partitions (``cell IN (...)`` →
+       PartitionFilters — same physical pruning as the float IVF
+       index, but over the 32×-smaller code table);
+    3. ADC-score the probed codes (m lookups/row) and keep the top
+       ``refine * k`` by ADC;
+    4. if ``embeddings`` is given, rehydrate ONLY those survivors'
+       float vectors via a skinny id-join against the source table and
+       exact-cosine re-rank to the final top-k (``(vec_id,
+       cos_sim)``); otherwise return the ADC ranking (``(vec_id,
+       adc_score)``).
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = json.load(f)
+    with open(os.path.join(index_dir, "pq_codebooks.json")) as f:
+        codebooks = json.load(f)
+
+    def d2(c: list[float]) -> float:
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).where(
+        F.col("cell").isin([int(p) for p in probe])
+    )
+    shortlist = pq_topk(
+        codes, codebooks, query_vec, k=refine * k if embeddings is not None else k
+    )
+    if embeddings is None:
+        return shortlist
+    rehydrated = shortlist.select("vec_id").join(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+        ),
+        "vec_id",
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        rehydrated.select(
+            "vec_id", cosine_similarity(F.col("_v"), q).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_pq_append(
+    new_vectors: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """IVF-PQ index maintenance: encode a new batch with the EXISTING
+    codebooks, assign it to the existing cells (both map-only
+    broadcast-literal passes — no retrain, no stored-corpus scan), and
+    append into the cell-partitioned code layout. Returns the number of
+    rows appended. Codebook/centroid drift tracking belongs to the
+    float index's ``ivf_staleness`` pattern; when the coarse cells go
+    stale the PQ codebooks trained on the same distribution are stale
+    too, so the retrain trigger is shared.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = json.load(f)
+    with open(os.path.join(index_dir, "pq_codebooks.json")) as f:
+        codebooks = json.load(f)
+    coded = pq_encode(new_vectors, codebooks, id_col=id_col, vec_col=vec_col)
+    assigned = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _assign_col(F.col(vec_col), centroids).alias("cell"),
+    )
+    batch = coded.join(assigned, "vec_id")
+    n = batch.count()
+    batch.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    return n

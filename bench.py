@@ -39,6 +39,7 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "simhash_fingerprints",
     "ann_brute_force_topk",
+    "ann_pq_lossless_topk",
     "doc_quality_scores",
     "lang_detect_confusion",
 ]

@@ -423,3 +423,84 @@ def test_pq_train_deterministic_and_recalls(spark):
     # entirely inside the query's cluster (i % 8 == 0).
     assert all(i % 8 == 0 for i in got), got
     assert all(i % 8 == 0 for i in exact), exact
+
+
+def test_ivf_pq_index_build_query(spark, tmp_path):
+    """IVF-PQ persisted index: codes-only partitions (no float column),
+    physical partition pruning on probe, and — on the LOSSLESS
+    construction with full probe + re-rank — exact agreement with
+    brute force."""
+    from ariadne_dbt_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_build_index,
+        ivf_pq_query_index,
+    )
+
+    points, rows = _pq_fixture_rows()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivfpq")
+    meta = ivf_pq_build_index(df, idx, n_centroids=4, iters=2, m=4, k_sub=4)
+    assert len(meta["centroids"]) == 4 and len(meta["codebooks"]) == 4
+
+    # the persisted code table holds NO float vectors — that's the 32x
+    codes = spark.read.parquet(str(tmp_path / "ivfpq" / "codes"))
+    assert set(codes.columns) == {"vec_id", "pq_codes", "cell"}
+    assert dict(codes.dtypes)["pq_codes"] == "array<int>"
+
+    q = rows[3][1]
+    # partial probe: PartitionFilters prune unprobed cell directories
+    served = ivf_pq_query_index(spark, idx, q, k=5, nprobe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert 0 < len(served.collect()) <= 5
+
+    # full probe + refine + re-rank on a corpus where PQ is lossless:
+    # final ranking must equal exact brute force
+    got = [
+        (r.vec_id, round(r.cos_sim, 6))
+        for r in ivf_pq_query_index(
+            spark, idx, q, k=5, nprobe=4, refine=4, embeddings=df
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.cos_sim, 6))
+        for r in brute_force_topk(df, q, k=5).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_pq_append_serves_new_vectors(spark, tmp_path):
+    """Appended batch is encoded with the existing codebooks, lands in
+    the cell layout, is served with pruning intact, and — lossless
+    construction — still re-ranks exactly."""
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_pq_append,
+        ivf_pq_build_index,
+        ivf_pq_query_index,
+    )
+
+    points, rows = _pq_fixture_rows()
+    base = rows[:50]
+    extra = [(1000 + i, v) for i, (_, v) in enumerate(rows[50:])]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    df2 = spark.createDataFrame(extra, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivfpq_app")
+    # explicit codebooks (= the construction's point set) so the
+    # lossless-ADC assertion below is exact by construction; trained
+    # codebooks need not recover the points bit-for-bit
+    ivf_pq_build_index(
+        df, idx, n_centroids=4, iters=2, m=4, codebooks=[points] * 4
+    )
+    assert ivf_pq_append(df2, idx) == len(extra)
+
+    # query a vector that exists ONLY in the appended batch, full probe.
+    # Code-identical base rows tie on ADC and win the vec_id tiebreak,
+    # so ask for enough rows to cover the tie group.
+    q = extra[0][1]
+    got = ivf_pq_query_index(spark, idx, q, k=60, nprobe=4)
+    served = {r.vec_id: r.adc_score for r in got.collect()}
+    assert extra[0][0] in served
+    # lossless codes: its ADC score equals the true dot product
+    assert abs(served[extra[0][0]] - sum(x * x for x in q)) < 1e-9
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
