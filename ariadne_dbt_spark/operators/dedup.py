@@ -349,21 +349,59 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def auto_minhash_params(
+    n_rows: int, threshold: float, recall_target: float = 0.95
+) -> tuple[int, int]:
+    """Derive ``(num_perm, bands)`` from corpus size + Jaccard
+    threshold — the MinHash twin of ``similarity.auto_lsh_params``.
+
+    Rows-per-band r is the precision lever: a pair at Jaccard s shares
+    a band bucket with s^r, so the spurious-candidate mass from the
+    low-similarity background (n²/2 pairs at s_bg) scales with
+    n²·s_bg^r·b — r must grow ~log(n) to hold it linear, exactly like
+    hyperplane band width. ``r = max(4, ceil(log2(n)/2))`` keeps the
+    background term (s_bg ≤ 0.25, typical shingled text is far lower)
+    bounded by n·b. Bands then restore recall AT the threshold:
+    ``b = ceil(log(1-recall)/log(1-t^r))`` (capped at 64), and
+    ``num_perm = b·r`` is the signature budget that falls out.
+    """
+    import math
+
+    r = max(4, min(16, math.ceil(math.log2(max(n_rows, 2)) / 2)))
+    tr = min(max(threshold, 1e-9), 1.0) ** r
+    if tr >= 1.0 - 1e-12:
+        b = 1
+    else:
+        b = max(1, min(64, math.ceil(math.log(max(1.0 - recall_target, 1e-12)) / math.log(1.0 - tr))))
+    return b * r, b
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
     n: int = 3,
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int | None = 64,
+    bands: int | None = 16,
+    threshold: float = 0.8,
+    recall_target: float = 0.95,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """LSH banding: split signatures into ``bands`` rows-per-band groups,
     hash each band, bucket-join → candidate pairs ``(id_a, id_b)``.
 
     This is the 100 TB path: cost is (docs × bands) rows shuffled by
-    band-hash, never O(docs²).
+    band-hash, never O(docs²). Pass ``num_perm=None``/``bands=None`` to
+    AUTO-derive both from the corpus row count (``n_rows`` or a
+    ``count()`` job), ``threshold`` and ``recall_target`` via
+    :func:`auto_minhash_params` — rows-per-band grows with log(n) so
+    background-pair collisions stay linear as the corpus grows.
     """
+    if num_perm is None or bands is None:
+        if n_rows is None:
+            n_rows = df.count()
+        num_perm, bands = auto_minhash_params(n_rows, threshold, recall_target)
     assert num_perm % bands == 0
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)

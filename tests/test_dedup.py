@@ -446,3 +446,41 @@ def test_ingest_batch_dedup_gated_cycle(spark, tmp_path):
     assert not flags[22].is_dup
     acc2 = ingest_batch_dedup_gated(b2, idx, "doc_id", "text", threshold=0.8)
     assert {r.doc_id for r in acc2.collect()} == {22}
+
+
+def test_auto_minhash_params_laws():
+    """MinHash auto (num_perm, bands): rows-per-band grows ~log2(n)/2,
+    recall formula satisfied at the threshold when the cap doesn't
+    bind, num_perm = bands * rows by construction."""
+    import math
+
+    from ariadne_dbt_spark.operators.dedup import auto_minhash_params
+
+    rs = []
+    for n in (1_000, 100_000, 10_000_000):
+        num_perm, bands = auto_minhash_params(n, 0.8)
+        r = num_perm // bands
+        rs.append(r)
+        assert num_perm == bands * r
+        if bands < 64:
+            assert 1.0 - (1.0 - 0.8**r) ** bands >= 0.95
+    assert rs == sorted(rs) and rs[-1] > rs[0]  # r grows with n
+    # jaccard 1.0 (exact clones) needs a single band
+    assert auto_minhash_params(10**9, 1.0)[1] == 1
+
+
+def test_minhash_auto_mode_recall(corpus):
+    """Auto parameterization keeps the candidate-recall invariant on
+    the fixture corpus: every exact-Jaccard>=0.7 pair still surfaces."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            corpus, "doc_id", "text", n=3, num_perm=None, bands=None,
+            threshold=0.7, n_rows=6,
+        ).collect()
+    }
+    assert exact <= cand, f"missed: {exact - cand}"

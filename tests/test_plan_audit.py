@@ -97,3 +97,33 @@ def test_ngram_prefix_exchange_ceiling(spark):
         assert safe_plan.count("Exchange hashpartitioning") <= 15, safe_plan
     finally:
         sh.unpersist()
+
+
+def test_pairwise_auto_exchange_ceiling(spark):
+    """The banded near-dup pipeline's exchange count is pinned in AUTO
+    mode (its default): one exchange for the bucket self-join plus at
+    most a handful for candidate dedup + the two rehydration joins —
+    vectors must never ride through the bucket join, and no stage may
+    introduce a global sort."""
+    from ariadne_dbt_spark.operators.similarity import pairwise_near_duplicates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = pairwise_near_duplicates(emb, threshold=0.9, dim=64, n_rows=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 6, plan
+    # no stage introduces a global sort (range partitioning = sort shuffle)
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_pq_topk_take_ordered_no_full_sort(spark):
+    """ADC top-k compiles to TakeOrdered (partial per-partition top-k,
+    no global sort) over a scan of just (id, codes)."""
+    from ariadne_dbt_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = [[[0.0] * 16, [1.0] * 16]] * 4
+    codes = pq_encode(emb, cb)
+    out = pq_topk(codes, cb, [0.5] * 64, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
