@@ -908,6 +908,20 @@ def pq_topk(
     reconstruction error — lossless iff every subvector sits exactly on
     a codebook centroid (the oracle construction in
     workloads/suites.py exploits this)."""
+    score = _adc_score_col(codebooks, query_vec, codes_col)
+    return (
+        codes.select(F.col(id_col).alias("vec_id"), score.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), "vec_id")
+        .limit(k)
+    )
+
+
+def _adc_score_col(
+    codebooks: list[list[list[float]]], query_vec: list[float], codes_col: str
+) -> Column:
+    """``Σ_j lut[j][code_j]`` with ``lut[j][c] = dot(query_slice_j,
+    codebooks[j][c])`` — the lut is built driver-side (m·k doubles) and
+    rides as a literal; per row the JVM does m lookups + adds."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     lut = [
@@ -920,7 +934,7 @@ def pq_topk(
         for j in range(m)
     ]
     lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
-    score = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             lut_lit,
             F.col(codes_col),
@@ -928,11 +942,6 @@ def pq_topk(
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    return (
-        codes.select(F.col(id_col).alias("vec_id"), score.alias("adc_score"))
-        .orderBy(F.desc("adc_score"), "vec_id")
-        .limit(k)
     )
 
 
@@ -949,6 +958,7 @@ def ivf_pq_build_index(
     k_sub: int = 16,
     dim: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> dict:
     """Persist an IVF-PQ index: coarse Voronoi cells like
     :func:`ivf_build_index`, but each cell partition stores ONLY
@@ -958,14 +968,19 @@ def ivf_pq_build_index(
     dim=64, m=8 with int8-range codes), so probing a cell reads bytes,
     not vectors; the floats stay in the source table and are touched
     only by the final skinny id-join re-rank in
-    :func:`ivf_pq_query_index`. Codes quantize RAW vectors (not
-    per-cell residuals — one query-global ADC table instead of one per
-    probed cell; residual PQ is the tighter-recall variant at the cost
-    of nprobe tables).
+    :func:`ivf_pq_query_index`.
+
+    ``residual=True`` is the FAISS-shape refinement: codes quantize
+    ``x - centroid[cell]`` instead of the raw vector. Residuals
+    concentrate near zero, so the same codebook budget reconstructs
+    tighter (pinned by the MSE test). Dot-product ADC needs NO
+    per-cell tables for this: ``dot(q, centroid_c + recon) =
+    dot(q, centroid_c) + Σ_j lut[j][code_j]`` — a driver-computed
+    scalar bias per probed cell plus the one query-global table.
 
     Writes ``codes/`` (parquet, ``partitionBy(cell)``),
-    ``centroids.json`` and ``pq_codebooks.json``. Returns
-    ``{"centroids": ..., "codebooks": ...}``.
+    ``centroids.json``, ``pq_codebooks.json`` and ``index_meta.json``.
+    Returns ``{"centroids": ..., "codebooks": ...}``.
     """
     import json
     import os
@@ -978,31 +993,55 @@ def ivf_pq_build_index(
         iters=iters,
         train_mod=train_mod,
     )
+    with_cell = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        _assign_col(F.col(vec_col), centroids).alias("cell"),
+    )
+    enc_src = with_cell
+    if residual:
+        cent_lit = _centroid_literal(centroids)
+        enc_src = with_cell.withColumn(
+            "_v",
+            F.zip_with(
+                F.col("_v"),
+                F.element_at(cent_lit, F.col("cell") + 1),
+                lambda x, c: x.cast("double") - c,
+            ),
+        )
     if codebooks is None:
         codebooks = pq_train(
-            embeddings,
-            id_col=id_col,
-            vec_col=vec_col,
+            enc_src,
+            id_col="vec_id",
+            vec_col="_v",
             m=m,
             k=k_sub,
             iters=iters,
             train_mod=train_mod,
             dim=dim,
         )
-    coded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
-    assigned = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        _assign_col(F.col(vec_col), centroids).alias("cell"),
+    # cell + codes in ONE map-only projection — no build-time join
+    d_sub = len(codebooks[0][0])
+    out = enc_src.select(
+        "vec_id",
+        F.array(
+            *[
+                _assign_col(F.slice(F.col("_v"), j * d_sub + 1, d_sub), codebooks[j])
+                .cast("int")
+                for j in range(len(codebooks))
+            ]
+        ).alias("pq_codes"),
+        "cell",
     )
-    # join is by the source's own unique id — co-partitioned tiny
-    # shuffle at gate scale, bucketable at warehouse scale
-    coded.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(out_dir, "codes"))
+    out.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "codes")
+    )
     with open(os.path.join(out_dir, "centroids.json"), "w") as f:
         json.dump(centroids, f)
     with open(os.path.join(out_dir, "pq_codebooks.json"), "w") as f:
         json.dump(codebooks, f)
+    with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
+        json.dump({"residual": residual, "m": len(codebooks), "d_sub": d_sub}, f)
     return {"centroids": centroids, "codebooks": codebooks}
 
 
@@ -1039,6 +1078,11 @@ def ivf_pq_query_index(
         centroids = json.load(f)
     with open(os.path.join(index_dir, "pq_codebooks.json")) as f:
         codebooks = json.load(f)
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    residual = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            residual = bool(json.load(f).get("residual", False))
 
     def d2(c: list[float]) -> float:
         return sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
@@ -1047,9 +1091,31 @@ def ivf_pq_query_index(
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).where(
         F.col("cell").isin([int(p) for p in probe])
     )
-    shortlist = pq_topk(
-        codes, codebooks, query_vec, k=refine * k if embeddings is not None else k
-    )
+    n_short = refine * k if embeddings is not None else k
+    if not residual:
+        shortlist = pq_topk(codes, codebooks, query_vec, k=n_short)
+    else:
+        # residual ADC for dot scoring: the global code table plus a
+        # per-probed-cell scalar bias dot(q, centroid_c) — still one
+        # pruned scan, nprobe literal CASE arms, no per-cell tables
+        score = _adc_score_col(codebooks, query_vec, "pq_codes")
+        bias = None
+        for c in probe:
+            bval = F.lit(
+                sum(float(x) * float(y) for x, y in zip(query_vec, centroids[c]))
+            )
+            bias = (
+                F.when(F.col("cell") == int(c), bval)
+                if bias is None
+                else bias.when(F.col("cell") == int(c), bval)
+            )
+        shortlist = (
+            codes.select(
+                F.col("vec_id"), (score + bias).alias("adc_score")
+            )
+            .orderBy(F.desc("adc_score"), "vec_id")
+            .limit(n_short)
+        )
     if embeddings is None:
         return shortlist
     rehydrated = shortlist.select("vec_id").join(
@@ -1091,12 +1157,38 @@ def ivf_pq_append(
         centroids = json.load(f)
     with open(os.path.join(index_dir, "pq_codebooks.json")) as f:
         codebooks = json.load(f)
-    coded = pq_encode(new_vectors, codebooks, id_col=id_col, vec_col=vec_col)
-    assigned = new_vectors.select(
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    residual = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            residual = bool(json.load(f).get("residual", False))
+    with_cell = new_vectors.select(
         F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
         _assign_col(F.col(vec_col), centroids).alias("cell"),
     )
-    batch = coded.join(assigned, "vec_id")
+    if residual:
+        cent_lit = _centroid_literal(centroids)
+        with_cell = with_cell.withColumn(
+            "_v",
+            F.zip_with(
+                F.col("_v"),
+                F.element_at(cent_lit, F.col("cell") + 1),
+                lambda x, c: x.cast("double") - c,
+            ),
+        )
+    d_sub = len(codebooks[0][0])
+    batch = with_cell.select(
+        "vec_id",
+        F.array(
+            *[
+                _assign_col(F.slice(F.col("_v"), j * d_sub + 1, d_sub), codebooks[j])
+                .cast("int")
+                for j in range(len(codebooks))
+            ]
+        ).alias("pq_codes"),
+        "cell",
+    )
     n = batch.count()
     batch.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, "codes")

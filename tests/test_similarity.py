@@ -504,3 +504,64 @@ def test_ivf_pq_append_serves_new_vectors(spark, tmp_path):
     assert abs(served[extra[0][0]] - sum(x * x for x in q)) < 1e-9
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_ivf_pq_residual_tighter_reconstruction(spark, tmp_path):
+    """residual=True quantizes x - centroid[cell]; on clustered data the
+    residuals concentrate near zero so the SAME codebook budget must
+    reconstruct strictly tighter than raw-vector PQ — and the residual
+    query path (global lut + per-cell dot(q, centroid) bias) still
+    serves correct neighbors after exact re-rank."""
+    import json
+    import random
+
+    from ariadne_dbt_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_build_index,
+        ivf_pq_query_index,
+    )
+
+    rnd = random.Random(23)
+    cents = [[rnd.choice((-4.0, 4.0)) for _ in range(16)] for _ in range(8)]
+    rows = [
+        (i, [float(c + rnd.gauss(0, 0.5)) for c in cents[i % 8]]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def mse(idx_dir, residual):
+        codes = {
+            r.vec_id: (list(r.pq_codes), r.cell)
+            for r in spark.read.parquet(f"{idx_dir}/codes").collect()
+        }
+        with open(f"{idx_dir}/pq_codebooks.json") as f:
+            cb = json.load(f)
+        with open(f"{idx_dir}/centroids.json") as f:
+            cen = json.load(f)
+        tot = 0.0
+        for vid, v in rows:
+            cds, cell = codes[vid]
+            recon = [x for j, c in enumerate(cds) for x in cb[j][c]]
+            if residual:
+                recon = [r + m for r, m in zip(recon, cen[cell])]
+            tot += sum((a - b) ** 2 for a, b in zip(v, recon))
+        return tot / len(rows)
+
+    raw_dir = str(tmp_path / "raw")
+    res_dir = str(tmp_path / "res")
+    ivf_pq_build_index(df, raw_dir, n_centroids=8, iters=3, m=4, k_sub=8)
+    ivf_pq_build_index(
+        df, res_dir, n_centroids=8, iters=3, m=4, k_sub=8, residual=True
+    )
+    m_raw, m_res = mse(raw_dir, False), mse(res_dir, True)
+    assert m_res < m_raw, (m_res, m_raw)
+
+    # serving parity: full probe + refine + re-rank tracks brute force
+    q = rows[0][1]
+    got = [
+        r.vec_id
+        for r in ivf_pq_query_index(
+            spark, res_dir, q, k=5, nprobe=8, refine=8, embeddings=df
+        ).collect()
+    ]
+    bf = [r.vec_id for r in brute_force_topk(df, q, k=5).collect()]
+    assert len(set(got) & set(bf)) >= 4, (got, bf)
