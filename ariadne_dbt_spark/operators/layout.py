@@ -120,3 +120,50 @@ def rowgroup_overlap_fraction(path: str, col: str, lo: float, hi: float) -> floa
                     elif not (st.max < lo or st.min > hi):
                         overlapping += 1
     return overlapping / total if total else 1.0
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_mb``-sized files —
+    the maintenance pass every streaming/append sink needs (a
+    foreachBatch or micro-batch writer leaves one small file per
+    trigger; a 100 TB table read pays per-file open + footer + task
+    overhead for each).
+
+    File count = ceil(total_bytes / target), from a driver-side
+    listing (no data scan); one shuffle (`repartition`, or a range
+    partition + sort when ``sort_by`` re-clusters for pruning). The
+    swap is crash-safe in the same order as the dbt executor's
+    materialization (dbt_executor.py): write ``__tmp`` fully, move the
+    live dir aside, promote, delete — no window where the path is
+    unreadable, and a crash mid-swap leaves ``__old`` recoverable.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_out)
+    tmp = path.rstrip("/") + "__tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(path.rstrip("/"), old)
+    os.replace(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
+    return {"input_bytes": total, "files_out": n_out}

@@ -73,3 +73,52 @@ def test_zorder_prunes_both_dimensions(spark, grid, tmp_path):
     # this row-group granularity) to buy pruning on BOTH keys — summed
     # over one query per dimension it reads strictly less
     assert z_x + z_y < lin_x + lin_y, (z_x, z_y, lin_x, lin_y)
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """20 one-row-ish files -> one right-sized file, same rows, and the
+    live path never disappears (swap leaves no __tmp/__old behind)."""
+    import os
+
+    from ariadne_dbt_spark.operators.layout import compact_parquet
+
+    p = str(tmp_path / "t")
+    # simulate a streaming sink: 20 tiny appends
+    for i in range(20):
+        spark.range(i * 10, i * 10 + 10).write.mode("append").parquet(p)
+    n_before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_before >= 20
+
+    stats = compact_parquet(spark, p, target_mb=128)
+    assert stats["files_out"] == 1
+    n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_after == 1
+    got = sorted(r.id for r in spark.read.parquet(p).collect())
+    assert got == list(range(200))
+    assert not os.path.exists(p + "__tmp") and not os.path.exists(p + "__old")
+
+
+def test_compact_parquet_sorted_reclusters(spark, tmp_path):
+    """sort_by re-clusters during compaction: row-group stats become
+    tight enough that a narrow filter prunes most groups."""
+    from ariadne_dbt_spark.operators.layout import (
+        compact_parquet,
+        rowgroup_overlap_fraction,
+    )
+
+    p = str(tmp_path / "s")
+    # append shuffled chunks so the initial layout has no order
+    for i in range(8):
+        spark.sql(
+            f"SELECT ((id * 37) % 4000) AS k, id AS v FROM range({i*500}, {(i+1)*500})"
+        ).write.mode("append").parquet(p)
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "parquet.block.size", str(16 * 1024)
+    )
+    try:
+        compact_parquet(spark, p, target_mb=1, sort_by=["k"])
+    finally:
+        spark.sparkContext._jsc.hadoopConfiguration().unset("parquet.block.size")
+    frac = rowgroup_overlap_fraction(p, "k", 100, 300)  # 5% slice
+    assert frac < 0.5, frac
+    assert spark.read.parquet(p).count() == 4000
