@@ -494,3 +494,74 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dup_flags(
         None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=index_dir
     ).orderBy("id")
+
+
+@query(
+    "stream_neardup_kept",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_rejected,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_input
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    survey="dedup-streaming-neardup",
+    doc="Streaming NEAR-dup rejection at ingest, driven as a REAL "
+    "stream (4 micro-batch files, foreachBatch vs a persisted shingle "
+    "index built from the corpus, accepted postings appended between "
+    "batches): the batch holds one exact clone (reject, J=1 vs the "
+    "corpus) and one id-tokenized synthetic doc (accept, shares no "
+    "shingle with anything) per every-10th corpus doc, so the kept/"
+    "rejected counts are arrival-order independent and SQL-exact.",
+)
+def stream_neardup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ariadne_dbt_spark.operators.dedup import build_shingle_index
+    from ariadne_dbt_spark.streaming.neardup_stream import near_dup_ingest_stream
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="ariadne_neardup_stream_")
+    try:
+        idx = os.path.join(work, "idx")
+        out = os.path.join(work, "out")
+        src = os.path.join(work, "src")
+        tenth = docs.where(F.col("doc_id") % 10 == 0)
+        # the index holds exactly the docs the clones must hit — the
+        # rejection decision is identical with the full corpus indexed,
+        # this just keeps the gate row's build cost proportional to the
+        # planted structure
+        build_shingle_index(tenth, idx, "doc_id", "text", n=3)
+        synth_text = F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(w), F.col("doc_id").cast("string"))
+                for w in ("synthdoc", "alpha", "beta", "gamma", "delta", "omega")
+            ],
+        )
+        batch = tenth.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        ).union(
+            tenth.select((F.col("doc_id") + 3_000_000).alias("doc_id"), synth_text.alias("text"))
+        )
+        n_input = batch.count()
+        batch.repartition(2).write.parquet(src)
+        n_kept = near_dup_ingest_stream(
+            spark, src, idx, out, n=3, threshold=0.8, max_files_per_trigger=1
+        )
+        # LocalRelation result: the temp corpus/index/output are deleted
+        # below, so the returned frame must not re-read them
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "n_kept": [n_kept],
+                    "n_rejected": [n_input - n_kept],
+                    "n_input": [n_input],
+                }
+            ).astype("int64")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -452,6 +452,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "stream_dedup_kept",
             {"n_kept": "bigint", "n_unique_fp": "bigint", "n_input": "bigint"},
         ),
+        (
+            "stream_neardup",
+            "stream_neardup_kept",
+            {"n_kept": "bigint", "n_rejected": "bigint", "n_input": "bigint"},
+        ),
     ],
 }
 
