@@ -565,3 +565,31 @@ def test_ivf_pq_residual_tighter_reconstruction(spark, tmp_path):
     ]
     bf = [r.vec_id for r in brute_force_topk(df, q, k=5).collect()]
     assert len(set(got) & set(bf)) >= 4, (got, bf)
+
+
+def test_brute_force_arrow_path_matches_jvm(spark):
+    """Above the dispatch dim the Arrow/numpy scorer must agree with the
+    JVM fold to float tolerance (BLAS summation order differs, values
+    don't)."""
+    from ariadne_dbt_spark.operators import similarity as S
+
+    dim = 400  # above _ARROW_COSINE_MIN_DIM
+    assert dim >= S._ARROW_COSINE_MIN_DIM
+    rows = [
+        (i, [float(((i * 31 + j * 7) % 19) - 9) / 9.0 for j in range(dim)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[3][1]
+    got = {r.vec_id: r.cos_sim for r in brute_force_topk(df, q, k=10).collect()}
+    # the JVM fold is the reference answer
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    jvm = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id", S.cosine_similarity(F.col("embedding"), qlit).alias("c")
+        ).orderBy(F.desc("c"), "vec_id").limit(10).collect()
+    }
+    assert set(got) == set(jvm)
+    for vid in got:
+        assert abs(got[vid] - jvm[vid]) < 1e-9
