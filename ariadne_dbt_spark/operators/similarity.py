@@ -497,9 +497,12 @@ def topk_per_query(
     query_vec_col: str = "query_vec",
     k: int = 10,
     exclude_self: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Batch exact top-k: for EVERY query row, the k nearest corpus
-    vectors by cosine — ``(query_id, vec_id, cos_sim, rank)``.
+    vectors by cosine — ``(query_id, vec_id, cos_sim, rank)``. Pass
+    ``dim=`` on serving paths to skip the one-row probe job that
+    otherwise decides the scoring dispatch.
 
     Production retrieval scores query BATCHES, not one vector at a time
     (the single-query functions re-scan the corpus per call). Shape: the
@@ -511,6 +514,13 @@ def topk_per_query(
     (query, partition) survive the exchange, never the full score
     matrix. ``exclude_self`` drops corpus rows whose id equals the
     query id (self-retrieval, for corpus-vs-itself joins).
+
+    Above ``_ARROW_COSINE_MIN_DIM`` the join+fold is replaced by a
+    ``mapInPandas`` stage holding the (already broadcast-sized) query
+    matrix as a closure: each Arrow batch of corpus vectors scores
+    against ALL queries in one BLAS matrix-matrix multiply — the same
+    measured crossover as the single-query path, amplified by the
+    batch width. The window top-k downstream is identical.
     """
     from pyspark.sql.window import Window
 
@@ -518,9 +528,40 @@ def topk_per_query(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
     )
     c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
-    scored = c.join(F.broadcast(q)).withColumn(
-        "cos_sim", cosine_similarity(F.col("_cv"), F.col("_qv"))
-    )
+    if dim is None:
+        probe = q.first()
+        dim = len(probe["_qv"]) if probe is not None else 0
+    if dim >= _ARROW_COSINE_MIN_DIM:
+        import numpy as np
+        import pandas as pd
+
+        q_rows = q.collect()  # broadcast-sized by contract
+        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        qm = np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in q_rows])
+        qn = np.linalg.norm(qm, axis=1)
+
+        def score_batches(batches):
+            for pdf in batches:
+                m = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+                sims = (m @ qm.T) / (
+                    np.linalg.norm(m, axis=1)[:, None] * qn[None, :]
+                )
+                n_c, n_q = sims.shape
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_q),
+                        "query_id": np.tile(qids, n_c),
+                        "cos_sim": sims.ravel(),
+                    }
+                )
+
+        scored = c.mapInPandas(
+            score_batches, "vec_id long, query_id long, cos_sim double"
+        )
+    else:
+        scored = c.join(F.broadcast(q)).withColumn(
+            "cos_sim", cosine_similarity(F.col("_cv"), F.col("_qv"))
+        )
     if exclude_self:
         scored = scored.where(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")

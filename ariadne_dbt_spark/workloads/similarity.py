@@ -233,8 +233,9 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # dim pinned to the corpus schema: skips the one-row dispatch probe
     return topk_per_query(
-        emb, queries, k=5, exclude_self=True
+        emb, queries, k=5, exclude_self=True, dim=64
     ).orderBy("query_id", "rank")
 
 

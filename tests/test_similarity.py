@@ -593,3 +593,28 @@ def test_brute_force_arrow_path_matches_jvm(spark):
     assert set(got) == set(jvm)
     for vid in got:
         assert abs(got[vid] - jvm[vid]) < 1e-9
+
+
+def test_topk_per_query_arrow_matches_join_path(spark):
+    """Batch retrieval above the dispatch dim (mapInPandas matmul) must
+    produce the same ranking as the join+fold path."""
+    from ariadne_dbt_spark.operators.similarity import topk_per_query
+
+    dim = 400
+    rows = [
+        (i, [float(((i * 13 + j * 5) % 17) - 8) / 8.0 for j in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = df.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    arrow = topk_per_query(df, qdf, k=5, exclude_self=True, dim=dim).collect()
+    # force the join path by lying about the dimension
+    jvm = topk_per_query(df, qdf, k=5, exclude_self=True, dim=1).collect()
+    assert sorted([(r.query_id, r.rank, r.vec_id) for r in arrow]) == sorted(
+        [(r.query_id, r.rank, r.vec_id) for r in jvm]
+    )
+    a = {(r.query_id, r.vec_id): r.cos_sim for r in arrow}
+    b = {(r.query_id, r.vec_id): r.cos_sim for r in jvm}
+    assert all(abs(a[kk] - b[kk]) < 1e-6 for kk in a)
