@@ -668,6 +668,7 @@ def batch_lsh_topk(
         query_vec_col=query_vec_col,
         k=k,
         exclude_self=exclude_self,
+        dim=dim,  # known here — skip the fallback's dispatch probe
     )
     return approx.where(~F.col("query_id").isin(short)).unionByName(exact)
 
@@ -955,11 +956,14 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector as ``(vec_id, pq_codes array<int>)`` — for
     each subspace, the index of the nearest codebook centroid on that
     slice. Map-only: codebooks ride as literals (m·k·d_sub = k·dim
-    doubles), no shuffle, no UDF; ties break to the lowest index."""
+    doubles), no shuffle, no UDF; ties break to the lowest index.
+    ``keep`` passes extra columns through (e.g. the IVF cell) so index
+    builds stay one projection."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     return embeddings.select(
@@ -971,6 +975,7 @@ def pq_encode(
                 for j in range(m)
             ]
         ).alias("pq_codes"),
+        *[F.col(c) for c in (keep or [])],
     )
 
 
@@ -1110,17 +1115,7 @@ def ivf_pq_build_index(
         )
     # cell + codes in ONE map-only projection — no build-time join
     d_sub = len(codebooks[0][0])
-    out = enc_src.select(
-        "vec_id",
-        F.array(
-            *[
-                _assign_col(F.slice(F.col("_v"), j * d_sub + 1, d_sub), codebooks[j])
-                .cast("int")
-                for j in range(len(codebooks))
-            ]
-        ).alias("pq_codes"),
-        "cell",
-    )
+    out = pq_encode(enc_src, codebooks, id_col="vec_id", vec_col="_v", keep=["cell"])
     out.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_dir, "codes")
     )
@@ -1265,18 +1260,7 @@ def ivf_pq_append(
                 lambda x, c: x.cast("double") - c,
             ),
         )
-    d_sub = len(codebooks[0][0])
-    batch = with_cell.select(
-        "vec_id",
-        F.array(
-            *[
-                _assign_col(F.slice(F.col("_v"), j * d_sub + 1, d_sub), codebooks[j])
-                .cast("int")
-                for j in range(len(codebooks))
-            ]
-        ).alias("pq_codes"),
-        "cell",
-    )
+    batch = pq_encode(with_cell, codebooks, id_col="vec_id", vec_col="_v", keep=["cell"])
     n = batch.count()
     batch.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, "codes")
