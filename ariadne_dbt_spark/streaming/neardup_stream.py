@@ -95,7 +95,11 @@ def near_dup_ingest_stream(
                 "left_anti",
             )
         )
-        accepted = accepted.localCheckpoint(eager=True)  # one computation
+        # one computation of the flag join for the 3 consumers below
+        # (count, corpus write, postings append); localCheckpoint blocks
+        # die with this closure via the ContextCleaner — nothing
+        # caller-owned escapes the micro-batch
+        accepted = accepted.localCheckpoint(eager=True)
         n_acc = accepted.count()
         accepted_counts.append(n_acc)
         if n_acc:

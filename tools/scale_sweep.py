@@ -163,6 +163,21 @@ def _ops() -> dict:
         q = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
         return ivf_topk(emb, q, k=10, n_centroids=16, nprobe=3, iters=2).count()
 
+    def run_pq_encode(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        from ariadne_dbt_spark.operators.similarity import pq_encode
+
+        # fixed deterministic codebooks: this curve measures the
+        # map-only encode pass (m·k distance evals per row), not
+        # training — expected slope ~1 (linear) with a high flat floor
+        cb = [
+            [
+                [((i * 7 + j * 3 + t) % 13 - 6) / 6.0 for t in range(8)]
+                for i in range(16)
+            ]
+            for j in range(8)
+        ]
+        return pq_encode(emb, cb).count()
+
     return {
         "exact_dedup": run_exact,
         "ngram_jaccard": run_ngram,
@@ -170,6 +185,7 @@ def _ops() -> dict:
         "embedding_banded_lsh": run_banded_lsh,
         "embedding_banded_lsh_auto": run_banded_lsh_auto,
         "ivf_topk": run_ivf,
+        "pq_encode": run_pq_encode,
     }
 
 
@@ -203,6 +219,34 @@ def _incremental_indexed_op(out_dir: str):
     return run
 
 
+def _ivf_pq_query_op(out_dir: str):
+    """Serve one query from a per-corpus PERSISTED IVF-PQ index
+    (codes-only partitions, nprobe=3 of 16 cells): the timed region is
+    the pruned probe + ADC + re-rank against the source table; the
+    index build is amortized one-time setup, excluded like
+    ivf_build_index. Expected near-flat: probed bytes ~ 3/16 of a
+    corpus already shrunk to m ints per vector."""
+    import os
+
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_pq_build_index,
+        ivf_pq_query_index,
+    )
+
+    def run(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        idx = os.path.join(out_dir, "ivfpq_index")
+        if not os.path.exists(os.path.join(idx, "index_meta.json")):
+            ivf_pq_build_index(
+                emb, idx, n_centroids=16, iters=2, m=8, k_sub=16, dim=_EMB_DIM
+            )
+        q = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+        return ivf_pq_query_index(
+            spark, idx, q, k=10, nprobe=3, refine=4, embeddings=emb
+        ).count()
+
+    return run
+
+
 def _fit_slope(xs: list[float], ys: list[float]) -> float:
     """Least-squares slope of log(y) on log(x)."""
     lx = [math.log(x) for x in xs]
@@ -229,13 +273,18 @@ def run_sweep(spark: SparkSession, base_dir: str, sizes=SWEEP_SIZES) -> dict:
     results: dict[str, dict] = {}
     first = True
     ops = dict(_ops())
-    # None marks the per-corpus op: its persisted index lives beside
+    # None marks per-corpus ops: their persisted index lives beside
     # each corpus, so the callable is built per sweep point below
-    ops["incremental_indexed_1k_batch"] = None
+    per_corpus = {
+        "incremental_indexed_1k_batch": _incremental_indexed_op,
+        "ivf_pq_query": _ivf_pq_query_op,
+    }
+    for name in per_corpus:
+        ops[name] = None
     for op_name, base_fn in ops.items():
         pts = {}
         for n, d in corpora:
-            fn = base_fn if base_fn is not None else _incremental_indexed_op(d)
+            fn = base_fn if base_fn is not None else per_corpus[op_name](d)
             docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
             emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
             if first:
