@@ -752,3 +752,68 @@ def incremental_near_dup_flags(
         "max_jaccard",
         (F.coalesce("n_dups", F.lit(0)) > 0).alias("is_dup"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_df: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: drop every line whose
+    normalized form appears in at least ``min_df`` DISTINCT documents
+    (cookie banners, nav bars, copyright footers — the repeated-line
+    mass web corpora carry into training sets). Returns
+    ``(id, text, n_lines_kept, n_lines_dropped)`` with the surviving
+    lines rejoined in their original order.
+
+    Shape: one posexplode over lines, one distinct-doc-count aggregate
+    keyed by normalized line (shuffle ∝ total lines), one anti-join
+    back, and an order-preserving reassembly via
+    ``array_sort(collect_list(struct(pos, line)))`` on the doc id's
+    existing partitioning. No all-pairs term anywhere: cost is linear
+    in total line count, and the boilerplate side of the anti-join is
+    the df-filtered minority. Blank lines are preserved verbatim (they
+    carry formatting, and counting them as "boilerplate" would delete
+    every paragraph break in the corpus).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    boiler = (
+        lines.where(norm != "")
+        .select("id", norm.alias("nline"))
+        .groupBy("nline")
+        .agg(F.count_distinct("id").alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("nline")
+    )
+    # no broadcast hint: boilerplate vocabulary size is data-dependent
+    # (AQE picks broadcast when the df-filtered side is small)
+    kept = lines.join(boiler, norm == F.col("nline"), "left_anti")
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_total"))
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            line_sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    # LEFT join from totals: a doc whose every line is boilerplate
+    # survives as an empty-text row (pipelines filter those with the
+    # quality stage, not by silent disappearance here)
+    return totals.join(reassembled, "id", "left").select(
+        "id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_lines_kept", F.lit(0)).cast("int").alias("n_lines_kept"),
+        (F.col("n_total") - F.coalesce("n_lines_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_lines_dropped"),
+    )

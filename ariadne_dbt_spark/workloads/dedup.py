@@ -565,3 +565,64 @@ def stream_neardup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "doc_boilerplate_removal",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id,
+               'doc ' || doc_id || ' body' || chr(10) ||
+               'SHARED FOOTER NOTICE' || chr(10) || text AS t
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id,
+               UNNEST(str_split(t, chr(10))) AS line,
+               UNNEST(generate_series(1, len(str_split(t, chr(10))))) AS pos
+        FROM corpus
+    ),
+    boiler AS (
+        SELECT trim(line) AS nline
+        FROM lines WHERE trim(line) <> ''
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+        SELECT * FROM lines
+        WHERE trim(line) = '' OR trim(line) NOT IN (SELECT nline FROM boiler)
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id),
+    re AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id,
+           COALESCE(re.text, '') AS text,
+           CAST(COALESCE(re.n_kept, 0) AS INT) AS n_lines_kept,
+           CAST(t.n_total - COALESCE(re.n_kept, 0) AS INT) AS n_lines_dropped
+    FROM totals t LEFT JOIN re ON t.doc_id = re.doc_id
+    ORDER BY id
+    """,
+    survey="dedup-boilerplate-lines",
+    doc="C4-style line-level boilerplate removal on a constructed "
+    "multi-line corpus (per-doc unique line + a footer planted in "
+    "every doc + the natural text): lines whose trimmed form appears "
+    "in >= 2 distinct docs are dropped, survivors rejoin in original "
+    "order, fully-boilerplate docs survive as empty text. The oracle "
+    "is an exact SQL mirror (distinct-doc line frequency computed the "
+    "same way), so natural cross-doc repeats in the data are handled "
+    "identically by both engines.",
+)
+def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import remove_boilerplate_lines
+
+    corpus = documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" body\n"),
+            F.lit("SHARED FOOTER NOTICE\n"), F.col("text"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(corpus, "doc_id", "text", min_df=2).orderBy("id")

@@ -231,6 +231,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "is_dup": "boolean",
             },
         ),
+        (
+            "boilerplate",
+            "doc_boilerplate_removal",
+            {
+                "id": "bigint",
+                "text": "string",
+                "n_lines_kept": "int",
+                "n_lines_dropped": "int",
+            },
+        ),
     ],
     "relational_point_suite": [
         (

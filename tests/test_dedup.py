@@ -484,3 +484,27 @@ def test_minhash_auto_mode_recall(corpus):
         ).collect()
     }
     assert exact <= cand, f"missed: {exact - cand}"
+
+
+def test_remove_boilerplate_lines(spark):
+    from ariadne_dbt_spark.operators.dedup import remove_boilerplate_lines
+
+    rows = [
+        (1, "unique first line\nSHARED FOOTER\n\nbody of doc one"),
+        (2, "doc two opening\nSHARED FOOTER\nanother body line"),
+        (3, "  SHARED FOOTER  \nlone content three"),   # whitespace-normalized match
+        (4, "SHARED FOOTER"),                            # all-boilerplate doc survives empty
+        (5, "totally clean document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.text, r.n_lines_kept, r.n_lines_dropped)
+        for r in remove_boilerplate_lines(df, "doc_id", "text", min_df=3).collect()
+    }
+    assert got[1] == ("unique first line\n\nbody of doc one", 3, 1)
+    assert got[2] == ("doc two opening\nanother body line", 2, 1)
+    assert got[3] == ("lone content three", 1, 1)
+    assert got[4] == ("", 0, 1)
+    assert got[5] == ("totally clean document", 1, 0)
+    # blank lines never count toward boilerplate df
+    assert "\n\n" in got[1][0]
