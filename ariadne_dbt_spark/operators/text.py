@@ -284,3 +284,39 @@ def chunk_documents(
         .cast("int")
         .alias("n_tokens"),
     )
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Bulk HTML → text, fully JVM-side (the scale path for WARC
+    pipelines): drop ``<script>``/``<style>``/comment blocks, strip
+    tags (block-level tags become newlines so paragraph structure
+    survives for the line-level operators), decode the common
+    entities, collapse runs of spaces. Regex extraction, not a DOM
+    parse — the right fidelity/throughput trade for corpus-scale text
+    mining (boilerplate and junk are handled by the downstream
+    quality/dedup stages, which is where C4 does it too); use a real
+    parser off-path if exact DOM semantics ever matter.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # kill non-content blocks first (non-greedy, case-insensitive,
+    # dotall so multi-line scripts go too)
+    c = F.regexp_replace(c, r"(?is)<(script|style|noscript)\b.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # block-level boundaries → newline (keeps line structure for
+    # remove_boilerplate_lines); everything else → space
+    c = F.regexp_replace(
+        c,
+        r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote)\b[^>]*>",
+        "\n",
+    )
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    # collapse horizontal whitespace; trim each line; drop blank runs
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.trim(c)

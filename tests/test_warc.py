@@ -89,3 +89,79 @@ def test_read_warc_distributed(spark, tmp_path):
         .count()
     )
     assert n == 2
+
+
+def test_html_to_text_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.text import html_to_text
+
+    html = (
+        "<html><head><style>p { color: red }</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><h1>Title &amp; More</h1><!-- hidden -->"
+        "<p>First&nbsp;paragraph.</p><p>Second   one.</p>"
+        "<div>List:<ul><li>a</li><li>b</li></ul></div></body></html>"
+    )
+    got = (
+        spark.createDataFrame([(html,)], "html string")
+        .select(html_to_text("html").alias("t"))
+        .first()
+        .t
+    )
+    assert "not text" not in got and "color" not in got and "hidden" not in got
+    assert "Title & More" in got
+    assert "First paragraph." in got and "Second one." in got
+    # block tags became line boundaries
+    lines = got.split("\n")
+    assert "a" in lines and "b" in lines
+
+
+def test_warc_to_clean_text_pipeline(spark, tmp_path):
+    """End to end: WARC shard -> 200-only responses -> html_to_text ->
+    line-level boilerplate removal -> quality scoring. The CommonCrawl
+    preprocessing shape, each stage an existing operator."""
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.dedup import remove_boilerplate_lines
+    from ariadne_dbt_spark.operators.text import html_to_text, quality_score_millionths
+
+    def page(i):
+        return (
+            f"<html><body><p>Document number {i} with unique words "
+            f"alpha{i} beta{i} and some real sentence content here.</p>"
+            "<div>SHARED COOKIE BANNER TEXT</div></body></html>"
+        ).encode()
+
+    recs = [
+        {
+            "warc_type": "response",
+            "record_id": f"<urn:uuid:p{i}>",
+            "target_uri": f"http://site{i}.test/",
+            "content_type": "application/http; msgtype=response",
+            "payload": b"HTTP/1.1 200 OK\r\n\r\n" + page(i),
+        }
+        for i in range(6)
+    ]
+    d = str(tmp_path / "cc")
+    os.makedirs(d)
+    with open(os.path.join(d, "shard.warc.gz"), "wb") as f:
+        f.write(make_warc_bytes(recs, gzip_members=True))
+
+    docs = (
+        read_warc(spark, d)
+        .where(F.col("http_status") == 200)
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            html_to_text(F.decode(F.col("payload"), "utf-8")).alias("text"),
+        )
+    )
+    clean = remove_boilerplate_lines(docs, "doc_id", "text", min_df=3)
+    rows = clean.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert "COOKIE BANNER" not in r.text  # boilerplate line removed
+        assert "real sentence content" in r.text
+        assert r.n_lines_dropped == 1
+    scored = clean.select(quality_score_millionths("text").alias("q")).collect()
+    assert all(r.q > 0 for r in scored)
