@@ -458,6 +458,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "lm_score",
+            "doc_lm_cross_entropy",
+            {"doc_id": "bigint", "n_bigrams": "bigint", "xent": "double"},
+        ),
+        (
             "stream_dedup",
             "stream_dedup_kept",
             {"n_kept": "bigint", "n_unique_fp": "bigint", "n_input": "bigint"},

@@ -259,3 +259,49 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48).select(
         F.col("id").alias("doc_id"), "chunk_id", "chunk_text", "n_tokens"
     )
+
+# CCNet-style statistical quality filter: a bigram LM with Laplace
+# smoothing trained corpus-wide, each doc scored by mean bigram negative
+# log-likelihood (cross-entropy, nats). The oracle re-derives the LM and
+# the scores from first principles in SQL; ROUND(...,6) absorbs
+# summation-order / ln last-ulp drift (repo float rule).
+@query(
+    "doc_lm_cross_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+               UNNEST(generate_series(1, len(string_split_regex(trim(lower(text)), '\\s+')))) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, tok AS w1,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+    lm AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg2 GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab_v FROM toks)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln((l.c12 + 1.0) / (c.c1 + v.vocab_v))), 6) AS xent
+    FROM bg2 b
+    JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+    JOIN ctx c ON b.w1 = c.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    survey="lm-perplexity-scoring",
+    doc="Bigram-LM cross-entropy per document (CCNet-style perplexity "
+    "quality filter): LM trained on the corpus itself (two aggregations "
+    "with map-side combine), scores joined back per bigram. The scale "
+    "path is score_with_lm(broadcast pretrained/pruned LM) = map-only "
+    "scoring; this in-gate variant self-scores so the oracle can "
+    "re-derive every probability exactly.",
+)
+def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.lm import lm_cross_entropy
+
+    return lm_cross_entropy(documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")

@@ -1,0 +1,107 @@
+"""Bigram-LM cross-entropy scoring: self-scoring vs pretrained-broadcast
+equivalence, pruning consistency, OOV degradation, and plan shape
+(broadcast joins on the pretrained path)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.lm import (
+    doc_bigrams,
+    lm_cross_entropy,
+    score_with_lm,
+    train_bigram_lm,
+    vocab_size,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran on the mat"),
+        (3, "a dog sat on a log near the mat"),
+        (4, "spark shuffles join keys across executors"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bigram_extraction(corpus):
+    bg = doc_bigrams(corpus, "doc_id", "text")
+    per_doc = {r["doc_id"]: r["n"] for r in bg.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    # n_tokens - 1 bigrams per doc
+    assert per_doc == {1: 5, 2: 5, 3: 8, 4: 5}
+    first = bg.where((F.col("doc_id") == 1)).orderBy("w1", "w2").collect()
+    assert ("the", "cat") in {(r.w1, r.w2) for r in first}
+
+
+def test_self_scoring_matches_pretrained_path(corpus):
+    """score_with_lm(corpus-trained LM, broadcast) must equal the
+    one-shot lm_cross_entropy exactly (after the shared round-6)."""
+    one_shot = {r.doc_id: (r.n_bigrams, r.xent) for r in lm_cross_entropy(corpus, "doc_id", "text").collect()}
+    lm = train_bigram_lm(corpus, "doc_id", "text")
+    v = vocab_size(corpus, "text").first()["vocab_v"]
+    pre = {
+        r.doc_id: (r.n_bigrams, r.xent)
+        for r in score_with_lm(corpus, lm, v, "doc_id", "text", broadcast_lm=True).collect()
+    }
+    assert one_shot == pre
+
+
+def test_hand_computed_probability(spark):
+    """Single doc 'a b a b' — hand-check Laplace bigram probabilities."""
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    # bigrams: (a,b) x2, (b,a) x1; contexts: a->2, b->1; V=2
+    # p(a,b) = (2+1)/(2+2) = 0.75 ; p(b,a) = (1+1)/(1+2) = 2/3
+    expected = -(2 * math.log(0.75) + math.log(2 / 3)) / 3
+    row = lm_cross_entropy(df, "doc_id", "text").first()
+    assert row["n_bigrams"] == 3
+    assert abs(row["xent"] - round(expected, 6)) < 1e-9
+
+
+def test_oov_scores_finite_and_higher(corpus, spark):
+    """Scoring unseen text against a pretrained LM: no NaN/inf, and
+    fully-OOV text is more surprising than in-domain text."""
+    lm = train_bigram_lm(corpus, "doc_id", "text")
+    v = vocab_size(corpus, "text").first()["vocab_v"]
+    new = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "zzz qqq www yyy xxx vvv")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.xent for r in score_with_lm(new, lm, v, "doc_id", "text").collect()}
+    assert all(math.isfinite(x) for x in got.values())
+    # fully-OOV bigrams degrade to -ln(1/V) = ln(V), the max smoothed score
+    assert got[11] == round(math.log(v), 6)
+    assert got[10] < got[11]
+
+
+def test_prune_keeps_probabilities_consistent(corpus, spark):
+    """Pruned LM keeps full-corpus context totals: surviving bigrams
+    score identically to the unpruned LM."""
+    full = train_bigram_lm(corpus, "doc_id", "text")
+    pruned = train_bigram_lm(corpus, "doc_id", "text", prune_min_count=2)
+    kept = {(r.w1, r.w2): (r.c12, r.c1) for r in pruned.collect()}
+    assert kept, "expected at least one repeated bigram in the fixture"
+    full_map = {(r.w1, r.w2): (r.c12, r.c1) for r in full.collect()}
+    for k, v_ in kept.items():
+        assert full_map[k] == v_
+
+
+def test_pretrained_path_is_broadcast(corpus, spark):
+    """The production scoring shape — a MATERIALIZED (pretrained) LM,
+    as it would be read from parquet: both probability joins broadcast,
+    no sort-merge join anywhere; the corpus side's only exchanges are
+    its own bigram window and the per-doc aggregation."""
+    lm_local = spark.createDataFrame(
+        train_bigram_lm(corpus, "doc_id", "text").toPandas()
+    )
+    v = vocab_size(corpus, "text").first()["vocab_v"]
+    df = score_with_lm(corpus, lm_local, v, "doc_id", "text", broadcast_lm=True)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
