@@ -1266,3 +1266,116 @@ def ivf_pq_append(
         os.path.join(index_dir, "codes")
     )
     return n
+
+
+def _cosine_assign_col(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-cosine centroid (ties to the lowest index).
+
+    One ``transform`` over the 2-D centroid literal (the measured-safe
+    shape, see :func:`_nearest_centroid`); centroid norms are
+    DRIVER-computed literals, so per row the plan does k dot-folds +
+    one vector-norm fold. Cosine assignment (vs L2) makes the
+    clustering scale-invariant — the paper's setup (SemDeDup clusters
+    L2-normalized embeddings, where L2-argmin ≡ cosine-argmax)."""
+    import math
+
+    cents = _centroid_literal(centroids)
+    norms = [math.sqrt(sum(float(v) * float(v) for v in c)) for c in centroids]
+    vnorm = _norm(vec_col)
+    sims = F.transform(
+        cents,
+        lambda c, i: _dot(vec_col, c)
+        / (vnorm * F.element_at(F.array(*[F.lit(n) for n in norms]), i + 1)),
+    )
+    m = F.array_max(sims)
+    return (F.array_position(sims, m) - 1).cast("int")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.99,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop within-cluster semantic duplicates — ``(id, cluster, keep)``
+    with ``keep = false`` iff a SMALLER-id vector in the same cluster
+    has cosine ≥ ``eps`` (deterministic lowest-id-wins representative;
+    the paper keeps the vector farthest from the centroid — same
+    pruning set, different representative choice).
+
+    Scale shape: assignment is MAP-ONLY (broadcast centroid literals,
+    one ``transform`` over a 2-D literal — see
+    :func:`_cosine_assign_col`; cosine-argmax, so scaled copies of a
+    vector land in the same cluster); the only shuffle keys on ``cluster``,
+    and the quadratic surface is bounded per cluster — at 100 TB you
+    grow ``n_clusters`` ∝ corpus size to hold cluster occupancy
+    constant (the paper uses k=50k on LAION), with AQE skew-split as
+    the backstop for hot clusters. Below ``_ARROW_COSINE_MIN_DIM`` the
+    within-cluster pass is a cluster-keyed equi-join scored by the JVM
+    cosine fold (bit-identical to the SQL oracle); at real embedding
+    dims it dispatches to a per-cluster Arrow/numpy blockwise matmul
+    (``applyInPandas``; O(block x cluster) memory, never cluster²).
+
+    With ``centroids=None`` a deterministic Lloyd k-means is trained
+    first (:func:`ivf_train_centroids`); pass pinned centroids for a
+    reproducible / oracle-mirrorable assignment.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_clusters, iters=iters,
+        )
+    dim = len(centroids[0])
+    asg = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        _cosine_assign_col(F.col(vec_col), centroids).alias("cluster"),
+    )
+    if dim < _ARROW_COSINE_MIN_DIM:
+        a = asg.select("cluster", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
+        b = asg.select("cluster", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+        dropped = (
+            a.join(b, "cluster")
+            .where(F.col("_idb") < F.col("_ida"))
+            .where(cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(float(eps)))
+            .select(F.col("_ida").alias(id_col))
+            .distinct()
+        )
+    else:
+        import numpy as np
+        import pandas as pd
+
+        def _drop_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            out: list[int] = []
+            block = 1024
+            for i0 in range(0, len(ids), block):
+                i1 = min(i0 + block, len(ids))
+                sim = m[i0:i1] @ m.T  # (block, cluster) — never cluster²
+                for r in range(i1 - i0):
+                    if (sim[r, : i0 + r] >= eps).any():
+                        out.append(int(ids[i0 + r]))
+            return pd.DataFrame({id_col: out})
+
+        dropped = (
+            asg.select("cluster", id_col, vec_col)
+            .groupBy("cluster")
+            .applyInPandas(_drop_ids, schema=f"{id_col} long")
+        )
+    return (
+        asg.select(id_col, "cluster")
+        .join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

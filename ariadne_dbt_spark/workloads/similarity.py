@@ -339,3 +339,82 @@ def ann_pq_lossless_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(corpus, codebooks)
     out = pq_topk(codes, codebooks, _PQ_QUERY, k=20)
     return out.select("vec_id", F.round("adc_score", 6).alias("adc_score"))
+
+
+def _sem_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
+    """Data-independent pinned centroids (LCG, values in [-1, 1], 6
+    decimals so the repr-literal parses to the identical double in both
+    engines). The workload pins ASSIGNMENT + PRUNE semantics against
+    the SQL mirror; trained-centroid quality is pinned by pytest."""
+    out, x = [], 123456789
+    for _ in range(k):
+        row = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append(round(x / (1 << 30) - 1.0, 6))
+        out.append(row)
+    return out
+
+
+_SEM_CENTS = _sem_centroids()
+_SEM_CENTS_SQL = ",\n        ".join(
+    "({i}, [{vals}], {norm!r})".format(
+        i=i,
+        vals=", ".join(repr(v) for v in c),
+        norm=__import__("math").sqrt(sum(v * v for v in c)),
+    )
+    for i, c in enumerate(_SEM_CENTS)
+)
+
+_COS_XY = _COS_SQL.replace("a.embedding", "x.embedding").replace(
+    "b.embedding", "y.embedding"
+)
+
+
+@query(
+    "semantic_dedup_flags",
+    oracle=f"""
+    WITH corpus AS ({_CLONE_EMB_SQL}),
+    cents(cid, c, cnorm) AS (VALUES
+        {_SEM_CENTS_SQL}),
+    d AS (
+        SELECT corpus.vec_id, corpus.embedding, cents.cid,
+               list_sum(list_transform(range(1, len(corpus.embedding) + 1),
+                        i -> CAST(corpus.embedding[i] AS DOUBLE) * c[i]))
+               / (sqrt(list_sum(list_transform(corpus.embedding,
+                        e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) * cnorm) AS cs
+        FROM corpus CROSS JOIN cents),
+    asg AS (
+        SELECT vec_id, embedding, cid AS cluster
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+              FROM d)
+        WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM asg x JOIN asg y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+        WHERE {_COS_XY} >= 0.99)
+    SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster, dr.vec_id IS NULL AS keep
+    FROM asg a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+    ORDER BY a.vec_id
+    """,
+    survey="dedup-semantic",
+    doc="SemDeDup (cluster-then-prune semantic dedup) on the planted-"
+    "clone corpus with PINNED centroids: cosine-argmax assignment "
+    "(scale-invariant, so each 2x clone lands bit-identically in its "
+    "original's cluster), within-cluster smaller-id-wins pruning at "
+    "cos >= 0.99. The oracle re-derives assignment and pruning from "
+    "first principles; the trained-centroid (Lloyd) path and the "
+    "Arrow blockwise path are pinned by tests/test_semdedup.py.",
+)
+def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.similarity import semantic_dedup
+
+    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + x).alias("embedding"),
+    )
+    corpus = emb.union(clones)
+    return semantic_dedup(
+        corpus, eps=0.99, centroids=_SEM_CENTS
+    ).orderBy("vec_id")

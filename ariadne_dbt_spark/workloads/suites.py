@@ -409,6 +409,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "ann_pq_lossless_topk",
             {"vec_id": "bigint", "adc_score": "double"},
         ),
+        (
+            "semdedup",
+            "semantic_dedup_flags",
+            {"vec_id": "bigint", "cluster": "int", "keep": "boolean"},
+        ),
     ],
     "doc_profile_suite": [
         (
