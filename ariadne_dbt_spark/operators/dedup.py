@@ -817,3 +817,79 @@ def remove_boilerplate_lines(
         .cast("int")
         .alias("n_lines_dropped"),
     )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_span: int = 15,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact shared-substring spans between document pairs — the
+    distributed k-gram analog of the suffix-array substring dedup in
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): any token span of length >= ``min_span`` shared verbatim
+    by two documents is found exactly (a shared span of L tokens
+    produces L-k+1 consecutive k-gram matches on one alignment
+    diagonal, so any span of length >= k is detected exactly and
+    reported at token granularity; set k <= min_span).
+
+    Returns ``(id_a, id_b, n_spans, max_span_tokens)`` for pairs
+    sharing at least one span of ``min_span``+ tokens (id_a < id_b).
+
+    Shape & scale:
+
+    * k-grams with their START POSITION via posexplode + window
+      ``lead`` (the measured-fast shingle shape; ONE exchange on id),
+    * the candidate join keys on the k-gram STRING — a postings
+      equi-join, never all-pairs; ``max_df`` drops k-grams present in
+      more than ``max_df`` docs first (the paper's stop-gram cap: hot
+      boilerplate grams otherwise quadratically blow up the candidate
+      mass — at 100 TB always set it; AQE skew-join is the backstop),
+    * runs of consecutive matches on a diagonal collapse via the
+      classic gaps-and-islands window (pos_a - row_number), grouped
+      per (pair, diagonal, island) — all hash exchanges on pair keys.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    grams = toks.select(
+        "id",
+        "pos",
+        F.concat_ws(" ", "tok", *[F.lead("tok", i).over(w) for i in range(1, k)]).alias(
+            "gram"
+        ),
+        F.lead("tok", k - 1).over(w).alias("_last"),
+    ).where(F.col("_last").isNotNull()).drop("_last")
+    if max_df is not None:
+        dfreq = grams.groupBy("gram").agg(
+            F.countDistinct("id").alias("_df")
+        ).where(F.col("_df") <= F.lit(int(max_df))).select("gram")
+        grams = grams.join(dfreq, "gram")
+    a = grams.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "gram")
+    b = grams.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "gram")
+    matches = a.join(b, "gram").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    )
+    wd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    islands = matches.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(wd)
+    )
+    spans = (
+        islands.groupBy("id_a", "id_b", "diag", "island")
+        .agg((F.max("pos_a") - F.min("pos_a") + F.lit(k)).alias("span_tokens"))
+        .where(F.col("span_tokens") >= F.lit(int(min_span)))
+    )
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.max("span_tokens").cast("int").alias("max_span_tokens"),
+    )

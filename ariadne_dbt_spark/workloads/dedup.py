@@ -626,3 +626,80 @@ def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return remove_boilerplate_lines(corpus, "doc_id", "text", min_df=2).orderBy("id")
+
+
+_SPAN_LEADS = " || ' ' || ".join(
+    ["tok"] + [f"LEAD(tok, {i}) OVER w" for i in range(1, 8)]
+)
+
+
+@query(
+    "shared_span_pairs",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               'quoted passage begins here now ' ||
+               array_to_string(string_split_regex(trim(lower(text)), '\\s+')[4:25], ' ') ||
+               ' quoted passage ends here now' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+               UNNEST(generate_series(0, len(string_split_regex(trim(lower(text)), '\\s+')) - 1)) AS pos
+        FROM corpus
+    ),
+    grams AS (
+        SELECT doc_id, pos, {_SPAN_LEADS} AS gram
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    g2 AS (SELECT doc_id, pos, gram FROM grams WHERE gram IS NOT NULL),
+    capped AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) <= 20),
+    g3 AS (SELECT g2.doc_id, g2.pos, g2.gram FROM g2 JOIN capped USING (gram)),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+               a.pos - b.pos AS diag
+        FROM g3 a JOIN g3 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, diag, pos_a,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        FROM m
+    ),
+    spans AS (
+        SELECT id_a, id_b, MAX(pos_a) - MIN(pos_a) + 8 AS span_tokens
+        FROM isl GROUP BY id_a, id_b, diag, island
+        HAVING MAX(pos_a) - MIN(pos_a) + 8 >= 15
+    )
+    SELECT id_a, id_b, CAST(COUNT(*) AS INT) AS n_spans,
+           CAST(MAX(span_tokens) AS INT) AS max_span_tokens
+    FROM spans GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """,
+    survey="dedup-substring-spans",
+    doc="Exact shared-substring span detection (Lee et al. 2022 analog): "
+    "every 10th doc spawns a 'quoting' doc embedding a verbatim 22-token "
+    "slice; pairs sharing any >=15-token span are found via the k-gram "
+    "postings join + diagonal gaps-and-islands run merge (k=8, "
+    "max_df=20 stop-gram cap). The oracle re-derives spans from first "
+    "principles with the identical windows.",
+)
+def shared_span_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import shared_span_pairs
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    quotes = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("quoted passage begins here now "),
+            F.array_join(
+                F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 4, 22), " "
+            ),
+            F.lit(" quoted passage ends here now"),
+        ).alias("text"),
+    )
+    corpus = docs.union(quotes)
+    return shared_span_pairs(
+        corpus, "doc_id", "text", k=8, min_span=15, max_df=20
+    ).orderBy("id_a", "id_b")

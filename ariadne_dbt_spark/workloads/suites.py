@@ -232,6 +232,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "spans",
+            "shared_span_pairs",
+            {
+                "id_a": "bigint",
+                "id_b": "bigint",
+                "n_spans": "int",
+                "max_span_tokens": "int",
+            },
+        ),
+        (
             "boilerplate",
             "doc_boilerplate_removal",
             {

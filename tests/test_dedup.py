@@ -508,3 +508,49 @@ def test_remove_boilerplate_lines(spark):
     assert got[5] == ("totally clean document", 1, 0)
     # blank lines never count toward boilerplate df
     assert "\n\n" in got[1][0]
+
+
+class TestSharedSpans:
+    """Exact substring-span detection (Lee et al. 2022 analog)."""
+
+    def _corpus(self, spark):
+        span = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november oscar papa"
+        rows = [
+            (1, f"one unique opening here {span} and a distinct tail one"),
+            (2, f"two other starting words {span} closing differently two"),
+            (3, "no overlap at all in this document whatsoever plain words only here"),
+            (4, f"short shared bit alpha bravo charlie delta echo foxtrot golf hotel done"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_span_found_exactly(self, spark):
+        from ariadne_dbt_spark.operators.dedup import shared_span_pairs
+
+        out = shared_span_pairs(self._corpus(spark), "doc_id", "text", k=4, min_span=10)
+        rows = {(r.id_a, r.id_b): (r.n_spans, r.max_span_tokens) for r in out.collect()}
+        # the 16-token span is shared by docs 1 and 2 only
+        assert (1, 2) in rows
+        assert rows[(1, 2)] == (1, 16)
+        # doc 4 shares only 8 tokens with 1/2 — below min_span=10
+        assert not any(4 in p for p in rows)
+        assert not any(3 in p for p in rows)
+
+    def test_min_span_boundary(self, spark):
+        from ariadne_dbt_spark.operators.dedup import shared_span_pairs
+
+        out = shared_span_pairs(self._corpus(spark), "doc_id", "text", k=4, min_span=8)
+        rows = {(r.id_a, r.id_b): r.max_span_tokens for r in out.collect()}
+        # at min_span=8 doc 4's 8-token overlap with 1 and 2 appears
+        assert rows[(1, 4)] == 8 and rows[(2, 4)] == 8
+
+    def test_max_df_caps_hot_grams(self, spark):
+        from ariadne_dbt_spark.operators.dedup import shared_span_pairs
+
+        boiler = "this footer is in every single document of the corpus today"
+        rows = [(i, f"doc {i} body words {boiler}") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # without the cap: all 15 pairs; with max_df=2 the hot grams drop
+        full = shared_span_pairs(df, "doc_id", "text", k=4, min_span=8)
+        capped = shared_span_pairs(df, "doc_id", "text", k=4, min_span=8, max_df=2)
+        assert full.count() == 15
+        assert capped.count() == 0
