@@ -216,3 +216,33 @@ def per_source_cap(
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    seed: int = 0,
+    shard_chars: int = 1,
+) -> DataFrame:
+    """Reproducible global training-order shuffle: ``(…, shard, pos)``.
+
+    Every pretraining pipeline randomizes document order; ``rand()`` is
+    unstable across retries/engines, so the order key is
+    ``md5(seed ':' id)`` — reproducible anywhere md5 exists (and
+    exactly mirrorable in the SQL oracle, unlike xxhash64 which DuckDB
+    lacks). The corpus is split into ``16^shard_chars`` shards by the
+    key's first hex chars (uniform by construction), and position is a
+    PER-SHARD ``row_number`` ordered by (key, id) — never one global
+    window (a single-partition sort is the classic 100 TB scale
+    killer). Consumers read shards in name order, rows in pos order:
+    the concatenation is a uniform deterministic permutation. At scale
+    raise ``shard_chars`` so each shard's window fits an executor
+    (3 hex chars = 4096 shards ≈ 25 GB/shard at 100 TB).
+    """
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = df.withColumn("_key", key).withColumn(
+        "shard", F.substring("_key", 1, shard_chars)
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w).cast("bigint")).drop("_key")

@@ -198,3 +198,30 @@ def per_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source_cap(docs, "source", "doc_id", cap=10).orderBy(
         "source", "doc_id"
     )
+
+
+@query(
+    "deterministic_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pos
+    FROM documents
+    ORDER BY shard, pos
+    """,
+    survey="sampling-shuffle-order",
+    doc="Reproducible global training-order shuffle: md5-keyed order, "
+    "sharded per-first-hex-char windows (never one global sort), "
+    "positions exact vs the oracle. Reading shards in name order / "
+    "rows in pos order yields a deterministic uniform permutation.",
+)
+def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sampling import deterministic_shuffle
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed=7).select(
+        "doc_id", "shard", "pos"
+    ).orderBy("shard", "pos")

@@ -387,6 +387,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "per_source_cap_sample",
             {"doc_id": "bigint", "source": "string"},
         ),
+        (
+            "shuffle_order",
+            "deterministic_shuffle_order",
+            {"doc_id": "bigint", "shard": "string", "pos": "bigint"},
+        ),
     ],
     "ann_exact_suite": [
         (

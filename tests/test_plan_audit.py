@@ -127,3 +127,33 @@ def test_pq_topk_take_ordered_no_full_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_lm_scoring_exchange_budget(spark, registry):
+    """Self-scoring LM: bigram construction is one id-exchange per use,
+    LM training two key-exchanges, scoring joins + final per-doc agg —
+    the plan must stay within this budget (no accidental resort or
+    re-shuffle), and no cartesian beyond the broadcast 1-row vocab."""
+    df = registry["doc_lm_cross_entropy"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 14
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_assignment_is_map_only(spark, registry):
+    """SemDeDup: centroid assignment must not shuffle — the only
+    exchanges key on cluster (pair join) and id (keep-flag join);
+    assignment itself is a projection over the scan."""
+    df = registry["semantic_dedup_flags"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 8
+    assert "CartesianProduct" not in plan
+
+
+def test_shared_spans_no_cartesian_and_bounded_exchanges(spark, registry):
+    """Span detection joins on the k-gram string (postings equi-join) —
+    never a cartesian; island/span aggs ride pair-keyed exchanges."""
+    df = registry["shared_span_pairs"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 12

@@ -122,3 +122,24 @@ def test_temperature_mixing_limits(spark):
     mid = {r.source: r for r in temperature_mixing(df, "source", tau=0.5).collect()}
     assert nat["code"].weight < mid["code"].weight < uni["code"].weight
     assert abs(sum(r.weight for r in mid.values()) - 1.0) < 1e-5
+
+
+def test_deterministic_shuffle_sharded_not_global(spark):
+    """The shuffle's window must hash-partition by shard — never a
+    single-partition global sort — and the permutation is reproducible."""
+    from ariadne_dbt_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, "doc_id", seed=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+    a = [(r.shard, r.pos, r.doc_id) for r in out.orderBy("shard", "pos").collect()]
+    b = [(r.shard, r.pos, r.doc_id) for r in deterministic_shuffle(df, "doc_id", seed=3).orderBy("shard", "pos").collect()]
+    assert a == b
+    # positions are dense 1..n per shard and ids form a permutation
+    assert sorted({x[2] for x in a}) == list(range(2000))
+    from collections import Counter
+    per = Counter(x[0] for x in a)
+    for sh, n in per.items():
+        assert sorted(x[1] for x in a if x[0] == sh) == list(range(1, n + 1))
