@@ -483,6 +483,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "n_bigrams": "bigint", "xent": "double"},
         ),
         (
+            "bpe_pairs",
+            "bpe_pair_counts",
+            {"s1": "string", "s2": "string", "pair_count": "bigint"},
+        ),
+        (
             "stream_dedup",
             "stream_dedup_kept",
             {"n_kept": "bigint", "n_unique_fp": "bigint", "n_input": "bigint"},

@@ -305,3 +305,51 @@ def doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_dbt_spark.operators.lm import lm_cross_entropy
 
     return lm_cross_entropy(documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+# BPE tokenizer induction: the corpus-sized stage (word counting) and
+# the first-merge statistic (weighted adjacent symbol-pair counts) are
+# exactly SQL-mirrorable; the iterative merge loop + encode are pinned
+# by tests/test_bpe.py against the classic Sennrich worked example.
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT word, COUNT(*) AS n FROM (
+            SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS word
+            FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    syms AS (
+        SELECT word, n,
+               UNNEST(list_append(regexp_extract_all(word, '.'), '</w>')) AS s1,
+               UNNEST(generate_series(1, len(regexp_extract_all(word, '.')) + 1)) AS pos
+        FROM words
+    ),
+    pairs AS (
+        SELECT word, n, s1, LEAD(s1) OVER (PARTITION BY word ORDER BY pos) AS s2
+        FROM syms
+    )
+    SELECT s1, s2, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM pairs WHERE s2 IS NOT NULL
+    GROUP BY s1, s2
+    ORDER BY pair_count DESC, s1, s2
+    LIMIT 20
+    """,
+    survey="bpe-vocab-induction",
+    doc="BPE vocabulary induction, gate-checkable stage: corpus word "
+    "counts (the one corpus-sized aggregation) distilled to weighted "
+    "adjacent symbol-pair counts with the </w> terminal — exactly the "
+    "statistic the first BPE merge maximizes. Top-20 pairs vs the SQL "
+    "mirror; the driver-side merge loop and the Arrow-batched encoder "
+    "are pinned by pytest (Sennrich worked example + roundtrip).",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.bpe import symbol_pair_counts, word_counts
+
+    wc = word_counts(documents(spark, sf_dir), "text")
+    return (
+        symbol_pair_counts(wc)
+        .orderBy(F.desc("pair_count"), "s1", "s2")
+        .limit(20)
+    )
