@@ -225,3 +225,52 @@ def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, "doc_id", seed=7).select(
         "doc_id", "shard", "pos"
     ).orderBy("shard", "pos")
+
+
+@query(
+    "jsonl_export_roundtrip",
+    oracle="""
+    SELECT substring(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars
+    FROM documents
+    GROUP BY 1 ORDER BY shard
+    """,
+    survey="sink-jsonl-shards",
+    doc="Sharded-JSONL corpus export roundtrip (the training-stack "
+    "interchange sink): documents are written as shard=<hex>/*.json via "
+    "the deterministic md5 shuffle, read back as JSON, and per-shard "
+    "doc counts + character mass must equal the oracle's direct "
+    "derivation from the source table — proving the sink is complete, "
+    "non-duplicating, and shard assignment matches the pinned hash.",
+)
+def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.operators.export import export_jsonl_shards
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select("doc_id", "text")
+    out = os.path.join(
+        tempfile.gettempdir(), f"ariadne_jsonl_export_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        export_jsonl_shards(docs, "doc_id", out, seed=5, max_records_per_file=200)
+        back = spark.read.json(out)
+        res = (
+            back.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).alias("total_chars"),
+            )
+            .orderBy("shard")
+        )
+        # materialize driver-side before the temp dir is removed
+        import pandas as pd
+
+        pdf = res.toPandas()
+        return spark.createDataFrame(pdf, "shard string, n_docs bigint, total_chars bigint")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -392,6 +392,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "deterministic_shuffle_order",
             {"doc_id": "bigint", "shard": "string", "pos": "bigint"},
         ),
+        (
+            "jsonl_export",
+            "jsonl_export_roundtrip",
+            {"shard": "string", "n_docs": "bigint", "total_chars": "bigint"},
+        ),
     ],
     "ann_exact_suite": [
         (

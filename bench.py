@@ -42,6 +42,9 @@ HEADLINE = [
     "ann_pq_lossless_topk",
     "doc_quality_scores",
     "lang_detect_confusion",
+    "doc_lm_cross_entropy",
+    "semantic_dedup_flags",
+    "shared_span_pairs",
 ]
 
 

@@ -143,3 +143,32 @@ def test_deterministic_shuffle_sharded_not_global(spark):
     per = Counter(x[0] for x in a)
     for sh, n in per.items():
         assert sorted(x[1] for x in a if x[0] == sh) == list(range(1, n + 1))
+
+
+def test_jsonl_export_order_and_file_bounds(spark, tmp_path):
+    """Each shard file holds its slice of the permutation IN ORDER, file
+    sizes respect maxRecordsPerFile, gzip works, nothing lost."""
+    import glob
+    import gzip
+    import json as _json
+
+    from ariadne_dbt_spark.operators.export import export_jsonl_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("body "), F.col("doc_id").cast("string"))
+    )
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(
+        df, "doc_id", out, seed=9, max_records_per_file=20, compression="gzip"
+    )
+    files = sorted(glob.glob(f"{out}/shard=*/*.json.gz"))
+    assert files, "no shard files written"
+    seen = []
+    for fp in files:
+        with gzip.open(fp, "rt") as f:
+            rows = [_json.loads(line) for line in f]
+        assert 0 < len(rows) <= 20
+        pos = [r["pos"] for r in rows]
+        assert pos == sorted(pos), f"unordered rows in {fp}"
+        seen.extend(r["doc_id"] for r in rows)
+    assert sorted(seen) == list(range(500))
