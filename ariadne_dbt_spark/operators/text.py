@@ -320,3 +320,66 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{2,}", "\n")
     return F.trim(c)
+
+
+#: Gopher rule stopword set (Rae et al. 2021 Appendix A: a doc must
+#: contain at least two of these)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df, id_col: str, text_col: str):
+    """The Gopher document-quality rule bundle (Rae et al. 2021,
+    Appendix A — the canonical pretraining heuristic filter), as
+    INTEGER-EXACT JVM column expressions: every ratio threshold is a
+    cross-multiplication of exact counts (``10*x <= n`` instead of
+    ``x/n <= 0.1``), so there is no float to drift cross-engine and the
+    SQL oracle mirrors bit-for-bit. One projection, no shuffle — the
+    filter is map-only at any corpus size.
+
+    Returns ``(id, n_words, r_word_count, r_mean_word_len,
+    r_symbol_ratio, r_bullet_lines, r_ellipsis_lines, r_alpha_words,
+    r_stopwords, pass_all)``:
+
+    * 50 <= words <= 100 000
+    * 3 <= mean word length <= 10
+    * (#'#' + #'...') <= 10% of words
+    * <=10% of lines start with a bullet ('-' or '*')
+    * <=30% of lines end with '...'
+    * >=80% of words contain an alphabetic character
+    * contains >=2 distinct GOPHER_STOPWORDS
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: F.length(t) >= 1)
+    lines = F.split(c, "\n")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    total_word_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_hash = F.size(F.split(c, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(c, r"\.\.\.", -1)) - 1
+    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("bigint").alias("n_words"),
+        ((n_words >= 50) & (n_words <= 100_000)).alias("r_word_count"),
+        (
+            (total_word_chars >= 3 * n_words) & (total_word_chars <= 10 * n_words)
+        ).alias("r_mean_word_len"),
+        (10 * (n_hash + n_ellipsis) <= n_words).alias("r_symbol_ratio"),
+        (10 * bullet_lines <= n_lines).alias("r_bullet_lines"),
+        (10 * ellipsis_lines <= 3 * n_lines).alias("r_ellipsis_lines"),
+        (10 * alpha_words >= 8 * n_words).alias("r_alpha_words"),
+        (n_stop >= 2).alias("r_stopwords"),
+    )
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+    ]
+    acc = F.col(rules[0])
+    for r in rules[1:]:
+        acc = acc & F.col(r)
+    return out.withColumn("pass_all", acc)

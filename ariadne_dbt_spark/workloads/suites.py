@@ -493,6 +493,22 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"s1": "string", "s2": "string", "pair_count": "bigint"},
         ),
         (
+            "gopher",
+            "gopher_quality_flags",
+            {
+                "id": "bigint",
+                "n_words": "bigint",
+                "r_word_count": "boolean",
+                "r_mean_word_len": "boolean",
+                "r_symbol_ratio": "boolean",
+                "r_bullet_lines": "boolean",
+                "r_ellipsis_lines": "boolean",
+                "r_alpha_words": "boolean",
+                "r_stopwords": "boolean",
+                "pass_all": "boolean",
+            },
+        ),
+        (
             "stream_dedup",
             "stream_dedup_kept",
             {"n_kept": "bigint", "n_unique_fp": "bigint", "n_input": "bigint"},

@@ -353,3 +353,86 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "s1", "s2")
         .limit(20)
     )
+
+
+_GOPHER_TOKS = (
+    "list_filter(string_split_regex(trim(lower(t)), '\\s+'), x -> length(x) >= 1)"
+)
+_GOPHER_STOP_SUM = " + ".join(
+    f"CAST(list_contains({_GOPHER_TOKS}, '{w}') AS INT)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '- bullet item one' || chr(10) || '* bullet two' || chr(10)
+                    ELSE '' END
+               || text ||
+               CASE WHEN doc_id % 4 = 0
+                    THEN chr(10) || 'to be continued...' ELSE '' END AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len({_GOPHER_TOKS}) AS n_words,
+               len(string_split(t, chr(10))) AS n_lines,
+               list_sum(list_transform({_GOPHER_TOKS}, x -> length(x))) AS total_chars,
+               len(string_split(t, '#')) - 1 AS n_hash,
+               len(string_split_regex(t, '\\.\\.\\.')) - 1 AS n_ellipsis,
+               len(list_filter(string_split(t, chr(10)),
+                               l -> regexp_matches(trim(l), '^[-*]'))) AS bullet_lines,
+               len(list_filter(string_split(t, chr(10)),
+                               l -> ends_with(rtrim(l), '...'))) AS ellipsis_lines,
+               len(list_filter({_GOPHER_TOKS}, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+               {_GOPHER_STOP_SUM} AS n_stop
+        FROM corpus
+    ),
+    r AS (
+        SELECT doc_id AS id, CAST(n_words AS BIGINT) AS n_words,
+               n_words >= 50 AND n_words <= 100000 AS r_word_count,
+               total_chars >= 3 * n_words AND total_chars <= 10 * n_words AS r_mean_word_len,
+               10 * (n_hash + n_ellipsis) <= n_words AS r_symbol_ratio,
+               10 * bullet_lines <= n_lines AS r_bullet_lines,
+               10 * ellipsis_lines <= 3 * n_lines AS r_ellipsis_lines,
+               10 * alpha_words >= 8 * n_words AS r_alpha_words,
+               n_stop >= 2 AS r_stopwords
+        FROM m
+    )
+    SELECT *,
+           r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+           AND r_ellipsis_lines AND r_alpha_words AND r_stopwords AS pass_all
+    FROM r ORDER BY id
+    """,
+    survey="gopher-quality-rules",
+    doc="The Gopher document-quality rule bundle (Rae et al. 2021 App. A) "
+    "on a constructed multi-line corpus (planted bullet lines on every "
+    "3rd doc, a trailing-ellipsis line on every 4th): all seven rules "
+    "as integer-exact cross-multiplied thresholds, map-only, mirrored "
+    "bit-for-bit by the oracle.",
+)
+def gopher_quality_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.text import gopher_quality_flags
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("- bullet item one\n* bullet two\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\nto be continued...")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    return (
+        gopher_quality_flags(docs, "doc_id", "t")
+        .withColumnRenamed("id", "id")
+        .orderBy("id")
+    )

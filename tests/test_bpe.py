@@ -78,3 +78,47 @@ def test_encode_is_map_only(spark):
     df = spark.createDataFrame([(1, "low newest")], "doc_id long, text string")
     plan = bpe_encode(df, "text", merges)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+class TestGopherRules:
+    """Boundary behavior of the Gopher rule bundle (integer-exact)."""
+
+    def _flags(self, spark, text):
+        from ariadne_dbt_spark.operators.text import gopher_quality_flags
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return gopher_quality_flags(df, "doc_id", "text").first()
+
+    def test_clean_doc_passes_all(self, spark):
+        words = "the quick brown fox jumps over and over with great energy to be sure of that story have fun "
+        r = self._flags(spark, (words * 4).strip())
+        assert r.pass_all, r.asDict()
+
+    def test_word_count_boundaries(self, spark):
+        body = "the of and that have with be to " * 6  # 48 words
+        assert not self._flags(spark, body.strip()).r_word_count  # 48 < 50
+        assert self._flags(spark, (body + "x y").strip()).r_word_count  # 50
+
+    def test_symbol_ratio_counts_hashes_and_ellipses(self, spark):
+        fifty = "the of and that have with be to aa bb " * 5
+        ok = self._flags(spark, (fifty + "# two... symbols ok ").strip())
+        assert ok.r_symbol_ratio  # 2 symbols, >=20 words
+        bad = self._flags(spark, "w1 w2 # ... # ... tiny doc")
+        assert not bad.r_symbol_ratio
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        doc = "\n".join(["- b"] * 2 + ["plain line"] * 8)
+        assert not self._flags(spark, doc).r_bullet_lines  # 2/10 > 10%
+        doc2 = "\n".join(["- b"] + ["plain line"] * 9)
+        assert self._flags(spark, doc2).r_bullet_lines  # exactly 10%
+        doc3 = "\n".join(["ends..."] * 3 + ["plain"] * 7)
+        assert self._flags(spark, doc3).r_ellipsis_lines  # exactly 30%
+        doc4 = "\n".join(["ends..."] * 4 + ["plain"] * 6)
+        assert not self._flags(spark, doc4).r_ellipsis_lines
+
+    def test_alpha_and_stopwords(self, spark):
+        nums = " ".join(str(i) for i in range(10))
+        r = self._flags(spark, f"the of {nums}")
+        assert not r.r_alpha_words  # 2/12 alphabetic
+        assert r.r_stopwords  # 'the' and 'of'
+        assert not self._flags(spark, "the " * 30).r_stopwords  # 1 distinct
