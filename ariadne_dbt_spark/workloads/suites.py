@@ -316,6 +316,17 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "score": "double", "snippet": "string"},
         ),
         (
+            "url_domains",
+            "url_domain_stats",
+            {
+                "domain": "string",
+                "n_docs": "bigint",
+                "blocked": "boolean",
+                "n_kept": "bigint",
+                "min_norm_url": "string",
+            },
+        ),
+        (
             "truncation",
             "sql_truncation_guard",
             {

@@ -436,3 +436,126 @@ def gopher_quality_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id", "id")
         .orderBy("id")
     )
+
+
+# Web-pipeline URL ops: normalization + registered-domain extraction +
+# per-domain stats + blocklist anti-join, on URLs constructed
+# deterministically from doc_id (uppercase scheme/host, default port,
+# utm param, fragment — each exercising one normalization rewrite).
+_URL_EXPR = (
+    "'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/Path/' || "
+    "CAST(doc_id AS VARCHAR) || '?utm_source=feed&q=' || CAST(doc_id AS VARCHAR) || '#Frag'"
+)
+_HOST_SQL = (
+    "lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))"
+)
+
+
+@query(
+    "url_domain_stats",
+    oracle=f"""
+    WITH urls AS (
+        SELECT doc_id, {_URL_EXPR} AS url FROM documents
+    ),
+    deport AS (
+        SELECT doc_id, url,
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_extract(url, '^([^/?#]*://[^/?#]*)', 1))
+                  || regexp_replace(url, '^[^/?#]*://[^/?#]*', ''),
+                '#.*$', ''),
+              '^([a-z]+://[^/:?#]+):(?:80|443)([/?].*)?$', '\\1\\2') AS u
+        FROM urls
+    ),
+    requery AS (
+        SELECT doc_id, url, u,
+            regexp_extract(u, '^([^?]*)', 1) AS base,
+            list_filter(string_split(regexp_extract(u, '^[^?]*\\?(.*)$', 1), '&'),
+                        p -> NOT regexp_matches(p, '^utm_') AND p <> '') AS kept
+        FROM deport
+    ),
+    norm AS (
+        SELECT doc_id, url,
+            regexp_replace(
+              base || CASE WHEN len(kept) > 0
+                           THEN '?' || array_to_string(kept, '&') ELSE '' END,
+              '(://[^/?#]+.+?)/$', '\\1') AS nurl,
+            CASE WHEN len(string_split({_HOST_SQL}, '.')) <= 2
+                 THEN {_HOST_SQL}
+                 ELSE array_to_string(
+                     string_split({_HOST_SQL}, '.')[len(string_split({_HOST_SQL}, '.')) - 1
+                                                    : len(string_split({_HOST_SQL}, '.'))], '.')
+            END AS domain
+        FROM requery
+    ),
+    stats AS (
+        SELECT domain, COUNT(*) AS n_docs, MIN(nurl) AS min_norm_url
+        FROM norm GROUP BY domain
+    ),
+    kept AS (
+        SELECT domain, COUNT(*) AS n_kept FROM norm
+        WHERE domain NOT IN ('site0.com', 'site1.com')
+        GROUP BY domain
+    )
+    SELECT s.domain, s.n_docs,
+           s.domain IN ('site0.com', 'site1.com') AS blocked,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           s.min_norm_url
+    FROM stats s LEFT JOIN kept k ON s.domain = k.domain
+    ORDER BY s.domain
+    """,
+    survey="url-domain-ops",
+    doc="Web-pipeline URL operators: canonical normalization (scheme/"
+    "host lowercase, fragment/default-port/utm strip), registered-"
+    "domain extraction, per-domain stats and a REAL broadcast blocklist "
+    "anti-join (n_kept=0 for blocked domains comes from executing the "
+    "filter, not deriving it). Every regex is RE2-compatible so the "
+    "oracle applies the identical rewrites.",
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.urls import (
+        domain_stats,
+        filter_blocked_domains,
+        normalize_url,
+        registered_domain,
+    )
+
+    blocked = ["site0.com", "site1.com"]
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:443/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&q="),
+            F.col("doc_id").cast("string"),
+            F.lit("#Frag"),
+        ).alias("url"),
+    )
+    norm = docs.select(
+        "doc_id",
+        "url",
+        normalize_url("url").alias("nurl"),
+        registered_domain("url").alias("domain"),
+    )
+    stats = norm.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("nurl").alias("min_norm_url")
+    )
+    kept = (
+        filter_blocked_domains(docs, "url", blocked)
+        .select(registered_domain("url").alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        stats.join(kept, "domain", "left")
+        .select(
+            "domain",
+            "n_docs",
+            F.col("domain").isin(blocked).alias("blocked"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "min_norm_url",
+        )
+        .orderBy("domain")
+    )
