@@ -703,3 +703,114 @@ def shared_span_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_pairs(
         corpus, "doc_id", "text", k=8, min_span=15, max_df=20
     ).orderBy("id_a", "id_b")
+
+
+_R5_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) >= 1)"
+
+
+@query(
+    "corpus_build_pipeline",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+               UNNEST(generate_series(1, len(string_split_regex(trim(lower(text)), '\\s+')))) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, tok AS w1,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+    lm AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg2 GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab_v FROM toks),
+    scores AS (
+        SELECT b.doc_id, ROUND(AVG(-ln((l.c12 + 1.0) / (c.c1 + v.vocab_v))), 6) AS xent
+        FROM bg2 b JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+        JOIN ctx c ON b.w1 = c.w1 CROSS JOIN v
+        GROUP BY b.doc_id
+    ),
+    feats AS (
+        SELECT doc_id, text,
+               len({_R5_TOKS}) AS n_words,
+               len(list_filter({_R5_TOKS}, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+               len(string_split(text, '#')) - 1
+                 + len(string_split_regex(text, '\\.\\.\\.')) - 1 AS n_sym,
+               list_sum(list_transform({_R5_TOKS}, x -> length(x))) AS total_chars
+        FROM documents
+    ),
+    kept AS (
+        SELECT f.doc_id, f.text, f.n_words
+        FROM feats f JOIN scores s ON f.doc_id = s.doc_id
+        WHERE f.n_words >= 30
+          AND 10 * f.alpha_words >= 8 * f.n_words
+          AND 10 * f.n_sym <= f.n_words
+          AND f.total_chars >= 3 * f.n_words AND f.total_chars <= 10 * f.n_words
+          AND s.xent <= 3.4
+    ),
+    sur AS (
+        SELECT doc_id, n_words,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM kept
+    ),
+    ded AS (
+        SELECT doc_id, n_words
+        FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep FROM sur)
+        WHERE doc_id = keep
+    ),
+    sh AS (
+        SELECT doc_id, n_words,
+               substring(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM ded
+    )
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM sh GROUP BY shard ORDER BY shard
+    """,
+    survey="pipeline-corpus-build-r5",
+    doc="End-to-end corpus build composing the round-5 stages: Gopher "
+    "ratio rules (integer-exact) + bigram-LM cross-entropy threshold "
+    "(perplexity filter) -> exact dedup (min-id survivor per "
+    "fingerprint) -> deterministic md5 shuffle -> per-shard doc/token "
+    "mass. Every stage's mirror is the same one its standalone gate row "
+    "uses, chained into one oracle — proving the operators compose "
+    "without semantic drift.",
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import dedup_exact
+    from ariadne_dbt_spark.operators.lm import lm_cross_entropy
+    from ariadne_dbt_spark.operators.sampling import deterministic_shuffle
+    from ariadne_dbt_spark.operators.text import gopher_quality_flags
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    g = gopher_quality_flags(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_alpha_words",
+    )
+    scores = lm_cross_entropy(docs, "doc_id", "text").select("doc_id", "xent")
+    kept = (
+        docs.join(g, "doc_id")
+        .join(scores, "doc_id")
+        .where(
+            (F.col("n_words") >= 30)
+            & F.col("r_alpha_words")
+            & F.col("r_symbol_ratio")
+            & F.col("r_mean_word_len")
+            & (F.col("xent") <= 3.4)
+        )
+        .select("doc_id", "text", "n_words")
+    )
+    ded = dedup_exact(kept, "doc_id", "text").select("doc_id", "n_words")
+    sh = deterministic_shuffle(ded, "doc_id", seed=11)
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("shard")
+    )

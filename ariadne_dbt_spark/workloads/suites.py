@@ -242,6 +242,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "corpus_build",
+            "corpus_build_pipeline",
+            {"shard": "string", "n_docs": "bigint", "total_words": "bigint"},
+        ),
+        (
             "boilerplate",
             "doc_boilerplate_removal",
             {
