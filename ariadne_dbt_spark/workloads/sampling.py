@@ -274,3 +274,61 @@ def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(pdf, "shard string, n_docs bigint, total_chars bigint")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fo
+        FROM documents
+    ),
+    new_snap AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END
+               )), '\\s+', ' ', 'g')) AS fn
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id,
+               md5(regexp_replace(trim(lower('brand new doc ' || CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g')) AS fn
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN fo <> fn THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    )
+    SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status
+    """,
+    survey="corpus-versioning-diff",
+    doc="Corpus snapshot diff (training-data versioning audit): old = "
+    "documents; new = documents minus every 13th (removed), every 7th "
+    "edited (changed), plus brand-new docs for every 11th id (added). "
+    "One full-outer fingerprint join; status counts exact vs the "
+    "oracle's independent derivation.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.versioning import corpus_diff
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select("doc_id", "text")
+    edited = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("brand new doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    new_snap = edited.union(added)
+    return (
+        corpus_diff(docs, new_snap, "doc_id", "text")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

@@ -413,6 +413,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "jsonl_export_roundtrip",
             {"shard": "string", "n_docs": "bigint", "total_chars": "bigint"},
         ),
+        (
+            "snapshot_diff",
+            "corpus_snapshot_diff",
+            {"status": "string", "n": "bigint"},
+        ),
     ],
     "ann_exact_suite": [
         (

@@ -155,3 +155,61 @@ def test_banded_lsh_hot_bucket_aqe_skew_split(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_semdedup_hot_cluster_aqe_skew_split(spark):
+    """Planted hot CLUSTER for SemDeDup: 20% of vectors share one
+    direction (scaled copies -> cosine-argmax sends them to the same
+    cluster bit-identically), so one cluster holds 600 of 3000 vectors.
+    The within-cluster join must (a) produce exactly the right keep
+    set — every hot vector except the lowest id drops, nothing else —
+    and (b) trigger AQE's skew-join split, the runtime backstop
+    SCALE.md claims for hot clusters."""
+    import random
+
+    from ariadne_dbt_spark.operators.similarity import semantic_dedup
+
+    rnd = random.Random(31)
+    hot_dir = [1.0, 0.5, -1.0, 2.0, 0.25, -0.5, 1.5, 1.0]
+    rows = []
+    for i in range(3000):
+        if i % 5 == 0:
+            s = 1.0 + (i % 9)
+            rows.append((i, [x * s for x in hot_dir]))
+        else:
+            rows.append((i, [rnd.gauss(0, 1) for _ in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(4)]
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize"),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "512b")
+
+        out = semantic_dedup(emb, eps=0.9999, centroids=cents)
+        flags = {r.vec_id: r.keep for r in out.collect()}
+        hot_ids = {i for i in range(3000) if i % 5 == 0}
+        dropped = {i for i, k in flags.items() if not k}
+        assert dropped == hot_ids - {0}, (
+            f"extra={sorted(dropped - hot_ids)[:5]} missing={sorted(hot_ids - {0} - dropped)[:5]}"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan, "AQE skew split did not fire"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
