@@ -178,6 +178,23 @@ def _ops() -> dict:
         ]
         return pq_encode(emb, cb).count()
 
+    def run_lm_score(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        # self-scoring bigram LM: two aggs + two key joins + per-doc agg,
+        # all keyed on tokens/doc-id — expected slope ~1
+        from ariadne_dbt_spark.operators.lm import lm_cross_entropy
+
+        return lm_cross_entropy(docs, "doc_id", "text").count()
+
+    def run_shared_spans(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        # k-gram postings join with the stop-gram cap: candidate mass is
+        # bounded by per-gram df ≤ max_df, planted dup rate is constant
+        # across sizes — expected slope ~1 (never the all-pairs 2)
+        from ariadne_dbt_spark.operators.dedup import shared_span_pairs
+
+        return shared_span_pairs(
+            docs, "doc_id", "text", k=8, min_span=15, max_df=20
+        ).count()
+
     return {
         "exact_dedup": run_exact,
         "ngram_jaccard": run_ngram,
@@ -186,6 +203,8 @@ def _ops() -> dict:
         "embedding_banded_lsh_auto": run_banded_lsh_auto,
         "ivf_topk": run_ivf,
         "pq_encode": run_pq_encode,
+        "lm_score": run_lm_score,
+        "shared_spans": run_shared_spans,
     }
 
 
