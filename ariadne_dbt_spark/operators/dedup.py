@@ -852,6 +852,11 @@ def shared_span_pairs(
     * runs of consecutive matches on a diagonal collapse via the
       classic gaps-and-islands window (pos_a - row_number), grouped
       per (pair, diagonal, island) — all hash exchanges on pair keys.
+
+    The gram table feeds both join sides, so the plan derives it twice
+    (two window passes over the corpus); for corpus-scale runs persist
+    the tokenized input (or write grams once and self-join the parquet)
+    — at gate scale the recompute is cheaper than cache lifecycle.
     """
     from pyspark.sql.window import Window
 

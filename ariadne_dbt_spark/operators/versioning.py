@@ -26,7 +26,9 @@ def corpus_diff(
     """``(id, status)`` with status ∈ {added, removed, changed,
     unchanged}, comparing whitespace-normalized MD5 fingerprints (the
     same key exact dedup uses, so 'unchanged' is insensitive to
-    whitespace-only edits)."""
+    whitespace-only edits). Ids are assumed unique within each
+    snapshot (run exact dedup first otherwise — duplicate ids would
+    fan out through the full-outer join)."""
     o = old.select(
         F.col(id_col).alias("id"), fingerprint_md5(text_col).alias("_fo")
     )
