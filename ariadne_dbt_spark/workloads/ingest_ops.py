@@ -540,3 +540,56 @@ def usage_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tool_name")
     )
+
+
+@query(
+    "csv_source_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    survey="source-csv",
+    doc="CSV source/sink roundtrip: documents written as quoted CSV "
+    "(header, explicit schema on read — no inference drift), read back "
+    "and aggregated per language; counts and character mass must equal "
+    "the oracle's direct derivation from the parquet source, proving "
+    "the format conversion is lossless for tabular text data.",
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.session import table_path
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"ariadne_csv_roundtrip_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        docs.write.mode("overwrite").option("header", True).option(
+            "quoteAll", True
+        ).csv(out)
+        back = spark.read.schema(
+            "doc_id bigint, text string, lang string, n_chars bigint"
+        ).option("header", True).csv(out)
+        res = (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .orderBy("lang")
+        )
+        import pandas as pd
+
+        return spark.createDataFrame(
+            res.toPandas(), "lang string, n_docs bigint, total_chars bigint"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

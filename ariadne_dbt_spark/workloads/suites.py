@@ -514,6 +514,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"s1": "string", "s2": "string", "pair_count": "bigint"},
         ),
         (
+            "csv_roundtrip",
+            "csv_source_roundtrip",
+            {"lang": "string", "n_docs": "bigint", "total_chars": "bigint"},
+        ),
+        (
             "gopher",
             "gopher_quality_flags",
             {
