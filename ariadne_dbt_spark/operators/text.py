@@ -347,8 +347,11 @@ def gopher_quality_flags(df, id_col: str, text_col: str):
     * <=30% of lines end with '...'
     * >=80% of words contain an alphabetic character
     * contains >=2 distinct GOPHER_STOPWORDS
+
+    NULL text is treated as empty (``size(split(NULL))`` is -1 in
+    Spark, which would silently satisfy every ``<=`` rule).
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: F.length(t) >= 1)
     lines = F.split(c, "\n")
     n_words = F.size(toks)
