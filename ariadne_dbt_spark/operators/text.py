@@ -386,3 +386,44 @@ def gopher_quality_flags(df, id_col: str, text_col: str):
     for r in rules[1:]:
         acc = acc & F.col(r)
     return out.withColumn("pass_all", acc)
+
+
+def unicode_normalize(col, *, form: str = "NFC", strip_marks: bool = False):
+    """Unicode normalization for text pipelines — the step before any
+    fingerprint/dedup stage (composed 'é' and decomposed 'e'+U+0301 are
+    different bytes but the same text; skipping this silently splits
+    duplicates).
+
+    Arrow-batched pandas UDF (Spark has no JVM NFC builtin — this is
+    the sanctioned batch-level slow path, vectorized over Arrow
+    batches). ``strip_marks=True`` additionally folds accents by
+    dropping combining marks from the NFD form — verified
+    character-for-character identical to DuckDB's
+    ``strip_accents(nfc_normalize(x))`` (tests + oracle), so the SQL
+    mirror is exact. NULL propagates.
+    """
+    import pandas as pd
+
+    globals()["pd"] = pd  # postponed type hints resolve against module globals
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def f(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if strip_marks:
+                y = "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", y)
+                    if not unicodedata.combining(ch)
+                )
+            return y
+
+        return s.map(f)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)

@@ -519,6 +519,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"lang": "string", "n_docs": "bigint", "total_chars": "bigint"},
         ),
         (
+            "unicode",
+            "unicode_normalization",
+            {
+                "n_recomposed": "bigint",
+                "n_had_marks": "bigint",
+                "n_distinct_nfc_fp": "bigint",
+                "n_distinct_raw_fp": "bigint",
+            },
+        ),
+        (
             "gopher",
             "gopher_quality_flags",
             {

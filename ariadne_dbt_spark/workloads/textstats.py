@@ -559,3 +559,61 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@query(
+    "unicode_normalization",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 2 = 0
+                   THEN ' caf' || chr(233) || ' z' || chr(252) || 'rich'
+                   ELSE ' cafe' || chr(769) || ' zu' || chr(776) || 'rich'
+               END AS r
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, r,
+               nfc_normalize(r) AS nfc,
+               strip_accents(nfc_normalize(r)) AS stripped
+        FROM raw
+    )
+    SELECT COUNT(*) FILTER (WHERE nfc <> r) AS n_recomposed,
+           COUNT(*) FILTER (WHERE stripped <> nfc) AS n_had_marks,
+           COUNT(DISTINCT md5(nfc)) AS n_distinct_nfc_fp,
+           COUNT(DISTINCT md5(r)) AS n_distinct_raw_fp
+    FROM n
+    """,
+    survey="unicode-normalization",
+    doc="Unicode NFC + accent folding before fingerprinting: every even "
+    "doc gets a COMPOSED accent suffix, every odd doc the DECOMPOSED "
+    "form of the same text (combining marks) — NFC must recompose "
+    "exactly the odd docs, accent folding must touch every doc, and "
+    "the NFC fingerprint space must collapse composed/decomposed "
+    "variants the raw bytes keep apart. Spark side is unicodedata via "
+    "an Arrow-batched UDF, verified char-for-char against DuckDB's "
+    "nfc_normalize/strip_accents.",
+)
+def unicode_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.text import unicode_normalize
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" café zürich")
+            ).otherwise(F.lit(" café zürich")),
+        ).alias("r"),
+    )
+    n = docs.select(
+        "r",
+        unicode_normalize("r").alias("nfc"),
+        unicode_normalize("r", strip_marks=True).alias("stripped"),
+    )
+    return n.agg(
+        F.count(F.when(F.col("nfc") != F.col("r"), 1)).alias("n_recomposed"),
+        F.count(F.when(F.col("stripped") != F.col("nfc"), 1)).alias("n_had_marks"),
+        F.countDistinct(F.md5("nfc")).alias("n_distinct_nfc_fp"),
+        F.countDistinct(F.md5("r")).alias("n_distinct_raw_fp"),
+    )

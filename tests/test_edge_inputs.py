@@ -90,3 +90,35 @@ def test_urls_malformed_inputs(spark):
     got = {r.i: (r.n, r.d) for r in rows}
     assert got[1] == ("", "") and got[2][1] == ""
     assert got[4] == (None, None)  # NULL propagates, never raises
+
+
+def test_unicode_normalize_matches_duckdb(spark):
+    """Char-for-char parity with the oracle's nfc_normalize /
+    strip_accents on composed, decomposed, stacked-mark, ligature and
+    fullwidth inputs (ligatures/fullwidth are NOT touched by NFC —
+    that's NFKC, deliberately not applied)."""
+    import duckdb
+
+    from ariadne_dbt_spark.operators.text import unicode_normalize
+
+    samples = [
+        "café", "café", "Zürich", "señor",
+        "naïve", "ﬁre", "Ａｂｃ", "ę́", "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    got = {
+        r.i: (r.n, r.st)
+        for r in df.select(
+            "i",
+            unicode_normalize("s").alias("n"),
+            unicode_normalize("s", strip_marks=True).alias("st"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        want = con.sql(
+            "SELECT nfc_normalize(?), strip_accents(nfc_normalize(?))", params=[s, s]
+        ).fetchone()
+        assert got[i] == want, f"{s!r}: {got[i]!r} != {want!r}"
