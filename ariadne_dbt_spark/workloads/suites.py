@@ -418,6 +418,21 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "corpus_snapshot_diff",
             {"status": "string", "n": "bigint"},
         ),
+        (
+            "csv_roundtrip",
+            "csv_source_roundtrip",
+            {"lang": "string", "n_docs": "bigint", "total_chars": "bigint"},
+        ),
+        (
+            "unicode",
+            "unicode_normalization",
+            {
+                "n_recomposed": "bigint",
+                "n_had_marks": "bigint",
+                "n_distinct_nfc_fp": "bigint",
+                "n_distinct_raw_fp": "bigint",
+            },
+        ),
     ],
     "ann_exact_suite": [
         (
@@ -512,21 +527,6 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "bpe_pairs",
             "bpe_pair_counts",
             {"s1": "string", "s2": "string", "pair_count": "bigint"},
-        ),
-        (
-            "csv_roundtrip",
-            "csv_source_roundtrip",
-            {"lang": "string", "n_docs": "bigint", "total_chars": "bigint"},
-        ),
-        (
-            "unicode",
-            "unicode_normalization",
-            {
-                "n_recomposed": "bigint",
-                "n_had_marks": "bigint",
-                "n_distinct_nfc_fp": "bigint",
-                "n_distinct_raw_fp": "bigint",
-            },
         ),
         (
             "gopher",
