@@ -568,7 +568,11 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "n_chars"
     )
     out = os.path.join(
-        tempfile.gettempdir(), f"ariadne_csv_roundtrip_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(),
+        # md5, not hash(): PYTHONHASHSEED salts hash() per process, which
+        # would leak a fresh orphan dir on every crashed run
+        "ariadne_csv_roundtrip_"
+        + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:8],
     )
     shutil.rmtree(out, ignore_errors=True)
     try:

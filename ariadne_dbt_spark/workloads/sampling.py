@@ -253,7 +253,11 @@ def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(table_path(sf_dir, "documents")).select("doc_id", "text")
     out = os.path.join(
-        tempfile.gettempdir(), f"ariadne_jsonl_export_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(),
+        # md5, not hash(): PYTHONHASHSEED salts hash() per process, which
+        # would leak a fresh orphan dir on every crashed run
+        "ariadne_jsonl_export_"
+        + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:8],
     )
     shutil.rmtree(out, ignore_errors=True)
     try:
