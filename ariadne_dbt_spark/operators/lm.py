@@ -33,10 +33,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "doc_bigrams",
+    "doc_trigrams",
     "train_bigram_lm",
+    "train_backoff_lm",
     "vocab_size",
     "lm_cross_entropy",
     "score_with_lm",
+    "stupid_backoff_scores",
 ]
 
 
@@ -168,4 +171,124 @@ def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("xent"),
+    )
+
+
+def doc_trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, w1, w2, w3)`` — one row per in-document trigram (same
+    one-exchange window-lead shape as :func:`doc_bigrams`)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_tokens(text_col)).alias("_pos", "w1"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    return (
+        toks.select(
+            "_id",
+            "w1",
+            F.lead("w1", 1).over(w).alias("w2"),
+            F.lead("w1", 2).over(w).alias("w3"),
+        )
+        .where(F.col("w3").isNotNull())
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def train_backoff_lm(df: DataFrame, id_col: str, text_col: str) -> dict:
+    """Count tables for a trigram stupid-backoff LM (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the backoff
+    scheme designed for MapReduce-scale training: no discounting
+    renormalization, just raw counts, so training is three independent
+    aggregations with map-side combine).
+
+    Returns ``{"tri": (w1,w2,w3,c123), "bi": (w1,w2,c12),
+    "uni": (w,c1), "n_tokens": int, "vocab_v": int}`` — the count
+    frames are unmaterialized plans; persist or write them for reuse.
+    """
+    toks = df.select(F.explode(_tokens(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    bi = (
+        doc_bigrams(df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tri = (
+        doc_trigrams(df, id_col, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("w").alias("v")
+    ).first()
+    return {
+        "tri": tri,
+        "bi": bi,
+        "uni": uni,
+        "n_tokens": int(totals["n"]),
+        "vocab_v": int(totals["v"]),
+    }
+
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    lm: dict,
+    id_col: str,
+    text_col: str,
+    *,
+    alpha: float = 0.4,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-doc trigram cross-entropy under stupid backoff:
+    ``(id, n_trigrams, n_tri_hits, n_bi_backoffs, n_uni_backoffs,
+    xent_sb)`` with
+
+    * seen trigram:            S = c123 / c12(w1,w2)
+    * else seen bigram (w2,w3): S = alpha · c23 / c1(w2)
+    * else (unigram floor):    S = alpha² · (c3 + 1) / (N + V)
+      (Laplace floor so fully-OOV words stay finite)
+
+    and ``xent_sb = ROUND(AVG(-ln S), 6)``. The branch counters make
+    the oracle check every backoff path, not just the blended score.
+    All five probability joins broadcast when the LM fits (pruned /
+    pretrained — the production shape); the corpus side's only
+    exchanges are its own trigram window and the final per-doc agg.
+    """
+    tri, bi, uni = lm["tri"], lm["bi"], lm["uni"]
+    if broadcast_lm:
+        tri, bi, uni = F.broadcast(tri), F.broadcast(bi), F.broadcast(uni)
+    n_tok, v = float(lm["n_tokens"]), float(lm["vocab_v"])
+    tg = doc_trigrams(df, id_col, text_col)
+    j = (
+        tg.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi.select("w1", "w2", F.col("c12").alias("_c12_ctx")), ["w1", "w2"], "left")
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c12").alias("_c23")
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("_c2")), ["w2"], "left")
+        .join(uni.select(F.col("w").alias("w3"), F.col("c1").alias("_c3")), ["w3"], "left")
+    )
+    a = F.lit(float(alpha))
+    s = (
+        F.when(F.col("c123").isNotNull(), F.col("c123") / F.col("_c12_ctx"))
+        .when(F.col("_c23").isNotNull(), a * F.col("_c23") / F.col("_c2"))
+        .otherwise(
+            a * a * (F.coalesce(F.col("_c3"), F.lit(0)) + F.lit(1.0)) / F.lit(n_tok + v)
+        )
+    )
+    branch = (
+        F.when(F.col("c123").isNotNull(), F.lit("tri"))
+        .when(F.col("_c23").isNotNull(), F.lit("bi"))
+        .otherwise(F.lit("uni"))
+    )
+    scored = j.select(id_col, (-F.log(s)).alias("nll"), branch.alias("_branch"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.count(F.when(F.col("_branch") == "tri", 1)).alias("n_tri_hits"),
+        F.count(F.when(F.col("_branch") == "bi", 1)).alias("n_bi_backoffs"),
+        F.count(F.when(F.col("_branch") == "uni", 1)).alias("n_uni_backoffs"),
+        F.round(F.avg("nll"), 6).alias("xent_sb"),
     )

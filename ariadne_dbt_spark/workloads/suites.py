@@ -524,6 +524,18 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "n_bigrams": "bigint", "xent": "double"},
         ),
         (
+            "backoff",
+            "stupid_backoff_eval",
+            {
+                "doc_id": "bigint",
+                "n_trigrams": "bigint",
+                "n_tri_hits": "bigint",
+                "n_bi_backoffs": "bigint",
+                "n_uni_backoffs": "bigint",
+                "xent_sb": "double",
+            },
+        ),
+        (
             "bpe_pairs",
             "bpe_pair_counts",
             {"s1": "string", "s2": "string", "pair_count": "bigint"},

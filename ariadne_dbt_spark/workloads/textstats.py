@@ -617,3 +617,108 @@ def unicode_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("nfc")).alias("n_distinct_nfc_fp"),
         F.countDistinct(F.md5("r")).alias("n_distinct_raw_fp"),
     )
+
+
+_SB_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "stupid_backoff_eval",
+    oracle=f"""
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    eval0 AS (
+        SELECT doc_id, {_SB_TOKS} AS l
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    eval_docs AS (
+        SELECT doc_id,
+               array_to_string(list_transform(generate_series(1, len(l)),
+                   i -> CASE WHEN i % 7 = 3 THEN 'zz' || l[i] ELSE l[i] END), ' ') AS text
+        FROM eval0
+    ),
+    ttoks AS (SELECT UNNEST({_SB_TOKS}) AS w FROM train),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM ttoks GROUP BY w),
+    tots AS (SELECT COUNT(*) AS n, COUNT(DISTINCT w) AS v FROM ttoks),
+    ttk AS (
+        SELECT doc_id, UNNEST({_SB_TOKS}) AS tok,
+               UNNEST(generate_series(1, len({_SB_TOKS}))) AS pos
+        FROM train
+    ),
+    tlead AS (
+        SELECT doc_id, tok AS w1,
+               LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+               LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        FROM ttk
+    ),
+    bic AS (SELECT w1, w2, COUNT(*) AS c12 FROM tlead WHERE w2 IS NOT NULL GROUP BY 1, 2),
+    tric AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tlead WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+    etk AS (
+        SELECT doc_id, UNNEST({_SB_TOKS}) AS tok,
+               UNNEST(generate_series(1, len({_SB_TOKS}))) AS pos
+        FROM eval_docs
+    ),
+    etri AS (
+        SELECT doc_id, w1, w2, w3 FROM (
+            SELECT doc_id, tok AS w1,
+                   LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                   LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+            FROM etk)
+        WHERE w3 IS NOT NULL
+    ),
+    j AS (
+        SELECT e.doc_id, t.c123, b1.c12 AS c12_ctx, b2.c12 AS c23,
+               u2.c1 AS c2, u3.c1 AS c3, tots.n, tots.v
+        FROM etri e
+        LEFT JOIN tric t ON e.w1 = t.w1 AND e.w2 = t.w2 AND e.w3 = t.w3
+        LEFT JOIN bic b1 ON e.w1 = b1.w1 AND e.w2 = b1.w2
+        LEFT JOIN bic b2 ON e.w2 = b2.w1 AND e.w3 = b2.w2
+        LEFT JOIN uni u2 ON e.w2 = u2.w
+        LEFT JOIN uni u3 ON e.w3 = u3.w
+        CROSS JOIN tots
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN c123 IS NOT NULL THEN 'tri'
+                    WHEN c23 IS NOT NULL THEN 'bi' ELSE 'uni' END AS br,
+               CASE WHEN c123 IS NOT NULL THEN c123 * 1.0 / c12_ctx
+                    WHEN c23 IS NOT NULL THEN 0.4 * c23 / c2
+                    ELSE 0.4 * 0.4 * (COALESCE(c3, 0) + 1.0) / (n + v) END AS p
+        FROM j
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_trigrams,
+           COUNT(*) FILTER (br = 'tri') AS n_tri_hits,
+           COUNT(*) FILTER (br = 'bi') AS n_bi_backoffs,
+           COUNT(*) FILTER (br = 'uni') AS n_uni_backoffs,
+           ROUND(AVG(-ln(p)), 6) AS xent_sb
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey="lm-stupid-backoff",
+    doc="Trigram stupid-backoff LM (Brants et al. 2007 — the backoff "
+    "designed for MapReduce-scale counting) evaluated on HELD-OUT "
+    "perturbed text: train on even docs, score odd docs with every 7th "
+    "token made OOV ('zz' prefix), so all three branches (trigram hit, "
+    "bigram backoff, unigram Laplace floor) fire and the oracle checks "
+    "each branch's count per document plus the blended cross-entropy.",
+)
+def stupid_backoff_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.lm import stupid_backoff_scores, train_backoff_lm
+
+    docs = documents(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    eval_docs = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.when(
+                    i % 7 == 3,
+                    F.concat(F.lit("zz"), F.element_at(toks, i)),
+                ).otherwise(F.element_at(toks, i)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    lm = train_backoff_lm(train, "doc_id", "text")
+    return stupid_backoff_scores(eval_docs, lm, "doc_id", "text").orderBy("doc_id")

@@ -105,3 +105,78 @@ def test_pretrained_path_is_broadcast(corpus, spark):
     )
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+class TestStupidBackoff:
+    def test_hand_computed_branches(self, spark):
+        """Train on one doc, score text hitting all three branches."""
+        import math
+
+        from ariadne_dbt_spark.operators.lm import (
+            stupid_backoff_scores,
+            train_backoff_lm,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "a b c a b d")], "doc_id long, text string"
+        )
+        # counts: tri {abc:1, bca:1, cab:1, abd:1}; bi {ab:2, bc:1, ca:1, bd:1}
+        # uni {a:2, b:2, c:1, d:1}; N=6, V=4
+        lm = train_backoff_lm(train, "doc_id", "text")
+        assert lm["n_tokens"] == 6 and lm["vocab_v"] == 4
+        ev = spark.createDataFrame(
+            [(10, "a b c"), (11, "c a x"), (12, "x y z")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in stupid_backoff_scores(ev, lm, "doc_id", "text").collect()}
+        # doc 10: trigram 'a b c' seen -> tri branch, S = 1/2
+        assert (rows[10].n_tri_hits, rows[10].n_bi_backoffs, rows[10].n_uni_backoffs) == (1, 0, 0)
+        assert abs(rows[10].xent_sb - round(-math.log(0.5), 6)) < 1e-9
+        # doc 11: 'c a x' unseen tri; (a,x) unseen bi; x unseen -> uni floor
+        assert (rows[11].n_tri_hits, rows[11].n_bi_backoffs, rows[11].n_uni_backoffs) == (0, 0, 1)
+        assert abs(rows[11].xent_sb - round(-math.log(0.16 * 1.0 / 10), 6)) < 1e-9
+        # doc 12: everything OOV -> uni floor with c3(z)=0
+        assert (rows[12].n_tri_hits, rows[12].n_bi_backoffs, rows[12].n_uni_backoffs) == (0, 0, 1)
+
+    def test_bi_branch(self, spark):
+        from ariadne_dbt_spark.operators.lm import (
+            stupid_backoff_scores,
+            train_backoff_lm,
+        )
+        import math
+
+        train = spark.createDataFrame(
+            [(1, "a b c a b d")], "doc_id long, text string"
+        )
+        lm = train_backoff_lm(train, "doc_id", "text")
+        # 'd a b': tri unseen, bigram (a,b) seen c23=2, c2(a)=2 -> 0.4*2/2
+        r = stupid_backoff_scores(
+            spark.createDataFrame([(20, "d a b")], "doc_id long, text string"),
+            lm, "doc_id", "text",
+        ).first()
+        assert (r.n_tri_hits, r.n_bi_backoffs, r.n_uni_backoffs) == (0, 1, 0)
+        assert abs(r.xent_sb - round(-math.log(0.4), 6)) < 1e-9
+
+    def test_backoff_plan_broadcasts(self, spark):
+        from ariadne_dbt_spark.operators.lm import (
+            stupid_backoff_scores,
+            train_backoff_lm,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "a b c a b d e f g h")], "doc_id long, text string"
+        )
+        lm = train_backoff_lm(train, "doc_id", "text")
+        # materialize counts as a pretrained LM would be
+        lm = {
+            **lm,
+            "tri": spark.createDataFrame(lm["tri"].toPandas()),
+            "bi": spark.createDataFrame(lm["bi"].toPandas()),
+            "uni": spark.createDataFrame(lm["uni"].toPandas()),
+        }
+        df = stupid_backoff_scores(train, lm, "doc_id", "text")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count("BroadcastHashJoin") >= 5
+        assert "SortMergeJoin" not in plan
