@@ -40,6 +40,8 @@ __all__ = [
     "lm_cross_entropy",
     "score_with_lm",
     "stupid_backoff_scores",
+    "dsir_log_ratios",
+    "dsir_select",
 ]
 
 
@@ -292,3 +294,60 @@ def stupid_backoff_scores(
         F.count(F.when(F.col("_branch") == "uni", 1)).alias("n_uni_backoffs"),
         F.round(F.avg("nll"), 6).alias("xent_sb"),
     )
+
+
+def dsir_log_ratios(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    re-expressed on the bigram LM: score every corpus document under a
+    TARGET-domain LM and under the RAW-corpus LM, and return
+    ``(id, n_bigrams, xent_target, xent_raw, log_ratio)`` where
+    ``log_ratio = xent_raw − xent_target`` (mean per-bigram
+    log p_target/p_raw — positive = more target-like than the corpus
+    average; DSIR resamples ∝ exp of this).
+
+    Both LMs are corpus-level count tables; with ``broadcast_lm`` the
+    four probability joins broadcast and the 100 TB side only shuffles
+    for its own per-doc aggregations. The two scoring passes share the
+    same bigram derivation shape (and can share a persisted bigram
+    table at scale).
+    """
+    lm_t = train_bigram_lm(target, id_col, text_col)
+    v_t = int(vocab_size(target, text_col).first()["vocab_v"])
+    lm_r = train_bigram_lm(corpus, id_col, text_col)
+    v_r = int(vocab_size(corpus, text_col).first()["vocab_v"])
+    st = score_with_lm(
+        corpus, lm_t, v_t, id_col, text_col, broadcast_lm=broadcast_lm
+    ).select(id_col, "n_bigrams", F.col("xent").alias("xent_target"))
+    sr = score_with_lm(
+        corpus, lm_r, v_r, id_col, text_col, broadcast_lm=broadcast_lm
+    ).select(id_col, F.col("xent").alias("xent_raw"))
+    return st.join(sr, id_col).select(
+        id_col,
+        "n_bigrams",
+        "xent_target",
+        "xent_raw",
+        F.round(F.col("xent_raw") - F.col("xent_target"), 6).alias("log_ratio"),
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Top-k most target-like documents by DSIR log-ratio
+    (deterministic: ties break on id; the paper resamples ∝ weight —
+    top-k is the greedy deterministic variant)."""
+    r = dsir_log_ratios(corpus, target, id_col, text_col)
+    return r.orderBy(F.desc("log_ratio"), id_col).limit(int(k))

@@ -524,6 +524,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "n_bigrams": "bigint", "xent": "double"},
         ),
         (
+            "dsir",
+            "dsir_selection",
+            {"doc_id": "bigint", "log_ratio": "double"},
+        ),
+        (
             "backoff",
             "stupid_backoff_eval",
             {

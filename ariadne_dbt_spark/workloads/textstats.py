@@ -722,3 +722,80 @@ def stupid_backoff_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lm = train_backoff_lm(train, "doc_id", "text")
     return stupid_backoff_scores(eval_docs, lm, "doc_id", "text").orderBy("doc_id")
+
+
+def _dsir_score_cte(prefix: str, train_where: str) -> str:
+    """Scoring CTE chain: train a Laplace bigram LM on ``train_where``
+    docs, score EVERY doc (left joins + coalesce — OOV-safe), emit
+    ``{prefix}_scores(doc_id, n_bigrams, xent)``."""
+    return f"""
+    {prefix}_ttoks AS (
+        SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE {train_where}
+    ),
+    {prefix}_v AS (SELECT COUNT(DISTINCT w) AS v FROM {prefix}_ttoks),
+    {prefix}_tk AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+               UNNEST(generate_series(1, len(string_split_regex(trim(lower(text)), '\\s+')))) AS pos
+        FROM documents WHERE {train_where}
+    ),
+    {prefix}_bg AS (
+        SELECT doc_id, tok AS w1, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM {prefix}_tk
+    ),
+    {prefix}_lm AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM {prefix}_bg WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ),
+    {prefix}_ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM {prefix}_lm GROUP BY 1),
+    {prefix}_ek AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+               UNNEST(generate_series(1, len(string_split_regex(trim(lower(text)), '\\s+')))) AS pos
+        FROM documents
+    ),
+    {prefix}_ebg AS (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, tok AS w1, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM {prefix}_ek)
+        WHERE w2 IS NOT NULL
+    ),
+    {prefix}_scores AS (
+        SELECT e.doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(-ln((COALESCE(l.c12, 0) + 1.0)
+                             / (COALESCE(c.c1, 0) + v.v))), 6) AS xent
+        FROM {prefix}_ebg e
+        LEFT JOIN {prefix}_lm l ON e.w1 = l.w1 AND e.w2 = l.w2
+        LEFT JOIN {prefix}_ctx c ON e.w1 = c.w1
+        CROSS JOIN {prefix}_v v
+        GROUP BY e.doc_id
+    )"""
+
+
+@query(
+    "dsir_selection",
+    oracle=f"""
+    WITH {_dsir_score_cte("t", "source = 'src0'")},
+    {_dsir_score_cte("r", "TRUE")}
+    SELECT doc_id,
+           ROUND(r_scores.xent - t_scores.xent, 6) AS log_ratio
+    FROM t_scores JOIN r_scores USING (doc_id)
+    ORDER BY log_ratio DESC, doc_id
+    LIMIT 50
+    """,
+    survey="lm-dsir-selection",
+    doc="DSIR-style data selection (Xie et al. 2023): every document "
+    "scored under a TARGET-domain bigram LM (trained on source='src0') "
+    "and under the raw-corpus LM; log_ratio = xent_raw - xent_target "
+    "ranks target-likeness, top-50 selected deterministically. Both "
+    "scoring chains reuse the exact lm_score mirror (left-join OOV-safe "
+    "variant), chained twice in one oracle.",
+)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.lm import dsir_select
+
+    docs = documents(spark, sf_dir).select("doc_id", "text", "source")
+    target = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    return dsir_select(
+        docs.select("doc_id", "text"), target, "doc_id", "text", k=50
+    ).select("doc_id", "log_ratio")

@@ -180,3 +180,32 @@ class TestStupidBackoff:
         )
         assert plan.count("BroadcastHashJoin") >= 5
         assert "SortMergeJoin" not in plan
+
+
+class TestDSIR:
+    def test_target_docs_rank_first(self, spark):
+        """Docs drawn from the target distribution must outrank
+        off-domain docs by log-ratio."""
+        from ariadne_dbt_spark.operators.lm import dsir_log_ratios, dsir_select
+
+        target_rows = [(i, "spark plans shuffle joins across executors efficiently") for i in range(5)]
+        noise_rows = [(100 + i, "ducks geese herons swans waders paddle around ponds") for i in range(5)]
+        corpus = spark.createDataFrame(target_rows + noise_rows, "doc_id long, text string")
+        target = spark.createDataFrame(target_rows, "doc_id long, text string")
+        r = {x.doc_id: x.log_ratio for x in dsir_log_ratios(corpus, target, "doc_id", "text").collect()}
+        assert min(r[i] for i in range(5)) > max(r[100 + i] for i in range(5))
+        top = {x.doc_id for x in dsir_select(corpus, target, "doc_id", "text", k=5).collect()}
+        assert top == set(range(5))
+
+    def test_ratio_decomposition(self, spark):
+        """log_ratio must equal the rounded difference of the two xents
+        returned alongside it."""
+        from ariadne_dbt_spark.operators.lm import dsir_log_ratios
+
+        corpus = spark.createDataFrame(
+            [(i, f"w{i % 3} common tokens shared here") for i in range(9)],
+            "doc_id long, text string",
+        )
+        target = corpus.where(F.col("doc_id") % 3 == 0)
+        for x in dsir_log_ratios(corpus, target, "doc_id", "text").collect():
+            assert abs(x.log_ratio - round(x.xent_raw - x.xent_target, 6)) < 1e-9
