@@ -351,3 +351,58 @@ def dsir_select(
     top-k is the greedy deterministic variant)."""
     r = dsir_log_ratios(corpus, target, id_col, text_col)
     return r.orderBy(F.desc("log_ratio"), id_col).limit(int(k))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information:
+    ``pmi(w1,w2) = ln( P(w1,w2) / (P(w1) P(w2)) )`` with bigram/unigram
+    MLE probabilities over the corpus — the classic collocation-mining
+    statistic (Church & Hanks 1990), used in data pipelines to surface
+    boilerplate phrases and build phrase vocabularies.
+
+    Determinism contract (oracle-exact): the PMI argument is computed as
+    ONE double expression with a fixed association order —
+    ``(c12 * 1.0 * n_tok / n_pairs) * n_tok / (c1 * 1.0 * c2)`` — IEEE
+    double ops are exactly rounded so both engines agree bitwise; the
+    single ``ln`` may drift a last ulp and is rounded to 6 decimals.
+    Ordering/top-k cutoff uses the ROUNDED value (+ (w1, w2) tie-break)
+    so rank boundaries can't flip across engines.
+
+    Scale shape: bigram counting is two shuffles with map-side combine
+    (the ``train_bigram_lm`` path); unigram totals join back on w1/w2
+    (fine to broadcast once pruned by ``min_count``); global totals are
+    computed as 1-row aggregates and cross-joined (broadcast literal).
+    """
+    bg = doc_bigrams(df, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    toks = df.select(F.explode(_tokens(text_col)).alias("tok")).where(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = c12.agg(F.sum("c12").cast("bigint").alias("n_pairs")).crossJoin(
+        uni.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    )
+    scored = (
+        c12.where(F.col("c12") >= F.lit(int(min_count)))
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("c12") * F.lit(1.0) * F.col("n_tok") / F.col("n_pairs")
+                    * F.col("n_tok") / (F.col("c1") * F.lit(1.0) * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(k))

@@ -427,3 +427,44 @@ def unicode_normalize(col, *, form: str = "NFC", strip_marks: bool = False):
 
     c = F.col(col) if isinstance(col, str) else col
     return _norm(c)
+
+
+def lexical_diversity(df, id_col: str, text_col: str):
+    """Per-document lexical-diversity features: type-token ratio and
+    hapax-legomenon ratio — standard corpus-quality signals beside the
+    Gopher rule bundle (machine-generated / templated text shows low
+    TTR; OCR noise shows an abnormally high hapax share).
+
+    Returns ``(id, n_tokens, n_types, ttr_millionths, hapax_millionths)``
+    with the ratios as exact integer millionths (``1e6 * x // n`` —
+    the repo's cross-engine float rule: integer arithmetic hashes
+    identically everywhere).
+
+    Scale shape: explode → ONE shuffle on ``(id, token)`` with map-side
+    combine, then a second narrow agg keyed by id. No per-doc quadratic
+    higher-order lambdas (``size(filter(toks, ...))`` per distinct token
+    would re-scan the array per type).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_tok = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_tok.groupBy("_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, F.lit(1)).otherwise(F.lit(0))).alias("n_hapax"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_words"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            # integer DIV, not float-divide-then-cast: DuckDB CAST(double)
+            # rounds-half-even while Spark truncates — DIV / // floor
+            # identically for these positive operands
+            F.expr("(n_types * 1000000) DIV n_tokens").cast("bigint").alias("ttr_millionths"),
+            F.expr("(n_hapax * 1000000) DIV n_tokens").cast("bigint").alias("hapax_millionths"),
+        )
+    )

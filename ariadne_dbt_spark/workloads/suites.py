@@ -332,6 +332,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "pmi",
+            "pmi_top_collocations",
+            {"w1": "string", "w2": "string", "pair_count": "bigint", "pmi": "double"},
+        ),
+        (
             "truncation",
             "sql_truncation_guard",
             {
@@ -483,6 +488,17 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         ("quality", "doc_quality_scores", {"doc_id": "bigint", "quality_millionths": "bigint"}),
+        (
+            "lexdiv",
+            "doc_lexical_diversity",
+            {
+                "doc_id": "bigint",
+                "n_words": "bigint",
+                "n_types": "bigint",
+                "ttr_millionths": "bigint",
+                "hapax_millionths": "bigint",
+            },
+        ),
         ("fingerprint", "doc_fingerprints", {"doc_id": "bigint", "fingerprint": "string"}),
         (
             "pii_repetition",

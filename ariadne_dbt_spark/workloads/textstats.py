@@ -799,3 +799,84 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         docs.select("doc_id", "text"), target, "doc_id", "text", k=50
     ).select("doc_id", "log_ratio")
+
+
+@query(
+    "doc_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents)
+        WHERE tok <> ''
+    ),
+    per_tok AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) * 1000000 // SUM(cnt) AS BIGINT) AS ttr_millionths,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000 // SUM(cnt) AS BIGINT)
+               AS hapax_millionths
+    FROM per_tok GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey="quality-scoring",
+    doc="Lexical-diversity features per document (type-token ratio + "
+    "hapax share, exact integer millionths): templated/machine text "
+    "scores low TTR, OCR noise scores high hapax — standard corpus "
+    "quality signals beside the Gopher bundle. One (doc,token) shuffle "
+    "with map-side combine; no per-doc quadratic array lambdas.",
+)
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.text import lexical_diversity
+
+    return (
+        lexical_diversity(documents(spark, sf_dir), "doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pmi_top_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, tok, pos FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+                   UNNEST(generate_series(1, len(string_split_regex(trim(lower(text)), '\\s+')))) AS pos
+            FROM documents)
+    ),
+    bg AS (
+        SELECT doc_id, tok AS w1, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1),
+    tot AS (
+        SELECT (SELECT CAST(SUM(c12) AS BIGINT) FROM c12) AS n_pairs,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_tok
+    )
+    SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS pair_count,
+           ROUND(ln(p.c12 * 1.0 * t.n_tok / t.n_pairs * t.n_tok / (u1.c * 1.0 * u2.c)), 6) AS pmi
+    FROM c12 p
+    JOIN uni u1 ON p.w1 = u1.tok
+    JOIN uni u2 ON p.w2 = u2.tok
+    CROSS JOIN tot t
+    WHERE p.c12 >= 5
+    ORDER BY pmi DESC, p.w1, p.w2
+    LIMIT 20
+    """,
+    survey="collocation-mining",
+    doc="Top-20 adjacent-word collocations by PMI (Church & Hanks 1990) "
+    "with min-count 5 — surfaces boilerplate phrases / phrase-vocab "
+    "candidates. PMI argument is ONE fixed-association double "
+    "expression (bitwise-identical across engines); the single ln is "
+    "rounded to 6dp and the top-k cutoff sorts on the ROUNDED value + "
+    "(w1,w2) so rank boundaries cannot flip. Counting is the bigram-LM "
+    "shuffle shape; unigram joins are broadcast-size after min-count "
+    "pruning.",
+)
+def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.lm import pmi_collocations
+
+    return pmi_collocations(documents(spark, sf_dir), "doc_id", "text", min_count=5, k=20)
