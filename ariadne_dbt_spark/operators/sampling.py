@@ -246,3 +246,39 @@ def deterministic_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("_key", id_col)
     return out.withColumn("pos", F.row_number().over(w).cast("bigint")).drop("_key")
+
+
+def quality_percentile_prune(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    group_col: str,
+    *,
+    keep_pct: int = 30,
+) -> DataFrame:
+    """FineWeb-style per-source quality pruning: keep the top
+    ``keep_pct`` percent of rows WITHIN each group by score — a global
+    score cutoff would let one high-scoring source crowd out the rest,
+    so production corpus builds threshold per domain/source.
+
+    Adds a ``keep`` boolean; the cutoff is the exact integer
+    cross-multiplication ``rank * 100 <= n_group * keep_pct`` (no float
+    percentile boundary to disagree on across engines). Ties on score
+    break by id, so the ranked order — and therefore the kept set — is
+    deterministic under any partitioning.
+
+    Scale: one shuffle on ``group_col`` serving both window functions
+    (rank and group count share the partition); group cardinality is
+    domain-count-sized, and AQE splits a skewed giant source.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.col(id_col))
+    wn = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_ng", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "keep",
+            (F.col("_rn") * F.lit(100)) <= (F.col("_ng") * F.lit(int(keep_pct))),
+        )
+        .drop("_rn", "_ng")
+    )

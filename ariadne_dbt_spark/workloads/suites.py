@@ -424,6 +424,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"status": "string", "n": "bigint"},
         ),
         (
+            "quality_prune",
+            "quality_prune_per_source",
+            {
+                "doc_id": "bigint",
+                "source": "string",
+                "quality_millionths": "bigint",
+                "keep": "boolean",
+            },
+        ),
+        (
             "csv_roundtrip",
             "csv_source_roundtrip",
             {"lang": "string", "n_docs": "bigint", "total_chars": "bigint"},

@@ -880,3 +880,60 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_dbt_spark.operators.lm import pmi_collocations
 
     return pmi_collocations(documents(spark, sf_dir), "doc_id", "text", min_count=5, k=20)
+
+
+# FineWeb-style corpus pruning: threshold quality PER SOURCE (a global
+# cutoff would let one high-scoring domain crowd out the rest). The keep
+# decision is an exact integer cross-multiplication on the ranked
+# position, so the kept set is engine-stable.
+@query(
+    "quality_prune_per_source",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(list_count(list_filter(
+                   string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1)) AS BIGINT) AS n_toks,
+               CAST(list_count(list_filter(
+                   string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1 AND t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               least(n * 800, 400000)
+               + (CASE WHEN n > 0
+                       THEN 300000 - least((n_punct * 1200000) // n, 300000)
+                       ELSE 300000 END)
+               + (CASE WHEN n_toks > 0
+                       THEN least((n_stop * 1500000) // n_toks, 300000)
+                       ELSE 0 END) AS quality_millionths
+        FROM stats
+    ),
+    r AS (
+        SELECT d.doc_id, d.source, q.quality_millionths,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY q.quality_millionths DESC, d.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY d.source) AS ng
+        FROM documents d JOIN q USING (doc_id)
+    )
+    SELECT doc_id, source, quality_millionths, rn * 100 <= ng * 30 AS keep
+    FROM r ORDER BY doc_id
+    """,
+    survey="quality-scoring,sampling",
+    doc="Per-source top-30% quality pruning (FineWeb-style): composite "
+    "quality score ranked within each source, keep decided by exact "
+    "integer cross-multiplication rank*100 <= n*pct. One shuffle on "
+    "source serves both window functions.",
+)
+def quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sampling import quality_percentile_prune
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id", "source", quality_score_millionths("text").alias("quality_millionths")
+    )
+    return quality_percentile_prune(
+        docs, "doc_id", "quality_millionths", "source", keep_pct=30
+    ).orderBy("doc_id")
