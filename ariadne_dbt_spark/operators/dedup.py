@@ -898,3 +898,53 @@ def shared_span_pairs(
         F.count(F.lit(1)).cast("int").alias("n_spans"),
         F.max("span_tokens").cast("int").alias("max_span_tokens"),
     )
+
+
+def edit_distance_near_dups(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str | Column,
+    *,
+    max_dist: int = 3,
+    keep_candidates: bool = False,
+) -> DataFrame:
+    """Fuzzy matching for SHORT fields (product names, titles, author
+    strings) by Levenshtein distance with blocking — the classic record-
+    linkage shape: an equi-join on a cheap blocking key bounds the
+    candidate mass, a length prefilter (``|len_a - len_b| <= d`` is a
+    lower bound on edit distance) prunes before the O(len^2) distance,
+    and only then does Levenshtein run on survivors.
+
+    Returns ``(id_a, id_b, block, dist)`` pairs with ``id_a < id_b`` and
+    ``dist <= max_dist`` (``keep_candidates=True`` skips the final
+    distance filter — every length-surviving candidate is returned with
+    its distance, for candidate-mass accounting). All JVM-side (``F.levenshtein`` codegen); the
+    join is a plain shuffled equi-join on the block key — at corpus
+    scale candidate mass is Σ_b n_b², so the blocking key choice (not
+    this operator) is the scale knob; AQE splits residual hot blocks.
+    """
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    side = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_name"), b.alias("block")
+    )
+    a = side.select(
+        F.col("_id").alias("id_a"), F.col("_name").alias("name_a"), "block"
+    )
+    c = side.select(
+        F.col("_id").alias("id_b"), F.col("_name").alias("name_b"), "block"
+    )
+    return (
+        a.join(c, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(int(max_dist))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "block",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.lit(bool(keep_candidates)) | (F.col("dist") <= F.lit(int(max_dist))))
+    )

@@ -814,3 +814,54 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# Record-linkage-style fuzzy matching on a short field: Levenshtein with
+# last-token blocking + length prefilter over part names. Aggregated per
+# block so the output is small and stable at any SF.
+@query(
+    "editdist_name_pairs",
+    oracle="""
+    WITH side AS (
+        SELECT p_partkey AS id, p_name AS name,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.block, levenshtein(a.name, c.name) AS dist
+        FROM side a JOIN side c ON a.block = c.block AND a.id < c.id
+        WHERE abs(length(a.name) - length(c.name)) <= 3
+    )
+    SELECT block,
+           COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_le3,
+           CAST(MIN(dist) AS INT) AS min_dist
+    FROM pairs GROUP BY block ORDER BY block
+    """,
+    survey="editdist-dedup",
+    doc="Blocked Levenshtein near-dup over part names (record-linkage "
+    "shape): equi-join on the last-token blocking key bounds candidate "
+    "mass, |len diff| prunes before the O(len^2) distance, all "
+    "JVM-codegen. Per-block candidate/match counts.",
+)
+def editdist_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import edit_distance_near_dups
+
+    parts = spark.read.parquet(table_path(sf_dir, "part"))
+    block = F.element_at(F.split(F.col("p_name"), " "), -1)
+    pairs = edit_distance_near_dups(
+        parts, "p_partkey", "p_name", block, max_dist=3, keep_candidates=True
+    )
+    # keep_candidates: every length-surviving candidate is counted; the
+    # dist <= 3 match bar is applied in the rollup
+    return (
+        pairs.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("dist") <= 3, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_pairs_le3"),
+            F.min("dist").cast("int").alias("min_dist"),
+        )
+        .orderBy("block")
+    )

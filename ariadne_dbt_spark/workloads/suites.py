@@ -242,6 +242,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "editdist",
+            "editdist_name_pairs",
+            {
+                "block": "string",
+                "n_candidates": "bigint",
+                "n_pairs_le3": "bigint",
+                "min_dist": "int",
+            },
+        ),
+        (
             "corpus_build",
             "corpus_build_pipeline",
             {"shard": "string", "n_docs": "bigint", "total_words": "bigint"},
