@@ -597,3 +597,54 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "orc_source_roundtrip",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    survey="source-orc",
+    doc="ORC source/sink roundtrip (Spark-native columnar format beside "
+    "parquet/csv/jsonl/warc): documents written as ORC with zlib "
+    "compression, read back and aggregated per source; counts and "
+    "character mass must equal the oracle's direct derivation from the "
+    "parquet source — the conversion is lossless.",
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.session import table_path
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "ariadne_orc_roundtrip_"
+        + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        docs.write.mode("overwrite").option("compression", "zlib").orc(out)
+        back = spark.read.orc(out)
+        res = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .orderBy("source")
+        )
+        import pandas as pd  # noqa: F401
+
+        return spark.createDataFrame(
+            res.toPandas(), "source string, n_docs bigint, total_chars bigint"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -321,6 +321,17 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "user_activity_span",
             {"user_id": "bigint", "span_seconds": "double", "n_events": "bigint"},
         ),
+        (
+            "rolling",
+            "rolling_daily_revenue",
+            {
+                "event_date": "date",
+                "day_total": "double",
+                "trailing_total": "double",
+                "n_days": "int",
+                "trailing_avg": "double",
+            },
+        ),
     ],
     "text_index_suite": [
         ("tf", "term_frequency_topk", {"term": "string", "tf": "bigint", "df": "bigint"}),
@@ -447,6 +458,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "csv_roundtrip",
             "csv_source_roundtrip",
             {"lang": "string", "n_docs": "bigint", "total_chars": "bigint"},
+        ),
+        (
+            "orc_roundtrip",
+            "orc_source_roundtrip",
+            {"source": "string", "n_docs": "bigint", "total_chars": "bigint"},
         ),
         (
             "unicode",

@@ -397,3 +397,49 @@ def stream_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fingerprint").alias("n_unique_fp"),
         F.lit(int(total)).cast("bigint").alias("n_input"),
     )
+
+
+# Rolling trailing-7-row (≈7-day; the calendar is dense at every SF)
+# moving aggregate over daily revenue. The frame sums DECIMALs (exact,
+# order-independent); only the final avg is ONE double division + round.
+@query(
+    "rolling_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               SUM(CAST(value AS DECIMAL(18,4))) AS day_total
+        FROM events GROUP BY 1
+    )
+    SELECT event_date,
+           CAST(day_total AS DOUBLE) AS day_total,
+           CAST(SUM(day_total) OVER w AS DOUBLE) AS trailing_total,
+           CAST(COUNT(*) OVER w AS INT) AS n_days,
+           ROUND(CAST(SUM(day_total) OVER w AS DOUBLE)
+                 / (COUNT(*) OVER w), 6) AS trailing_avg
+    FROM daily
+    WINDOW w AS (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_date
+    """,
+    survey="A10,rolling-window",
+    doc="Trailing moving average over daily revenue: decimal sums inside "
+    "the frame (exact, order-independent), one double division rounded "
+    "6dp at the end. Single-column global window — at scale this shape "
+    "runs per entity key (partitionBy) and stays one shuffle.",
+)
+def rolling_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("day_total")
+    )
+    w = Window.orderBy("event_date").rowsBetween(-6, 0)
+    return daily.select(
+        "event_date",
+        F.col("day_total").cast("double").alias("day_total"),
+        F.sum("day_total").over(w).cast("double").alias("trailing_total"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_days"),
+        F.round(
+            F.sum("day_total").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("trailing_avg"),
+    ).orderBy("event_date")
