@@ -313,3 +313,84 @@ def degree_centrality(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             / F.nullif(F.col("max_degree"), F.lit(0)).cast("double")
         ).alias("centrality"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    iters: int = 10,
+    parent_col: str = "parent_id",
+    child_col: str = "child_id",
+) -> DataFrame:
+    """PageRank by fixed-iteration power method over an edge list —
+    importance centrality beyond degree (A2/G5): a model every mart
+    depends on transitively outranks one with the same in-degree.
+
+    Standard formulation with uniform teleport and dangling-mass
+    redistribution: ``r' = (1-d)/N + d * (Σ_in r/outdeg + dangling/N)``.
+
+    Scale shape: each iteration is ONE shuffle (join ranks⋈edges on the
+    parent, group by child) + a 1-row dangling aggregate collected to
+    the driver (a scalar, not data). Ranks are localCheckpoint'd every
+    iteration to truncate the growing lineage — the classic iterative-
+    algorithm pattern on Spark; no caller-owned caches escape (repo
+    cache-lifecycle rule, see bfs()).
+
+    Returns ``(unique_id, rank)`` (doubles; callers needing an
+    engine-stable gate should round — summation order across executors
+    is nondeterministic, which is why the workload registers rows-only
+    and the semantics are pinned in tests vs a NumPy power iteration).
+    """
+    nodes = (
+        edges.select(F.col(parent_col).alias("unique_id"))
+        .union(edges.select(F.col(child_col).alias("unique_id")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    n = nodes.count()
+    outdeg = edges.groupBy(parent_col).agg(F.count(F.lit(1)).alias("outdeg"))
+    # edge weight 1/outdeg, precomputed once and checkpointed: the join
+    # inside the loop then reuses a materialized skinny table
+    w_edges = (
+        edges.join(outdeg, parent_col)
+        .select(
+            F.col(parent_col).alias("src"),
+            F.col(child_col).alias("dst"),
+            (F.lit(1.0) / F.col("outdeg")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    has_out = w_edges.select(F.col("src").alias("unique_id")).distinct()
+    ranks = nodes.select("unique_id", F.lit(1.0 / n).alias("rank"))
+    prev = None
+    for _ in range(int(iters)):
+        dangling = (
+            ranks.join(has_out, "unique_id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            ranks.join(w_edges, ranks.unique_id == w_edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contrib, nodes.unique_id == contrib.dst, "left")
+            .select(
+                "unique_id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    out = ranks.orderBy(F.desc("rank"), "unique_id").localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    nodes.unpersist()
+    w_edges.unpersist()
+    return out

@@ -199,3 +199,34 @@ def node_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("unique_id", "upstream_count", "downstream_count", "centrality")
         .orderBy("unique_id")
     )
+
+
+# Iterative-algorithm surface: PageRank over the region→nation→customer
+# hierarchy. Rows-only (oracle=None) BY DESIGN: double summation order
+# across executors is nondeterministic, so a value hash would be flaky;
+# the semantics are pinned in tests/test_pagerank.py against a NumPy
+# power iteration with identical teleport + dangling-mass handling.
+@query(
+    "pagerank_hierarchy",
+    oracle=None,
+    survey="G5,pagerank",
+    doc="10-iteration PageRank (damping 0.85) over the hierarchy edge "
+    "list — one shuffle per iteration (ranks⋈edges on parent, group by "
+    "child), ranks localCheckpoint'd each iteration to truncate "
+    "lineage, intermediates unpersisted (no caller-owned caches). "
+    "Returns top-30 by rank with a 6dp-rounded score.",
+)
+def pagerank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.graph import pagerank
+
+    edges = hierarchy_edges(spark, sf_dir)
+    pr = pagerank(edges, damping=0.85, iters=10)
+    out = pr.limit(30).select(
+        "unique_id", F.round("rank", 6).alias("rank_6dp")
+    )
+    # LocalRelation copy so the checkpoint behind `pr` can be released
+    import pandas as pd
+
+    res = spark.createDataFrame(out.toPandas(), "unique_id string, rank_6dp double")
+    pr.unpersist()
+    return res

@@ -1,0 +1,80 @@
+"""PageRank pinned against a dense NumPy power iteration with the same
+teleport + dangling-mass semantics (the workload registers rows-only —
+double summation order is executor-dependent — so THIS is the
+correctness evidence for the operator)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _numpy_pagerank(edge_list, damping=0.85, iters=10):
+    nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _ in edge_list:
+        outdeg[ix[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        for a, b in edge_list:
+            contrib[ix[b]] += r[ix[a]] / outdeg[ix[a]]
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[ix[v]] for v in nodes}
+
+
+@pytest.fixture(scope="module")
+def chain_and_star(spark):
+    # a -> b -> c (chain, c dangling) plus hub d pointed at by a,b,c
+    edges = [("a", "b"), ("b", "c"), ("a", "d"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["parent_id", "child_id"]),
+        "parent_id string, child_id string",
+    )
+    return edges, df
+
+
+def test_matches_numpy_power_iteration(spark, chain_and_star):
+    from ariadne_dbt_spark.operators.graph import pagerank
+
+    edge_list, df = chain_and_star
+    got = {r["unique_id"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    exp = _numpy_pagerank(edge_list, iters=10)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12)
+
+
+def test_ranks_sum_to_one(spark, chain_and_star):
+    from ariadne_dbt_spark.operators.graph import pagerank
+
+    _, df = chain_and_star
+    total = sum(r["rank"] for r in pagerank(df, iters=8).collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hub_outranks_leaves(spark, chain_and_star):
+    from ariadne_dbt_spark.operators.graph import pagerank
+
+    _, df = chain_and_star
+    rows = pagerank(df, iters=10).collect()
+    assert rows[0]["unique_id"] == "d"
+
+
+def test_no_cache_leak(spark, chain_and_star):
+    from ariadne_dbt_spark.operators.graph import pagerank
+
+    _, df = chain_and_star
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    out = pagerank(df, iters=3)
+    assert out.count() > 0
+    # every per-iteration checkpoint is released; only the returned
+    # result checkpoint holds storage (bfs()/ngram contract)
+    assert jsc.getPersistentRDDs().size() <= base + 1
+    out.unpersist()
+    assert jsc.getPersistentRDDs().size() <= base
