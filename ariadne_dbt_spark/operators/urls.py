@@ -110,3 +110,23 @@ def filter_blocked_domains(
         "left_anti",
     )
     return out.drop("_dom")
+
+
+def extract_links(df: DataFrame, html_col: str, *, out_col: str = "href") -> DataFrame:
+    """One row per ``href="..."`` anchor target in an HTML column — the
+    link-extraction stage of a web-corpus pipeline (the host-level link
+    graph this feeds is what CommonCrawl publishes, and what PageRank-
+    style crawl prioritization consumes; see operators/graph.py
+    ``pagerank``).
+
+    JVM-side ``regexp_extract_all`` + ``explode`` — no parser, by
+    design: like ``html_to_text`` (operators/text.py), a regex chain is
+    the deterministic, oracle-mirrorable 80% answer; a real deployment
+    swaps in an HTML5 parser behind the same (df, col) → rows contract.
+    Documents with no links produce no rows (explode, not explode_outer).
+    """
+    c = F.col(html_col)
+    return df.select(
+        "*",
+        F.explode(F.regexp_extract_all(c, F.lit(r'href="([^"]+)"'), 1)).alias(out_col),
+    )

@@ -353,6 +353,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "link_graph",
+            "link_graph_edges",
+            {"from_source": "string", "to_domain": "string", "n_links": "bigint"},
+        ),
+        (
             "pmi",
             "pmi_top_collocations",
             {"w1": "string", "w2": "string", "pair_count": "bigint", "pmi": "double"},

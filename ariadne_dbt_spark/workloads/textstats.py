@@ -937,3 +937,88 @@ def quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_percentile_prune(
         docs, "doc_id", "quality_millionths", "source", keep_pct=30
     ).orderBy("doc_id")
+
+
+# Link-graph construction: hrefs extracted from (deterministically
+# synthesized) HTML, grouped into source→target-domain edges — the
+# host-level web graph that crawl prioritization / PageRank consumes.
+_HTML_EXPR = (
+    "'<html><body><p>' || text || '</p>"
+    "<a href=\"https://WWW.Target' || CAST(doc_id % 5 AS VARCHAR) || "
+    "'.Example.org/a/' || CAST(doc_id AS VARCHAR) || '\">t</a>' || "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'<a href=\"http://cdn.target' || CAST((doc_id + 1) % 5 AS VARCHAR) || "
+    "'.example.org/b\">u</a>' ELSE '' END || '</body></html>'"
+)
+
+
+@query(
+    "link_graph_edges",
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id, source, {_HTML_EXPR} AS html FROM documents
+    ),
+    links AS (
+        SELECT source, UNNEST(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+        FROM pages
+    ),
+    hosts AS (
+        SELECT source,
+               lower(regexp_extract(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+        FROM links
+    ),
+    doms AS (
+        SELECT source,
+               CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                    ELSE array_to_string(
+                        string_split(host, '.')[len(string_split(host, '.')) - 1
+                                                : len(string_split(host, '.'))], '.')
+               END AS to_domain
+        FROM hosts
+    )
+    SELECT source AS from_source, to_domain, COUNT(*) AS n_links
+    FROM doms GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey="link-graph",
+    doc="Source→target-domain link-graph edges: href extraction "
+    "(regexp_extract_all + explode, JVM-side), host → registered-domain "
+    "folding, one aggregation with map-side combine. The synthetic HTML "
+    "plants 1-2 anchors per doc (mixed-case hosts + a cdn. subdomain) "
+    "so extraction, lowercasing and domain folding are all exercised.",
+)
+def link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.urls import extract_links, registered_domain
+
+    docs = documents(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit('<html><body><p>'),
+            F.col("text"),
+            F.lit('</p><a href="https://WWW.Target'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('.Example.org/a/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">t</a>'),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit('<a href="http://cdn.target'),
+                    ((F.col("doc_id") + 1) % 5).cast("string"),
+                    F.lit('.example.org/b">u</a>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "html")
+    return (
+        links.select(
+            F.col("source").alias("from_source"),
+            registered_domain("href").alias("to_domain"),
+        )
+        .groupBy("from_source", "to_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .orderBy("from_source", "to_domain")
+    )
