@@ -450,6 +450,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"status": "string", "n": "bigint"},
         ),
         (
+            "length_hist",
+            "token_length_histogram",
+            {
+                "bin_lo": "bigint",
+                "bin_hi": "bigint",
+                "n_docs": "bigint",
+                "share_millionths": "bigint",
+            },
+        ),
+        (
             "quality_prune",
             "quality_prune_per_source",
             {

@@ -1022,3 +1022,53 @@ def link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_links"))
         .orderBy("from_source", "to_domain")
     )
+
+
+# Sequence-length distribution: fixed-width histogram over per-doc token
+# counts — the planning input for pack_sequences bucket sizing and
+# truncation budgets. Integer bin arithmetic end-to-end (no float
+# boundaries); share is exact integer millionths.
+@query(
+    "token_length_histogram",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM counts)
+    SELECT (n_toks // 16) * 16 AS bin_lo,
+           (n_toks // 16) * 16 + 15 AS bin_hi,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) * 1000000 // MAX(t.n_total) AS BIGINT) AS share_millionths
+    FROM counts CROSS JOIN tot t
+    GROUP BY 1, 2 ORDER BY bin_lo
+    """,
+    survey="token-counting,histogram",
+    doc="16-token-wide histogram of per-document whitespace token counts "
+    "(sequence-length distribution for packing/truncation planning). "
+    "Pure integer bin + share arithmetic; one aggregation with map-side "
+    "combine; the total is a broadcast 1-row cross join.",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.text import whitespace_token_count
+
+    docs = documents(spark, sf_dir)
+    counts = docs.select(
+        whitespace_token_count("text").cast("bigint").alias("n_toks")
+    )
+    tot = counts.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.expr("n_toks DIV 16") * 16).alias("bin_lo"),
+            (F.expr("n_toks DIV 16") * 16 + 15).alias("bin_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(count(1) * 1000000 DIV max(n_total) AS BIGINT)").alias(
+                "share_millionths"
+            ),
+        )
+        .orderBy("bin_lo")
+    )
