@@ -322,6 +322,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"user_id": "bigint", "span_seconds": "double", "n_events": "bigint"},
         ),
         (
+            "hopping",
+            "hopping_window_counts",
+            {"window_start_epoch": "bigint", "event_type": "string", "n_events": "bigint"},
+        ),
+        (
             "rolling",
             "rolling_daily_revenue",
             {

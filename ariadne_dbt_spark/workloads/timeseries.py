@@ -443,3 +443,44 @@ def rolling_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("day_total").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
         ).alias("trailing_avg"),
     ).orderBy("event_date")
+
+
+# Hopping (sliding) windows: 6-hour window every 3 hours — each event
+# lands in exactly two windows. Spark's window(slideDuration) explodes
+# the assignment natively; the oracle derives the same two memberships
+# as a UNION ALL of shifted floors.
+@query(
+    "hopping_window_counts",
+    oracle="""
+    WITH hops AS (
+        SELECT CAST(floor(epoch(ts) / 10800) * 10800 AS BIGINT) AS window_start_epoch,
+               event_type
+        FROM events
+        UNION ALL
+        SELECT CAST((floor(epoch(ts) / 10800) - 1) * 10800 AS BIGINT) AS window_start_epoch,
+               event_type
+        FROM events
+    )
+    SELECT window_start_epoch, event_type, COUNT(*) AS n_events
+    FROM hops GROUP BY 1, 2
+    ORDER BY window_start_epoch, event_type
+    """,
+    survey="A10,streaming-§2.11,hopping-window",
+    doc="Overlapping 6h-window/3h-hop counts per event type (the "
+    "trend-smoothing window shape; Spark explodes the two memberships "
+    "per event natively via window(slideDuration), the oracle unions "
+    "two shifted tumbling floors). Same epoch-seconds export as the "
+    "tumbling row — timezone-proof.",
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
