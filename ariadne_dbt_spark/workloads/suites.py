@@ -455,6 +455,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"status": "string", "n": "bigint"},
         ),
         (
+            "report_card",
+            "corpus_report_card",
+            {"metric": "string", "value": "bigint"},
+        ),
+        (
             "length_hist",
             "token_length_histogram",
             {

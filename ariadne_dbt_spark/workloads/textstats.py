@@ -1072,3 +1072,129 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_lo")
     )
+
+
+# Corpus report card: the one-query corpus snapshot an engineer pulls
+# before/after a pipeline change — size, mix, dup rate, quality, and
+# exact discrete length percentiles. Every metric is integer-exact
+# (millionths / counts), so the report hashes identically everywhere.
+@query(
+    "corpus_report_card",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(list_count(list_filter(
+                   string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1)) AS BIGINT) AS n_toks,
+               CAST(list_count(list_filter(
+                   string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1 AND t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               least(n * 800, 400000)
+               + (CASE WHEN n > 0
+                       THEN 300000 - least((n_punct * 1200000) // n, 300000)
+                       ELSE 300000 END)
+               + (CASE WHEN n_toks > 0
+                       THEN least((n_stop * 1500000) // n_toks, 300000)
+                       ELSE 0 END) AS quality_millionths
+        FROM stats
+    ),
+    ranked AS (
+        SELECT n_toks,
+               ROW_NUMBER() OVER (ORDER BY n_toks, doc_id) AS rn,
+               COUNT(*) OVER () AS nt
+        FROM counts
+    ),
+    src AS (SELECT source, COUNT(*) AS ns FROM counts GROUP BY source)
+    SELECT 'n_docs' AS metric, (SELECT COUNT(*) FROM counts) AS value
+    UNION ALL SELECT 'n_sources', (SELECT COUNT(*) FROM src)
+    UNION ALL SELECT 'n_langs', (SELECT COUNT(DISTINCT lang) FROM documents)
+    UNION ALL SELECT 'exact_dup_rate_millionths',
+        (SELECT (COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*) FROM counts)
+    UNION ALL SELECT 'total_ws_tokens', (SELECT SUM(n_toks) FROM counts)
+    UNION ALL SELECT 'p50_tokens',
+        (SELECT n_toks FROM ranked WHERE rn = (nt + 1) // 2)
+    UNION ALL SELECT 'p95_tokens',
+        (SELECT n_toks FROM ranked WHERE rn = (19 * nt + 19) // 20)
+    UNION ALL SELECT 'mean_quality_millionths',
+        (SELECT SUM(quality_millionths) // COUNT(*) FROM q)
+    UNION ALL SELECT 'top_source_share_millionths',
+        (SELECT MAX(ns) * 1000000 // SUM(ns) FROM src)
+    ORDER BY metric
+    """,
+    survey="corpus-report,A4",
+    doc="One-query corpus report card: size, source/lang mix, exact-dup "
+    "rate (fingerprint distinct), token mass, exact DISCRETE length "
+    "percentiles (rank-selected — no interpolation semantics to "
+    "disagree on), mean quality and top-source concentration, all as "
+    "integer counts/millionths. One pass over documents feeds every "
+    "branch; each KPI is a 1-row aggregate unioned into a tall report.",
+)
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ariadne_dbt_spark.operators.text import (
+        fingerprint_md5,
+        quality_score_millionths,
+        whitespace_token_count,
+    )
+
+    docs = documents(spark, sf_dir)
+    counts = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        whitespace_token_count("text").cast("bigint").alias("n_toks"),
+        fingerprint_md5("text").alias("fp"),
+        quality_score_millionths("text").alias("qm"),
+    ).localCheckpoint(eager=True)
+
+    def one(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(metric).alias("metric"), F.col(df.columns[0]).cast("bigint").alias("value"))
+
+    base = counts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("fp").alias("n_fp"),
+        F.sum("n_toks").alias("tot"),
+        F.expr("SUM(qm) DIV COUNT(1)").alias("mean_q"),
+    )
+    dup = base.select(F.expr("(n_docs - n_fp) * 1000000 DIV n_docs").alias("v"))
+    ranked = counts.select(
+        "n_toks",
+        F.row_number().over(Window.orderBy("n_toks", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nt"),
+    )
+    p50 = ranked.where(F.expr("rn = (nt + 1) DIV 2")).select("n_toks")
+    p95 = ranked.where(F.expr("rn = (19 * nt + 19) DIV 20")).select("n_toks")
+    src = counts.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    top_share = src.agg(F.expr("MAX(ns) * 1000000 DIV SUM(ns)").alias("v"))
+    out = (
+        one("n_docs", base.select("n_docs"))
+        .unionByName(one("n_sources", base.select("n_sources")))
+        .unionByName(one("n_langs", base.select("n_langs")))
+        .unionByName(one("exact_dup_rate_millionths", dup))
+        .unionByName(one("total_ws_tokens", base.select("tot")))
+        .unionByName(one("p50_tokens", p50))
+        .unionByName(one("p95_tokens", p95))
+        .unionByName(one("mean_quality_millionths", base.select("mean_q")))
+        .unionByName(one("top_source_share_millionths", top_share))
+        .orderBy("metric")
+    )
+    import pandas as pd
+
+    res = spark.createDataFrame(out.toPandas(), "metric string, value bigint")
+    counts.unpersist()
+    return res
