@@ -948,3 +948,45 @@ def edit_distance_near_dups(
         )
         .where(F.lit(bool(keep_candidates)) | (F.col("dist") <= F.lit(int(max_dist))))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs ``(id_a, id_b)``
+    where ``|A ∩ B| / |A| >= threshold`` on word-``n``-gram shingle
+    sets — catches a snippet/quote/excerpt A embedded in a larger B,
+    which symmetric Jaccard misses entirely (a 30-word excerpt of a
+    500-word doc has Jaccard ≈ 0.06 but containment 1.0).
+
+    Same postings-join shape as the Jaccard count path (shingle_sets →
+    equi-join on shingle → pair-count): one exchange for shingles, one
+    for the pair aggregation; only ``sz_a`` rides along (the denominator
+    is the contained side alone). At scale the candidate mass is bounded
+    by the shingle document-frequency distribution exactly as in
+    ``_jaccard_pairs_count``; prefix filtering is NOT applicable on the
+    contained side (a snippet keeps none of its rarest-shingle
+    guarantees), so df-capped stop-shingle removal (see
+    ``shared_span_pairs`` max_df) is the skew defense.
+    """
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    a = sh.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "containment", F.col("inter").cast("double") / F.col("sz_a").cast("double")
+        )
+        .where(F.col("containment") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )

@@ -865,3 +865,60 @@ def editdist_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+# Asymmetric containment: plant 30-word excerpts (id+3000000) of every
+# 25th doc, then find snippet→container pairs that symmetric Jaccard
+# would score ~0.3 and miss at any sane threshold.
+@query(
+    "containment_snippet_pairs",
+    oracle=f"""
+    WITH snips AS (
+        SELECT doc_id + 3000000 AS doc_id,
+               array_to_string(list_filter(string_split_regex(trim(text), '\\s+'),
+                                           t -> t <> '')[10:39], ' ') AS text
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM snips
+    ),
+    ctoks AS ({_SHINGLE_SQL.format(src="corpus")}),
+    csh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                  i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM ctoks)
+    ),
+    csz AS (SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.inter AS DOUBLE) / CAST(z.sz AS DOUBLE), 6) AS containment
+    FROM inter i JOIN csz z ON z.doc_id = i.id_a
+    WHERE CAST(i.inter AS DOUBLE) / CAST(z.sz AS DOUBLE) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    survey="dedup-containment",
+    doc="Containment (asymmetric) near-dup pairs |A∩B|/|A| >= 0.9 on "
+    "3-gram shingles: planted 30-word excerpts must pair with their "
+    "source doc (containment 1.0) even though their symmetric Jaccard "
+    "is far below any dedup threshold. Postings-join shape; denominator "
+    "is the contained side only.",
+)
+def containment_snippet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import containment_pairs
+
+    docs = documents(spark, sf_dir)
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    snips = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 10, 30), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(snips)
+    return containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.9
+    ).orderBy("id_a", "id_b")

@@ -242,6 +242,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "containment",
+            "containment_snippet_pairs",
+            {"id_a": "bigint", "id_b": "bigint", "containment": "double"},
+        ),
+        (
             "editdist",
             "editdist_name_pairs",
             {
