@@ -160,3 +160,42 @@ class TestEditDistanceNearDups:
         ).collect()
         for r in out:
             assert r["dist"] == lev(names[r["id_a"]], names[r["id_b"]])
+
+
+class TestContainmentPairs:
+    def test_snippet_in_document(self, spark):
+        from ariadne_dbt_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (1, "a b c d e f g h"),
+                    (2, "c d e f"),  # snippet of 1
+                    (3, "x y z w v u"),  # unrelated
+                ],
+                columns=["doc_id", "text"],
+            ),
+            "doc_id bigint, text string",
+        )
+        out = containment_pairs(df, "doc_id", "text", n=2, threshold=0.9).collect()
+        got = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
+        # snippet bigrams {c d, d e, e f} all inside doc 1 -> 1.0;
+        # reverse direction is 3/7 and must NOT appear at 0.9
+        assert got == {(2, 1): 1.0}
+
+    def test_asymmetry_vs_jaccard(self, spark):
+        from ariadne_dbt_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        long = " ".join(f"w{i}" for i in range(60))
+        snip = " ".join(f"w{i}" for i in range(20, 30))
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, long), (2, snip)], columns=["doc_id", "text"]),
+            "doc_id bigint, text string",
+        )
+        cont = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+        assert {(r["id_a"], r["id_b"]) for r in cont} == {(2, 1)}
+        jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+        assert jac == []  # symmetric Jaccard is blind to the same pair
