@@ -484,3 +484,47 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_epoch", "event_type")
     )
+
+
+# Stream-stream event-time join: conversion attribution (purchase within
+# 1h of a click, per user) as a REAL two-branch watermarked stream; the
+# oracle is the identical batch join, valid because inner stream-stream
+# join results are arrival-order independent (watermarks only bound
+# state eviction).
+@query(
+    "stream_click_attribution",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           SUM(CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)) AS total_gap_seconds
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+    survey="streaming-§2.11,stream-stream-join",
+    doc="Streaming conversion attribution: stream-stream inner join of "
+    "the click and purchase branches of one event stream on user_id "
+    "with an inclusive 1h event-time range, both sides watermarked (2h) "
+    "so buffered join state is evicted — run as a REAL memory-sink "
+    "stream in the gate and aggregated per user against the batch-SQL "
+    "oracle.",
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.streaming.join_stream import run_join_stream_once
+
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    pairs = run_join_stream_once(
+        spark, table_path(sf_dir, "events"), query_name="wl_stream_join"
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("gap_seconds").cast("bigint").alias("total_gap_seconds"),
+        )
+        .orderBy("user_id")
+    )
