@@ -159,3 +159,43 @@ def extract_patterns(index: AriadneIndex) -> dict:
         "top_tags": [(r.tag, r.n) for r in tag_frequency(index).collect()],
         "best_tested": best_tested_model(index),
     }
+
+
+def profile_table(df, columns: list[str]):
+    """dbt-style table profiler: per-column null count, exact distinct
+    count, and min/max (stringified for a uniform tall schema) — the
+    "what is in this table" first query against any new source.
+
+    ONE aggregation pass computes every per-column aggregate fused
+    (Catalyst plans a single partial+final HashAggregate; no per-column
+    scans), then the 1-row wide result is unpivoted driver-side into
+    the tall (column, metric, value) report — the unpivot costs nothing
+    because the wide frame is a single row.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    import pandas as pd
+
+    row = wide.toPandas().iloc[0]
+    out = []
+    for c in columns:
+        out += [
+            (c, "n_nulls", str(row[f"{c}__nulls"])),
+            (c, "n_distinct", str(row[f"{c}__distinct"])),
+            (c, "min", None if row[f"{c}__min"] is None else str(row[f"{c}__min"])),
+            (c, "max", None if row[f"{c}__max"] is None else str(row[f"{c}__max"])),
+        ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["column", "metric", "value"]),
+        "column string, metric string, value string",
+    )

@@ -199,3 +199,55 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(row["p50"], 4), round(row["p90"], 4), round(row["p99"], 4), row["nd"], ok)],
         "p50 double, p90 double, p99 double, n_exact_distinct bigint, hll_within_5pct boolean",
     )
+
+
+# dbt-style profiler over orders: the "describe this source" query.
+# Every metric is exact (counts / lexicographic min-max on the string
+# cast), so the tall report hashes identically.
+@query(
+    "profile_orders_table",
+    oracle="""
+    WITH w AS (
+        SELECT
+            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+            COUNT(DISTINCT o_custkey) AS ck_distinct,
+            MIN(CAST(o_custkey AS VARCHAR)) AS ck_min,
+            MAX(CAST(o_custkey AS VARCHAR)) AS ck_max,
+            SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_nulls,
+            COUNT(DISTINCT o_orderstatus) AS st_distinct,
+            MIN(CAST(o_orderstatus AS VARCHAR)) AS st_min,
+            MAX(CAST(o_orderstatus AS VARCHAR)) AS st_max,
+            SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS pr_nulls,
+            COUNT(DISTINCT o_orderpriority) AS pr_distinct,
+            MIN(CAST(o_orderpriority AS VARCHAR)) AS pr_min,
+            MAX(CAST(o_orderpriority AS VARCHAR)) AS pr_max
+        FROM orders
+    )
+    SELECT 'o_custkey' AS "column", 'n_nulls' AS metric, CAST(ck_nulls AS VARCHAR) AS value FROM w
+    UNION ALL SELECT 'o_custkey', 'n_distinct', CAST(ck_distinct AS VARCHAR) FROM w
+    UNION ALL SELECT 'o_custkey', 'min', ck_min FROM w
+    UNION ALL SELECT 'o_custkey', 'max', ck_max FROM w
+    UNION ALL SELECT 'o_orderstatus', 'n_nulls', CAST(st_nulls AS VARCHAR) FROM w
+    UNION ALL SELECT 'o_orderstatus', 'n_distinct', CAST(st_distinct AS VARCHAR) FROM w
+    UNION ALL SELECT 'o_orderstatus', 'min', st_min FROM w
+    UNION ALL SELECT 'o_orderstatus', 'max', st_max FROM w
+    UNION ALL SELECT 'o_orderpriority', 'n_nulls', CAST(pr_nulls AS VARCHAR) FROM w
+    UNION ALL SELECT 'o_orderpriority', 'n_distinct', CAST(pr_distinct AS VARCHAR) FROM w
+    UNION ALL SELECT 'o_orderpriority', 'min', pr_min FROM w
+    UNION ALL SELECT 'o_orderpriority', 'max', pr_max FROM w
+    ORDER BY "column", metric
+    """,
+    survey="table-profiler,A4",
+    doc="Per-column profile (null count, exact distinct, stringified "
+    "min/max) of orders in ONE fused aggregation pass — the dbt-style "
+    "'describe this source' report, unpivoted driver-side from the "
+    "1-row wide aggregate.",
+)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.patterns import profile_table
+    from ariadne_dbt_spark.session import table_path
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    return profile_table(
+        orders, ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    ).orderBy("column", "metric")

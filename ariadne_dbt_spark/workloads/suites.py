@@ -406,6 +406,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"o_orderstatus": "string", "o_orderpriority": "string", "n": "bigint"},
         ),
         (
+            "profiler",
+            "profile_orders_table",
+            {"column": "string", "metric": "string", "value": "string"},
+        ),
+        (
             "sketches",
             "sketch_aggregates",
             {
