@@ -223,7 +223,7 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             MAX(CAST(o_orderpriority AS VARCHAR)) AS pr_max
         FROM orders
     )
-    SELECT 'o_custkey' AS "column", 'n_nulls' AS metric, CAST(ck_nulls AS VARCHAR) AS value FROM w
+    SELECT 'o_custkey' AS col_name, 'n_nulls' AS metric, CAST(ck_nulls AS VARCHAR) AS value FROM w
     UNION ALL SELECT 'o_custkey', 'n_distinct', CAST(ck_distinct AS VARCHAR) FROM w
     UNION ALL SELECT 'o_custkey', 'min', ck_min FROM w
     UNION ALL SELECT 'o_custkey', 'max', ck_max FROM w
@@ -235,7 +235,7 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'o_orderpriority', 'n_distinct', CAST(pr_distinct AS VARCHAR) FROM w
     UNION ALL SELECT 'o_orderpriority', 'min', pr_min FROM w
     UNION ALL SELECT 'o_orderpriority', 'max', pr_max FROM w
-    ORDER BY "column", metric
+    ORDER BY col_name, metric
     """,
     survey="table-profiler,A4",
     doc="Per-column profile (null count, exact distinct, stringified "
@@ -248,6 +248,8 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_dbt_spark.session import table_path
 
     orders = spark.read.parquet(table_path(sf_dir, "orders"))
-    return profile_table(
-        orders, ["o_custkey", "o_orderstatus", "o_orderpriority"]
-    ).orderBy("column", "metric")
+    return (
+        profile_table(orders, ["o_custkey", "o_orderstatus", "o_orderpriority"])
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name", "metric")
+    )

@@ -408,7 +408,7 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
         (
             "profiler",
             "profile_orders_table",
-            {"column": "string", "metric": "string", "value": "string"},
+            {"col_name": "string", "metric": "string", "value": "string"},
         ),
         (
             "sketches",
