@@ -565,6 +565,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
         ),
         ("quality", "doc_quality_scores", {"doc_id": "bigint", "quality_millionths": "bigint"}),
         (
+            "oov",
+            "doc_oov_rates",
+            {
+                "doc_id": "bigint",
+                "n_toks": "bigint",
+                "n_oov": "bigint",
+                "oov_millionths": "bigint",
+            },
+        ),
+        (
             "lexdiv",
             "doc_lexical_diversity",
             {

@@ -1198,3 +1198,62 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(out.toPandas(), "metric string, value bigint")
     counts.unpersist()
     return res
+
+
+# Tokenizer/vocabulary coverage: build the min-count-5 corpus vocabulary,
+# then report each doc's out-of-vocabulary token share — the coverage
+# check run before freezing a tokenizer or vocab size.
+@query(
+    "doc_oov_rates",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents)
+        WHERE tok <> ''
+    ),
+    vocab AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) >= 5)
+    SELECT t.doc_id,
+           COUNT(*) AS n_toks,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS oov_millionths
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    survey="tokenizer-coverage",
+    doc="Per-document out-of-vocabulary rate against the corpus' own "
+    "min-count-5 vocabulary (integer millionths). The vocabulary is "
+    "min-count-pruned and therefore broadcast-sized at any corpus "
+    "scale (Heaps' law); the per-token membership join is map-only.",
+)
+def doc_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 5)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_oov",
+            F.expr("n_oov * 1000000 DIV n_toks").cast("bigint").alias("oov_millionths"),
+        )
+        .orderBy("doc_id")
+    )
