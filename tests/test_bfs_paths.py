@@ -74,6 +74,8 @@ def test_distributed_bfs_cache_lifecycle(spark):
     releasing the returned frame, no persistent RDDs remain (a serving
     session doing repeated lineage calls must not accumulate
     max_depth+1 blocks per call)."""
+    import time
+
     jsc = spark.sparkContext._jsc.sc()
     base = jsc.getPersistentRDDs().size()
     edf = spark.createDataFrame(
@@ -81,7 +83,21 @@ def test_distributed_bfs_cache_lifecycle(spark):
     )
     out = _bfs_distributed(edf, ["n0"], DOWNSTREAM, 5, True)
     assert out.count() == 5
-    after = jsc.getPersistentRDDs().size()
+
+    def _settles(bound, timeout=15.0):
+        # block-removal bookkeeping lags under load (seen once in a full
+        # suite run at high host load); a REAL leak never drops, so a
+        # bounded poll distinguishes the two
+        deadline = time.monotonic() + timeout
+        while True:
+            n = jsc.getPersistentRDDs().size()
+            if n <= bound:
+                return n
+            if time.monotonic() > deadline:
+                return n
+            time.sleep(0.5)
+
+    after = _settles(base + 1)
     assert after <= base + 1, f"leaked {after - base} persistent RDDs"
     out.unpersist()
-    assert jsc.getPersistentRDDs().size() <= base
+    assert _settles(base) <= base
