@@ -99,3 +99,86 @@ def dq_test_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in parts[1:]:
         out = out.union(part)
     return out.orderBy("test_name")
+
+
+# IQR outlier detection per group — the robust (median-based) DQ rule
+# for numeric columns. Everything is exact integer arithmetic on cents:
+# quartiles are DISCRETE rank-selected values (no interpolation
+# semantics to disagree on) and the Tukey fence comparison is
+# cross-multiplied by 2 so the 1.5x factor never produces a float.
+@query(
+    "price_outliers_iqr",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT grp, c,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM cents
+    ),
+    q AS (
+        SELECT grp,
+               MAX(CASE WHEN rn = (n + 3) // 4 THEN c END) AS q1,
+               MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN c END) AS q3,
+               MAX(n) AS n
+        FROM ranked GROUP BY grp
+    )
+    SELECT r.grp,
+           CAST(MAX(q.n) AS BIGINT) AS n_rows,
+           CAST(MAX(q.q1) AS BIGINT) AS q1_cents,
+           CAST(MAX(q.q3) AS BIGINT) AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * r.c > 2 * q.q3 + 3 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_outliers,
+           CAST(SUM(CASE WHEN 2 * r.c < 2 * q.q1 - 3 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_outliers
+    FROM ranked r JOIN q ON r.grp = q.grp
+    GROUP BY r.grp ORDER BY r.grp
+    """,
+    survey="dq-outliers,§2.10",
+    doc="Tukey-fence (1.5×IQR) outlier counts per return flag over "
+    "line-item prices in integer cents: DISCRETE rank-selected "
+    "quartiles, cross-multiplied fence comparison — entirely "
+    "float-free. Two window passes over one shuffle on the group key, "
+    "then a broadcast-back join of the per-group fences.",
+)
+def price_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    cents = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("grp").orderBy("c")
+    wn = Window.partitionBy("grp")
+    ranked = cents.select(
+        "grp",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = ranked.groupBy("grp").agg(
+        F.max(F.expr("CASE WHEN rn = (n + 3) DIV 4 THEN c END")).alias("q1"),
+        F.max(F.expr("CASE WHEN rn = (3 * n + 3) DIV 4 THEN c END")).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    return (
+        ranked.join(F.broadcast(q), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max(q["n"]).cast("bigint").alias("n_rows"),
+            F.max("q1").cast("bigint").alias("q1_cents"),
+            F.max("q3").cast("bigint").alias("q3_cents"),
+            F.sum(F.expr("CASE WHEN 2 * c > 2 * q3 + 3 * (q3 - q1) THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_high_outliers"),
+            F.sum(F.expr("CASE WHEN 2 * c < 2 * q1 - 3 * (q3 - q1) THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_low_outliers"),
+        )
+        .orderBy("grp")
+    )

@@ -411,6 +411,18 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"col_name": "string", "metric": "string", "value": "string"},
         ),
         (
+            "outliers",
+            "price_outliers_iqr",
+            {
+                "grp": "string",
+                "n_rows": "bigint",
+                "q1_cents": "bigint",
+                "q3_cents": "bigint",
+                "n_high_outliers": "bigint",
+                "n_low_outliers": "bigint",
+            },
+        ),
+        (
             "sketches",
             "sketch_aggregates",
             {
