@@ -468,3 +468,37 @@ def lexical_diversity(df, id_col: str, text_col: str):
             F.expr("(n_hapax * 1000000) DIV n_tokens").cast("bigint").alias("hapax_millionths"),
         )
     )
+
+
+def compression_ratio_millionths(col: Column | str) -> Column:
+    """zlib-compressibility of the UTF-8 text as an integer ratio
+    (``compressed_len * 1e6 // raw_len``; NULL for empty/NULL input) —
+    the entropy-proxy quality signal: templated/repeated spam
+    compresses far below natural text, encrypted/binary junk far above
+    (used alongside the Gopher repetition rules in web-corpus
+    pipelines).
+
+    Arrow-batched pandas UDF (no JVM zlib expression exists) — the
+    sanctioned batch-level slow path, one Python round-trip per Arrow
+    batch. Deterministic for a fixed zlib level (6)."""
+    import pandas as pd
+
+    globals()["pd"] = pd  # postponed type hints resolve against module globals
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def f(x):
+            if x is None:
+                return None
+            raw = x.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) * 1000000 // len(raw)
+
+        return s.map(f)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _ratio(c)

@@ -577,6 +577,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
         ),
         ("quality", "doc_quality_scores", {"doc_id": "bigint", "quality_millionths": "bigint"}),
         (
+            "compressibility",
+            "compressibility_classes",
+            {"klass": "string", "n_docs": "bigint", "rank_by_ratio": "int"},
+        ),
+        (
             "oov",
             "doc_oov_rates",
             {

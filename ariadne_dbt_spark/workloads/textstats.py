@@ -1257,3 +1257,74 @@ def doc_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Compressibility (entropy proxy): zlib ratio separates repeated spam,
+# natural text and high-entropy junk. The oracle is a PLANTED INVARIANT
+# (like the minhash clone rows): the class ranking by mean ratio is a
+# structural property of the construction, not a float comparison —
+# repeated text compresses ~20x below natural word salad, hex noise
+# sits far above it.
+@query(
+    "compressibility_classes",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id % 50 = 0)
+    SELECT 'hexish' AS klass, n_docs, 3 AS rank_by_ratio FROM n
+    UNION ALL SELECT 'natural', n_docs, 2 FROM n
+    UNION ALL SELECT 'repeat', n_docs, 1 FROM n
+    ORDER BY klass
+    """,
+    survey="quality-scoring,compressibility",
+    doc="zlib-compressibility quality signal (Arrow-batched pandas UDF): "
+    "three planted classes per sampled doc — 'spark ' repeated, the "
+    "natural text, and concatenated md5 hex noise — must rank "
+    "1 < 2 < 3 by mean compression ratio. The ranking (not the float "
+    "ratios) is the oracle-checked output, the invariant pattern used "
+    "for every engine-hash-unstable operator here.",
+)
+def compressibility_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ariadne_dbt_spark.operators.text import compression_ratio_millionths
+
+    base = documents(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
+    classes = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("repeat").alias("klass"), F.repeat(F.lit("spark "), 200).alias("t")),
+                F.struct(F.lit("natural").alias("klass"), F.col("text").alias("t")),
+                F.struct(
+                    F.lit("hexish").alias("klass"),
+                    F.concat(
+                        F.md5(F.col("text")),
+                        F.md5(F.concat(F.col("text"), F.lit("a"))),
+                        F.md5(F.concat(F.col("text"), F.lit("b"))),
+                        F.md5(F.concat(F.col("text"), F.lit("c"))),
+                        F.md5(F.concat(F.col("text"), F.lit("d"))),
+                        F.md5(F.concat(F.col("text"), F.lit("e"))),
+                        F.md5(F.concat(F.col("text"), F.lit("f"))),
+                        F.md5(F.concat(F.col("text"), F.lit("g"))),
+                        F.md5(F.concat(F.col("text"), F.lit("h"))),
+                        F.md5(F.concat(F.col("text"), F.lit("i"))),
+                    ).alias("t"),
+                ),
+            )
+        ).alias("r"),
+    ).select("doc_id", "r.klass", "r.t")
+    scored = classes.select(
+        "klass", compression_ratio_millionths("t").alias("ratio")
+    )
+    per_class = scored.groupBy("klass").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("ratio").alias("mean_ratio"),
+    )
+    w = Window.orderBy("mean_ratio")
+    return (
+        per_class.select(
+            "klass",
+            "n_docs",
+            F.row_number().over(w).cast("int").alias("rank_by_ratio"),
+        )
+        .orderBy("klass")
+    )
