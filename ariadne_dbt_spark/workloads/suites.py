@@ -327,6 +327,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"user_id": "bigint", "span_seconds": "double", "n_events": "bigint"},
         ),
         (
+            "funnel",
+            "funnel_view_click_purchase",
+            {"stage": "string", "n_users": "bigint"},
+        ),
+        (
             "stream_join",
             "stream_click_attribution",
             {"user_id": "bigint", "n_pairs": "bigint", "total_gap_seconds": "bigint"},

@@ -528,3 +528,73 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Ordered funnel: first view → first click AFTER that view → first
+# purchase AFTER that click, per user; stage counts + strict-order
+# conversion. Each stage's anchor is a MIN over a half-open interval
+# anchored at the previous stage — exact timestamp comparisons, no
+# windows-of-doubt.
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT 'stage1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL SELECT 'stage2_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL SELECT 'stage3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    ORDER BY stage
+    """,
+    survey="funnel-analysis,A10",
+    doc="Strict-order conversion funnel per user (first view, first "
+    "click after it, first purchase after that): three cascaded "
+    "min-aggregations, each joined to the previous stage's anchors "
+    "(stage frames shrink monotonically — the joins broadcast). The "
+    "canonical product-analytics query over the events table.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    import pandas as pd
+
+    counts = [
+        ("stage1_view", v.count()),
+        ("stage2_click", c.count()),
+        ("stage3_purchase", p.count()),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(counts, columns=["stage", "n_users"]),
+        "stage string, n_users bigint",
+    )
