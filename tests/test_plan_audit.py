@@ -157,3 +157,61 @@ def test_shared_spans_no_cartesian_and_bounded_exchanges(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange") <= 12
+
+
+def test_editdist_blocked_join_no_cartesian(spark):
+    """The Levenshtein fuzzy match must execute as an EQUI-join on the
+    blocking key — if the block key ever stopped driving the join, the
+    plan would degrade to BroadcastNestedLoop/Cartesian and candidate
+    mass would explode quadratically at scale."""
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.dedup import edit_distance_near_dups
+
+    parts = spark.read.parquet(f"{SF}/part.parquet")
+    block = F.element_at(F.split(F.col("p_name"), " "), -1)
+    out = edit_distance_near_dups(parts, "p_partkey", "p_name", block, max_dist=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_containment_exchange_ceiling(spark):
+    """Containment pairs reuse the Jaccard postings-join shape: shingle
+    build (one id-partition exchange), postings equi-join on shingle,
+    pair aggregation. Ceiling pinned so an accidental distinct() or
+    re-shuffle regression is caught."""
+    from ariadne_dbt_spark.operators.dedup import containment_pairs
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    out = containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 8, plan
+
+
+def test_pagerank_iteration_is_one_shuffle(spark):
+    """A single PageRank iteration's incremental plan cost: the
+    contribution join keys ranks⋈edges then aggregates by dst — the
+    rank update itself must not introduce extra exchanges beyond the
+    join + aggregation pair (the per-iteration localCheckpoint resets
+    lineage, so the NEXT iteration replans from a LocalRelation-like
+    scan, keeping cost per iteration flat)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(120)],
+            columns=["parent_id", "child_id"],
+        ),
+        "parent_id string, child_id string",
+    )
+    out = pagerank(edges, iters=2)
+    # the returned frame is a checkpoint: its plan is a scan, proving
+    # iteration lineage was truncated (NOT a 2-iteration join tower)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    out.unpersist()
