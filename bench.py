@@ -45,6 +45,12 @@ HEADLINE = [
     "doc_lm_cross_entropy",
     "semantic_dedup_flags",
     "shared_span_pairs",
+    "containment_snippet_pairs",
+    # pagerank_hierarchy / stream_click_attribution are gate-covered but
+    # excluded here: at bench scale they measure the per-iteration stage
+    # floor and streaming-query startup (both ~7s constants), not
+    # operator throughput — including them would swamp the suite total
+    # with fixed overheads that vanish at real data sizes.
 ]
 
 
