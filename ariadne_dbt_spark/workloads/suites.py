@@ -332,6 +332,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"stage": "string", "n_users": "bigint"},
         ),
         (
+            "retention",
+            "cohort_retention_weekly",
+            {"cohort_day": "date", "week_offset": "bigint", "n_active": "bigint"},
+        ),
+        (
             "stream_join",
             "stream_click_attribution",
             {"user_id": "bigint", "n_pairs": "bigint", "total_gap_seconds": "bigint"},

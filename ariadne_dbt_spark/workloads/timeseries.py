@@ -598,3 +598,53 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd.DataFrame(counts, columns=["stage", "n_users"]),
         "stage string, n_users bigint",
     )
+
+
+# Cohort retention: users grouped by signup date, activity bucketed by
+# whole-week offsets from the cohort day — the standard retention
+# triangle. Day arithmetic on DATEs only (integer-exact both engines).
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_day,
+               date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) // 7 AS week_offset
+        FROM events e JOIN cohort c ON c.user_id = e.user_id
+        WHERE CAST(e.ts AS DATE) >= c.cohort_day
+    )
+    SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY 1, 2 ORDER BY cohort_day, week_offset
+    """,
+    survey="cohort-retention,A10",
+    doc="Weekly retention triangle: signup-date cohorts, per-user "
+    "distinct active week offsets, counts per (cohort, offset). One "
+    "aggregation for cohorts (broadcast back), one distinct + count — "
+    "all integer DATE arithmetic.",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    activity = (
+        ev.join(F.broadcast(cohort), "user_id")
+        .where(F.to_date("ts") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr("datediff(to_date(ts), cohort_day) DIV 7").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", F.col("week_offset").cast("bigint").alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .orderBy("cohort_day", "week_offset")
+    )
