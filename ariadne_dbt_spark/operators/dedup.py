@@ -957,6 +957,7 @@ def containment_pairs(
     *,
     n: int = 3,
     threshold: float = 0.9,
+    max_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: ordered pairs ``(id_a, id_b)``
     where ``|A ∩ B| / |A| >= threshold`` on word-``n``-gram shingle
@@ -971,10 +972,28 @@ def containment_pairs(
     by the shingle document-frequency distribution exactly as in
     ``_jaccard_pairs_count``; prefix filtering is NOT applicable on the
     contained side (a snippet keeps none of its rarest-shingle
-    guarantees), so df-capped stop-shingle removal (see
-    ``shared_span_pairs`` max_df) is the skew defense.
+    guarantees), so the skew defense is ``max_df``: shingles appearing
+    in more than ``max_df`` docs are dropped from the postings join
+    (stop-gram semantics, as in ``shared_span_pairs``) — candidate mass
+    is then bounded by Σ df² ≤ max_df · |postings|. With ``max_df``
+    set, containment is computed on the capped shingle sets on BOTH
+    numerator and denominator, so the ratio semantics stay internally
+    consistent (a snippet of only-ubiquitous shingles simply produces
+    no candidates, which is the correct dedup outcome for boilerplate).
     """
     sh = shingle_sets(df, id_col, text_col, n=n)
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(dfreq.where(F.col("_df") <= int(max_df)), "shingle")
+            .drop("_df")
+        )
+        # sizes must reflect the CAPPED sets for a consistent ratio
+        from pyspark.sql.window import Window
+
+        sh = sh.select(
+            "id", "shingle", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz")
+        )
     a = sh.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

@@ -199,3 +199,20 @@ class TestContainmentPairs:
         assert {(r["id_a"], r["id_b"]) for r in cont} == {(2, 1)}
         jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
         assert jac == []  # symmetric Jaccard is blind to the same pair
+
+    def test_max_df_cap_drops_ubiquitous_shingles(self, spark):
+        from ariadne_dbt_spark.operators.dedup import containment_pairs
+
+        # "x y z" trigram appears in EVERY doc; with max_df=2 it leaves
+        # the postings join, so docs related only through it don't pair
+        rows = [(i, f"x y z a{i} b{i} c{i} d{i}") for i in range(5)]
+        rows.append((99, "x y z"))  # snippet made ONLY of the hot shingle
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            "doc_id bigint, text string",
+        )
+        capped = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5, max_df=2)
+        assert capped.count() == 0
+        # uncapped, the boilerplate snippet pairs with every doc
+        uncapped = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+        assert uncapped.where("id_a = 99").count() == 5
