@@ -562,9 +562,11 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="funnel-analysis,A10",
     doc="Strict-order conversion funnel per user (first view, first "
     "click after it, first purchase after that): three cascaded "
-    "min-aggregations, each joined to the previous stage's anchors "
-    "(stage frames shrink monotonically — the joins broadcast). The "
-    "canonical product-analytics query over the events table.",
+    "min-aggregations, each joined to the previous stage's anchors. "
+    "Anchor frames are PER-USER aggregates — at billions of users they "
+    "must shuffle, so the joins carry no broadcast hint and AQE "
+    "promotes them to broadcast only when they fit. The canonical "
+    "product-analytics query over the events table.",
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events(spark, sf_dir)
@@ -575,14 +577,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
@@ -623,8 +625,9 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="cohort-retention,A10",
     doc="Weekly retention triangle: signup-date cohorts, per-user "
     "distinct active week offsets, counts per (cohort, offset). One "
-    "aggregation for cohorts (broadcast back), one distinct + count — "
-    "all integer DATE arithmetic.",
+    "aggregation for cohorts (joined back; per-user frame, so no "
+    "broadcast hint — AQE decides), one distinct + count — all integer "
+    "DATE arithmetic.",
 )
 def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events(spark, sf_dir)
@@ -634,7 +637,7 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.to_date("ts")).alias("cohort_day"))
     )
     activity = (
-        ev.join(F.broadcast(cohort), "user_id")
+        ev.join(cohort, "user_id")
         .where(F.to_date("ts") >= F.col("cohort_day"))
         .select(
             "user_id",

@@ -195,6 +195,16 @@ def _ops() -> dict:
             docs, "doc_id", "text", k=8, min_span=15, max_df=20
         ).count()
 
+    def run_containment(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        # postings join with the max_df stop-shingle cap: candidate mass
+        # bounded by max_df x postings (never all-pairs) - expected
+        # slope ~1 like shared_spans, which shares the shape
+        from ariadne_dbt_spark.operators.dedup import containment_pairs
+
+        return containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.9, max_df=20
+        ).count()
+
     return {
         "exact_dedup": run_exact,
         "ngram_jaccard": run_ngram,
@@ -205,6 +215,7 @@ def _ops() -> dict:
         "pq_encode": run_pq_encode,
         "lm_score": run_lm_score,
         "shared_spans": run_shared_spans,
+        "containment": run_containment,
     }
 
 
