@@ -29,12 +29,14 @@ from pyspark.sql import functions as F
 from ariadne_dbt_spark.workloads import (  # noqa: F401
     REGISTRY,
     capsule_ops,
+    dbt_pipeline,
     dedup,
     graph,
     ingest_ops,
     meta_ops,
     multimodal_ops,
     olap_ext,
+    quality,
     query,
     relational,
     sampling,
