@@ -349,6 +349,19 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"window_start_epoch": "bigint", "event_type": "string", "n_events": "bigint"},
         ),
         (
+            "scd2",
+            "scd2_user_state_history",
+            {
+                "user_id": "bigint",
+                "version": "bigint",
+                "state": "string",
+                "valid_from_us": "bigint",
+                "valid_to_us": "bigint",
+                "is_current": "boolean",
+                "n_events": "bigint",
+            },
+        ),
+        (
             "rolling",
             "rolling_daily_revenue",
             {

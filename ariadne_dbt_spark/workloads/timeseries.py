@@ -651,3 +651,64 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
         .orderBy("cohort_day", "week_offset")
     )
+
+
+# SCD Type-2 dimension-history build: collapse each user's event-type
+# change stream into validity intervals (gaps-and-islands; ONE shuffle
+# on user_id serves the lag window, the run-numbering window, the
+# per-run collapse AND the interval-closing lead — see
+# operators/asof.py scd2_history). Bounded to every-10th user so the
+# full interval output stays suite-sized; epochs exported as exact
+# microsecond BIGINTs (hash-safe, timezone-proof).
+@query(
+    "scd2_user_state_history",
+    oracle="""
+    WITH runs AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+        WHERE user_id % 10 = 0
+    ),
+    numbered AS (
+        SELECT *, SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+        FROM runs
+    ),
+    collapsed AS (
+        SELECT user_id, version, event_type AS state,
+               MIN(ts) AS vf, COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, state,
+           epoch_us(vf) AS valid_from_us,
+           epoch_us(LEAD(vf) OVER (PARTITION BY user_id ORDER BY version)) AS valid_to_us,
+           (LEAD(vf) OVER (PARTITION BY user_id ORDER BY version)) IS NULL AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM collapsed
+    ORDER BY user_id, version
+    """,
+    survey="scd2-history,A12,§8.7",
+    doc="SCD Type-2 validity intervals from an append-only change "
+    "stream (per-user event_type runs): warehouse dimension-history "
+    "build as pure gaps-and-islands — lag change-marking, running-sum "
+    "run numbering, per-run collapse and interval-closing lead all "
+    "reuse one HashPartitioning(user_id) exchange.",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.asof import scd2_history
+
+    ev = events(spark, sf_dir).where(F.col("user_id") % 10 == 0)
+    hist = scd2_history(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts", tiebreak_col="event_id"
+    )
+    return hist.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    ).orderBy("user_id", "version")
