@@ -394,3 +394,75 @@ def pagerank(
     nodes.unpersist()
     w_edges.unpersist()
     return out
+
+
+def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient via the
+    degree-ordered edge orientation (the MapReduce-era trick: orient
+    every undirected edge from its (degree, id)-smaller endpoint to the
+    larger one, so every out-degree is O(sqrt(m)) on ANY graph and the
+    wedge self-join's candidate mass is bounded by sum(out_deg^2) ~
+    O(m^1.5) — never the hub-quadratic sum(deg^2) a naive enumeration
+    pays; Suri & Vassilvitskii 2011).
+
+    All equi-joins (orientation join on the node id, wedge join on the
+    pivot, closure semi-join on (v, w)) — Catalyst shuffles each on its
+    key, AQE handles residual skew. Each triangle is enumerated exactly
+    once (at its order-minimal pivot) and credited to all three corners.
+
+    Returns ``(node, degree, n_triangles, clustering_millionths)`` for
+    nodes with degree >= 2, where clustering_millionths =
+    floor(2e6 * T / (d * (d-1))) — integer-exact cross-engine.
+    """
+    und = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    e1 = o.select(F.col("u"), F.col("v"), F.col("dv"))
+    e2 = o.select(F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(per_node, deg.v == per_node.node, "left")
+        .select(
+            deg.v.alias("node"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr("CAST((2 * coalesce(t, 0) * 1000000) DIV (deg * (deg - 1)) AS BIGINT)").alias(
+                "clustering_millionths"
+            ),
+        )
+    )

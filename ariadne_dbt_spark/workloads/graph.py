@@ -230,3 +230,78 @@ def pagerank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(out.toPandas(), "unique_id string, rank_6dp double")
     pr.unpersist()
     return res
+
+
+# Triangle counting / local clustering coefficient (degree-ordered
+# orientation — operators/graph.py triangle_counts). The harness graph
+# is a deterministic circulant over the contiguous customer keys
+# (chords at offsets 1/2/3 mod n): sparse (3n edges), scale-linear, and
+# triangle-rich (every consecutive offset pair closes), so the oracle
+# re-derives the identical graph arithmetically. The operator itself is
+# input-agnostic — the link graph (text_index_suite/link_graph) and
+# lineage edges are the production inputs.
+@query(
+    "triangle_clustering",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+    e0 AS (
+        SELECT c_custkey AS x, (c_custkey + off) % (SELECT n FROM nn) AS y
+        FROM customer CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS off)
+    ),
+    und AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM e0 WHERE x <> y),
+    deg AS (
+        SELECT v, COUNT(*) AS deg
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        GROUP BY v
+    ),
+    o AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS v
+        FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+    ),
+    ov AS (SELECT o.u, o.v, d.deg AS dv FROM o JOIN deg d ON d.v = o.v),
+    tri AS (
+        SELECT e1.u, e1.v, e2.v AS w
+        FROM ov e1
+        JOIN ov e2 ON e1.u = e2.u
+             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+        JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    pern AS (
+        SELECT node, COUNT(*) AS t
+        FROM (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+        GROUP BY node
+    )
+    SELECT d.v AS node, CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+           CAST((2 * COALESCE(p.t, 0) * 1000000) // (d.deg * (d.deg - 1)) AS BIGINT)
+               AS clustering_millionths
+    FROM deg d LEFT JOIN pern p ON p.node = d.v
+    WHERE d.v % 25 = 0 AND d.deg >= 2
+    ORDER BY node
+    """,
+    survey="G5,triangle-count,§8.7",
+    doc="Per-node triangle counts + local clustering coefficient "
+    "(millionths, floor-division integer-exact) via degree-ordered "
+    "orientation: out-degrees bounded O(sqrt(m)) so the wedge join "
+    "never pays hub-quadratic cost. Output mod-sampled; computed on "
+    "the full graph.",
+)
+def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.graph import triangle_counts
+
+    cust = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cust.crossJoin(F.broadcast(n))
+        .select("k", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"), "n")
+        .select(F.col("k").alias("src"), ((F.col("k") + F.col("off")) % F.col("n")).alias("dst"))
+    )
+    out = triangle_counts(edges, src="src", dst="dst")
+    return (
+        out.where(F.col("node") % 25 == 0)
+        .select("node", "degree", "n_triangles", "clustering_millionths")
+        .orderBy("node")
+    )

@@ -196,6 +196,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "bfs_upstream",
             {"ord": "bigint", "unique_id": "string", "distance": "int"},
         ),
+        (
+            "triangles",
+            "triangle_clustering",
+            {
+                "node": "bigint",
+                "degree": "bigint",
+                "n_triangles": "bigint",
+                "clustering_millionths": "bigint",
+            },
+        ),
     ],
     "sketch_dedup_invariants": [
         (

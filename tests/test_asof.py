@@ -68,3 +68,58 @@ def test_range_join_paths_agree(spark):
     }
     assert naive == bucketed
     assert (17, "lo") in naive and (17, "mid") in naive  # overlap honored
+
+
+# --- SCD Type-2 history --------------------------------------------------
+
+
+def test_scd2_history_hand_stream(spark):
+    """Change stream A A B A: three versions, half-open intervals chained
+    exactly, only the last current; same-ts rows break ties on the
+    tiebreak column."""
+    import datetime as dt
+
+    from ariadne_dbt_spark.operators.asof import scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (7, t0, 1, "A"),
+        (7, t0 + dt.timedelta(hours=1), 2, "A"),
+        (7, t0 + dt.timedelta(hours=2), 3, "B"),
+        (7, t0 + dt.timedelta(hours=3), 4, "A"),
+        # second key: single state, always current
+        (8, t0, 5, "X"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = scd2_history(
+        df, key_col="user_id", attr_col="event_type", ts_col="ts", tiebreak_col="event_id"
+    )
+    got = {(r["user_id"], r["version"]): r for r in out.collect()}
+    assert len(got) == 4
+    v1, v2, v3 = got[(7, 1)], got[(7, 2)], got[(7, 3)]
+    assert (v1["state"], v2["state"], v3["state"]) == ("A", "B", "A")
+    assert v1["n_events"] == 2 and v2["n_events"] == 1 and v3["n_events"] == 1
+    # half-open chain: each valid_to is the next valid_from
+    assert v1["valid_to"] == v2["valid_from"] and v2["valid_to"] == v3["valid_from"]
+    assert (v1["is_current"], v2["is_current"], v3["is_current"]) == (False, False, True)
+    assert v3["valid_to"] is None
+    assert got[(8, 1)]["is_current"] and got[(8, 1)]["n_events"] == 1
+
+
+def test_scd2_same_timestamp_tiebreak(spark):
+    """Two different states at the SAME ts: the tiebreak column orders
+    them deterministically into two versions."""
+    import datetime as dt
+
+    from ariadne_dbt_spark.operators.asof import scd2_history
+
+    t0 = dt.datetime(2024, 6, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 10, "A"), (1, t0, 11, "B")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = scd2_history(
+        df, key_col="user_id", attr_col="event_type", ts_col="ts", tiebreak_col="event_id"
+    ).collect()
+    by_ver = {r["version"]: r["state"] for r in out}
+    assert by_ver == {1: "A", 2: "B"}

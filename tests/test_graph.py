@@ -92,3 +92,34 @@ def test_high_centrality(index):
     top = high_centrality_models(index, limit=3).collect()
     assert top[0].name == "fct_orders"
     assert top[0].centrality == 1.0
+
+
+# --- triangle counting (degree-ordered orientation) ----------------------
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 plus a pendant: every K4 node sits in 3 triangles; the pendant
+    edge adds degree but no closure."""
+    from ariadne_dbt_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    # feed duplicates + reversed orientation: canonicalization must absorb both
+    df = spark.createDataFrame(edges + [(2, 1), (3, 1)], "src long, dst long")
+    out = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert set(out) == {1, 2, 3, 4}  # node 5 has degree 1 -> excluded
+    for n in (1, 2, 3):
+        assert out[n]["degree"] == 3 and out[n]["n_triangles"] == 3
+        assert out[n]["clustering_millionths"] == 1_000_000
+    assert out[4]["degree"] == 4 and out[4]["n_triangles"] == 3
+    # 2*3e6 / (4*3) = 500000 exactly
+    assert out[4]["clustering_millionths"] == 500_000
+
+
+def test_triangle_counts_triangle_free(spark):
+    from ariadne_dbt_spark.operators.graph import triangle_counts
+
+    # C4 (square): degrees 2, zero triangles
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    rows = triangle_counts(df).collect()
+    assert len(rows) == 4
+    assert all(r["n_triangles"] == 0 and r["clustering_millionths"] == 0 for r in rows)
