@@ -199,3 +199,34 @@ def profile_table(df, columns: list[str]):
         pd.DataFrame(out, columns=["column", "metric", "value"]),
         "column string, metric string, value string",
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    *,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy audit for a release candidate: group by the
+    quasi-identifier combination and flag equivalence classes that are
+    too small (k-anonymity, Sweeney 2002) or too homogeneous in the
+    sensitive attribute (l-diversity, Machanavasjhala et al. 2007).
+    A training-data/compliance pipeline runs this before exporting any
+    user-adjacent table; rows in failing classes get suppressed or
+    generalized upstream.
+
+    ONE shuffle on the QI key; COUNT(DISTINCT sensitive) rewrites to
+    the standard two-phase expand-aggregate, still keyed on the QI
+    columns. Scale-safe: output is one row per equivalence class.
+
+    Returns the QI columns plus ``group_size``, ``n_sensitive``,
+    ``k_anonymous`` (size >= k), ``l_diverse`` (distinct >= l).
+    """
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+        (F.count(F.lit(1)) >= k).alias("k_anonymous"),
+        (F.countDistinct(sensitive_col) >= l).alias("l_diverse"),
+    )

@@ -182,3 +182,59 @@ def price_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# Privacy audit: k-anonymity / l-diversity over a quasi-identifier
+# release schema (priority x order-year x 50k price band; sensitive =
+# order status). operators/patterns.py k_anonymity_report — one shuffle
+# on the QI key, one row per equivalence class. The price band is
+# floor(price/50000): a single IEEE division then an exact floor, so
+# Spark and DuckDB band identically.
+@query(
+    "k_anonymity_orders",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive,
+           COUNT(*) >= 5 AS k_anonymous,
+           COUNT(DISTINCT o_orderstatus) >= 2 AS l_diverse
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY priority, order_year, price_band
+    """,
+    survey="privacy-audit,A5,§8.7",
+    doc="k-anonymity (k=5) + l-diversity (l=2) equivalence-class audit "
+    "over (priority, order year, 50k price band) with o_orderstatus "
+    "sensitive: the pre-export privacy gate for user-adjacent tables.",
+)
+def k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.patterns import k_anonymity_report
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    qi = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("price_band"),
+        "o_orderstatus",
+    )
+    return (
+        k_anonymity_report(
+            qi,
+            qi_cols=["priority", "order_year", "price_band"],
+            sensitive_col="o_orderstatus",
+            k=5,
+            l=2,
+        )
+        .select(
+            "priority",
+            "order_year",
+            "price_band",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("n_sensitive").cast("long").alias("n_sensitive"),
+            "k_anonymous",
+            "l_diverse",
+        )
+        .orderBy("priority", "order_year", "price_band")
+    )

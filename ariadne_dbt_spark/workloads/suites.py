@@ -436,6 +436,19 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
         ),
         ("cube", "cube_events", {"event_type": "string", "event_date": "date", "n": "bigint"}),
         (
+            "kanon",
+            "k_anonymity_orders",
+            {
+                "priority": "string",
+                "order_year": "bigint",
+                "price_band": "bigint",
+                "group_size": "bigint",
+                "n_sensitive": "bigint",
+                "k_anonymous": "boolean",
+                "l_diverse": "boolean",
+            },
+        ),
+        (
             "grouping_sets",
             "grouping_sets_orders",
             {"o_orderstatus": "string", "o_orderpriority": "string", "n": "bigint"},
