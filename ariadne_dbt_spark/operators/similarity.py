@@ -1379,3 +1379,79 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (max-abs scaling): the
+    standard 4x index-size reduction for serving embeddings — codes are
+    ``round(x * 127 / maxabs)`` stored as TINYINT, reconstruction is
+    ``code * maxabs / 127`` with per-component error <= maxabs/254.
+
+    Map-only (no shuffle). Below ``_ARROW_COSINE_MIN_DIM`` everything is
+    JVM higher-order expressions; above it an Arrow ``mapInPandas``
+    stage quantizes each batch with two numpy passes (the same measured
+    dispatch as cosine scoring — Catalyst inlines the maxabs
+    sub-expression into the per-element lambda, so the JVM path's
+    per-vector cost is O(d^2) and loses to numpy's O(d) well before
+    dim 384). Zero vectors quantize to all-zero codes (scale guard).
+
+    Returns ``(id, codes array<tinyint>, qscale double)`` where
+    ``qscale`` = maxabs/127 (dequant multiplier).
+    """
+    if dim is None:
+        probe = embeddings.select(vec_col).first()
+        dim = len(probe[vec_col]) if probe is not None else 0
+    if dim >= _ARROW_COSINE_MIN_DIM:
+        import numpy as np
+        import pandas as pd
+
+        out_schema = f"{id_col} long, codes array<tinyint>, qscale double"
+
+        def quant_batches(batches):
+            for pdf in batches:
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                maxabs = np.abs(m).max(axis=1)
+                safe = np.where(maxabs == 0.0, 1.0, maxabs)
+                # (x * 127) / safe — the same IEEE op sequence as the JVM
+                # expression path, so codes match bit-for-bit across dispatch
+                scaled = (m * 127.0) / safe[:, None]
+                # half-AWAY-from-zero, matching Spark round() / DuckDB
+                # round() so both dispatch paths emit identical codes
+                # (np.rint is half-to-even)
+                codes = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int8)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "codes": list(codes),
+                        "qscale": maxabs / 127.0,
+                    }
+                )
+
+        return embeddings.select(id_col, vec_col).mapInPandas(quant_batches, out_schema)
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    safe = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs)
+    return embeddings.select(
+        id_col,
+        F.transform(v, lambda x: F.round(x.cast("double") * 127 / safe).cast("tinyint")).alias(
+            "codes"
+        ),
+        (maxabs / 127.0).alias("qscale"),
+    )
+
+
+def dequantize_int8(
+    quantized: DataFrame, *, codes_col: str = "codes", scale_col: str = "qscale"
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: ``code * qscale`` per component
+    (map-only). Output column ``vec_approx array<double>``."""
+    return quantized.withColumn(
+        "vec_approx",
+        F.transform(F.col(codes_col), lambda c: c.cast("double") * F.col(scale_col)),
+    )

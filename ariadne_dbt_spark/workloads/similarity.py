@@ -418,3 +418,77 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         corpus, eps=0.99, centroids=_SEM_CENTS
     ).orderBy("vec_id")
+
+
+# Int8 embedding quantization audit: quantize (map-only, tinyint codes +
+# per-vector scale), dequantize, and verify per label that every vector
+# reconstructs within the analytic maxabs/253 bound and every code is in
+# range. Booleans are rounding-tie-robust (a tie flips between two codes
+# that BOTH satisfy the bound), so the summary hash-verifies cross-engine
+# even though raw reconstructions are floats.
+@query(
+    "int8_quant_audit",
+    oracle="""
+    WITH m AS (
+        SELECT label,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+               embedding
+        FROM embeddings
+    ),
+    e AS (
+        SELECT label, maxabs,
+               list_max(list_transform(embedding, x ->
+                   abs(CAST(x AS DOUBLE)
+                       - round(CAST(x AS DOUBLE) * 127 /
+                               (CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs END))
+                         * (maxabs / 127.0)))) AS max_err,
+               list_max(list_transform(embedding, x ->
+                   abs(round(CAST(x AS DOUBLE) * 127 /
+                             (CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs END))))) AS max_code
+        FROM m
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN max_err <= maxabs / 253 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_bound,
+           CAST(SUM(CASE WHEN max_code > 127 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_range
+    FROM e
+    GROUP BY label
+    ORDER BY label
+    """,
+    survey="int8-quant,§8.2",
+    doc="Symmetric per-vector int8 quantization (4x serving-index "
+    "shrink): round(x*127/maxabs) tinyint codes + scale, dequant "
+    "error bounded by maxabs/253, audited per label.",
+)
+def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    emb = embeddings(spark, sf_dir)
+    dim = 64  # driver embeddings schema; passing it skips the probe job
+    deq = dequantize_int8(quantize_int8(emb, dim=dim))
+    joined = emb.join(deq, "vec_id")
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("vec_approx"),
+            lambda x, a: F.abs(x.cast("double") - a),
+        )
+    )
+    code_max = F.array_max(F.transform(F.col("codes"), lambda c: F.abs(c.cast("int"))))
+    bound = F.col("qscale") * 127 / 253
+    return (
+        joined.select(
+            F.col("label").cast("long").alias("label"),
+            (err <= bound).cast("int").alias("ok"),
+            (code_max > 127).cast("int").alias("oor"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("ok").cast("long").alias("n_within_bound"),
+            F.sum("oor").cast("long").alias("n_out_of_range"),
+        )
+        .orderBy("label")
+    )

@@ -611,6 +611,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "semantic_dedup_flags",
             {"vec_id": "bigint", "cluster": "int", "keep": "boolean"},
         ),
+        (
+            "int8",
+            "int8_quant_audit",
+            {
+                "label": "bigint",
+                "n_vecs": "bigint",
+                "n_within_bound": "bigint",
+                "n_out_of_range": "bigint",
+            },
+        ),
     ],
     "doc_profile_suite": [
         (

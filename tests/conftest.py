@@ -36,3 +36,25 @@ def index(spark):
     from ariadne_dbt_spark.ingest.indexer import AriadneIndex
 
     return AriadneIndex.build(spark, MANIFEST)
+
+
+def settle_persistent(spark, bound, timeout=25.0):
+    """Poll getPersistentRDDs until it drops to ``bound``, actively
+    nudging collection: localCheckpoint'd RDDs are NOT released by
+    DataFrame.unpersist() — they go away when the Python proxy is
+    collected (py4j detach), the JVM object becomes unreachable, and
+    the ContextCleaner's weak-ref queue drains. A REAL leak (a live
+    reference) never drops, so the bounded GC-nudged poll separates
+    lag from leak deterministically."""
+    import gc
+    import time
+
+    jsc = spark.sparkContext._jsc.sc()
+    deadline = time.monotonic() + timeout
+    while True:
+        n = jsc.getPersistentRDDs().size()
+        if n <= bound or time.monotonic() > deadline:
+            return n
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)

@@ -74,9 +74,10 @@ def test_distributed_bfs_cache_lifecycle(spark):
     releasing the returned frame, no persistent RDDs remain (a serving
     session doing repeated lineage calls must not accumulate
     max_depth+1 blocks per call)."""
-    import time
+    from conftest import settle_persistent
 
     jsc = spark.sparkContext._jsc.sc()
+    settle_persistent(spark, 0, timeout=5.0)  # drain earlier tests' queue
     base = jsc.getPersistentRDDs().size()
     edf = spark.createDataFrame(
         [(f"n{i}", f"n{i+1}") for i in range(30)], "parent_id string, child_id string"
@@ -84,20 +85,9 @@ def test_distributed_bfs_cache_lifecycle(spark):
     out = _bfs_distributed(edf, ["n0"], DOWNSTREAM, 5, True)
     assert out.count() == 5
 
-    def _settles(bound, timeout=15.0):
-        # block-removal bookkeeping lags under load (seen once in a full
-        # suite run at high host load); a REAL leak never drops, so a
-        # bounded poll distinguishes the two
-        deadline = time.monotonic() + timeout
-        while True:
-            n = jsc.getPersistentRDDs().size()
-            if n <= bound:
-                return n
-            if time.monotonic() > deadline:
-                return n
-            time.sleep(0.5)
-
-    after = _settles(base + 1)
+    after = settle_persistent(spark, base + 1)
     assert after <= base + 1, f"leaked {after - base} persistent RDDs"
-    out.unpersist()
-    assert _settles(base) <= base
+    # the result is localCheckpoint'd: release = drop the reference
+    # (ContextCleaner), NOT unpersist() (a no-op on a LogicalRDD plan)
+    del out
+    assert settle_persistent(spark, base) <= base

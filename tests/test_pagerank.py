@@ -66,15 +66,25 @@ def test_hub_outranks_leaves(spark, chain_and_star):
 
 
 def test_no_cache_leak(spark, chain_and_star):
+    from conftest import settle_persistent
+
     from ariadne_dbt_spark.operators.graph import pagerank
 
     _, df = chain_and_star
     jsc = spark.sparkContext._jsc.sc()
+    # settle leftovers from earlier tests first so `base` is a floor,
+    # not a snapshot of entries already queued for ContextCleaner
+    settle_persistent(spark, 0, timeout=5.0)
     base = jsc.getPersistentRDDs().size()
     out = pagerank(df, iters=3)
     assert out.count() > 0
     # every per-iteration checkpoint is released; only the returned
-    # result checkpoint holds storage (bfs()/ngram contract)
-    assert jsc.getPersistentRDDs().size() <= base + 1
-    out.unpersist()
-    assert jsc.getPersistentRDDs().size() <= base
+    # result checkpoint holds storage (bfs()/ngram contract).
+    # localCheckpoint release rides Python+JVM GC -> ContextCleaner,
+    # so the check is a GC-nudged bounded poll, not a snapshot.
+    after = settle_persistent(spark, base + 1)
+    assert after <= base + 1, f"leaked {after - base} persistent RDDs"
+    # the result is localCheckpoint'd: release = drop the reference
+    # (ContextCleaner), NOT unpersist() (a no-op on a LogicalRDD plan)
+    del out
+    assert settle_persistent(spark, base) <= base

@@ -618,3 +618,53 @@ def test_topk_per_query_arrow_matches_join_path(spark):
     a = {(r.query_id, r.vec_id): r.cos_sim for r in arrow}
     b = {(r.query_id, r.vec_id): r.cos_sim for r in jvm}
     assert all(abs(a[kk] - b[kk]) < 1e-6 for kk in a)
+
+
+# --- int8 quantization ----------------------------------------------------
+
+
+def test_int8_quant_roundtrip_and_dispatch_parity(spark):
+    """Codes from the JVM expression path and the Arrow path are
+    identical (same IEEE op sequence, same half-away rounding), errors
+    respect the analytic bound, zero vectors quantize to zero codes."""
+    from ariadne_dbt_spark.operators import similarity as S
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.7]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero-vector guard
+        (3, [1e-6, -3e-4, 2.0, -2.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    jvm = {r["vec_id"]: r for r in S.quantize_int8(df, dim=4).collect()}
+    old = S._ARROW_COSINE_MIN_DIM
+    S._ARROW_COSINE_MIN_DIM = 1
+    try:
+        arrow = {r["vec_id"]: r for r in S.quantize_int8(df, dim=4).collect()}
+    finally:
+        S._ARROW_COSINE_MIN_DIM = old
+    for vid in (1, 2, 3):
+        assert list(jvm[vid]["codes"]) == list(arrow[vid]["codes"])
+        assert jvm[vid]["qscale"] == arrow[vid]["qscale"]
+    assert list(jvm[2]["codes"]) == [0, 0, 0, 0] and jvm[2]["qscale"] == 0.0
+    # reconstruction bound
+    deq = {r["vec_id"]: r for r in S.dequantize_int8(S.quantize_int8(df, dim=4)).collect()}
+    for vid, vec in vecs:
+        approx = deq[vid]["vec_approx"]
+        scale = deq[vid]["qscale"]
+        for x, a in zip(vec, approx):
+            assert abs(x - a) <= scale / 2 + 1e-12
+
+
+def test_int8_quant_preserves_topk_order(spark, vectors):
+    """Brute-force top-10 on DEQUANTIZED vectors recovers >=9/10 of the
+    exact top-10 (the serving-accuracy claim behind shipping int8
+    indexes)."""
+    from ariadne_dbt_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    probe = vectors.where(F.col("vec_id") == 7).first()
+    deq = dequantize_int8(quantize_int8(vectors, dim=8)).select(
+        "vec_id", F.col("vec_approx").alias("embedding")
+    )
+    exact = [r["vec_id"] for r in brute_force_topk(vectors, probe["embedding"], k=10).collect()]
+    quant = [r["vec_id"] for r in brute_force_topk(deq, probe["embedding"], k=10).collect()]
+    assert len(set(exact) & set(quant)) >= 9
