@@ -282,3 +282,53 @@ def quality_percentile_prune(
         )
         .drop("_rn", "_ng")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "ws",
+    key_decimals: int | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006): each row gets key ``ln(u) / w`` with u uniform in (0,1]; the
+    k largest keys form an exact weighted sample — one pass, no
+    sequential draw loop, the distributed-native formulation of
+    reservoir sampling.
+
+    u derives from md5(salt:id) (first 13 hex chars -> 52-bit uniform
+    integer), the repo's reproducible-priority recipe (see
+    per_source_cap): the selection replays bit-for-bit across engines
+    and runs. Rows with weight <= 0 are excluded up front (E-S gives
+    them zero inclusion probability; ANSI mode would raise on the
+    division); heavier rows have keys closer to 0, so DESC ranks first.
+
+    ``orderBy(key DESC, id).limit(k)`` compiles to TakeOrdered: per-
+    partition top-k heaps, k rows per partition to the driver — no
+    global sort, no full shuffle, output-bound at any input size.
+    ``key_decimals`` optionally rounds the key BEFORE ranking so an
+    external SQL oracle ranks on bit-identical values (ln differs by
+    ~1 ulp across libms; the id tiebreak then fixes the order).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**52) + 1.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    if key_decimals is not None:
+        key = F.round(key, key_decimals)
+    return (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.col(id_col))
+        .limit(int(k))
+    )

@@ -336,3 +336,44 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+# Weighted sampling without replacement (Efraimidis-Spirakis): top-50
+# documents by ln(u)/n_chars key with u replayed from md5(ws:doc_id) —
+# fully deterministic, so the oracle re-ranks the identical keys. Both
+# sides rank on the key ROUNDED to 9 decimals (ln is ~1-ulp across
+# libms) with doc_id tiebreak; TakeOrdered keeps the Spark side a
+# per-partition-heap top-k, never a global sort.
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(
+                   ln((CAST(CONCAT('0x', substr(md5(CONCAT('ws:', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) + 1.0)
+                      / 4503599627370497.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS es_key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+    survey="weighted-sampling,O1,§8.5",
+    doc="Efraimidis-Spirakis weighted sample (k=50, weight=n_chars) "
+    "with md5-replayed uniforms: the distributed one-pass form of "
+    "weighted reservoir sampling for source-balanced corpus draws.",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return weighted_sample(
+        docs.select("doc_id", "n_chars"),
+        weight_col="n_chars",
+        id_col="doc_id",
+        k=50,
+        key_decimals=9,
+    ).select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), "es_key")

@@ -515,6 +515,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "source": "string"},
         ),
         (
+            "weighted",
+            "weighted_sample_docs",
+            {"doc_id": "bigint", "n_chars": "bigint", "es_key": "double"},
+        ),
+        (
             "shuffle_order",
             "deterministic_shuffle_order",
             {"doc_id": "bigint", "shard": "string", "pos": "bigint"},

@@ -172,3 +172,41 @@ def test_jsonl_export_order_and_file_bounds(spark, tmp_path):
         assert pos == sorted(pos), f"unordered rows in {fp}"
         seen.extend(r["doc_id"] for r in rows)
     assert sorted(seen) == list(range(500))
+
+
+# --- Efraimidis-Spirakis weighted sampling --------------------------------
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A row with 200x the weight of 20 peers wins the k=1 draw in the
+    overwhelming majority of independent (salted) draws: P(win) =
+    200/220 per draw, so >=15/20 wins has p-value ~1e-4 under a fair
+    implementation and ~0 under a broken one."""
+    from ariadne_dbt_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0) for i in range(20)] + [(99, 200.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    wins = 0
+    for s in range(20):
+        top = weighted_sample(df, weight_col="w", id_col="id", k=1, salt=f"s{s}").first()
+        wins += top["id"] == 99
+    assert wins >= 15, f"heavy row won only {wins}/20 draws"
+
+
+def test_weighted_sample_zero_weight_never_selected(spark):
+    from ariadne_dbt_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 0.0), (2, 1.0), (3, 1.0)], "id long, w double")
+    got = {r["id"] for r in weighted_sample(df, weight_col="w", id_col="id", k=2).collect()}
+    assert got == {2, 3}
+
+
+def test_weighted_sample_is_takeordered(spark):
+    """Top-k must compile to TakeOrderedAndProject (per-partition heaps),
+    not a global Sort + Limit."""
+    from ariadne_dbt_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w"))
+    out = weighted_sample(df, weight_col="w", id_col="id", k=10)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "TakeOrderedAndProject" in plan
