@@ -372,6 +372,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "anomaly",
+            "anomaly_days_zscore",
+            {
+                "event_date": "date",
+                "day_total_e4": "bigint",
+                "n_prior": "bigint",
+                "is_anomaly": "boolean",
+            },
+        ),
+        (
             "rolling",
             "rolling_daily_revenue",
             {

@@ -712,3 +712,85 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         F.col("n_events").cast("bigint").alias("n_events"),
     ).orderBy("user_id", "version")
+
+
+# Trailing-window z-score anomaly detection, FLOAT-FREE: the |x - mean|
+# > 3*sigma test is cross-multiplied into exact integer arithmetic —
+# (n-1)*(n*x - S1)^2 > 9*n*(n*S2 - S1^2) — over day totals held in
+# ten-thousandth units (value is quantized to DECIMAL(18,4) first, so
+# both engines bucket identically). Spark carries the squares in
+# DECIMAL(38,0) (max ~3e27 here, exact); the oracle uses HUGEINT.
+# One date-ordered window; n>=8 days of history required.
+@query(
+    "anomaly_days_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,4)) * 10000) AS BIGINT)) AS HUGEINT) AS x
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT event_date, x,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS s1,
+               SUM(x * x) OVER w AS s2
+        FROM daily
+        WINDOW w AS (ORDER BY event_date ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_date,
+           CAST(x AS BIGINT) AS day_total_e4,
+           CAST(n AS BIGINT) AS n_prior,
+           (n - 1) * (n * x - s1) * (n * x - s1) > 9 * n * (n * s2 - s1 * s1)
+               AS is_anomaly
+    FROM stats
+    WHERE n >= 8
+    ORDER BY event_date
+    """,
+    survey="anomaly-zscore,A10,§8.7",
+    doc="Trailing 28-day z-score anomaly flags on daily event value "
+    "(|x-mean| > 3 sigma), cross-multiplied into exact integer "
+    "decimal arithmetic so the boolean never rides a float rounding "
+    "boundary.",
+)
+def anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    # quantize per event to exact ten-thousandths, THEN sum (identical
+    # bucketing to the oracle)
+    daily = ev.select(
+        F.to_date("ts").alias("event_date"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("xi"),
+    ).groupBy("event_date").agg(F.sum("xi").alias("x"))
+    return zscore_anomaly_flags(daily)
+
+
+def zscore_anomaly_flags(
+    daily: DataFrame, *, window_days: int = 28, min_history: int = 8, n_sigma: int = 3
+) -> DataFrame:
+    """Core of ``anomaly_days_zscore``, reusable over any
+    ``(event_date, x bigint)`` daily series (x in exact integer units).
+    The |x - mean| > n_sigma*sigma test is cross-multiplied to
+    (n-1)*(n*x - S1)^2 > n_sigma^2 * n * (n*S2 - S1^2) in DECIMAL(38,0)
+    — exact, so the flag never rides a float rounding boundary."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("event_date").rowsBetween(-window_days, -1)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = daily.select(
+        "event_date",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s1"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).over(w).alias("s2"),
+    ).where(F.col("n") >= min_history)
+    lhs = (dec(F.col("n")) - 1) * (dec(F.col("n")) * dec(F.col("x")) - dec(F.col("s1"))) * (
+        dec(F.col("n")) * dec(F.col("x")) - dec(F.col("s1"))
+    )
+    rhs = (n_sigma * n_sigma) * dec(F.col("n")) * (
+        dec(F.col("n")) * F.col("s2") - dec(F.col("s1")) * dec(F.col("s1"))
+    )
+    return stats.select(
+        "event_date",
+        F.col("x").cast("long").alias("day_total_e4"),
+        F.col("n").cast("long").alias("n_prior"),
+        (lhs > rhs).alias("is_anomaly"),
+    ).orderBy("event_date")

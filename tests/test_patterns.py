@@ -69,3 +69,36 @@ def test_extract_patterns_bundle(index):
     assert p["stats"]["models"] == 5
     assert p["examples"]["marts"] in ("fct_orders", "dim_customers")
     assert isinstance(p["top_tags"], list)
+
+
+# --- z-score anomaly flags (planted spike) --------------------------------
+
+
+def test_zscore_anomaly_planted_spike(spark):
+    """30 flat days then one 10x spike: the spike (and only the spike)
+    flags; the flat run never does. Exercises the TRUE branch the
+    uniform driver data cannot reach."""
+    import datetime as dt
+
+    from ariadne_dbt_spark.workloads.timeseries import zscore_anomaly_flags
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [(d0 + dt.timedelta(days=i), 1_000_000 + (i % 3) * 10_000) for i in range(30)]
+    rows.append((d0 + dt.timedelta(days=30), 10_000_000))  # spike
+    rows.append((d0 + dt.timedelta(days=31), 1_010_000))  # back to normal
+    daily = spark.createDataFrame(rows, "event_date date, x long")
+    out = {r["event_date"]: r["is_anomaly"] for r in zscore_anomaly_flags(daily).collect()}
+    assert out[d0 + dt.timedelta(days=30)] is True
+    flagged = [d for d, a in out.items() if a]
+    assert flagged == [d0 + dt.timedelta(days=30)]
+
+
+def test_k_anonymity_small_group_flags(spark):
+    from ariadne_dbt_spark.operators.patterns import k_anonymity_report
+
+    rows = [("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "x")] * 2
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r["qi"]: r for r in k_anonymity_report(df, qi_cols=["qi"], sensitive_col="s").collect()}
+    assert out["a"]["group_size"] == 8 and out["a"]["k_anonymous"] and out["a"]["l_diverse"]
+    # group b: big enough? no (2 < 5); diverse? no (1 value)
+    assert not out["b"]["k_anonymous"] and not out["b"]["l_diverse"]
