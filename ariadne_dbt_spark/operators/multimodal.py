@@ -134,9 +134,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
     return width, height, channels, list(out)
 
 
-def encode_png(width: int, height: int, channels: int, pixels: list[int]) -> bytes:
+def encode_png(
+    width: int, height: int, channels: int, pixels: list[int], *, level: int = -1
+) -> bytes:
     """Tiny PNG writer (filter 0 rows) — the test-side inverse of
-    :func:`decode_png`, also handy for producing real fixtures."""
+    :func:`decode_png`, also handy for producing real fixtures.
+    ``level`` sets the zlib effort: the same pixels at a different level
+    produce DIFFERENT bytes (a re-encoded image, the case perceptual
+    hashing catches and byte fingerprints miss)."""
     color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -154,7 +159,7 @@ def encode_png(width: int, height: int, channels: int, pixels: list[int]) -> byt
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
 
@@ -515,4 +520,138 @@ def metadata_stats(df: DataFrame) -> DataFrame:
             F.avg("meta.duration_ms").alias("avg_duration_ms"),
         )
         .orderBy("kind")
+    )
+
+
+# --- perceptual image hashing (dHash) --------------------------------------
+
+
+def dhash_image(payload: bytes, *, hash_size: int = 8) -> int:
+    """Difference-hash of a PNG payload (pure stdlib, deterministic):
+    decode -> integer luma -> box-average downscale to
+    (hash_size+1) x hash_size -> horizontal gradient sign bits, packed
+    MSB-first into an UNSIGNED ``hash_size**2``-bit integer.
+
+    The perceptual-dedup primitive byte-level fingerprints cannot
+    provide: a re-encoded image (different zlib level, stripped
+    chunks) hashes identically, a brightness shift leaves every
+    gradient sign — and so the hash — unchanged, while genuinely
+    different images land ~hash_size^2/2 bits apart. All arithmetic is
+    integer (luma = (299r+587g+114b)//1000, cell = sum//count), so the
+    hash replays bit-for-bit anywhere.
+    """
+    width, height, channels, px = decode_png(payload)
+    gw, gh = hash_size + 1, hash_size
+    if width < gw or height < gh:
+        raise ValueError(f"image {width}x{height} too small for {gw}x{gh} grid")
+    if channels >= 3:
+        luma = [
+            (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
+            for i in range(0, len(px), channels)
+        ]
+    else:
+        luma = px[::channels]
+    cells = []
+    for gy in range(gh):
+        y0, y1 = gy * height // gh, (gy + 1) * height // gh
+        row = []
+        for gx in range(gw):
+            x0, x1 = gx * width // gw, (gx + 1) * width // gw
+            s = n = 0
+            for y in range(y0, y1):
+                base = y * width
+                for x in range(x0, x1):
+                    s += luma[base + x]
+                    n += 1
+            row.append(s // n)
+        cells.append(row)
+    h = 0
+    for gy in range(gh):
+        for gx in range(hash_size):
+            h = (h << 1) | (1 if cells[gy][gx] < cells[gy][gx + 1] else 0)
+    return h
+
+
+def with_dhash(
+    df: DataFrame, *, id_col: str = "asset_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched dHash over an asset table: ``(id, dhash)`` with
+    dhash as a SIGNED 64-bit reinterpretation (storable/XOR-able as
+    Spark LONG); undecodable payloads yield NULL (quarantine rows, the
+    multimodal error contract). Map-only — one pass over payload bytes,
+    no shuffle."""
+
+    def hash_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                try:
+                    v = dhash_image(bytes(payload))
+                    out.append(v - (1 << 64) if v >= (1 << 63) else v)
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": pd.array(out, dtype="Int64")})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hash_batches, f"{id_col} long, dhash long"
+    )
+
+
+def dhash_near_dups(
+    hashed: DataFrame,
+    *,
+    id_col: str = "asset_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs by banded Hamming join: split the
+    64-bit hash into ``n_bands`` 16-bit bands — any pair within
+    ``max_hamming`` (< n_bands) bits shares at least one exact band
+    (pigeonhole) — equi-join per band, then verify with one
+    ``bit_count(xor)`` predicate. The same banding shape as SimHash
+    dedup: only (id, band, value) rows shuffle, never a cross join.
+
+    Returns ``(id_a, id_b, hamming)`` with id_a < id_b.
+    """
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    width = 64 // n_bands
+    h = hashed.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    # band value: unsigned shift then mask (shiftrightunsigned needs a
+    # Python-int literal shift amount — see the repo's shiftleft note)
+    parts = []
+    for b in range(n_bands):
+        parts.append(
+            h.select(
+                "_id",
+                "_h",
+                F.lit(b).alias("_b"),
+                F.shiftrightunsigned(F.col("_h"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("_bv"),
+            )
+        )
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionAll(p)
+    left = bands.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "_b", "_bv"
+    )
+    right = bands.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "_b", "_bv"
+    )
+    cand = (
+        left.join(right, ["_b", "_bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )

@@ -108,3 +108,69 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_frames", F.lit(0)).cast("bigint").alias("n_frames"),
         )
     )
+
+
+# Perceptual image dedup: REAL PNG decode -> dHash -> banded Hamming
+# pairing, planted so the oracle knows the answer arithmetically. Every
+# 7th doc becomes a deterministic 32x32 noise image (md5-expanded from
+# doc_id); its clone (id + 1000000) is the SAME pixels re-encoded at a
+# different zlib level — different BYTES, so exact/md5 dedup misses it,
+# but dHash pairs it at Hamming 0. Unrelated noise images sit ~32 bits
+# apart, far outside the <=3 threshold, so the planted pairs are the
+# exact expected output.
+@query(
+    "image_phash_pairs",
+    oracle="""
+    SELECT doc_id AS id_a,
+           doc_id + 1000000 AS id_b,
+           0 AS hamming
+    FROM documents
+    WHERE doc_id % 7 = 0
+    ORDER BY id_a
+    """,
+    survey="multimodal,perceptual-hash,§8.4",
+    doc="Perceptual (dHash) image near-dup pairs through the real PNG "
+    "decode path: re-encoded clones pair at Hamming 0 via the banded "
+    "16-bit pigeonhole join; byte-identical dedup cannot catch them.",
+)
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.multimodal import (
+        dhash_near_dups,
+        encode_png,
+        with_dhash,
+    )
+
+    docs = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = list(
+                    b"".join(hashlib.md5(f"img:{d}:{i}".encode()).digest() for i in range(64))
+                )
+                ids.append(d)
+                payloads.append(encode_png(32, 32, 1, px))
+                ids.append(d + 1000000)
+                payloads.append(encode_png(32, 32, 1, px, level=1))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(build, "asset_id long, payload binary")
+    return (
+        dhash_near_dups(with_dhash(assets))
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("id_a")
+    )

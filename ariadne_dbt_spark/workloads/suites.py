@@ -711,6 +711,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "image_phash",
+            "image_phash_pairs",
+            {"id_a": "bigint", "id_b": "bigint", "hamming": "int"},
+        ),
+        (
             "lm_score",
             "doc_lm_cross_entropy",
             {"doc_id": "bigint", "n_bigrams": "bigint", "xent": "double"},

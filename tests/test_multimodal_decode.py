@@ -173,3 +173,108 @@ def test_video_metadata_and_probed_meta_through_spark(spark):
         by_asset.setdefault(r.asset_id, []).append(r.frame_ts_ms)
     assert sorted(by_asset[1]) == [0, 1000, 2000, 3000]
     assert sorted(by_asset[2]) == [0]  # unprobed duration coalesces to 0
+
+
+# --- perceptual hashing (dHash) --------------------------------------------
+
+
+def _ramp_png(width=32, height=32, shift=0):
+    from ariadne_dbt_spark.operators.multimodal import encode_png
+
+    # NORMALIZED diagonal ramp (function of x/width, y/height) so the
+    # same pattern rendered at any resolution downscales identically
+    px = [
+        min(255, (x * 160) // width + (y * 80) // height + shift)
+        for y in range(height)
+        for x in range(width)
+    ]
+    return encode_png(width, height, 1, px)
+
+
+def test_dhash_invariances():
+    """Re-encode-stability, brightness invariance, resolution
+    normalization — the three properties byte-fingerprints lack."""
+    import zlib
+
+    from ariadne_dbt_spark.operators.multimodal import dhash_image
+
+    base = _ramp_png()
+    assert dhash_image(base) == dhash_image(base)
+    # brightness +5 leaves every gradient sign unchanged
+    assert dhash_image(_ramp_png(shift=5)) == dhash_image(_ramp_png())
+    # same pattern at 2x resolution downscales to the same grid
+    big = _ramp_png(width=64, height=64)
+    small = _ramp_png(width=32, height=32)
+    h_big, h_small = dhash_image(big), dhash_image(small)
+    assert bin(h_big ^ h_small).count("1") <= 2
+
+
+def test_dhash_separates_different_images():
+    import hashlib
+
+    from ariadne_dbt_spark.operators.multimodal import dhash_image, encode_png
+
+    def noise_png(seed):
+        raw = b"".join(
+            hashlib.md5(f"{seed}:{i}".encode()).digest() for i in range(64)
+        )  # 1024 bytes
+        return encode_png(32, 32, 1, list(raw))
+
+    h1, h2 = dhash_image(noise_png(1)), dhash_image(noise_png(2))
+    assert bin(h1 ^ h2).count("1") >= 10
+
+
+def test_dhash_near_dups_through_spark(spark):
+    """Planted pair: the same pixels re-encoded with a different zlib
+    level (different BYTES — md5 dedup misses it) pairs up; unrelated
+    noise images do not. Undecodable payloads quarantine to NULL."""
+    import hashlib
+    import struct
+    import zlib
+
+    from ariadne_dbt_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        dhash_near_dups,
+        encode_png,
+        with_dhash,
+    )
+
+    def noise_px(seed):
+        return list(b"".join(hashlib.md5(f"{seed}:{i}".encode()).digest() for i in range(64)))
+
+    def reencode(png_bytes, level):
+        # decode chunks and recompress IDAT at a different level
+        from ariadne_dbt_spark.operators.multimodal import decode_png
+
+        w, h, c, px = decode_png(png_bytes)
+        stride = w * c
+        raw = b"".join(bytes([0]) + bytes(px[y * stride : (y + 1) * stride]) for y in range(h))
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        return (
+            _PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, level))
+            + chunk(b"IEND", b"")
+        )
+
+    a = encode_png(32, 32, 1, noise_px(1))
+    a2 = reencode(a, level=1)
+    assert a != a2  # different bytes...
+    b = encode_png(32, 32, 1, noise_px(2))
+    rows = [(1, bytearray(a)), (2, bytearray(a2)), (3, bytearray(b)), (4, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashed = with_dhash(df)
+    got = {r["asset_id"]: r["dhash"] for r in hashed.collect()}
+    assert got[1] == got[2] and got[4] is None  # ...same perceptual hash
+    pairs = dhash_near_dups(hashed).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] == 0
