@@ -922,3 +922,72 @@ def containment_snippet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         corpus, "doc_id", "text", n=3, threshold=0.9
     ).orderBy("id_a", "id_b")
+
+
+# Entity resolution end-to-end: blocked Levenshtein pairs -> connected
+# components -> one canonical record per entity (min-id survivor's
+# name) with member count. The oracle recomputes the SAME pair graph,
+# then closes it with a recursive min-label CTE — so the full
+# composition (matching + transitive clustering + survivor pick), not
+# just the pair stage, is hash-verified.
+@query(
+    "entity_resolution_parts",
+    oracle="""
+    WITH RECURSIVE side AS (
+        SELECT p_partkey AS id, p_name AS name,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part
+    ),
+    p0 AS (
+        SELECT a.id AS id_a, c.id AS id_b
+        FROM side a JOIN side c ON a.block = c.block AND a.id < c.id
+        WHERE abs(length(a.name) - length(c.name)) <= 3
+          AND levenshtein(a.name, c.name) <= 3
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM p0
+        UNION
+        SELECT id_b, id_a FROM p0
+    ),
+    walk(id, lbl) AS (
+        SELECT DISTINCT a, a FROM und
+        UNION
+        SELECT u.b, w.lbl FROM walk w JOIN und u ON u.a = w.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
+    SELECT comp.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(pr.p_name) AS canonical_name
+    FROM comp
+    JOIN part pr ON pr.p_partkey = comp.cluster_id
+    GROUP BY comp.cluster_id
+    ORDER BY cluster_id
+    """,
+    survey="entity-resolution,editdist-dedup,dedup-clusters,§8.1",
+    doc="Entity resolution over part names: blocked Levenshtein match "
+    "(last-token block + length prefilter), min-label connected "
+    "components for transitive closure, min-id survivor's record as "
+    "the canonical entity. Oracle closes the identical pair graph "
+    "with a recursive CTE.",
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import dedup_clusters, edit_distance_near_dups
+
+    parts = spark.read.parquet(table_path(sf_dir, "part"))
+    block = F.element_at(F.split(F.col("p_name"), " "), -1)
+    pairs = edit_distance_near_dups(parts, "p_partkey", "p_name", block, max_dist=3)
+    comp = dedup_clusters(pairs)
+    canon = parts.select(
+        F.col("p_partkey").alias("cluster_id"), F.col("p_name").alias("canonical_name")
+    )
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(canon, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "canonical_name",
+        )
+        .orderBy("cluster_id")
+    )

@@ -269,6 +269,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "entity_res",
+            "entity_resolution_parts",
+            {"cluster_id": "bigint", "n_members": "bigint", "canonical_name": "string"},
+        ),
+        (
             "corpus_build",
             "corpus_build_pipeline",
             {"shard": "string", "n_docs": "bigint", "total_words": "bigint"},
