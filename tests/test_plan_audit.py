@@ -215,3 +215,51 @@ def test_pagerank_iteration_is_one_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
     out.unpersist()
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level filtering (Spark's bloom-filter join): when a
+    selective dim filters a big fact through a shuffle join, the
+    optimizer injects a bloom filter built from the dim side into the
+    fact scan — at 100 TB this prunes fact rows BEFORE the shuffle, the
+    difference between shuffling the whole fact table and ~the matching
+    slice. Pinned here with thresholds lowered to fixture scale."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtimeFilter.number.threshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        # the fixture fact is tiny; production's 10GB bar is met at 100 TB
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+        # force a SHUFFLE join (bloom filters don't apply to broadcasts —
+        # those already prune via DPP/broadcast semi-join)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.read.parquet(f"{SF}/lineitem.parquet")
+        dim = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = fact.join(dim, fact.l_orderkey == dim.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
