@@ -196,3 +196,104 @@ def scd2_history(
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
         "n_events",
     )
+
+
+def scd2_merge(
+    existing: DataFrame,
+    batch: DataFrame,
+    *,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Incremental SCD Type-2 maintenance: apply a NEW batch of change
+    events to an existing history table (the output shape of
+    :func:`scd2_history`) without re-reading the raw history — the
+    warehouse nightly-merge pattern. Result is identical to running
+    ``scd2_history`` over the full event set (the gate's contract).
+
+    Contract: the batch is APPEND-ONLY — every batch event's ``ts`` is
+    at or after the key's current ``valid_from``. Late events that
+    belong inside closed intervals need a reprocess of the affected
+    keys (the standard SCD2 limitation).
+
+    Shape: one shuffle on the key for the batch windows (lag seeded
+    with each key's CURRENT state via a left join, so a batch that
+    continues the open interval extends it instead of opening a new
+    version), plus one join against the existing current rows. Closed
+    historical rows pass through untouched; only batch keys recompute
+    their ``valid_to``/``is_current`` chain.
+    """
+    from pyspark.sql.window import Window
+
+    cur = existing.where(F.col("is_current")).select(
+        F.col(key_col),
+        F.col("version").alias("_cur_version"),
+        F.col("state").alias("_cur_state"),
+        F.col("valid_from").alias("_cur_vf"),
+        F.col("n_events").alias("_cur_n"),
+    )
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    runs = (
+        batch.select(key_col, ts_col, tiebreak_col, F.col(attr_col).alias("state"))
+        .join(cur.select(key_col, "_cur_state", "_cur_version"), key_col, "left")
+        .withColumn("_prev", F.coalesce(F.lag("state").over(w), F.col("_cur_state")))
+        .withColumn(
+            "_chg",
+            F.when(F.col("_prev").isNull() | (F.col("_prev") != F.col("state")), 1).otherwise(0),
+        )
+        .withColumn(
+            "version",
+            F.coalesce(F.col("_cur_version"), F.lit(0))
+            + F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    collapsed = runs.groupBy(key_col, "version").agg(
+        F.first("state").alias("state"),
+        F.min(ts_col).alias("_batch_vf"),
+        F.count(F.lit(1)).alias("_batch_n"),
+    )
+    # fold the continuation group (version == current version) into the
+    # open interval: original valid_from, summed event count
+    updated = collapsed.join(cur, key_col, "left").select(
+        key_col,
+        "version",
+        "state",
+        F.when(F.col("version") == F.col("_cur_version"), F.col("_cur_vf"))
+        .otherwise(F.col("_batch_vf"))
+        .alias("valid_from"),
+        (
+            F.col("_batch_n")
+            + F.when(F.col("version") == F.col("_cur_version"), F.col("_cur_n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_events"),
+    )
+    # a current row whose state was NOT continued by the batch (first
+    # batch event changed it) must still appear, now closed
+    batch_keys = updated.select(key_col).distinct()
+    untouched_cur = (
+        existing.where(F.col("is_current"))
+        .join(updated.select(key_col, "version"), [key_col, "version"], "left_anti")
+        .join(batch_keys, key_col, "left_semi")
+        .select(key_col, "version", "state", "valid_from", F.col("n_events"))
+    )
+    closed_hist = existing.where(~F.col("is_current")).join(
+        batch_keys, key_col, "left_semi"
+    ).select(key_col, "version", "state", "valid_from", "n_events")
+    rebuilt_keys = updated.unionByName(untouched_cur).unionByName(closed_hist)
+    wv = Window.partitionBy(key_col).orderBy("version")
+    rebuilt = rebuilt_keys.select(
+        key_col,
+        "version",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )
+    passthrough = existing.join(batch_keys, key_col, "left_anti").select(
+        key_col, "version", "state", "valid_from", "valid_to", "is_current", "n_events"
+    )
+    return rebuilt.unionByName(passthrough)

@@ -991,3 +991,73 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# Train/test split-leakage audit: after an md5-range holdout split, how
+# many TRAIN docs share >= 5 distinct 3-gram shingles with ANY test doc?
+# The pre-training QA step that catches benchmark leakage the split
+# itself cannot see. md5 (not xxhash64) keys the split here so the
+# oracle replays the exact membership, then the decontamination mirror
+# counts the same shingle hits.
+@query(
+    "split_leakage_audit",
+    oracle=r"""
+    WITH toked AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(CONCAT('split:', CAST(doc_id AS VARCHAR))), 1, 13))
+                    AS BIGINT) < 450359962737049 AS is_test,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+                   t -> length(t) >= 1) AS toks
+        FROM documents
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, is_test, shingle
+        FROM (SELECT doc_id, is_test,
+                     unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+              FROM toked)
+    ),
+    testset AS (SELECT DISTINCT shingle FROM shingled WHERE is_test),
+    hits AS (
+        SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
+        FROM shingled t JOIN testset b ON t.shingle = b.shingle
+        WHERE NOT t.is_test
+        GROUP BY 1
+    ),
+    flagged AS (
+        SELECT d.doc_id, COALESCE(h.n_hits, 0) >= 5 AS leaky,
+               COALESCE(h.n_hits, 0) AS n_hits
+        FROM (SELECT doc_id FROM toked WHERE NOT is_test) d
+        LEFT JOIN hits h ON h.doc_id = d.doc_id
+    )
+    SELECT leaky, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_hits) AS BIGINT) AS max_hits
+    FROM flagged GROUP BY leaky ORDER BY leaky
+    """,
+    survey="split-leakage,decontamination,§8.5",
+    doc="Split-leakage audit: md5-range 10% holdout, then every train "
+    "doc checked for >=5 shared 3-gram shingles with the test side "
+    "(decontamination operator re-aimed at the split boundary).",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import decontamination_flags
+
+    docs = documents(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("split"), F.col("doc_id").cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    labeled = docs.withColumn("_is_test", bucket < 450359962737049)
+    train = labeled.where(~F.col("_is_test"))
+    test_set = labeled.where(F.col("_is_test"))
+    flags = decontamination_flags(train, test_set, "doc_id", "text", n=3, min_hits=5)
+    return (
+        flags.groupBy(F.col("contaminated").alias("leaky"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_hits").cast("long").alias("max_hits"),
+        )
+        .orderBy("leaky")
+    )

@@ -377,6 +377,19 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "scd2_merge",
+            "scd2_incremental_merge",
+            {
+                "user_id": "bigint",
+                "version": "bigint",
+                "state": "string",
+                "valid_from_us": "bigint",
+                "valid_to_us": "bigint",
+                "is_current": "boolean",
+                "n_events": "bigint",
+            },
+        ),
+        (
             "anomaly",
             "anomaly_days_zscore",
             {
@@ -528,6 +541,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "source_cap",
             "per_source_cap_sample",
             {"doc_id": "bigint", "source": "string"},
+        ),
+        (
+            "leakage",
+            "split_leakage_audit",
+            {"leaky": "boolean", "n_docs": "bigint", "max_hits": "bigint"},
         ),
         (
             "weighted",

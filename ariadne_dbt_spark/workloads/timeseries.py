@@ -794,3 +794,77 @@ def zscore_anomaly_flags(
         F.col("n").cast("long").alias("n_prior"),
         (lhs > rhs).alias("is_anomaly"),
     ).orderBy("event_date")
+
+
+# Incremental SCD2 maintenance, verified against the FULL recompute:
+# the first half of each user's stream builds the history table, the
+# second half arrives as the nightly batch, scd2_merge applies it —
+# and the oracle recomputes SCD2 over the whole stream. Hash equality
+# proves merge(history, batch) == rebuild(all events) on every row.
+@query(
+    "scd2_incremental_merge",
+    oracle="""
+    WITH runs AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+        WHERE user_id % 10 = 0
+    ),
+    numbered AS (
+        SELECT *, SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+        FROM runs
+    ),
+    collapsed AS (
+        SELECT user_id, version, event_type AS state,
+               MIN(ts) AS vf, COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, state,
+           epoch_us(vf) AS valid_from_us,
+           epoch_us(LEAD(vf) OVER (PARTITION BY user_id ORDER BY version)) AS valid_to_us,
+           (LEAD(vf) OVER (PARTITION BY user_id ORDER BY version)) IS NULL AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM collapsed
+    ORDER BY user_id, version
+    """,
+    survey="scd2-history,scd2-merge,§8.7",
+    doc="Incremental SCD2 merge (nightly-batch maintenance): history "
+    "built from each user's first half, second half applied via "
+    "scd2_merge — oracle recomputes from the full stream, so the "
+    "merge path is proven equal to the rebuild on every interval.",
+)
+def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.asof import scd2_history, scd2_merge
+
+    ev = events(spark, sf_dir).where(F.col("user_id") % 10 == 0)
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("double")), F.max(F.col("ts").cast("double"))
+    ).first()
+    mid = (lo + hi) / 2
+    hist = scd2_history(
+        ev.where(F.col("ts").cast("double") <= mid),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    merged = scd2_merge(
+        hist,
+        ev.where(F.col("ts").cast("double") > mid),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return merged.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    ).orderBy("user_id", "version")

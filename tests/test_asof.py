@@ -123,3 +123,48 @@ def test_scd2_same_timestamp_tiebreak(spark):
     ).collect()
     by_ver = {r["version"]: r["state"] for r in out}
     assert by_ver == {1: "A", 2: "B"}
+
+
+def test_scd2_merge_equals_full_rebuild(spark):
+    """Batch with: a continuation (key 1 keeps A), a change (key 1 then
+    B), a brand-new key (3), and an untouched key (2, no batch rows) —
+    merged output must equal scd2_history over the full stream."""
+    import datetime as dt
+
+    from ariadne_dbt_spark.operators.asof import scd2_history, scd2_merge
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    old = [
+        (1, ts(0), 1, "A"),
+        (1, ts(1), 2, "B"),
+        (1, ts(2), 3, "A"),  # key 1 current state A
+        (2, ts(0), 4, "X"),  # key 2: untouched by batch
+    ]
+    new = [
+        (1, ts(3), 5, "A"),  # continuation of current interval
+        (1, ts(4), 6, "B"),  # change -> closes it
+        (3, ts(3), 7, "Z"),  # brand-new key
+        (3, ts(5), 8, "W"),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    kw = dict(key_col="user_id", attr_col="event_type", ts_col="ts", tiebreak_col="event_id")
+    merged = scd2_merge(
+        scd2_history(spark.createDataFrame(old, schema), **kw),
+        spark.createDataFrame(new, schema),
+        **kw,
+    )
+    full = scd2_history(spark.createDataFrame(old + new, schema), **kw)
+    key = ["user_id", "version"]
+    m = {tuple(r[k] for k in key): r for r in merged.collect()}
+    f = {tuple(r[k] for k in key): r for r in full.collect()}
+    assert set(m) == set(f)
+    for k in f:
+        for col in ("state", "valid_from", "valid_to", "is_current", "n_events"):
+            assert m[k][col] == f[k][col], (k, col, m[k][col], f[k][col])
+    # spot-check semantics: key 1's A-interval absorbed the continuation
+    assert m[(1, 3)]["n_events"] == 2 and m[(1, 3)]["state"] == "A"
+    assert m[(1, 4)]["is_current"] and m[(2, 1)]["is_current"] and m[(3, 2)]["is_current"]
