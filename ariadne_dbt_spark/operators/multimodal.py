@@ -655,3 +655,66 @@ def dhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def audio_fingerprint(payload: bytes, *, n_windows: int = 65) -> int:
+    """Energy-gradient audio fingerprint over a PCM16 WAV (pure stdlib,
+    integer arithmetic): mix to mono, split into ``n_windows`` equal
+    windows, per-window energy = sum(x^2) // n, then consecutive-window
+    gradient sign bits — a (n_windows-1)-bit unsigned integer
+    (64 bits at the default).
+
+    The audio twin of :func:`dhash_image`: uniform GAIN scales every
+    window energy by the same factor, so a re-mastered / volume-
+    normalized copy (different BYTES — exact dedup misses it) keeps
+    every gradient sign and fingerprints identically, while unrelated
+    audio lands ~32 bits away. Pair with :func:`dhash_near_dups`
+    (hash_col='afp') — the banded Hamming join is hash-agnostic.
+    """
+    import io as _io
+    import wave
+
+    with wave.open(_io.BytesIO(payload), "rb") as w:
+        nch, nframes = w.getnchannels(), w.getnframes()
+        if w.getsampwidth() != 2:
+            raise ValueError("audio_fingerprint supports PCM16 WAV only")
+        raw = w.readframes(nframes)
+    ints = struct.unpack(f"<{len(raw) // 2}h", raw)
+    if nch > 1:  # integer mono mix
+        ints = [sum(ints[i : i + nch]) // nch for i in range(0, len(ints), nch)]
+    n = len(ints)
+    if n < n_windows:
+        raise ValueError(f"{n} samples too few for {n_windows} windows")
+    energies = []
+    for wdx in range(n_windows):
+        lo, hi = wdx * n // n_windows, (wdx + 1) * n // n_windows
+        acc = 0
+        for i in range(lo, hi):
+            acc += ints[i] * ints[i]
+        energies.append(acc // (hi - lo))
+    h = 0
+    for i in range(n_windows - 1):
+        h = (h << 1) | (1 if energies[i] < energies[i + 1] else 0)
+    return h
+
+
+def with_audio_fingerprint(
+    df: DataFrame, *, id_col: str = "asset_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched :func:`audio_fingerprint` → ``(id, afp)`` signed
+    64-bit LONG; undecodable payloads yield NULL. Map-only."""
+
+    def fp_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                try:
+                    v = audio_fingerprint(bytes(payload))
+                    out.append(v - (1 << 64) if v >= (1 << 63) else v)
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col], "afp": pd.array(out, dtype="Int64")})
+
+    return df.select(id_col, payload_col).mapInPandas(fp_batches, f"{id_col} long, afp long")

@@ -174,3 +174,77 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a")
     )
+
+
+# Perceptual AUDIO dedup: every 11th doc becomes a deterministic PCM16
+# WAV (md5-expanded samples); its clone (id + 2000000) is the SAME
+# signal remastered at half volume — different bytes, identical
+# energy-gradient fingerprint. The banded Hamming join then returns
+# exactly the planted pairs, which the oracle knows arithmetically.
+@query(
+    "audio_fp_pairs",
+    oracle="""
+    SELECT doc_id AS id_a,
+           doc_id + 2000000 AS id_b
+    FROM documents
+    WHERE doc_id % 11 = 0
+    ORDER BY id_a
+    """,
+    survey="multimodal,perceptual-hash,§8.4",
+    doc="Energy-gradient audio fingerprint near-dup pairs through the "
+    "real PCM16 WAV decode: half-volume remasters pair at Hamming<=3 "
+    "via the banded pigeonhole join; byte dedup cannot catch them.",
+)
+def audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    from ariadne_dbt_spark.operators.multimodal import (
+        dhash_near_dups,
+        with_audio_fingerprint,
+    )
+
+    docs = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .where(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        import hashlib
+        import io
+        import wave
+
+        import pandas as pd
+
+        def wav(samples):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+            return buf.getvalue()
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = b"".join(
+                    hashlib.md5(f"aud:{d}:{i}".encode()).digest() for i in range(260)
+                )
+                samples = list(_struct.unpack(f"<{len(raw) // 2}h", raw))
+                ids.append(d)
+                payloads.append(wav(samples))
+                ids.append(d + 2000000)
+                payloads.append(wav([x // 2 for x in samples]))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(build, "asset_id long, payload binary")
+    return (
+        dhash_near_dups(with_audio_fingerprint(assets), hash_col="afp")
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        .orderBy("id_a")
+    )

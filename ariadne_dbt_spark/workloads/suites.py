@@ -739,6 +739,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"id_a": "bigint", "id_b": "bigint", "hamming": "int"},
         ),
         (
+            "audio_fp",
+            "audio_fp_pairs",
+            {"id_a": "bigint", "id_b": "bigint"},
+        ),
+        (
             "lm_score",
             "doc_lm_cross_entropy",
             {"doc_id": "bigint", "n_bigrams": "bigint", "xent": "double"},

@@ -278,3 +278,72 @@ def test_dhash_near_dups_through_spark(spark):
     pairs = dhash_near_dups(hashed).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
     assert pairs[0]["hamming"] == 0
+
+
+# --- audio fingerprinting ---------------------------------------------------
+
+
+def _pcm16_wav(samples, rate=8000, nch=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _noise_samples(seed, n=2080):
+    import hashlib
+
+    raw = b"".join(hashlib.md5(f"{seed}:{i}".encode()).digest() for i in range(n // 8))
+    return list(struct.unpack(f"<{n}h", raw[: n * 2]))
+
+
+def test_audio_fingerprint_gain_invariance():
+    """Half-volume remaster: different bytes, identical fingerprint —
+    the property exact/md5 dedup lacks. Unrelated noise is far."""
+    from ariadne_dbt_spark.operators.multimodal import audio_fingerprint
+
+    s = _noise_samples(1)
+    full = _pcm16_wav(s)
+    half = _pcm16_wav([x // 2 for x in s])
+    assert full != half
+    h_full, h_half = audio_fingerprint(full), audio_fingerprint(half)
+    assert bin(h_full ^ h_half).count("1") <= 2
+    other = audio_fingerprint(_pcm16_wav(_noise_samples(2)))
+    assert bin(h_full ^ other).count("1") >= 10
+
+
+def test_audio_fingerprint_stereo_mix_and_errors():
+    from ariadne_dbt_spark.operators.multimodal import audio_fingerprint
+
+    s = _noise_samples(3)
+    mono = _pcm16_wav(s)
+    stereo = _pcm16_wav([x for x in s for _ in (0, 1)], nch=2)  # L=R duplicate
+    assert audio_fingerprint(mono) == audio_fingerprint(stereo)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_fingerprint(_pcm16_wav(list(range(16))))  # too few samples
+
+
+def test_audio_near_dups_through_spark(spark):
+    from ariadne_dbt_spark.operators.multimodal import (
+        dhash_near_dups,
+        with_audio_fingerprint,
+    )
+
+    s1, s2 = _noise_samples(10), _noise_samples(11)
+    rows = [
+        (1, bytearray(_pcm16_wav(s1))),
+        (2, bytearray(_pcm16_wav([x // 2 for x in s1]))),  # remaster of 1
+        (3, bytearray(_pcm16_wav(s2))),
+        (4, bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    fp = with_audio_fingerprint(df)
+    got = {r["asset_id"]: r["afp"] for r in fp.collect()}
+    assert got[4] is None
+    pairs = dhash_near_dups(fp, hash_col="afp").collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
