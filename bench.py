@@ -46,6 +46,9 @@ HEADLINE = [
     "semantic_dedup_flags",
     "shared_span_pairs",
     "containment_snippet_pairs",
+    "scd2_user_state_history",
+    "triangle_clustering",
+    "weighted_sample_docs",
     # pagerank_hierarchy / stream_click_attribution are gate-covered but
     # excluded here: at bench scale they measure the per-iteration stage
     # floor and streaming-query startup (both ~7s constants), not
