@@ -718,3 +718,144 @@ def with_audio_fingerprint(
             yield pd.DataFrame({id_col: pdf[id_col], "afp": pd.array(out, dtype="Int64")})
 
     return df.select(id_col, payload_col).mapInPandas(fp_batches, f"{id_col} long, afp long")
+
+
+# -- image: JPEG / GIF header-level metadata — no codec needed ---------------
+#
+# Same posture as the MP4 box parse: full JPEG decode needs a DCT
+# codec (PIL, import-guarded above), but the dimensions a routing /
+# dedup / shard stage needs live in the SOF segment header, which
+# stdlib struct reads in O(header). GIF is simpler still — dimensions
+# sit in the fixed logical-screen descriptor.
+
+#: JPEG start-of-frame markers that carry (precision, height, width,
+#: components): baseline, extended, progressive, lossless + the
+#: differential/arithmetic variants. C4/C8/CC are NOT SOF (DHT/JPG/DAC).
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_jpeg_metadata(payload: bytes) -> dict:
+    """Scan JPEG marker segments (pure stdlib) → ``{width, height,
+    n_components, precision, progressive}``. Raises ValueError when the
+    payload is not JPEG (no SOI) or ends before any SOF marker."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1  # resync on stray fill bytes
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > n:
+            break
+        if marker in _JPEG_SOF:
+            precision, height, width, comps = struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            return {
+                "width": width,
+                "height": height,
+                "n_components": comps,
+                "precision": precision,
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # SOS: entropy-coded data follows, SOF was missed
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG payload has no SOF segment")
+
+
+def parse_gif_metadata(payload: bytes) -> dict:
+    """GIF logical-screen descriptor (pure stdlib) → ``{width, height,
+    gct_colors, version}``. Raises ValueError for non-GIF payloads."""
+    if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    gct_colors = 2 ** ((packed & 0x07) + 1) if packed & 0x80 else 0
+    return {
+        "width": width,
+        "height": height,
+        "gct_colors": gct_colors,
+        "version": payload[3:6].decode("ascii"),
+    }
+
+
+def probe_image_metadata(payload: bytes) -> dict:
+    """Magic-byte dispatch across the header parsers → ``{format, width,
+    height, n_channels}`` for PNG / JPEG / GIF. ValueError otherwise.
+    PNG channels come from the IHDR color type; JPEG from SOF component
+    count; GIF is palette-indexed (reported as 3, the rendered RGB)."""
+    if payload[:8] == _PNG_MAGIC:
+        # IHDR is always the first chunk: width/height at fixed offsets
+        width, height = struct.unpack(">II", payload[16:24])
+        color = payload[25]
+        if color not in _PNG_CHANNELS:
+            raise ValueError(f"unsupported PNG color type {color}")
+        return {
+            "format": "png",
+            "width": width,
+            "height": height,
+            "n_channels": _PNG_CHANNELS[color],
+        }
+    if payload[:2] == b"\xff\xd8":
+        m = parse_jpeg_metadata(payload)
+        return {
+            "format": "jpeg",
+            "width": m["width"],
+            "height": m["height"],
+            "n_channels": m["n_components"],
+        }
+    if payload[:4] == b"GIF8":
+        m = parse_gif_metadata(payload)
+        return {
+            "format": "gif",
+            "width": m["width"],
+            "height": m["height"],
+            "n_channels": 3,
+        }
+    raise ValueError("unrecognized image payload")
+
+
+def image_metadata(df: DataFrame) -> DataFrame:
+    """Header-probe every image asset → ``(asset_id, format, width,
+    height, n_channels)`` via Arrow-batched mapInPandas (the same
+    quarantine-not-crash discipline as video_metadata: undecodable
+    payloads yield NULLs)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    m = probe_image_metadata(bytes(payload or b""))
+                    rows.append((aid, m["format"], m["width"], m["height"], m["n_channels"]))
+                except ValueError:
+                    rows.append((aid, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "format", "width", "height", "n_channels"]
+            )
+
+    imgs = df.where(F.col("kind") == "image").select("asset_id", "payload")
+    return imgs.repartition("asset_id").mapInPandas(fn, out_schema)

@@ -332,3 +332,125 @@ def weighted_sample(
         .orderBy(F.desc("es_key"), F.col(id_col))
         .limit(int(k))
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    n_phases: int = 3,
+    seed: int = 0,
+    shard_chars: int = 1,
+) -> DataFrame:
+    """Curriculum training order: ``(…, phase, shard, pos)`` — documents
+    staged easy→hard by a difficulty score, deterministically shuffled
+    WITHIN each phase (curriculum learning's standard data layout: phases
+    consumed in order, order randomized inside a phase).
+
+    Scale shape: phases come from EXACT interpolated score percentiles
+    (one distributed aggregate) compiled into a literal CASE — never a
+    global ``ntile`` window, which would funnel the corpus through one
+    partition. Within-phase order reuses :func:`deterministic_shuffle`'s
+    recipe: md5(seed:id) key, per-(phase, first-hex-chars) sharded
+    ``row_number`` windows, so no single window exceeds
+    corpus/(phases·16^shard_chars). Ties at a phase boundary resolve by
+    ``score <= boundary`` (deterministic; boundaries at integer scores
+    are exact in IEEE, interpolated ones can't equal an integer score).
+    """
+    if n_phases < 2:
+        raise ValueError("n_phases must be >= 2")
+    probs = [i / n_phases for i in range(1, n_phases)]
+    row = df.agg(
+        F.percentile(F.col(score_col), F.array(*[F.lit(p) for p in probs])).alias("b")
+    ).first()
+    bounds = [float(x) for x in row["b"]]
+    phase = F.lit(int(n_phases))
+    for i in range(n_phases - 1, 0, -1):
+        phase = F.when(
+            F.col(score_col) <= F.lit(bounds[i - 1]), F.lit(i)
+        ).otherwise(phase)
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = (
+        df.withColumn("phase", phase.cast("int"))
+        .withColumn("_key", key)
+        .withColumn("shard", F.substring("_key", 1, shard_chars))
+    )
+    w = Window.partitionBy("phase", "shard").orderBy("_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w).cast("bigint")).drop("_key")
+
+
+def block_pack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_size: int = 128,
+    eos: str = "<eos>",
+    seed: int = 0,
+    shard_chars: int = 1,
+) -> DataFrame:
+    """Concat-and-chunk block packing — the GPT-pretraining data layout:
+    shuffle docs deterministically, concatenate their token streams with
+    an ``eos`` separator, cut into fixed ``block_size`` blocks ACROSS
+    document boundaries. Returns ``(shard, block_id, n_tokens,
+    block_text)``; the last block of each shard may be partial
+    (n_tokens < block_size) — drop or pad it downstream.
+
+    This complements :func:`pack_sequences` (greedy whole-sample packing
+    for SFT, where examples must not cross block edges); block packing
+    is the zero-waste layout pretraining uses.
+
+    Scale shape: document order comes from :func:`deterministic_shuffle`
+    (md5 key, 16^k shards) and blocks NEVER cross shards, so every
+    window here is per-shard: one cumulative-offset window over doc
+    COUNTS (skinny), one posexplode, one groupBy (shard, block) whose
+    groups are bounded by block_size. No global sort, no driver state;
+    at 100 TB raise ``shard_chars`` exactly like the shuffle.
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "), r"\s+"),
+        lambda t: F.length(t) >= 1,
+    )
+    ordered = deterministic_shuffle(
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks")),
+        "_id",
+        seed=seed,
+        shard_chars=shard_chars,
+    ).withColumn("_toks", F.concat("_toks", F.array(F.lit(eos))))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ordered.withColumn(
+        "_off", F.coalesce(F.sum(F.size("_toks")).over(w), F.lit(0)).cast("bigint")
+    )
+    tok_rows = offs.select(
+        "shard", "_off", F.posexplode("_toks").alias("_i", "tok")
+    ).select(
+        "shard",
+        (F.col("_off") + F.col("_i")).alias("_g"),
+        "tok",
+    )
+    b = F.lit(int(block_size)).cast("bigint")
+    blocks = (
+        tok_rows.select(
+            "shard",
+            (F.col("_g") / b).cast("bigint").alias("block_id"),
+            F.pmod(F.col("_g"), b).cast("int").alias("_p"),
+            "tok",
+        )
+        .groupBy("shard", "block_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("block_text"),
+        )
+    )
+    return blocks.select("shard", "block_id", "n_tokens", "block_text")

@@ -199,6 +199,59 @@ def bm25(
     return scored.orderBy(F.desc("bm25_score"), "unique_id")
 
 
+def positional_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional inverted index rows ``(unique_id, pos, term)`` — the
+    phrase-query counterpart of :func:`build_postings` (FTS5 keeps
+    positions for exactly this; the reference's MATCH surface is
+    OR-of-terms only, reference: search.py:24-35, so phrase support here
+    EXTENDS the surface rather than porting it).
+
+    Positions index the full token stream (min_len=1, no stopword
+    removal): phrase adjacency is defined over what the text actually
+    says, and dropping stopwords would make "group by key" match
+    "group key". One tokenize + posexplode pass; at scale the rows
+    partition by term like the tf postings so phrase-term scans prune.
+    """
+    c = F.col(text_col)
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+"),
+        lambda t: F.length(t) >= 1,
+    )
+    return docs.select(
+        F.col(id_col).alias("unique_id"), F.posexplode(toks).alias("pos", "term")
+    )
+
+
+def phrase_hits(pos_postings: DataFrame, phrase_terms: list[str]) -> DataFrame:
+    """Exact phrase matching over positional postings: docs where
+    ``phrase_terms`` appear consecutively, with occurrence counts —
+    ``(unique_id, n_hits)``, n_hits ≥ 1.
+
+    The classic positional-index phrase join: term_i's postings are
+    anchored to ``start = pos - i`` and all k term sets are equi-joined
+    on (unique_id, start) — each join leg is a TERM-FILTERED scan (the
+    literal predicate pushes into the postings scan; with term
+    partitioning only the phrase's own partitions are read), so cost is
+    Σ df(term_i), never corpus size. Overlapping occurrences count
+    individually (token-level semantics, unlike substring LIKE).
+    """
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    legs = []
+    for i, t in enumerate(phrase_terms):
+        legs.append(
+            pos_postings.where(F.col("term") == t).select(
+                "unique_id", (F.col("pos") - F.lit(i)).alias("start")
+            )
+        )
+    matched = legs[0]
+    for leg in legs[1:]:
+        matched = matched.join(leg, ["unique_id", "start"])
+    return matched.groupBy("unique_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
 def minmax_normalize(df: DataFrame, col: str, out_col: str) -> DataFrame:
     """Min-max normalize over the candidate set; all-equal → 1.0
     (reference: search.py:38-45)."""

@@ -377,3 +377,94 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=50,
         key_decimals=9,
     ).select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), "es_key")
+
+
+# curriculum learning's data layout: easy→hard phases by exact score
+# percentiles, deterministic md5 shuffle within phase (sharded windows —
+# no global sort/ntile anywhere; see operators/sampling.py).
+@query(
+    "curriculum_phase_order",
+    oracle="""
+    WITH b AS (SELECT quantile_cont(n_chars, 1.0/3) AS b1,
+                      quantile_cont(n_chars, 2.0/3) AS b2
+               FROM documents),
+    ph AS (SELECT doc_id, n_chars,
+                  CASE WHEN n_chars <= b1 THEN 1
+                       WHEN n_chars <= b2 THEN 2
+                       ELSE 3 END AS phase
+           FROM documents, b)
+    SELECT doc_id, n_chars, phase,
+           substring(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY phase, substring(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pos
+    FROM ph ORDER BY phase, shard, pos
+    """,
+    survey="sampling-curriculum",
+    doc="Curriculum ordering: 3 difficulty phases by exact n_chars "
+    "terciles (distributed percentile, literal CASE — no global ntile), "
+    "md5-sharded deterministic shuffle within each phase.",
+)
+def curriculum_phase_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sampling import curriculum_order
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "n_chars"
+    )
+    return curriculum_order(docs, "doc_id", "n_chars", n_phases=3, seed=3).select(
+        "doc_id", "n_chars", "phase", "shard", "pos"
+    ).orderBy("phase", "shard", "pos")
+
+
+# pretraining's zero-waste data layout: concat token streams with <eos>,
+# cut fixed blocks ACROSS doc boundaries (vs pack_sequences' greedy
+# whole-sample packing for SFT). Every window per-shard; blocks bounded.
+@query(
+    "block_pack_chunks",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_concat(list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1), ['<eos>']) AS toks,
+               md5('0:' || CAST(doc_id AS VARCHAR)) AS key,
+               substring(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM documents
+    ),
+    ordered AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+        FROM d
+    ),
+    offs AS (
+        SELECT *, COALESCE(SUM(len(toks)) OVER (
+            PARTITION BY shard ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM ordered
+    ),
+    tokrows AS (
+        SELECT shard,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {'g': off + i - 1, 'tok': toks[i]})) AS s
+        FROM offs
+    )
+    SELECT shard,
+           CAST(s.g // 128 AS BIGINT) AS block_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           string_agg(s.tok, ' ' ORDER BY s.g) AS block_text
+    FROM tokrows
+    GROUP BY shard, s.g // 128
+    ORDER BY shard, block_id
+    """,
+    survey="sampling-block-pack",
+    doc="Concat-and-chunk block packing (block=128, <eos> separators, "
+    "md5-sharded deterministic doc order): block contents exact vs a "
+    "window-cumsum SQL rebuild, including partial tail blocks.",
+)
+def block_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sampling import block_pack
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select("doc_id", "text")
+    return block_pack(docs, "doc_id", "text", block_size=128, seed=0).orderBy(
+        "shard", "block_id"
+    )

@@ -450,6 +450,21 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "truncated": "boolean",
             },
         ),
+        (
+            "phrase",
+            "phrase_search_hits",
+            {"doc_id": "bigint", "n_hits": "bigint"},
+        ),
+        (
+            "facets",
+            "faceted_search_counts",
+            {"lang": "string", "source": "string", "n_docs": "bigint"},
+        ),
+        (
+            "incr_search",
+            "bm25_incremental_upsert",
+            {"doc_id": "bigint", "bm25_score": "double"},
+        ),
     ],
     "olap_ext_suite": [
         (
@@ -556,6 +571,27 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "shuffle_order",
             "deterministic_shuffle_order",
             {"doc_id": "bigint", "shard": "string", "pos": "bigint"},
+        ),
+        (
+            "block_pack",
+            "block_pack_chunks",
+            {
+                "shard": "string",
+                "block_id": "bigint",
+                "n_tokens": "int",
+                "block_text": "string",
+            },
+        ),
+        (
+            "curriculum",
+            "curriculum_phase_order",
+            {
+                "doc_id": "bigint",
+                "n_chars": "bigint",
+                "phase": "int",
+                "shard": "string",
+                "pos": "bigint",
+            },
         ),
         (
             "jsonl_export",

@@ -397,3 +397,191 @@ def sql_truncation_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- incremental index maintenance (S6/E5): upsert + delete + serve ----------
+# The reference refreshes its FTS by DELETE + full re-INSERT
+# (indexer.py:472-485). The versioned index (operators/search_index.py)
+# applies an upsert batch and a delete set as O(batch) log appends and
+# serves BM25 from the merged view; the oracle recomputes BM25 from
+# scratch over the POST-CHURN corpus, so this row proves the incremental
+# path is result-identical to a full rebuild — stats deltas included.
+_CHURN_CORPUS_CTE = """
+    corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3
+                    THEN text || ' spark stream vector stream'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 5
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, 'spark stream ' || text AS text
+        FROM documents WHERE doc_id % 13 = 0
+    )
+"""
+
+
+@query(
+    "bm25_incremental_upsert",
+    oracle=f"""
+    WITH {_CHURN_CORPUS_CTE},
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) AS term
+        FROM corpus
+    ),
+    terms AS (
+        SELECT doc_id, term FROM toks
+        WHERE length(term) >= 2 AND term NOT IN ({_STOP_SQL})
+    ),
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    docstats AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+    stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+                     (SELECT AVG(dl) FROM docstats) AS avgdl),
+    qterms(term) AS (VALUES ('spark'), ('vector'), ('stream')),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+              WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id,
+               SUM( ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * p.tf * (1.2 + 1.0)
+                    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ) AS raw
+        FROM postings p
+        JOIN dfreq f ON p.term = f.term
+        JOIN docstats d ON p.doc_id = d.doc_id
+        CROSS JOIN stats s
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, ROUND(raw, 4) AS bm25_score
+    FROM scored ORDER BY raw DESC, doc_id LIMIT 20
+    """,
+    survey="S6,E5,T3",
+    doc="Incremental index maintenance: upsert a churn batch (modified + "
+    "new docs) and tombstone-delete a third set against the versioned "
+    "postings index, then serve BM25 top-20 from the merged view; the "
+    "oracle rebuilds from scratch over the post-churn corpus, proving "
+    "upsert/delete/stats deltas are rebuild-identical.",
+)
+def bm25_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ariadne_dbt_spark.operators.search_index import (
+        build_search_index,
+        delete_from_search_index,
+        read_search_index,
+        upsert_search_index,
+    )
+
+    docs = documents(spark, sf_dir)
+    # pid-keyed so two gate processes can't rmtree each other mid-read
+    idx = os.path.join(_REPO, ".tmp", f"search_index_incr_{os.getpid()}")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_search_index(docs, "doc_id", {"text": "text"}, idx)
+    did = F.col("doc_id")
+    batch = docs.where(did % 7 == 3).select(
+        "doc_id", F.concat("text", F.lit(" spark stream vector stream")).alias("text")
+    ).unionByName(
+        docs.where(did % 13 == 0).select(
+            (did + 1000000).alias("doc_id"),
+            F.concat(F.lit("spark stream "), F.col("text")).alias("text"),
+        )
+    )
+    upsert_search_index(spark, idx, batch, "doc_id", {"text": "text"})
+    delete_from_search_index(
+        spark, idx, docs.where(did % 11 == 5).select("doc_id")
+    )
+    postings, docstats, n_docs, avgdl = read_search_index(spark, idx)
+    scored = bm25(
+        postings, docstats, n_docs, "spark vector stream",
+        field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+    )
+    return (
+        scored.select(
+            F.col("unique_id").cast("bigint").alias("doc_id"), "bm25_score"
+        )
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
+    )
+
+
+# T1/T4/O1 extension: exact phrase queries over positional postings —
+# beyond the reference's OR-of-terms MATCH surface (search.py:24-35);
+# FTS5 itself keeps positions for phrases, and so do we.
+@query(
+    "phrase_search_hits",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1) AS ts
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id,
+               CAST(COALESCE(list_sum(list_transform(
+                   range(1, CASE WHEN len(ts) >= 2 THEN len(ts) ELSE 1 END),
+                   i -> CASE WHEN ts[i] = 'spark' AND ts[i+1] = 'stream'
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_hits
+        FROM toks
+    )
+    SELECT doc_id, n_hits FROM counted WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id
+    """,
+    survey="T1,T4,O1",
+    doc="Exact phrase query 'spark stream' via positional postings "
+    "(token-level adjacency join; overlapping occurrences counted), "
+    "verified against a full token-array rescan.",
+)
+def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.search import phrase_hits, positional_postings
+
+    pos = positional_postings(documents(spark, sf_dir), "doc_id", "text")
+    return (
+        phrase_hits(pos, ["spark", "stream"])
+        .select(F.col("unique_id").alias("doc_id"), "n_hits")
+        .orderBy(F.desc("n_hits"), "doc_id")
+    )
+
+
+# T4/A3/A4 extension: faceted search — term-filtered hits with facet
+# counts over (lang), (source), (lang, source) and the grand total in ONE
+# grouping-sets pass (no per-facet rescans; at scale: one shuffle).
+@query(
+    "faceted_search_counts",
+    oracle="""
+    WITH hits AS (
+        SELECT doc_id, lang, source FROM documents
+        WHERE list_contains(string_split_regex(
+            regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), 'vector')
+    )
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           COUNT(*) AS n_docs
+    FROM hits
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+    ORDER BY lang, source
+    """,
+    survey="T4,A3,A4",
+    doc="Faceted search: docs matching term 'vector', facet counts by "
+    "lang / source / both / total via one GROUPING SETS aggregation.",
+)
+def faceted_search_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.functions.text import tokenize
+
+    docs = documents(spark, sf_dir)
+    hits = docs.where(
+        F.array_contains(tokenize("text", min_len=1, stop=False), "vector")
+    ).select("doc_id", "lang", "source")
+    hits.createOrReplaceTempView("facet_hits")
+    return spark.sql(
+        """
+        SELECT COALESCE(lang, '<all>') AS lang,
+               COALESCE(source, '<all>') AS source,
+               COUNT(*) AS n_docs
+        FROM facet_hits
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+        ORDER BY lang, source
+        """
+    )

@@ -1,0 +1,223 @@
+"""Versioned search index (operators/search_index.py): upsert / delete /
+compact are rebuild-identical, the meta gen is a real commit point, and
+the phrase operator counts token-level adjacency exactly."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.search import bm25, phrase_hits, positional_postings
+from ariadne_dbt_spark.operators.search_index import (
+    build_search_index,
+    compact_search_index,
+    delete_from_search_index,
+    read_search_index,
+    upsert_search_index,
+)
+
+FIELDS = {"text": "text"}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _ranked(spark, index_dir, q="spark stream"):
+    postings, docstats, n_docs, avgdl = read_search_index(spark, index_dir)
+    return [
+        (r["unique_id"], round(r["bm25_score"], 9))
+        for r in bm25(
+            postings, docstats, n_docs, q,
+            field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+        ).collect()
+    ]
+
+
+def _rebuilt_ranked(spark, rows, tmp, q="spark stream"):
+    d = os.path.join(tmp, "rebuild")
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    build_search_index(_docs(spark, rows), "doc_id", FIELDS, d)
+    return _ranked(spark, d, q)
+
+
+BASE = [
+    (1, "spark stream join table"),
+    (2, "table scan filter group"),
+    (3, "spark spark vector window"),
+    (4, "stream stream stream merge"),
+]
+
+
+def test_upsert_and_delete_match_rebuild(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+
+    # upsert: replace doc 2, insert doc 5
+    batch = [(2, "spark stream stream query"), (5, "vector spark stream")]
+    upsert_search_index(spark, idx, _docs(spark, batch), "doc_id", FIELDS)
+    # delete doc 4
+    delete_from_search_index(spark, idx, [4])
+
+    final_rows = [BASE[0], batch[0], BASE[2], batch[1]]
+    assert _ranked(spark, idx) == _rebuilt_ranked(spark, final_rows, str(tmp_path))
+
+    # n_docs and integer stats match a from-scratch build exactly
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(str(tmp_path), "rebuild", "meta.json")) as f:
+        ref = json.load(f)
+    assert meta["n_docs"] == ref["n_docs"] == 4
+    assert meta["field_stats"] == ref["field_stats"]
+
+
+def test_upsert_same_gen_replacement_wins(spark, tmp_path):
+    """An upsert's tombstone (gen g) must not kill its own replacement
+    rows (also gen g)."""
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+    upsert_search_index(
+        spark, idx, _docs(spark, [(1, "query query query")]), "doc_id", FIELDS
+    )
+    postings, _, _, _ = read_search_index(spark, idx)
+    live1 = postings.where(F.col("unique_id") == "1").collect()
+    assert {r["term"] for r in live1} == {"query"}
+    assert live1[0]["tf"] == 3
+
+
+def test_compaction_preserves_results_and_clears_log(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+    upsert_search_index(
+        spark, idx, _docs(spark, [(2, "spark stream stream query")]), "doc_id", FIELDS
+    )
+    delete_from_search_index(spark, idx, [4])
+    before = _ranked(spark, idx)
+    compact_search_index(spark, idx)
+    assert _ranked(spark, idx) == before
+    tomb = spark.read.parquet(os.path.join(idx, "tombstones"))
+    assert tomb.count() == 0
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["gen"] == 0
+
+
+def test_meta_is_the_commit_point(spark, tmp_path):
+    """Rows appended past meta.gen are invisible: a crash between the
+    data append and the meta write leaves the old version intact."""
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+    before = _ranked(spark, idx)
+    meta_file = os.path.join(idx, "meta.json")
+    with open(meta_file) as f:
+        saved = f.read()
+    upsert_search_index(
+        spark, idx, _docs(spark, [(1, "query query query")]), "doc_id", FIELDS
+    )
+    # simulate the crash: data of gen 1 is on disk, meta still says gen 0
+    with open(meta_file, "w") as f:
+        f.write(saved)
+    assert _ranked(spark, idx) == before
+
+
+def test_delete_then_reinsert(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+    delete_from_search_index(spark, idx, [3])
+    upsert_search_index(
+        spark, idx, _docs(spark, [(3, "vector vector")]), "doc_id", FIELDS
+    )
+    rows = [BASE[0], BASE[1], (3, "vector vector"), BASE[3]]
+    assert _ranked(spark, idx, "vector") == _rebuilt_ranked(
+        spark, rows, str(tmp_path), "vector"
+    )
+
+
+def test_delete_missing_id_is_noop_on_stats(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    meta0 = build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+    meta1 = delete_from_search_index(spark, idx, [999])
+    assert meta1["n_docs"] == meta0["n_docs"]
+    assert meta1["field_stats"] == meta0["field_stats"]
+
+
+# -- phrase matching ----------------------------------------------------------
+
+
+def test_phrase_hits_counts_overlaps_and_adjacency(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream spark stream"),   # 2 hits (overlap-adjacent)
+            (2, "spark x stream"),              # gap -> no hit
+            (3, "a spark stream b"),            # 1 hit
+            (4, "stream spark"),                # wrong order -> no hit
+            (5, "SPARK, stream!"),              # case/punct normalize -> 1 hit
+        ],
+        "doc_id bigint, text string",
+    )
+    pos = positional_postings(docs, "doc_id", "text")
+    got = {
+        r["unique_id"]: r["n_hits"]
+        for r in phrase_hits(pos, ["spark", "stream"]).collect()
+    }
+    assert got == {1: 2, 3: 1, 5: 1}
+
+
+def test_phrase_hits_three_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b x c")], "doc_id bigint, text string"
+    )
+    pos = positional_postings(docs, "doc_id", "text")
+    got = {
+        r["unique_id"]: r["n_hits"]
+        for r in phrase_hits(pos, ["a", "b", "c"]).collect()
+    }
+    assert got == {1: 2}
+
+
+def test_phrase_hits_empty_phrase_raises(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        phrase_hits(positional_postings(docs, "doc_id", "text"), [])
+
+
+# -- curriculum ordering ------------------------------------------------------
+
+
+def test_curriculum_order_phases_and_positions(spark):
+    from ariadne_dbt_spark.operators.sampling import curriculum_order
+
+    rows = [(i, i * 10) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score bigint")
+    out = curriculum_order(df, "doc_id", "score", n_phases=3).collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r["phase"], []).append(r)
+    # terciles of 10*[1..30]: boundaries at interpolated 1/3 and 2/3
+    assert set(by_phase) == {1, 2, 3}
+    assert sum(len(v) for v in by_phase.values()) == 30
+    # monotone: every phase-1 score <= every phase-2 score <= phase-3
+    assert max(r["score"] for r in by_phase[1]) <= min(r["score"] for r in by_phase[2])
+    assert max(r["score"] for r in by_phase[2]) <= min(r["score"] for r in by_phase[3])
+    # positions are 1..n within each (phase, shard), no gaps
+    for rows_ in by_phase.values():
+        shard_pos = {}
+        for r in rows_:
+            shard_pos.setdefault(r["shard"], []).append(r["pos"])
+        for poss in shard_pos.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_curriculum_order_deterministic(spark):
+    from ariadne_dbt_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(50)], "doc_id bigint, score bigint"
+    )
+    a = sorted(map(tuple, curriculum_order(df, "doc_id", "score").collect()))
+    b = sorted(map(tuple, curriculum_order(df, "doc_id", "score").collect()))
+    assert a == b
