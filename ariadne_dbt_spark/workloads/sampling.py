@@ -468,3 +468,70 @@ def block_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_pack(docs, "doc_id", "text", block_size=128, seed=0).orderBy(
         "shard", "block_id"
     )
+
+
+def _psi_block(src_a: str, src_b: str, bucket_expr: str, feature: str, tag: str) -> str:
+    """One PSI feature as SQL CTE text (mirrors operators/drift.py
+    term-for-term: Laplace (n+1)/(N+k), psi from UNROUNDED ps)."""
+    return f"""
+    {tag}_ca AS (SELECT {bucket_expr} AS bucket, COUNT(*) AS n_a FROM {src_a} GROUP BY 1),
+    {tag}_cb AS (SELECT {bucket_expr} AS bucket, COUNT(*) AS n_b FROM {src_b} GROUP BY 1),
+    {tag}_cj AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+                        COALESCE(a.n_a, 0) AS n_a, COALESCE(b.n_b, 0) AS n_b
+                 FROM {tag}_ca a FULL OUTER JOIN {tag}_cb b ON a.bucket = b.bucket),
+    {tag}_ct AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb, COUNT(*) AS k FROM {tag}_cj),
+    {tag}_out AS (
+        SELECT '{feature}' AS feature, bucket AS drift_bucket, n_a, n_b,
+               ROUND((n_a + 1.0) / (ta + k), 6) AS p_a,
+               ROUND((n_b + 1.0) / (tb + k), 6) AS p_b,
+               ROUND(((n_b + 1.0) / (tb + k) - (n_a + 1.0) / (ta + k))
+                     * ln(((n_b + 1.0) / (tb + k)) / ((n_a + 1.0) / (ta + k))), 6)
+                   AS psi_term
+        FROM {tag}_cj, {tag}_ct)
+    """
+
+
+def _decile_case() -> str:
+    conds = "".join(
+        f" WHEN n_chars <= e.e{i} THEN 'b{i:02d}'" for i in range(1, 10)
+    )
+    return f"CASE{conds} ELSE 'b10' END"
+
+
+_DRIFT_ORACLE = f"""
+    WITH snap_a AS (SELECT * FROM documents),
+    snap_b AS (SELECT * FROM documents WHERE n_chars >= 120),
+    e AS (SELECT {", ".join(f"quantile_cont(n_chars, {i}/10.0) AS e{i}" for i in range(1, 10))}
+          FROM snap_a),
+    ab AS (SELECT {_decile_case()} AS nbucket FROM snap_a, e),
+    bb AS (SELECT {_decile_case()} AS nbucket FROM snap_b, e),
+    {_psi_block("snap_a", "snap_b", "source", "source", "s")},
+    {_psi_block("ab", "bb", "nbucket", "n_chars", "n")}
+    SELECT * FROM s_out UNION ALL SELECT * FROM n_out
+    ORDER BY feature, drift_bucket
+"""
+
+
+# corpus-monitoring: PSI drift between snapshots — the alarm a
+# continuously-rebuilt corpus needs when a filter/crawl change shifts
+# the mix. B simulates deploying a min-length filter over A.
+@query(
+    "corpus_drift_psi",
+    oracle=_DRIFT_ORACLE,
+    survey="sampling-drift-psi",
+    doc="Population-stability-index drift between corpus snapshots: "
+    "per-source categorical PSI + baseline-decile numeric PSI over "
+    "n_chars, Laplace-smoothed, exact SQL mirror per term.",
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.drift import categorical_psi, numeric_psi
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    snap_b = docs.where(F.col("n_chars") >= 120)
+    cat = categorical_psi(docs, snap_b, "source")
+    num = numeric_psi(docs, snap_b, "n_chars", bins=10, feature="n_chars")
+    return (
+        cat.unionByName(num)
+        .withColumnRenamed("bucket", "drift_bucket")
+        .orderBy("feature", "drift_bucket")
+    )

@@ -604,6 +604,19 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"status": "string", "n": "bigint"},
         ),
         (
+            "drift",
+            "corpus_drift_psi",
+            {
+                "feature": "string",
+                "drift_bucket": "string",
+                "n_a": "bigint",
+                "n_b": "bigint",
+                "p_a": "double",
+                "p_b": "double",
+                "psi_term": "double",
+            },
+        ),
+        (
             "report_card",
             "corpus_report_card",
             {"metric": "string", "value": "bigint"},
