@@ -263,3 +263,86 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_phrase_legs_prune_persisted_postings(spark, tmp_path):
+    """Phrase matching over PERSISTED positional postings: each term leg's
+    equality predicate must reach the parquet scan (term partitioning
+    prunes at scale), and the position joins must be equi-joins — no
+    cartesian anywhere (SCALE.md search section)."""
+    from ariadne_dbt_spark.operators.search import phrase_hits, positional_postings
+
+    docs = spark.createDataFrame(
+        [(i, "spark stream join " * 3) for i in range(64)],
+        "doc_id bigint, text string",
+    )
+    out = str(tmp_path / "pos_postings")
+    positional_postings(docs, "doc_id", "text").write.parquet(out)
+    hits = phrase_hits(spark.read.parquet(out), ["spark", "stream"])
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "PushedFilters:" in plan
+    pushed = [seg[:200] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("EqualTo(term,spark)" in s for s in pushed)
+    assert any("EqualTo(term,stream)" in s for s in pushed)
+
+
+def test_incremental_index_read_path(spark, tmp_path):
+    """The versioned index's serve path: commit-pointer gen filter pushed
+    into every log scan, tombstone-max joined BROADCAST, and no stats
+    aggregates (avgdl/n_docs ride meta.json)."""
+    from ariadne_dbt_spark.operators.search import bm25
+    from ariadne_dbt_spark.operators.search_index import (
+        build_search_index,
+        read_search_index,
+        upsert_search_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "spark stream join table") for i in range(32)],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, "doc_id", {"text": "text"}, idx)
+    upsert_search_index(
+        spark, idx, spark.createDataFrame([(1, "spark only")], "doc_id bigint, text string"),
+        "doc_id", {"text": "text"},
+    )
+    postings, docstats, n_docs, avgdl = read_search_index(spark, idx)
+    scored = bm25(
+        postings, docstats, n_docs, "spark stream",
+        field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(gen," in plan  # commit pointer reaches the scans
+    assert "BroadcastHashJoin" in plan     # tombstone-max merge is broadcast
+    assert "avg(" not in plan.lower().replace("avgdl", "")
+
+
+def test_block_pack_no_global_sort_and_bounded_exchanges(spark):
+    """block_pack: every window is per-shard (no single-partition
+    funnel), and the whole layout costs a bounded number of shuffles."""
+    from ariadne_dbt_spark.operators.sampling import block_pack
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(128)], "doc_id bigint, text string"
+    )
+    out = block_pack(docs, "doc_id", "text", block_size=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange") <= 4
+
+
+def test_curriculum_no_single_partition_window(spark):
+    """curriculum_order's result plan: phases are a literal CASE (the
+    percentile agg ran at build time), windows partition by
+    (phase, shard) — never a global ntile funnel."""
+    from ariadne_dbt_spark.operators.sampling import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, i % 97) for i in range(256)], "doc_id bigint, score bigint"
+    )
+    out = curriculum_order(docs, "doc_id", "score", n_phases=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "ntile" not in plan.lower()
