@@ -49,6 +49,13 @@ HEADLINE = [
     "scd2_user_state_history",
     "triangle_clustering",
     "weighted_sample_docs",
+    "phrase_search_hits",
+    "block_pack_chunks",
+    "corpus_drift_psi",
+    # bm25_incremental_upsert is gate-covered but excluded: its wall
+    # clock is ~80% the from-scratch index build it starts from, which
+    # bm25_index_build already measures — the upsert delta itself is
+    # O(batch) (see SCALE.md search section).
     # pagerank_hierarchy / stream_click_attribution are gate-covered but
     # excluded here: at bench scale they measure the per-iteration stage
     # floor and streaming-query startup (both ~7s constants), not
