@@ -648,3 +648,73 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "binary_file_source",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
+           CAST(strlen(text) AS BIGINT) AS size_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % 25 = 0
+    ORDER BY file_name
+    """,
+    survey="source-binaryfile",
+    doc="binaryFile source — how multimodal corpora ingest raw asset "
+    "files into binary columns (path/length/content + glob filtering): "
+    "one file per sampled doc written to disk, read back via "
+    "format('binaryFile') with pathGlobFilter, verified by per-file "
+    "size + md5 against a direct derivation from the parquet source. "
+    "Real binary payloads (PNG) go through the same source in "
+    "tests/test_image_probe.py; at 100 TB this source lists in "
+    "parallel and never reads files a pathGlobFilter excludes.",
+)
+def binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.session import table_path
+
+    docs = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .where(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "ariadne_binfiles_"
+        + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    try:
+        # fixture materialization (bounded: 1/25 sample); a real pipeline
+        # starts from files already on object storage
+        for r in docs.collect():
+            with open(os.path.join(out, f"doc_{r['doc_id']}.txt"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        # a decoy the glob must exclude
+        with open(os.path.join(out, "ignore.bin"), "wb") as f:
+            f.write(b"\x00\xff")
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.txt")
+            .load(out)
+        )
+        res = (
+            back.select(
+                F.element_at(F.split("path", "/"), -1).alias("file_name"),
+                F.col("length").alias("size_bytes"),
+                F.md5("content").alias("content_md5"),
+            )
+            .orderBy("file_name")
+        )
+        import pandas as pd  # noqa: F401
+
+        return spark.createDataFrame(
+            res.toPandas(), "file_name string, size_bytes bigint, content_md5 string"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -465,6 +465,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "bm25_incremental_upsert",
             {"doc_id": "bigint", "bm25_score": "double"},
         ),
+        (
+            "stream_index",
+            "stream_search_index_bm25",
+            {"doc_id": "bigint", "bm25_score": "double"},
+        ),
     ],
     "olap_ext_suite": [
         (
@@ -602,6 +607,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "snapshot_diff",
             "corpus_snapshot_diff",
             {"status": "string", "n": "bigint"},
+        ),
+        (
+            "binary_files",
+            "binary_file_source",
+            {"file_name": "string", "size_bytes": "bigint", "content_md5": "string"},
         ),
         (
             "drift",

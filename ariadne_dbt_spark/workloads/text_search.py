@@ -585,3 +585,89 @@ def faceted_search_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY lang, source
         """
     )
+
+
+# §2.11/S6 streaming: the FTS index maintained BY A REAL STREAM (one
+# upsert per micro-batch file) must serve BM25 identical to a batch
+# rebuild over everything ingested — arrival-order independent because
+# batch ids are disjoint and the stats deltas are exact integers.
+@query(
+    "stream_search_index_bm25",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) AS term
+        FROM corpus
+    ),
+    terms AS (
+        SELECT doc_id, term FROM toks
+        WHERE length(term) >= 2 AND term NOT IN ({_STOP_SQL})
+    ),
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    docstats AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+    stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+                     (SELECT AVG(dl) FROM docstats) AS avgdl),
+    qterms(term) AS (VALUES ('spark'), ('vector'), ('stream')),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+              WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id,
+               SUM( ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * p.tf * (1.2 + 1.0)
+                    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ) AS raw
+        FROM postings p
+        JOIN dfreq f ON p.term = f.term
+        JOIN docstats d ON p.doc_id = d.doc_id
+        CROSS JOIN stats s
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, ROUND(raw, 4) AS bm25_score
+    FROM scored ORDER BY raw DESC, doc_id LIMIT 20
+    """,
+    survey="S6,E5,streaming-index-upsert",
+    doc="Streaming FTS maintenance driven as a REAL stream (3 micro-"
+    "batch files, one versioned-index upsert each): BM25 served from "
+    "the streamed-built index equals a from-scratch SQL rebuild over "
+    "everything ingested — O(batch) per refresh vs the reference's "
+    "wholesale FTS rebuild.",
+)
+def stream_search_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ariadne_dbt_spark.operators.search_index import read_search_index
+    from ariadne_dbt_spark.streaming.search_stream import search_index_ingest_stream
+
+    docs = documents(spark, sf_dir).where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix="ariadne_search_stream_")
+    try:
+        src = os.path.join(work, "src")
+        idx = os.path.join(work, "idx")
+        docs.repartition(3).write.parquet(src)
+        search_index_ingest_stream(spark, src, idx)
+        postings, docstats, n_docs, avgdl = read_search_index(spark, idx)
+        scored = bm25(
+            postings, docstats, n_docs, "spark vector stream",
+            field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+        )
+        top = (
+            scored.select(
+                F.col("unique_id").cast("bigint").alias("doc_id"), "bm25_score"
+            )
+            .orderBy(F.desc("bm25_score"), "doc_id")
+            .limit(20)
+            .select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
+        )
+        # LocalRelation: the temp index is deleted below, the returned
+        # frame must not re-read it
+        return spark.createDataFrame(
+            top.toPandas(), "doc_id bigint, bm25_score double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
