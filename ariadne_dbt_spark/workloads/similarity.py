@@ -492,3 +492,61 @@ def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_COS16_SQL = """
+    list_sum(list_transform(range(1, 17),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+# Matryoshka-style dimension truncation audit: retrieval over a 16-dim
+# PREFIX of the 64-dim embeddings (MRL-trained models make prefixes
+# usable; truncation is the standard 4x storage/compute cut) with the
+# overlap vs the full-dim top-k measured per rank. At 100 TB the prefix
+# slice is a map-only projection that cuts candidate-scan bytes 4x
+# before any exact full-dim re-rank of the shortlist.
+@query(
+    "ann_matryoshka_audit",
+    oracle=f"""
+    WITH fullk AS (
+        SELECT b.vec_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+        ORDER BY {_COS_SQL} DESC, b.vec_id
+        LIMIT 10
+    ),
+    trunck AS (
+        SELECT b.vec_id, ROUND({_COS16_SQL}, 6) AS cos_trunc,
+               ROW_NUMBER() OVER (ORDER BY {_COS16_SQL} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+    )
+    SELECT rank, vec_id, cos_trunc,
+           vec_id IN (SELECT vec_id FROM fullk) AS in_full_topk
+    FROM trunck WHERE rank <= 10 ORDER BY rank
+    """,
+    survey="similarity-matryoshka",
+    doc="Matryoshka truncation audit: top-10 by 16-dim prefix cosine "
+    "with per-rank membership in the full 64-dim top-10 — the "
+    "storage/recall trade-off measurement for dimension-truncated "
+    "retrieval.",
+)
+def ann_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = embeddings(spark, sf_dir)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = brute_force_topk(emb16, q[:16], k=10, exclude_self=0)
+    full_ids = [
+        int(r["vec_id"])
+        for r in brute_force_topk(emb, q, k=10, exclude_self=0).collect()
+    ]
+    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    return trunc.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_trunc"),
+        F.col("vec_id").isin(full_ids).alias("in_full_topk"),
+    ).orderBy("rank")

@@ -704,6 +704,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"vec_id": "bigint", "adc_score": "double"},
         ),
         (
+            "matryoshka",
+            "ann_matryoshka_audit",
+            {
+                "rank": "bigint",
+                "vec_id": "bigint",
+                "cos_trunc": "double",
+                "in_full_topk": "boolean",
+            },
+        ),
+        (
             "semdedup",
             "semantic_dedup_flags",
             {"vec_id": "bigint", "cluster": "int", "keep": "boolean"},
@@ -806,6 +816,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "lm_score",
             "doc_lm_cross_entropy",
             {"doc_id": "bigint", "n_bigrams": "bigint", "xent": "double"},
+        ),
+        (
+            "ccnet_buckets",
+            "ccnet_perplexity_buckets",
+            {
+                "doc_id": "bigint",
+                "lang": "string",
+                "xent": "double",
+                "ppl_bucket": "string",
+            },
         ),
         (
             "dsir",

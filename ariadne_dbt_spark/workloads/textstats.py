@@ -1328,3 +1328,74 @@ def compressibility_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("klass")
     )
+
+
+# CCNet's actual FILTERING step on top of the perplexity scores: per-
+# language head/middle/tail terciles (Wenzek et al. 2020 keep head+middle
+# as high-quality). Terciles are exact interpolated percentiles of the
+# ROUNDED xent values (identical doubles on both engines), per lang.
+@query(
+    "ccnet_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+               UNNEST(generate_series(1, len(string_split_regex(trim(lower(text)), '\\s+')))) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, tok AS w1,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+    lm AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg2 GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab_v FROM toks),
+    x AS (
+        SELECT b.doc_id,
+               ROUND(AVG(-ln((l.c12 + 1.0) / (c.c1 + v.vocab_v))), 6) AS xent
+        FROM bg2 b
+        JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+        JOIN ctx c ON b.w1 = c.w1
+        CROSS JOIN v
+        GROUP BY b.doc_id
+    ),
+    xl AS (SELECT x.doc_id, d.lang, x.xent
+           FROM x JOIN documents d ON x.doc_id = d.doc_id),
+    qs AS (SELECT lang, quantile_cont(xent, 1.0/3) AS b1,
+                  quantile_cont(xent, 2.0/3) AS b2
+           FROM xl GROUP BY lang)
+    SELECT xl.doc_id, xl.lang, xl.xent,
+           CASE WHEN xl.xent <= qs.b1 THEN 'head'
+                WHEN xl.xent <= qs.b2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM xl JOIN qs ON xl.lang = qs.lang
+    ORDER BY xl.doc_id
+    """,
+    survey="lm-perplexity-scoring,sampling-curriculum",
+    doc="CCNet head/middle/tail perplexity buckets PER LANGUAGE "
+    "(Wenzek et al. 2020): bigram-LM cross-entropy terciles within each "
+    "lang — the quality partition CCNet keeps head+middle of. Exact "
+    "interpolated terciles over rounded xent; bucket boundaries and "
+    "every membership SQL-verified.",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.lm import lm_cross_entropy
+
+    docs = documents(spark, sf_dir)
+    x = lm_cross_entropy(docs, "doc_id", "text").select("doc_id", "xent")
+    xl = x.join(docs.select("doc_id", "lang"), "doc_id")
+    qs = xl.groupBy("lang").agg(
+        F.percentile("xent", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))).alias("bs")
+    )
+    bucket = (
+        F.when(F.col("xent") <= F.col("bs")[0], F.lit("head"))
+        .when(F.col("xent") <= F.col("bs")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        xl.join(F.broadcast(qs), "lang")
+        .select("doc_id", "lang", "xent", bucket.alias("ppl_bucket"))
+        .orderBy("doc_id")
+    )

@@ -205,9 +205,18 @@ def _ops() -> dict:
             docs, "doc_id", "text", n=3, threshold=0.9, max_df=20
         ).count()
 
+    def run_block_pack(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        # concat-and-chunk layout: one skinny per-shard offset window +
+        # one token shuffle into bounded (shard, block) groups —
+        # expected slope ~1 (token mass is linear in docs)
+        from ariadne_dbt_spark.operators.sampling import block_pack
+
+        return block_pack(docs, "doc_id", "text", block_size=512).count()
+
     return {
         "exact_dedup": run_exact,
         "ngram_jaccard": run_ngram,
+        "block_pack": run_block_pack,
         "minhash_lsh": run_minhash,
         "embedding_banded_lsh": run_banded_lsh,
         "embedding_banded_lsh_auto": run_banded_lsh_auto,
