@@ -121,8 +121,14 @@ def build_search_index(
 ) -> dict:
     """Initialize the versioned index at gen 0 from a corpus snapshot.
     Returns the committed meta."""
+    import shutil
+
     spark = docs.sparkSession
     os.makedirs(out_dir, exist_ok=True)
+    # a rebuild over an existing index must REPLACE it — the log writers
+    # below append, so stale gen-0 rows would otherwise double-count
+    for name in ("postings", "docstats", "docids", "tombstones", "_checkpoint"):
+        shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     postings, docstats, docids = _stage(docs, id_col, field_cols, 0, stem=stem)
     # docstats/docids are derived from postings — localCheckpoint the
     # postings' source once? Not needed: each is one write job; the
