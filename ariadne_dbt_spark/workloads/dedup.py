@@ -1061,3 +1061,103 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leaky")
     )
+
+
+def _rejection_oracle() -> str:
+    from ariadne_dbt_spark.functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    quality = _QUALITY_SQL.format(stops=stops)
+    bench_toks = _SHINGLE_SQL.format(
+        src="(SELECT doc_id, text FROM documents WHERE doc_id % 50 = 7)"
+    )
+    surv_toks = _SHINGLE_SQL.format(src="surv")
+    return f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    scored AS ({quality}),
+    passed AS (SELECT doc_id, text FROM scored WHERE quality >= 600000),
+    fps AS (SELECT doc_id, text,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM passed),
+    keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fps GROUP BY fp),
+    surv AS (SELECT f.doc_id, f.text FROM fps f
+             JOIN keep k ON f.fp = k.fp AND f.doc_id = k.keep_id),
+    btoks AS ({bench_toks}),
+    bsh AS (SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_transform(range(1, len(toks) - 3 + 2),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM btoks)),
+    stoks AS ({surv_toks}),
+    ssh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3 + 2),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM stoks)),
+    hits AS (SELECT s.doc_id, COUNT(*) AS nh
+             FROM ssh s JOIN bsh b ON s.shingle = b.shingle GROUP BY 1)
+    SELECT s.doc_id,
+           CASE WHEN s.quality < 600000 THEN 'quality'
+                WHEN s.doc_id <> k.keep_id THEN 'exact_dup'
+                WHEN COALESCE(h.nh, 0) >= 5 THEN 'contaminated'
+                ELSE 'kept' END AS verdict
+    FROM scored s
+    LEFT JOIN fps f ON s.doc_id = f.doc_id
+    LEFT JOIN keep k ON f.fp = k.fp
+    LEFT JOIN hits h ON s.doc_id = h.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+# governance/debuggability: WHY was each doc dropped? First-failing-
+# stage verdict per document through quality → exact-dedup →
+# decontamination — the audit trail a production corpus build ships
+# with its dataset card (every stage reuses its own verified mirror).
+@query(
+    "corpus_rejection_audit",
+    oracle=_rejection_oracle(),
+    survey="pipeline-composition,quality-scoring,dedup-exact,dedup-decontamination",
+    doc="Per-document rejection audit over the planted-duplicate corpus: "
+    "verdict in {quality, exact_dup, contaminated, kept} with first-"
+    "failing-stage priority (dedup judged among quality survivors, "
+    "decontamination among dedup survivors, >=5 shared 3-gram shingles "
+    "vs the every-50th-doc benchmark set).",
+)
+def corpus_rejection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import decontamination_flags
+    from ariadne_dbt_spark.operators.text import (
+        fingerprint_md5,
+        quality_score_millionths,
+    )
+
+    corpus = corpus_with_exact_dups(spark, sf_dir)
+    scored = corpus.select(
+        "doc_id", "text", quality_score_millionths("text").alias("_q")
+    )
+    passed = scored.where(F.col("_q") >= 600000)
+    fps = passed.select("doc_id", "text", fingerprint_md5("text").alias("fp"))
+    keep = fps.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    surv = (
+        fps.join(keep, "fp")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text")
+    )
+    bench = documents(spark, sf_dir).where(F.col("doc_id") % 50 == 7).select(
+        "doc_id", "text"
+    )
+    contam = (
+        decontamination_flags(surv, bench, "doc_id", "text", n=3, min_hits=5)
+        .where(F.col("contaminated"))
+        .select(F.col("id").alias("doc_id"), F.lit(True).alias("_c"))
+    )
+    verdict = (
+        F.when(F.col("_q") < 600000, F.lit("quality"))
+        .when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .when(F.coalesce(F.col("_c"), F.lit(False)), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        scored.join(fps.select("doc_id", "fp"), "doc_id", "left")
+        .join(keep, "fp", "left")
+        .join(contam, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+        .orderBy("doc_id")
+    )
