@@ -823,6 +823,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "n_bigrams": "bigint", "xent": "double"},
         ),
         (
+            "zipf",
+            "zipf_law_fit",
+            {"n_terms": "bigint", "zipf_slope": "double", "r_squared": "double"},
+        ),
+        (
             "ccnet_buckets",
             "ccnet_perplexity_buckets",
             {

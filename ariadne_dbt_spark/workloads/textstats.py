@@ -1399,3 +1399,81 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "xent", bucket.alias("ppl_bucket"))
         .orderBy("doc_id")
     )
+
+
+# corpus sanity statistic: Zipf-law fit over the term-frequency ranking
+# (natural corpora sit near slope -1; a synthetic or corrupted corpus
+# shows up as a bad fit). OLS on (ln rank, ln tf) — closed-form sums,
+# deterministic given the (tf desc, term) tie-break, SQL-exact.
+@query(
+    "zipf_law_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) AS term
+        FROM documents
+    ),
+    terms AS (
+        SELECT doc_id, term FROM toks
+        WHERE length(term) >= 2 AND term NOT IN ({_STOP_SQL})
+    ),
+    tf AS (SELECT term, COUNT(*) AS tf FROM terms GROUP BY term),
+    ranked AS (
+        SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS DOUBLE)) AS x,
+               ln(CAST(tf AS DOUBLE)) AS y
+        FROM tf
+    ),
+    s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+    FROM s
+    """,
+    survey="T1,A8,corpus-stats",
+    doc="Zipf-law fit over the term-frequency ranking: OLS slope + R^2 "
+    "on (ln rank, ln tf) via closed-form sums — the corpus-health "
+    "sanity statistic (natural text sits near slope -1).",
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ariadne_dbt_spark.functions.text import tokenize
+
+    docs = documents(spark, sf_dir)
+    terms = docs.select(F.explode(tokenize("text")).alias("term"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # vocab is bounded (term table, not doc table) — one window over it
+    # is fine at any corpus size; rank ties broken by term for
+    # engine-identical ordering
+    w = Window.orderBy(F.desc("tf"), "term")
+    ranked = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(num / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(
+            (num * num)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r_squared"),
+    )
