@@ -475,6 +475,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "stream_search_index_bm25",
             {"doc_id": "bigint", "bm25_score": "double"},
         ),
+        (
+            "rrf",
+            "rrf_hybrid_retrieval",
+            {"doc_id": "bigint", "rrf_score": "double"},
+        ),
     ],
     "olap_ext_suite": [
         (

@@ -671,3 +671,96 @@ def stream_search_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# RAG-stack serving composition: sparse (BM25) and dense (cosine)
+# retrieval fused by reciprocal-rank fusion (Cormack et al. 2009,
+# k=60) — the standard hybrid-retrieval recipe. Ranks are integers
+# with deterministic tie-breaks, so the fused score is two exact
+# reciprocals; both engines order by the identical raw double.
+@query(
+    "rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    docstats AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM docstats) AS avgdl),
+    qterms(term) AS (VALUES ('spark'), ('vector'), ('stream')),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+              WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+    bm AS (
+        SELECT p.doc_id,
+               SUM( ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * p.tf * (1.2 + 1.0)
+                    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ) AS raw
+        FROM postings p
+        JOIN dfreq f ON p.term = f.term
+        JOIN docstats d ON p.doc_id = d.doc_id
+        CROSS JOIN stats s
+        GROUP BY p.doc_id
+    ),
+    bm_r AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS r
+        FROM bm QUALIFY r <= 50
+    ),
+    cos AS (
+        SELECT b.vec_id AS doc_id,
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+        FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+    ),
+    cos_r AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r
+        FROM cos QUALIFY r <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+               COALESCE(1.0 / (60 + b.r), 0.0) + COALESCE(1.0 / (60 + c.r), 0.0) AS score
+        FROM bm_r b FULL OUTER JOIN cos_r c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS rrf_score
+    FROM fused ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    survey="T3,T6,O1,similarity-bruteforce",
+    doc="Hybrid retrieval: BM25 top-50 ('spark vector stream') fused "
+    "with dense cosine top-50 (query = vec 0) by reciprocal-rank "
+    "fusion k=60 — the sparse+dense RAG serving stack, rank-exact on "
+    "both legs.",
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ariadne_dbt_spark.operators.similarity import brute_force_topk
+
+    postings, docstats, n_docs, avgdl = read_bm25_index(spark, sf_dir)
+    bm = bm25(
+        postings, docstats, n_docs, "spark vector stream",
+        field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+    ).select(F.col("unique_id").cast("bigint").alias("doc_id"), "bm25_score")
+    wb = Window.orderBy(F.desc("bm25_score"), "doc_id")
+    bm_r = (
+        bm.select("doc_id", F.row_number().over(wb).alias("r_bm"))
+        .where(F.col("r_bm") <= 50)
+    )
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cos = brute_force_topk(emb, qvec, k=50, exclude_self=0).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    wc = Window.orderBy(F.desc("cos_sim"), "doc_id")
+    cos_r = cos.select("doc_id", F.row_number().over(wc).alias("r_cos"))
+    fused = bm_r.join(cos_r, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (F.lit(60) + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
+        ).alias("score"),
+    )
+    return (
+        fused.orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+        .select("doc_id", F.round("score", 6).alias("rrf_score"))
+    )

@@ -221,3 +221,18 @@ def test_curriculum_order_deterministic(spark):
     a = sorted(map(tuple, curriculum_order(df, "doc_id", "score").collect()))
     b = sorted(map(tuple, curriculum_order(df, "doc_id", "score").collect()))
     assert a == b
+
+
+def test_phrase_hits_repeated_term(spark):
+    """A phrase whose terms repeat ('stream stream') must anchor each
+    leg independently: 'stream stream stream' contains it twice."""
+    docs = spark.createDataFrame(
+        [(1, "stream stream stream"), (2, "stream x stream")],
+        "doc_id bigint, text string",
+    )
+    pos = positional_postings(docs, "doc_id", "text")
+    got = {
+        r["unique_id"]: r["n_hits"]
+        for r in phrase_hits(pos, ["stream", "stream"]).collect()
+    }
+    assert got == {1: 2}
