@@ -480,6 +480,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "rrf_hybrid_retrieval",
             {"doc_id": "bigint", "rrf_score": "double"},
         ),
+        (
+            "spellfix",
+            "query_term_correction",
+            {
+                "query_term": "string",
+                "corrected": "string",
+                "dist": "int",
+                "tf": "bigint",
+            },
+        ),
     ],
     "olap_ext_suite": [
         (

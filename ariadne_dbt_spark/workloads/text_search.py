@@ -764,3 +764,67 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("doc_id", F.round("score", 6).alias("rrf_score"))
     )
+
+
+# query-side spell correction: nearest vocabulary term by edit distance
+# (tie-break: higher corpus tf, then term) — did-you-mean for the search
+# surface, beyond FTS5's. The candidate join is QUERY x VOCAB: vocab is
+# term-bounded (not corpus-bounded), so the cross join is tiny and the
+# levenshtein runs JVM-codegen on it.
+@query(
+    "query_term_correction",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    tf AS (SELECT term, COUNT(*) AS tf FROM terms GROUP BY term),
+    q(query_term) AS (VALUES ('spak'), ('vectr'), ('strem'), ('tabel')),
+    cand AS (
+        SELECT q.query_term, t.term AS corrected, levenshtein(q.query_term, t.term) AS dist, t.tf
+        FROM q CROSS JOIN tf t
+        WHERE levenshtein(q.query_term, t.term) <= 2
+    ),
+    best AS (
+        SELECT query_term, corrected, dist, tf,
+               ROW_NUMBER() OVER (PARTITION BY query_term
+                                  ORDER BY dist, tf DESC, corrected) AS rn
+        FROM cand
+    )
+    SELECT query_term, corrected, CAST(dist AS INTEGER) AS dist, tf
+    FROM best WHERE rn = 1 ORDER BY query_term
+    """,
+    survey="T4,E3",
+    doc="Did-you-mean query correction: nearest corpus-vocabulary term "
+    "by levenshtein <= 2, ties to the higher-tf then lexicographic "
+    "term — query x vocab join (vocabulary-bounded, never corpus-"
+    "bounded).",
+)
+def query_term_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ariadne_dbt_spark.functions.text import tokenize
+
+    docs = documents(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    q = spark.createDataFrame(
+        [("spak",), ("vectr",), ("strem",), ("tabel",)], "query_term string"
+    )
+    cand = (
+        q.crossJoin(F.broadcast(tf))
+        .withColumn("dist", F.levenshtein("query_term", "term"))
+        .where(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("query_term").orderBy("dist", F.desc("tf"), "term")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_term",
+            F.col("term").alias("corrected"),
+            F.col("dist").cast("int").alias("dist"),
+            "tf",
+        )
+        .orderBy("query_term")
+    )
