@@ -346,3 +346,19 @@ def test_curriculum_no_single_partition_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "ntile" not in plan.lower()
+
+
+def test_rrf_fusion_take_ordered(spark, registry):
+    """Hybrid RRF retrieval: the final fused top-15 compiles to
+    TakeOrderedAndProject (no global sort of the fused set)."""
+    plan = _plan(spark, registry, "rrf_hybrid_retrieval")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_spellfix_vocab_broadcast(spark, registry):
+    """Did-you-mean: the vocabulary side of the query x vocab candidate
+    join is broadcast — a term-bounded build side, never a shuffle of
+    the corpus."""
+    plan = _plan(spark, registry, "query_term_correction")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
