@@ -52,6 +52,7 @@ HEADLINE = [
     "phrase_search_hits",
     "block_pack_chunks",
     "corpus_drift_psi",
+    "rrf_hybrid_retrieval",
     # bm25_incremental_upsert is gate-covered but excluded: its wall
     # clock is ~80% the from-scratch index build it starts from, which
     # bm25_index_build already measures — the upsert delta itself is
