@@ -311,3 +311,105 @@ def hybrid_rerank(
         + F.col("name_bonus") * w_name
     )
     return out.withColumn("score", score).orderBy(F.desc("score"), "unique_id")
+
+
+def bm25_batch(
+    postings: DataFrame,
+    docstats: DataFrame,
+    n_docs: int,
+    queries: dict[str, str],
+    *,
+    field_weights: dict[str, float] | None = None,
+    k1: float = K1,
+    b: float = B,
+    stem_query: bool = False,
+    avgdl_by_field: dict[str, float] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Score a BATCH of queries in ONE pass over the postings:
+    ``(query_id, unique_id, bm25_score[, rank])``.
+
+    The serving symmetry of batch ANN (`topk_per_query`): instead of one
+    term-filtered scan per query, the union of all queries' terms drives
+    a single pushed-down scan, a literal (query_id, term) frame fans
+    matches out per query, and scoring aggregates by (query_id, doc).
+    df per (field, term) is corpus-global, computed once for the batch.
+    With ``k`` set, a per-query window keeps the top-k (partitioned by
+    query_id — bounded, never a global sort).
+    """
+    spark = postings.sparkSession
+    weights = field_weights or DEFAULT_FIELD_WEIGHTS
+    qt_rows = []
+    for qid, text in queries.items():
+        for t in tokenize_query(text, stem=stem_query):
+            qt_rows.append((str(qid), t))
+    if not qt_rows:
+        return spark.createDataFrame(
+            [], "query_id string, unique_id string, bm25_score double"
+        )
+    qterms = spark.createDataFrame(
+        sorted(set(qt_rows)), "query_id string, term string"
+    )
+    all_terms = sorted({t for _, t in qt_rows})
+    matched = postings.where(F.col("term").isin(all_terms))
+    dfreq = matched.groupBy("field", "term").agg(
+        F.countDistinct("unique_id").alias("df")
+    )
+    if avgdl_by_field:
+        missing = set(weights) - set(avgdl_by_field)
+        if missing:
+            raise ValueError(
+                f"avgdl_by_field is missing scored fields {sorted(missing)}"
+            )
+        avgdl_expr = None
+        for fname, val in avgdl_by_field.items():
+            cond = F.col("field") == fname
+            avgdl_expr = (
+                F.when(cond, F.lit(float(val)))
+                if avgdl_expr is None
+                else avgdl_expr.when(cond, F.lit(float(val)))
+            )
+        avgdl_expr = avgdl_expr.otherwise(
+            F.raise_error(
+                F.concat(F.lit("bm25: no persisted avgdl for field "), F.col("field"))
+            ).cast("double")
+        )
+        base = matched.join(
+            docstats.select("unique_id", "field", "dl"), ["unique_id", "field"]
+        ).withColumn("avgdl", avgdl_expr)
+    else:
+        avgdl = docstats.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+        base = matched.join(
+            docstats.select("unique_id", "field", "dl"), ["unique_id", "field"]
+        ).join(F.broadcast(avgdl), "field")
+    weight_expr = F.lit(1.0)
+    for fname, wval in weights.items():
+        weight_expr = F.when(F.col("field") == fname, F.lit(float(wval))).otherwise(
+            weight_expr
+        )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        base.join(F.broadcast(dfreq), ["field", "term"])
+        .join(F.broadcast(qterms), "term")
+        .withColumn("term_score", idf * tf_norm * weight_expr)
+        .groupBy("query_id", "unique_id")
+        .agg(F.sum("term_score").alias("bm25_score"))
+    )
+    if k is None:
+        return scored.orderBy("query_id", F.desc("bm25_score"), "unique_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), "unique_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= int(k))
+        .orderBy("query_id", "rank")
+    )

@@ -481,6 +481,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "rrf_score": "double"},
         ),
         (
+            "batch_search",
+            "bm25_batch_search",
+            {
+                "query_id": "string",
+                "doc_id": "bigint",
+                "bm25_score": "double",
+                "rank": "bigint",
+            },
+        ),
+        (
             "spellfix",
             "query_term_correction",
             {

@@ -220,10 +220,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings, docstats, n_docs, "spark vector stream",
         field_weights={"text": 1.0}, avgdl_by_field=avgdl,
     )
+    # cast BEFORE the top-k: the oracle tie-breaks (raw DESC, doc_id
+    # BIGINT); a string unique_id orders '100' < '99' on exact ties
     return (
-        scored.orderBy(F.desc("bm25_score"), "unique_id")
+        scored.select(
+            F.col("unique_id").cast("bigint").alias("doc_id"), "bm25_score"
+        )
+        .orderBy(F.desc("bm25_score"), "doc_id")
         .limit(20)
-        .select(F.col("unique_id").alias("doc_id"), F.round("bm25_score", 4).alias("bm25_score"))
+        .select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
     )
 
 
@@ -327,10 +332,15 @@ def bm25_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         field_weights={"text": 1.0},
         stem_query=True,
     )
+    # cast BEFORE the top-k: the oracle tie-breaks (raw DESC, doc_id
+    # BIGINT); a string unique_id orders '100' < '99' on exact ties
     return (
-        scored.orderBy(F.desc("bm25_score"), "unique_id")
+        scored.select(
+            F.col("unique_id").cast("bigint").alias("doc_id"), "bm25_score"
+        )
+        .orderBy(F.desc("bm25_score"), "doc_id")
         .limit(20)
-        .select(F.col("unique_id").alias("doc_id"), F.round("bm25_score", 4).alias("bm25_score"))
+        .select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
     )
 
 
@@ -827,4 +837,81 @@ def query_term_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
         )
         .orderBy("query_term")
+    )
+
+
+# batch serving symmetry with batch ANN: the union of all queries'
+# terms drives ONE pushed-down postings scan; a literal (query_id,
+# term) frame fans matches per query; per-query top-k via a
+# query-partitioned window (bounded, never global).
+@query(
+    "bm25_batch_search",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    docstats AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM docstats) AS avgdl),
+    qterms(query_id, term) AS (VALUES
+        ('q1', 'spark'), ('q1', 'vector'), ('q1', 'stream'),
+        ('q2', 'customer'), ('q2', 'table'), ('q2', 'join'),
+        ('q3', 'window'), ('q3', 'sort'), ('q3', 'merge')),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+              WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1),
+    scored AS (
+        SELECT q.query_id, p.doc_id,
+               SUM( ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * p.tf * (1.2 + 1.0)
+                    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ) AS raw
+        FROM postings p
+        JOIN qterms q ON p.term = q.term
+        JOIN dfreq f ON p.term = f.term
+        JOIN docstats d ON p.doc_id = d.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id, ROUND(raw, 4) AS bm25_score, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY raw DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    survey="T3,O1,S6",
+    doc="Batch BM25: three queries served from ONE term-filtered "
+    "postings scan (union-of-terms pushdown, per-query fan-out, "
+    "query-partitioned top-10 windows) — the batch-serving symmetry "
+    "of topk_per_query on the ANN side.",
+)
+def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.search import bm25_batch
+
+    postings, docstats, n_docs, avgdl = read_bm25_index(spark, sf_dir)
+    out = bm25_batch(
+        postings, docstats, n_docs,
+        {
+            "q1": "spark vector stream",
+            "q2": "customer table join",
+            "q3": "window sort merge",
+        },
+        field_weights={"text": 1.0},
+        avgdl_by_field=avgdl,
+    )
+    # rank AFTER casting the id: the oracle tie-breaks (raw DESC, doc_id
+    # BIGINT); ranking on the string unique_id would order '100' < '99'
+    # and could flip tied rows
+    from pyspark.sql.window import Window
+
+    scored = out.select(
+        "query_id",
+        F.col("unique_id").cast("bigint").alias("doc_id"),
+        "bm25_score",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id", "doc_id", F.round("bm25_score", 4).alias("bm25_score"), "rank"
+        )
+        .orderBy("query_id", "rank")
     )
