@@ -466,3 +466,83 @@ def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> 
             ),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    *,
+    damping: float = 0.85,
+    iters: int = 10,
+    parent_col: str = "parent_id",
+    child_col: str = "child_id",
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the SEED set
+    instead of uniformly — relevance-to-a-focus propagation (the "what
+    matters around THIS model" ranking capsule assembly wants, vs
+    global importance). Standard formulation:
+    ``r' = (1-d)·p + d·(Σ_in r/outdeg + dangling·p)`` with ``p``
+    uniform over ``seeds`` and zero elsewhere.
+
+    Same execution shape as :func:`pagerank` (one shuffle per
+    iteration, scalar dangling aggregate, per-iteration
+    localCheckpoint); the personalization vector compiles to a literal
+    ``isin`` CASE — no extra joins. Engine-stable gating is rows-only
+    for the same summation-order reason; semantics are pinned vs a
+    NumPy power iteration in tests.
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    seeds = sorted(set(str(s) for s in seeds))
+    nodes = (
+        edges.select(F.col(parent_col).alias("unique_id"))
+        .union(edges.select(F.col(child_col).alias("unique_id")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    p_col = F.when(
+        F.col("unique_id").isin(seeds), F.lit(1.0 / len(seeds))
+    ).otherwise(F.lit(0.0))
+    outdeg = edges.groupBy(parent_col).agg(F.count(F.lit(1)).alias("outdeg"))
+    w_edges = (
+        edges.join(outdeg, parent_col)
+        .select(
+            F.col(parent_col).alias("src"),
+            F.col(child_col).alias("dst"),
+            (F.lit(1.0) / F.col("outdeg")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    has_out = w_edges.select(F.col("src").alias("unique_id")).distinct()
+    ranks = nodes.select("unique_id", p_col.alias("rank"))
+    prev = None
+    for _ in range(int(iters)):
+        dangling = (
+            ranks.join(has_out, "unique_id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            ranks.join(w_edges, ranks.unique_id == w_edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.unique_id == contrib.dst, "left")
+            .select(
+                "unique_id",
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping * dangling)) * p_col
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    out = ranks.orderBy(F.desc("rank"), "unique_id").localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    nodes.unpersist()
+    w_edges.unpersist()
+    return out

@@ -88,3 +88,62 @@ def test_no_cache_leak(spark, chain_and_star):
     # (ContextCleaner), NOT unpersist() (a no-op on a LogicalRDD plan)
     del out
     assert settle_persistent(spark, base) <= base
+
+
+def _numpy_ppr(edge_list, seeds, damping=0.85, iters=10):
+    nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _ in edge_list:
+        outdeg[ix[a]] += 1
+    p = np.zeros(n)
+    for s in seeds:
+        p[ix[s]] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(iters):
+        dangling = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        for a, b in edge_list:
+            contrib[ix[b]] += r[ix[a]] / outdeg[ix[a]]
+        r = (1 - damping + damping * dangling) * p + damping * contrib
+    return {v: r[ix[v]] for v in nodes}
+
+
+def test_personalized_matches_numpy(spark, chain_and_star):
+    from ariadne_dbt_spark.operators.graph import personalized_pagerank
+
+    edge_list, df = chain_and_star
+    got = {
+        r["unique_id"]: r["rank"]
+        for r in personalized_pagerank(df, ["a"], iters=10).collect()
+    }
+    exp = _numpy_ppr(edge_list, ["a"], iters=10)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12)
+
+
+def test_personalized_mass_conserved_and_localized(spark, chain_and_star):
+    from ariadne_dbt_spark.operators.graph import personalized_pagerank
+
+    edge_list, df = chain_and_star
+    rows = personalized_pagerank(df, ["a"], iters=12).collect()
+    got = {r["unique_id"]: r["rank"] for r in rows}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # teleport returns to 'a': it must outrank the symmetric non-seed 'b'
+    assert got["a"] > got["b"]
+    # two seeds split the teleport mass
+    two = {
+        r["unique_id"]: r["rank"]
+        for r in personalized_pagerank(df, ["a", "c"], iters=12).collect()
+    }
+    assert two["c"] > got["c"]
+
+
+def test_personalized_empty_seeds_raises(spark, chain_and_star):
+    from ariadne_dbt_spark.operators.graph import personalized_pagerank
+
+    _, df = chain_and_star
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, [])
