@@ -189,3 +189,118 @@ def test_temperature_mixing_properties(spark, counts, tau):
     for (s_small, n_small), (s_big, n_big) in zip(ordered, ordered[1:]):
         if n_small < n_big:
             assert out[s_small].weight <= out[s_big].weight + 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x9"]),
+            min_size=0,
+            max_size=9,
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.sampled_from([4, 8, 16]),
+)
+def test_block_pack_matches_python_reference(spark, token_lists, block_size):
+    """block_pack vs a literal Python concat-and-chunk over the same
+    deterministic shuffle order: identical blocks, token-for-token."""
+    import hashlib
+
+    from ariadne_dbt_spark.operators.sampling import block_pack
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["shard"], r["block_id"]): r["block_text"].split(" ")
+        for r in block_pack(df, "doc_id", "text", block_size=block_size).collect()
+    }
+
+    # python reference: md5-shuffled per-shard streams, <eos>-joined,
+    # chunked
+    def key(i):
+        return hashlib.md5(f"0:{i}".encode()).hexdigest()
+
+    streams: dict[str, list[str]] = {}
+    order = sorted(range(len(token_lists)), key=lambda i: (key(i)[0], key(i), i))
+    for i in order:
+        streams.setdefault(key(i)[0], []).extend(token_lists[i] + ["<eos>"])
+    want = {}
+    for shard, stream in streams.items():
+        for b in range(0, len(stream), block_size):
+            want[(shard, b // block_size)] = stream[b : b + block_size]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.integers(min_value=1, max_value=6),
+            st.lists(
+                st.sampled_from(["spark", "stream", "join", "scan", "merge"]),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_search_index_random_op_sequence_matches_rebuild(spark, tmp_path_factory, ops):
+    """Any upsert/delete sequence against the versioned index serves
+    BM25 identical to a from-scratch build over the equivalent final
+    corpus (stats deltas included)."""
+    from ariadne_dbt_spark.operators.search import bm25
+    from ariadne_dbt_spark.operators.search_index import (
+        build_search_index,
+        delete_from_search_index,
+        read_search_index,
+        upsert_search_index,
+    )
+
+    tmp = tmp_path_factory.mktemp("sidx")
+    base = {i: f"base doc{i} spark join" for i in range(1, 5)}
+    idx = str(tmp / "idx")
+    build_search_index(
+        spark.createDataFrame(list(base.items()), "doc_id bigint, text string"),
+        "doc_id", {"text": "text"}, idx,
+    )
+    state = dict(base)
+    for op, did, toks in ops:
+        if op == "upsert":
+            text = " ".join(toks)
+            upsert_search_index(
+                spark, idx,
+                spark.createDataFrame([(did, text)], "doc_id bigint, text string"),
+                "doc_id", {"text": "text"},
+            )
+            state[did] = text
+        else:
+            delete_from_search_index(spark, idx, [did])
+            state.pop(did, None)
+
+    ref = str(tmp / "ref")
+    build_search_index(
+        spark.createDataFrame(list(state.items()), "doc_id bigint, text string")
+        if state
+        else spark.createDataFrame([], "doc_id bigint, text string"),
+        "doc_id", {"text": "text"}, ref,
+    )
+
+    def ranked(d):
+        postings, docstats, n_docs, avgdl = read_search_index(spark, d)
+        return [
+            (r["unique_id"], round(r["bm25_score"], 9))
+            for r in bm25(
+                postings, docstats, n_docs, "spark join",
+                field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+            ).collect()
+        ], n_docs
+
+    got, n_got = ranked(idx)
+    want, n_want = ranked(ref)
+    assert got == want and n_got == n_want == len(state)
