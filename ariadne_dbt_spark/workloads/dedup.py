@@ -1161,3 +1161,102 @@ def corpus_rejection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", verdict.alias("verdict"))
         .orderBy("doc_id")
     )
+
+
+def _survivor_oracle() -> str:
+    from ariadne_dbt_spark.functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    quality = _QUALITY_SQL.format(stops=stops)
+    return f"""
+    WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+    toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                   t -> length(t) >= 1) AS toks
+        FROM corpus
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+              FROM toked)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairsq AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairsq
+              UNION SELECT id_b, id_a FROM pairsq),
+    reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    clus AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    scored AS ({quality}),
+    memb AS (SELECT c.cluster_id, c.doc_id, s.quality
+             FROM clus c JOIN scored s ON c.doc_id = s.doc_id),
+    surv AS (SELECT cluster_id, doc_id AS survivor_id, quality AS survivor_q,
+                    ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY quality DESC, doc_id) AS rn
+             FROM memb),
+    cnt AS (SELECT cluster_id, COUNT(*) AS n_members FROM memb GROUP BY 1)
+    SELECT s.cluster_id, s.survivor_id, s.survivor_q, c.n_members
+    FROM surv s JOIN cnt c ON s.cluster_id = c.cluster_id
+    WHERE s.rn = 1 ORDER BY s.cluster_id
+    """
+
+
+# the collapse step a REAL dedup pipeline runs after clustering: keep
+# the best-QUALITY member of each near-dup cluster (min-id is the
+# deterministic fallback, but quality survivorship is what corpus
+# builds actually want). Oracle re-derives pairs exactly, closes them
+# transitively with a recursive CTE, and argmaxes the quality mirror.
+@query(
+    "near_dup_quality_survivors",
+    oracle=_survivor_oracle(),
+    survey="dedup-clusters,quality-scoring,A12",
+    doc="Quality survivorship per near-dup cluster: exact Jaccard pairs "
+    "-> connected components -> keep the highest-quality member "
+    "(ties to lowest id); cluster ids, survivors, sizes all "
+    "SQL-verified via recursive transitive closure.",
+)
+def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ariadne_dbt_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from ariadne_dbt_spark.operators.text import quality_score_millionths
+
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8)
+    pdf = pairs.toPandas()
+    pairs.unpersist()
+    pairs_local = spark.createDataFrame(pdf, "id_a bigint, id_b bigint, jaccard double")
+    clusters = dedup_clusters(pairs_local)
+    q = corpus.select("doc_id", quality_score_millionths("text").alias("quality"))
+    memb = clusters.join(q, clusters.id == q.doc_id).select(
+        "cluster_id", "doc_id", "quality"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    surv = (
+        memb.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("quality").alias("survivor_q"),
+        )
+    )
+    cnt = memb.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return surv.join(cnt, "cluster_id").orderBy("cluster_id")

@@ -229,6 +229,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "verdict": "string"},
         ),
         (
+            "survivors",
+            "near_dup_quality_survivors",
+            {
+                "cluster_id": "bigint",
+                "survivor_id": "bigint",
+                "survivor_q": "bigint",
+                "n_members": "bigint",
+            },
+        ),
+        (
             "incremental",
             "incremental_dedup_flags",
             {
