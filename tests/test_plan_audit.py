@@ -362,3 +362,11 @@ def test_spellfix_vocab_broadcast(spark, registry):
     plan = _plan(spark, registry, "query_term_correction")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_faceted_counts_single_expand_pass(spark, registry):
+    """Faceted search: all four facet groupings compile to ONE Expand +
+    hash aggregation — no per-facet rescans of the hit set."""
+    plan = _plan(spark, registry, "faceted_search_counts")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
