@@ -134,3 +134,53 @@ def test_stemmed_search_morphological_parity(spark):
                       stem_query=True).collect()
     }
     assert hits_plural == hits_singular == {1, 2}
+
+
+def test_bm25_batch_matches_per_query(spark):
+    """bm25_batch (one scan for N queries) must score identically to N
+    independent bm25() calls — including the per-query top-k cut."""
+    from ariadne_dbt_spark.operators.search import bm25, bm25_batch, build_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream join table scan"),
+            (2, "table scan filter group merge"),
+            (3, "spark spark vector window sort"),
+            (4, "stream stream merge join window"),
+            (5, "vector spark stream filter"),
+        ],
+        "doc_id long, text string",
+    )
+    postings, stats = build_postings(docs, "doc_id", {"text": "text"})
+    queries = {"a": "spark stream", "b": "table merge", "c": "vector window sort"}
+    batch = bm25_batch(
+        postings, stats, 5, queries, field_weights={"text": 1.0}, k=3
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["unique_id"], round(r["bm25_score"], 9))
+        )
+    for qid, text in queries.items():
+        solo = [
+            (r["unique_id"], round(r["bm25_score"], 9))
+            for r in bm25(
+                postings, stats, 5, text, field_weights={"text": 1.0}
+            ).collect()[:3]
+        ]
+        assert got[qid] == solo, qid
+
+
+def test_bm25_batch_empty_and_unmatched_queries(spark):
+    from ariadne_dbt_spark.operators.search import bm25_batch, build_postings
+
+    docs = spark.createDataFrame(
+        [(1, "spark stream")], "doc_id long, text string"
+    )
+    postings, stats = build_postings(docs, "doc_id", {"text": "text"})
+    # stopword-only query contributes no terms; unmatched term -> no rows
+    out = bm25_batch(
+        postings, stats, 1, {"e": "the a of", "z": "zzzznotaterm"},
+        field_weights={"text": 1.0},
+    ).collect()
+    assert out == []
