@@ -724,6 +724,12 @@ def incremental_near_dup_flags(
             .where(F.col("bucket").isin(buckets) if buckets else F.lit(False))
             .select("id", "shingle", "sz")
         )
+        # merge-on-read deletes: forgotten docs stop matching immediately
+        # (takedown/GDPR — delete_from_shingle_index); broadcast is
+        # bounded by churn since the last compact_shingle_index
+        tomb = _read_shingle_tombstones(batch.sparkSession, index_dir)
+        if tomb is not None:
+            sh_e = sh_e.join(F.broadcast(tomb), "id", "left_anti")
     else:
         sh_e = shingle_sets(existing, id_col, text_col, n)
     inter = (
@@ -1009,3 +1015,96 @@ def containment_pairs(
         .where(F.col("containment") >= F.lit(float(threshold)))
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
+
+
+# -- shingle-index deletes (right-to-be-forgotten) ---------------------------
+# The persisted postings index gains the same merge-on-read delete the
+# versioned search index has (operators/search_index.py): tombstones
+# append in O(|ids|), readers anti-join them, compaction folds the log.
+# Takedown/GDPR erasure over a continuously-ingested dedup corpus needs
+# exactly this — rewriting a bucket-partitioned postings table per
+# deletion request is O(corpus).
+
+
+def _read_shingle_tombstones(spark, index_dir: str):
+    import os
+
+    path = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path).select("id").distinct()
+
+
+def delete_from_shingle_index(spark, index_dir: str, ids: list | DataFrame) -> int:
+    """Tombstone doc ids out of the shingle index: their postings stop
+    matching immediately (merge-on-read anti-join); no data rewrite.
+    A re-ingest of a tombstoned id stays dead until
+    :func:`compact_shingle_index` folds the log — document lifecycles
+    that genuinely resurrect ids should compact between delete and
+    re-ingest (takedown pipelines don't). Returns the tombstone count
+    appended."""
+    import os
+
+    if isinstance(ids, DataFrame):
+        id_df = ids.select(F.col(ids.columns[0]).cast("long").alias("id")).distinct()
+    else:
+        id_df = spark.createDataFrame([(int(i),) for i in ids], "id long").distinct()
+    n = id_df.count()
+    id_df.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    return n
+
+
+def compact_shingle_index(spark, index_dir: str) -> None:
+    """Fold deletes into the data: rewrite live postings (bucket
+    partitioning preserved), clear the tombstone log. Atomic directory
+    swap, same recipe as the search index's compaction."""
+    import os
+    import shutil
+
+    tomb = _read_shingle_tombstones(spark, index_dir)
+    post_dir = os.path.join(index_dir, "postings")
+    postings = spark.read.parquet(post_dir)
+    if tomb is not None:
+        postings = postings.join(F.broadcast(tomb), "id", "left_anti")
+    staged = os.path.join(index_dir, "_postings.compact")
+    shutil.rmtree(staged, ignore_errors=True)
+    postings.write.partitionBy("bucket").parquet(staged)
+    old = os.path.join(index_dir, "_postings.old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(post_dir, old)
+    os.replace(staged, post_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+
+
+def forget_docs(
+    spark,
+    ids: list,
+    *,
+    shingle_index_dir: str | None = None,
+    search_index_dir: str | None = None,
+) -> dict:
+    """Right-to-be-forgotten across the serving indexes: tombstone the
+    ids out of the persisted shingle-postings index and/or the versioned
+    search index in one call — each an O(|ids|) log append, no corpus
+    rewrite, effective for every subsequent query/ingest. Compaction
+    (per index) later folds the tombstones into the data files.
+
+    The corpus parquet itself is the caller's storage layer (rewrite it
+    with an anti-join on its own retention schedule); what must be
+    IMMEDIATE is that no query or dedup decision keeps using the
+    forgotten docs — which is what this guarantees."""
+    out: dict = {"n_ids": len(set(int(i) for i in ids))}
+    if shingle_index_dir is not None:
+        out["shingle_tombstoned"] = delete_from_shingle_index(
+            spark, shingle_index_dir, ids
+        )
+    if search_index_dir is not None:
+        from ariadne_dbt_spark.operators.search_index import (
+            delete_from_search_index,
+        )
+
+        meta = delete_from_search_index(spark, search_index_dir, ids)
+        out["search_index_gen"] = meta["gen"]
+        out["search_index_n_docs"] = meta["n_docs"]
+    return out

@@ -1,0 +1,87 @@
+"""Right-to-be-forgotten (operators/dedup.py delete_from_shingle_index /
+compact_shingle_index / forget_docs): tombstoned docs stop matching
+immediately, compaction folds the log, the search index forgets too."""
+
+from __future__ import annotations
+
+import os
+
+from ariadne_dbt_spark.operators.dedup import (
+    build_shingle_index,
+    compact_shingle_index,
+    delete_from_shingle_index,
+    forget_docs,
+    incremental_near_dup_flags,
+)
+from ariadne_dbt_spark.operators.search import bm25
+from ariadne_dbt_spark.operators.search_index import (
+    build_search_index,
+    read_search_index,
+)
+
+CORPUS = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "one two three four five six"),
+    (3, "red green blue cyan magenta yellow"),
+]
+
+
+def _flags(spark, idx, batch_rows):
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    return {
+        r["id"]: r["is_dup"]
+        for r in incremental_near_dup_flags(
+            None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=idx
+        ).collect()
+    }
+
+
+def test_shingle_delete_stops_matching_and_compaction_folds(spark, tmp_path):
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+
+    clone = [(100, CORPUS[0][1])]
+    assert _flags(spark, idx, clone) == {100: True}
+
+    delete_from_shingle_index(spark, idx, [1])
+    assert _flags(spark, idx, clone) == {100: False}
+    # other docs unaffected
+    assert _flags(spark, idx, [(101, CORPUS[1][1])]) == {101: True}
+
+    compact_shingle_index(spark, idx)
+    assert not os.path.exists(os.path.join(idx, "tombstones"))
+    assert _flags(spark, idx, clone) == {100: False}
+    assert _flags(spark, idx, [(101, CORPUS[1][1])]) == {101: True}
+    # physical: doc 1's postings are gone from the data files
+    ids = {
+        r["id"]
+        for r in spark.read.parquet(os.path.join(idx, "postings"))
+        .select("id").distinct().collect()
+    }
+    assert 1 not in ids and {2, 3} <= ids
+
+
+def test_forget_docs_spans_both_indexes(spark, tmp_path):
+    shidx = str(tmp_path / "shidx")
+    sidx = str(tmp_path / "sidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, shidx, "doc_id", "text", n=3)
+    build_search_index(docs, "doc_id", {"text": "text"}, sidx)
+
+    out = forget_docs(spark, [1], shingle_index_dir=shidx, search_index_dir=sidx)
+    assert out["n_ids"] == 1 and out["shingle_tombstoned"] == 1
+    assert out["search_index_n_docs"] == 2
+
+    # dedup no longer sees doc 1
+    assert _flags(spark, shidx, [(100, CORPUS[0][1])]) == {100: False}
+    # search no longer returns doc 1
+    postings, docstats, n_docs, avgdl = read_search_index(spark, sidx)
+    hits = {
+        r["unique_id"]
+        for r in bm25(
+            postings, docstats, n_docs, "alpha beta",
+            field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+        ).collect()
+    }
+    assert "1" not in hits
