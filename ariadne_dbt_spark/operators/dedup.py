@@ -1083,6 +1083,7 @@ def forget_docs(
     *,
     shingle_index_dir: str | None = None,
     search_index_dir: str | None = None,
+    ivf_index_dir: str | None = None,
 ) -> dict:
     """Right-to-be-forgotten across the serving indexes: tombstone the
     ids out of the persisted shingle-postings index and/or the versioned
@@ -1107,4 +1108,8 @@ def forget_docs(
         meta = delete_from_search_index(spark, search_index_dir, ids)
         out["search_index_gen"] = meta["gen"]
         out["search_index_n_docs"] = meta["n_docs"]
+    if ivf_index_dir is not None:
+        from ariadne_dbt_spark.operators.similarity import ivf_delete
+
+        out["ivf_tombstoned"] = ivf_delete(spark, ivf_index_dir, ids)
     return out

@@ -840,7 +840,51 @@ def ivf_query_index(
     probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
     vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
     cand = vectors.where(F.col("cell").isin([int(p) for p in probe]))
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_dir):
+        # merge-on-read deletes (ivf_delete): forgotten vectors stop
+        # serving immediately; broadcast bounded by churn until
+        # ivf_compact folds the log
+        tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+        cand = cand.join(F.broadcast(tomb), "vec_id", "left_anti")
     return brute_force_topk(cand, query_vec, k=k)
+
+
+def ivf_delete(spark, index_dir: str, ids: list) -> int:
+    """Right-to-be-forgotten for the IVF index: tombstone vector ids in
+    O(|ids|) (same merge-on-read recipe as the shingle/search indexes —
+    rewriting cell partitions per deletion request would be O(corpus)).
+    Stats in ``stats.json`` intentionally stay build-time values: they
+    drive the RETRAIN decision, not result correctness."""
+    import os
+
+    id_df = spark.createDataFrame([(int(i),) for i in ids], "vec_id long").distinct()
+    n = id_df.count()
+    id_df.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    return n
+
+
+def ivf_compact(spark, index_dir: str) -> None:
+    """Fold IVF tombstones into the cell-partitioned data (atomic
+    directory swap), clearing the log."""
+    import os
+    import shutil
+
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return
+    tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+    vec_dir = os.path.join(index_dir, "vectors")
+    live = spark.read.parquet(vec_dir).join(F.broadcast(tomb), "vec_id", "left_anti")
+    staged = os.path.join(index_dir, "_vectors.compact")
+    shutil.rmtree(staged, ignore_errors=True)
+    live.write.partitionBy("cell").parquet(staged)
+    old = os.path.join(index_dir, "_vectors.old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(vec_dir, old)
+    os.replace(staged, vec_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tomb_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

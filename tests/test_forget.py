@@ -85,3 +85,56 @@ def test_forget_docs_spans_both_indexes(spark, tmp_path):
         ).collect()
     }
     assert "1" not in hits
+
+
+def test_ivf_delete_and_compact(spark, tmp_path):
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_compact,
+        ivf_delete,
+        ivf_query_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(64)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_centroids=4, iters=2)
+    q = rows[5][1]
+    before = [r["vec_id"] for r in ivf_query_index(spark, idx, q, k=5, nprobe=4).collect()]
+    assert rows[5][0] in before  # the vector itself is its own neighbor
+
+    ivf_delete(spark, idx, [rows[5][0]])
+    after = [r["vec_id"] for r in ivf_query_index(spark, idx, q, k=5, nprobe=4).collect()]
+    assert rows[5][0] not in after
+
+    ivf_compact(spark, idx)
+    assert not os.path.exists(os.path.join(idx, "tombstones"))
+    folded = [r["vec_id"] for r in ivf_query_index(spark, idx, q, k=5, nprobe=4).collect()]
+    assert folded == after
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(idx, "vectors")).select("vec_id").collect()
+    }
+    assert rows[5][0] not in ids and len(ids) == 63
+
+
+def test_forget_docs_includes_ivf(spark, tmp_path):
+    from ariadne_dbt_spark.operators.similarity import ivf_build_index, ivf_query_index
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_centroids=2, iters=1)
+    out = forget_docs(spark, [3], ivf_index_dir=idx)
+    assert out["ivf_tombstoned"] == 1
+    got = [
+        r["vec_id"]
+        for r in ivf_query_index(
+            spark, idx, [3.0, 0.0, 1.0, 0.5], k=20, nprobe=2
+        ).collect()
+    ]
+    assert 3 not in got and len(got) == 19
