@@ -73,8 +73,13 @@ def test_no_cache_leak(spark, chain_and_star):
     _, df = chain_and_star
     jsc = spark.sparkContext._jsc.sc()
     # settle leftovers from earlier tests first so `base` is a floor,
-    # not a snapshot of entries already queued for ContextCleaner
-    settle_persistent(spark, 0, timeout=5.0)
+    # not a snapshot of entries already queued for ContextCleaner — give
+    # this the FULL poll budget: as the suite grows, more GC-released
+    # checkpoints from prior tests are still draining when this test
+    # starts, and a short-settled base undercounts the floor (observed:
+    # base=7 with 5s settle, then a false "leak" of entries that were
+    # never pagerank's)
+    settle_persistent(spark, 0, timeout=30.0)
     base = jsc.getPersistentRDDs().size()
     out = pagerank(df, iters=3)
     assert out.count() > 0
@@ -82,12 +87,12 @@ def test_no_cache_leak(spark, chain_and_star):
     # result checkpoint holds storage (bfs()/ngram contract).
     # localCheckpoint release rides Python+JVM GC -> ContextCleaner,
     # so the check is a GC-nudged bounded poll, not a snapshot.
-    after = settle_persistent(spark, base + 1)
+    after = settle_persistent(spark, base + 1, timeout=60.0)
     assert after <= base + 1, f"leaked {after - base} persistent RDDs"
     # the result is localCheckpoint'd: release = drop the reference
     # (ContextCleaner), NOT unpersist() (a no-op on a LogicalRDD plan)
     del out
-    assert settle_persistent(spark, base) <= base
+    assert settle_persistent(spark, base, timeout=60.0) <= base
 
 
 def _numpy_ppr(edge_list, seeds, damping=0.85, iters=10):
