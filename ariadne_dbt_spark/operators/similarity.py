@@ -1218,6 +1218,12 @@ def ivf_pq_query_index(
     codes = spark.read.parquet(os.path.join(index_dir, "codes")).where(
         F.col("cell").isin([int(p) for p in probe])
     )
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_dir):
+        # merge-on-read deletes (ivf_pq_delete) — same contract as the
+        # float IVF index's ivf_delete
+        tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     n_short = refine * k if embeddings is not None else k
     if not residual:
         shortlist = pq_topk(codes, codebooks, query_vec, k=n_short)
@@ -1499,3 +1505,38 @@ def dequantize_int8(
         "vec_approx",
         F.transform(F.col(codes_col), lambda c: c.cast("double") * F.col(scale_col)),
     )
+
+
+def ivf_pq_delete(spark, index_dir: str, ids: list) -> int:
+    """Right-to-be-forgotten for the IVF-PQ codes index — identical
+    tombstone contract to :func:`ivf_delete` (O(|ids|) append, read-path
+    anti-join, fold with :func:`ivf_pq_compact`)."""
+    import os
+
+    id_df = spark.createDataFrame([(int(i),) for i in ids], "vec_id long").distinct()
+    n = id_df.count()
+    id_df.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    return n
+
+
+def ivf_pq_compact(spark, index_dir: str) -> None:
+    """Fold IVF-PQ tombstones into the cell-partitioned code table
+    (atomic directory swap), clearing the log."""
+    import os
+    import shutil
+
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return
+    tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+    codes_dir = os.path.join(index_dir, "codes")
+    live = spark.read.parquet(codes_dir).join(F.broadcast(tomb), "vec_id", "left_anti")
+    staged = os.path.join(index_dir, "_codes.compact")
+    shutil.rmtree(staged, ignore_errors=True)
+    live.write.partitionBy("cell").parquet(staged)
+    old = os.path.join(index_dir, "_codes.old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(codes_dir, old)
+    os.replace(staged, codes_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tomb_dir, ignore_errors=True)

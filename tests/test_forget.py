@@ -138,3 +138,37 @@ def test_forget_docs_includes_ivf(spark, tmp_path):
         ).collect()
     ]
     assert 3 not in got and len(got) == 19
+
+
+def test_ivf_pq_delete_and_compact(spark, tmp_path):
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_pq_build_index,
+        ivf_pq_compact,
+        ivf_pq_delete,
+        ivf_pq_query_index,
+    )
+
+    rows = [
+        (i, [float((i * 5 + j * 7) % 13 - 6) for j in range(8)]) for i in range(48)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivfpq")
+    ivf_pq_build_index(emb, idx, n_centroids=4, m=4, k_sub=8, iters=2)
+    q = rows[7][1]
+    before = [
+        r["vec_id"] for r in ivf_pq_query_index(spark, idx, q, k=6, nprobe=4).collect()
+    ]
+    assert rows[7][0] in before
+
+    ivf_pq_delete(spark, idx, [rows[7][0]])
+    after = [
+        r["vec_id"] for r in ivf_pq_query_index(spark, idx, q, k=6, nprobe=4).collect()
+    ]
+    assert rows[7][0] not in after
+
+    ivf_pq_compact(spark, idx)
+    assert not os.path.exists(os.path.join(idx, "tombstones"))
+    folded = [
+        r["vec_id"] for r in ivf_pq_query_index(spark, idx, q, k=6, nprobe=4).collect()
+    ]
+    assert folded == after
