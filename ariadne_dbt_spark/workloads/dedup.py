@@ -1260,3 +1260,51 @@ def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = memb.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
     return surv.join(cnt, "cluster_id").orderBy("cluster_id")
+
+
+_FORGOTTEN_ORACLE = _INCREMENTAL_ORACLE.replace(
+    "WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),",
+    "WITH existing AS (SELECT doc_id, text FROM documents\n"
+    "                  WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0),",
+)
+
+
+# governance in the hard gate: after forgetting every 10th doc from the
+# persisted index, incremental dedup must behave EXACTLY as if those
+# docs had never been indexed — the clone batch (mutations of %20 docs,
+# all forgotten) flips to non-duplicate. Same flags contract as the
+# other two incremental rows, oracle over the post-erasure corpus.
+@query(
+    "incremental_dedup_forgotten",
+    oracle=_FORGOTTEN_ORACLE,
+    survey="dedup-incremental-index,E5",
+    doc="Right-to-be-forgotten through the serving path: every 10th doc "
+    "tombstoned out of the persisted shingle index "
+    "(delete_from_shingle_index); the batch's clones of forgotten docs "
+    "must come back non-duplicate, byte-identical to an index that "
+    "never held them.",
+)
+def incremental_dedup_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.operators.dedup import (
+        build_shingle_index,
+        delete_from_shingle_index,
+        incremental_near_dup_flags,
+    )
+
+    existing, batch = _incremental_split(spark, sf_dir)
+    # fresh pid-keyed dir: this workload MUTATES the index (tombstones),
+    # so it must not share the read-only siblings' cached build
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"ariadne_shingle_forget_{os.getpid()}"
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_shingle_index(existing, index_dir, "doc_id", "text", n=3)
+    forgotten = existing.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    delete_from_shingle_index(spark, index_dir, forgotten)
+    return incremental_near_dup_flags(
+        None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=index_dir
+    ).orderBy("id")

@@ -229,6 +229,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "verdict": "string"},
         ),
         (
+            "forgotten",
+            "incremental_dedup_forgotten",
+            {
+                "id": "bigint",
+                "n_dups": "bigint",
+                "max_jaccard": "double",
+                "is_dup": "boolean",
+            },
+        ),
+        (
             "survivors",
             "near_dup_quality_survivors",
             {
