@@ -370,3 +370,14 @@ def test_faceted_counts_single_expand_pass(spark, registry):
     plan = _plan(spark, registry, "faceted_search_counts")
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_forgotten_index_tombstone_broadcast(spark, registry):
+    """Erasure read path: the shingle-index tombstone anti-join must be
+    BROADCAST (bounded by churn), and the pruned bucket scan must still
+    carry its partition filters."""
+    plan = _plan(spark, registry, "incremental_dedup_forgotten")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "PartitionFilters: [bucket" in plan.replace("#", "").replace(
+        "cast(bucket", "bucket"
+    ) or "bucket" in plan.split("PartitionFilters:")[1][:120]
