@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ariadne_dbt_spark.functions.text import tokenize
+from ariadne_dbt_spark.operators import epoch_store
 from ariadne_dbt_spark.operators.text import fingerprint_md5
 
 # deterministic MinHash parameters (Carter-Wegman style h_i(x) = a_i*x+b_i mod p).
@@ -587,10 +588,16 @@ def build_shingle_index(
     import json
     import os
 
+    # rebuild-replaces semantics: drop EVERY prior epoch's postings,
+    # staging leftovers and — critically — any tombstones, so ids
+    # forgotten from the old index aren't silently suppressed (and later
+    # physically dropped by compaction) in the fresh one
+    os.makedirs(out_dir, exist_ok=True)
+    epoch_store.clear_index(out_dir, ["postings"])
     sh = shingle_sets(df, id_col, text_col, n)
     sh.withColumn("bucket", _shingle_bucket(n_buckets)).write.mode(
         "overwrite"
-    ).partitionBy("bucket").parquet(os.path.join(out_dir, "postings"))
+    ).partitionBy("bucket").parquet(epoch_store.data_dir(out_dir, "postings", 0))
     meta = {"n": n, "n_buckets": n_buckets}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -617,7 +624,7 @@ def append_to_shingle_index(
     sh = shingle_sets(df, id_col, text_col, meta["n"])
     sh.withColumn("bucket", _shingle_bucket(meta["n_buckets"])).write.mode(
         "append"
-    ).partitionBy("bucket").parquet(os.path.join(index_dir, "postings"))
+    ).partitionBy("bucket").parquet(epoch_store.data_dir(index_dir, "postings"))
 
 
 def ingest_batch_dedup_gated(
@@ -720,7 +727,9 @@ def incremental_near_dup_flags(
         ).distinct()
         buckets = [int(r["bucket"]) for r in probe.collect()]
         sh_e = (
-            batch.sparkSession.read.parquet(os.path.join(index_dir, "postings"))
+            batch.sparkSession.read.parquet(
+                epoch_store.data_dir(index_dir, "postings")
+            )
             .where(F.col("bucket").isin(buckets) if buckets else F.lit(False))
             .select("id", "shingle", "sz")
         )
@@ -1029,7 +1038,7 @@ def containment_pairs(
 def _read_shingle_tombstones(spark, index_dir: str):
     import os
 
-    path = os.path.join(index_dir, "tombstones")
+    path = epoch_store.data_dir(index_dir, "tombstones")
     if not os.path.exists(path):
         return None
     return spark.read.parquet(path).select("id").distinct()
@@ -1050,31 +1059,28 @@ def delete_from_shingle_index(spark, index_dir: str, ids: list | DataFrame) -> i
     else:
         id_df = spark.createDataFrame([(int(i),) for i in ids], "id long").distinct()
     n = id_df.count()
-    id_df.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    id_df.write.mode("append").parquet(epoch_store.data_dir(index_dir, "tombstones"))
     return n
 
 
 def compact_shingle_index(spark, index_dir: str) -> None:
     """Fold deletes into the data: rewrite live postings (bucket
-    partitioning preserved), clear the tombstone log. Atomic directory
-    swap, same recipe as the search index's compaction."""
-    import os
-    import shutil
-
+    partitioning preserved) into a NEW epoch's directory and commit by
+    atomically flipping the epoch pointer — a crash anywhere before the
+    flip leaves readers on the old postings + tombstones, never on a
+    half-swapped index (see ``epoch_store``). Stale epoch dirs are swept
+    best-effort after the commit."""
     tomb = _read_shingle_tombstones(spark, index_dir)
-    post_dir = os.path.join(index_dir, "postings")
-    postings = spark.read.parquet(post_dir)
+    epoch = epoch_store.read_epoch(index_dir)
+    postings = spark.read.parquet(epoch_store.data_dir(index_dir, "postings", epoch))
     if tomb is not None:
         postings = postings.join(F.broadcast(tomb), "id", "left_anti")
-    staged = os.path.join(index_dir, "_postings.compact")
-    shutil.rmtree(staged, ignore_errors=True)
-    postings.write.partitionBy("bucket").parquet(staged)
-    old = os.path.join(index_dir, "_postings.old")
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(post_dir, old)
-    os.replace(staged, post_dir)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    new_epoch = epoch + 1
+    postings.write.partitionBy("bucket").parquet(
+        epoch_store.data_dir(index_dir, "postings", new_epoch)
+    )
+    epoch_store.commit_epoch(index_dir, new_epoch)
+    epoch_store.sweep_stale_epochs(index_dir, ["postings"], new_epoch)
 
 
 def forget_docs(
@@ -1084,6 +1090,7 @@ def forget_docs(
     shingle_index_dir: str | None = None,
     search_index_dir: str | None = None,
     ivf_index_dir: str | None = None,
+    ivf_pq_index_dir: str | None = None,
 ) -> dict:
     """Right-to-be-forgotten across the serving indexes: tombstone the
     ids out of the persisted shingle-postings index and/or the versioned
@@ -1095,7 +1102,11 @@ def forget_docs(
     with an anti-join on its own retention schedule); what must be
     IMMEDIATE is that no query or dedup decision keeps using the
     forgotten docs — which is what this guarantees."""
-    out: dict = {"n_ids": len(set(int(i) for i in ids))}
+    # count distinct ids WITHOUT coercing to int: the search index keys
+    # docs by string unique_id, so non-numeric ids are legal whenever
+    # only search_index_dir is set (the long-keyed shingle/IVF indexes
+    # coerce inside their own delete_* and fail loudly there if needed)
+    out: dict = {"n_ids": len(set(str(i) for i in ids))}
     if shingle_index_dir is not None:
         out["shingle_tombstoned"] = delete_from_shingle_index(
             spark, shingle_index_dir, ids
@@ -1112,4 +1123,8 @@ def forget_docs(
         from ariadne_dbt_spark.operators.similarity import ivf_delete
 
         out["ivf_tombstoned"] = ivf_delete(spark, ivf_index_dir, ids)
+    if ivf_pq_index_dir is not None:
+        from ariadne_dbt_spark.operators.similarity import ivf_pq_delete
+
+        out["ivf_pq_tombstoned"] = ivf_pq_delete(spark, ivf_pq_index_dir, ids)
     return out

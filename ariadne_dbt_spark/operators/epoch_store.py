@@ -1,0 +1,143 @@
+"""Crash-safe commit machinery shared by the persisted serving indexes
+(search/FTS, shingle-postings, IVF, IVF-PQ).
+
+Two failure modes motivated this module (found in round-5 review):
+
+1. **Compaction was a multi-step directory-rename dance** — stage the
+   compacted data, ``os.replace`` the live dir aside, ``os.replace`` the
+   staged dir in, remove tombstones. A crash between any two steps left
+   the index unreadable (no data dir at all) or wrong (stale tombstones
+   killing freshly-compacted rows).
+
+2. **Retry after a crashed append could resurrect orphans** — a writer
+   that died after appending rows tagged ``gen = meta.gen + 1`` but
+   before the meta commit left those rows invisible; but a RETRY of the
+   same logical batch recomputed the same ``gen`` and appended a second
+   copy, and once that gen committed, both copies became live.
+
+The fix is the classic log-structured recipe, applied uniformly:
+
+* **Epoch pointer.** Each index's data directories are resolved through
+  a single small ``epoch.json`` (or the index's own meta.json) —
+  epoch 0 maps to the legacy directory names (``postings``,
+  ``vectors``, ``codes``, ``tombstones``), epoch ``k > 0`` to
+  ``<name>_ep<k>``. Compaction writes a COMPLETE new epoch's worth of
+  data into fresh ``*_ep<k+1>`` directories, then commits by atomically
+  rewriting the pointer file (``os.replace`` of a single JSON file —
+  the only atomic primitive local filesystems and object stores with
+  atomic-rename both give you). A crash at ANY point before the pointer
+  flip leaves every reader on the old, fully-consistent epoch; a crash
+  after it leaves them on the new one. Stale epoch directories are
+  garbage, swept best-effort after the commit (and re-swept by the next
+  compaction) — an orphaned directory is wasted bytes, never wrong
+  results.
+
+* **Attempt marker + committed-gen set** (gen-logged indexes only, i.e.
+  the search index). Writers reserve a gen by bumping a per-epoch
+  ``_attempt.json`` BEFORE appending, so no two attempts — including a
+  retry of a crashed one — ever share a gen; readers filter rows to the
+  meta's explicit ``gens`` list (committed gens), so an orphaned
+  attempt's rows stay dead forever instead of being resurrected when a
+  later gen commits.
+
+At 100 TB both mechanisms are O(metadata): the pointer flip is one tiny
+file, the committed-gen set is bounded by churn since the last
+compaction, and compaction itself is the same one-pass rewrite it
+always was — just committed atomically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+_EPOCH_FILE = "epoch.json"
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def read_epoch(index_dir: str) -> int:
+    """Current committed epoch of an index (0 if no pointer file —
+    which is every index built before compaction ever ran)."""
+    path = os.path.join(index_dir, _EPOCH_FILE)
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return int(json.load(f)["epoch"])
+
+
+def commit_epoch(index_dir: str, epoch: int) -> None:
+    """THE commit point for a compaction: one atomic file replace."""
+    _atomic_write_json(os.path.join(index_dir, _EPOCH_FILE), {"epoch": int(epoch)})
+
+
+def data_dir(index_dir: str, name: str, epoch: int | None = None) -> str:
+    """Resolve a logical directory name through the epoch pointer.
+    Epoch 0 keeps the legacy flat name so existing indexes read
+    unchanged; epoch k>0 is suffixed."""
+    if epoch is None:
+        epoch = read_epoch(index_dir)
+    suffix = "" if epoch == 0 else f"_ep{epoch}"
+    return os.path.join(index_dir, name + suffix)
+
+
+def clear_index(index_dir: str, names: list[str]) -> None:
+    """Rebuild-replaces semantics for ``build_*``: remove EVERY epoch
+    variant of the data dirs, all tombstones, staging leftovers, and the
+    pointer/attempt files — so a rebuild can never inherit tombstones
+    that would silently suppress re-indexed ids (round-5 advice #3)."""
+    if not os.path.isdir(index_dir):
+        return
+    wanted = set(names) | {"tombstones"}
+    for entry in os.listdir(index_dir):
+        base = entry.split("_ep")[0]
+        if (
+            base in wanted
+            or entry.startswith("_")  # staging/attempt leftovers
+            or entry == _EPOCH_FILE
+        ):
+            full = os.path.join(index_dir, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+
+
+def sweep_stale_epochs(index_dir: str, names: list[str], current: int) -> None:
+    """Best-effort GC of directories belonging to epochs other than
+    ``current`` (plus staging dirs). Safe to crash mid-sweep: everything
+    removed here is unreachable through the committed pointer."""
+    wanted = set(names) | {"tombstones"}
+    keep = {data_dir(index_dir, n, current) for n in wanted}
+    for entry in os.listdir(index_dir):
+        full = os.path.join(index_dir, entry)
+        if full in keep or not os.path.isdir(full):
+            continue
+        base = entry.split("_ep")[0]
+        if base in wanted or entry.startswith("_") and entry.endswith(".compact"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def next_attempt_gen(index_dir: str, epoch: int, committed_gen: int) -> int:
+    """Reserve a gen no prior attempt (committed OR crashed) in this
+    epoch has used: read the per-epoch attempt marker, take
+    max(marker, committed)+1, and persist the reservation atomically
+    BEFORE any data is appended (round-5 advice #1)."""
+    suffix = "" if epoch == 0 else f"_ep{epoch}"
+    path = os.path.join(index_dir, f"_attempt{suffix}.json")
+    last = int(committed_gen)
+    if os.path.exists(path):
+        with open(path) as f:
+            last = max(last, int(json.load(f)["gen"]))
+    gen = last + 1
+    _atomic_write_json(path, {"gen": gen})
+    return gen

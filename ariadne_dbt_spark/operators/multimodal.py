@@ -14,11 +14,14 @@ Decoding tiers (``extract_features``):
   unfilter, 8-bit gray/RGB/RGBA non-interlaced — the PNG spec's required
   baseline) and WAV PCM via the stdlib ``wave`` module. Features are
   real signal statistics (dimensions, per-channel means, RMS). Video
-  FRAME decode still raises NotImplementedError — no stdlib video
-  codec exists (disclosed stub) — but video METADATA is real: a pure-
-  stdlib ISO-BMFF box parser (``parse_mp4_metadata`` /
-  ``video_metadata``) reads duration / resolution / track layout from
-  the moov structure without a codec, so metadata-only routing,
+  FRAMES decode for the AVI(MPNG/MJPG) and bare-MJPEG tiers
+  (``operators/video.py`` — container parse + frame split + PNG pixel
+  decode all stdlib; JPEG pixels need PIL); only MP4 SAMPLE decode
+  still raises NotImplementedError (H.264/H.265 entropy data, no
+  stdlib codec). Video METADATA is real for both containers: the
+  ISO-BMFF box parser here (``parse_mp4_metadata`` /
+  ``video_metadata``) and the RIFF/AVI header parser
+  (``video.parse_avi_metadata``), so metadata-only routing,
   ``metadata_stats`` and ``sample_frames`` run on provable numbers
   (``with_probed_meta``).
 
@@ -441,13 +444,49 @@ def _audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return (feats + [0.0] * dim)[:dim]
 
 
+def _video_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real video features (AVI-MPNG/MJPG + bare MJPEG tiers —
+    operators/video.py): [width, height, n_frames, mean luma of up to 4
+    sampled frames (0-1), 0-pad]. MP4 still raises NotImplementedError
+    (no stdlib sample codec; metadata-only for that tier)."""
+    from ariadne_dbt_spark.operators.video import (
+        decode_frame_pixels,
+        extract_video_frames,
+        sample_frame_indices,
+    )
+
+    frames = extract_video_frames(payload)
+    if not frames:
+        raise ValueError("video payload has no frames")
+    feats = None
+    lumas = []
+    for fi in sample_frame_indices(len(frames), 4):
+        w, h, c, px = decode_frame_pixels(frames[fi])
+        if feats is None:
+            feats = [float(w), float(h), float(len(frames))]
+        if c >= 3:
+            luma = [
+                (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
+                for i in range(0, len(px), c)
+            ]
+        else:
+            luma = px[::c]
+        lumas.append(sum(luma) / (255.0 * max(len(luma), 1)))
+    if feats is None:
+        raise ValueError("no decodable frames")
+    return (feats + lumas + [0.0] * dim)[:dim]
+
+
 def real_features(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> list[float]:
     """Dispatch a REAL decode by asset kind (see module docstring for
-    codec tiers). Video has no stdlib codec → NotImplementedError."""
+    codec tiers). Video decodes for the AVI(MPNG/MJPG)/bare-MJPEG tiers
+    (operators/video.py); MP4 samples remain NotImplementedError."""
     if kind == "image":
         return _image_features(payload, dim)
     if kind == "audio":
         return _audio_features(payload, dim)
+    if kind == "video":
+        return _video_features(payload, dim)
     raise NotImplementedError(
         f"real decode for kind={kind!r} requires ffmpeg/torchaudio — not in this image"
     )
@@ -541,6 +580,21 @@ def dhash_image(payload: bytes, *, hash_size: int = 8) -> int:
     hash replays bit-for-bit anywhere.
     """
     width, height, channels, px = decode_png(payload)
+    return dhash_pixels(width, height, channels, px, hash_size=hash_size)
+
+
+def dhash_pixels(
+    width: int,
+    height: int,
+    channels: int,
+    px: list[int] | bytes,
+    *,
+    hash_size: int = 8,
+) -> int:
+    """dHash core over already-decoded pixels (shared by the PNG image
+    path and the video frame path — operators/video.py): integer luma →
+    box-average downscale → gradient sign bits. Same bit-exact contract
+    as :func:`dhash_image`."""
     gw, gh = hash_size + 1, hash_size
     if width < gw or height < gh:
         raise ValueError(f"image {width}x{height} too small for {gw}x{gh} grid")
@@ -759,6 +813,12 @@ def parse_jpeg_metadata(payload: bytes) -> dict:
         if seglen < 2 or pos + 2 + seglen > n:
             break
         if marker in _JPEG_SOF:
+            # a corrupt SOF can declare seglen < 8 or sit at the very
+            # end of a truncated payload — either way the 6 fixed bytes
+            # below wouldn't exist; struct.error must not escape (the
+            # per-row quarantine catches ValueError)
+            if seglen < 8 or pos + 10 > n:
+                raise ValueError("truncated JPEG SOF segment")
             precision, height, width, comps = struct.unpack(
                 ">BHHB", payload[pos + 4 : pos + 10]
             )
@@ -797,7 +857,12 @@ def probe_image_metadata(payload: bytes) -> dict:
     PNG channels come from the IHDR color type; JPEG from SOF component
     count; GIF is palette-indexed (reported as 3, the rendered RGB)."""
     if payload[:8] == _PNG_MAGIC:
-        # IHDR is always the first chunk: width/height at fixed offsets
+        # IHDR is always the first chunk: width/height at fixed offsets.
+        # A payload that starts with the PNG magic but is truncated
+        # before offset 26 must raise ValueError (the quarantine
+        # contract), not struct.error/IndexError
+        if len(payload) < 26:
+            raise ValueError("truncated PNG header")
         width, height = struct.unpack(">II", payload[16:24])
         color = payload[25]
         if color not in _PNG_CHANNELS:
@@ -851,7 +916,10 @@ def image_metadata(df: DataFrame) -> DataFrame:
                 try:
                     m = probe_image_metadata(bytes(payload or b""))
                     rows.append((aid, m["format"], m["width"], m["height"], m["n_channels"]))
-                except ValueError:
+                except (ValueError, struct.error, IndexError):
+                    # quarantine, never crash the task: any malformed
+                    # header — including shapes the parsers miss —
+                    # yields the NULL row
                     rows.append((aid, None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "format", "width", "height", "n_channels"]

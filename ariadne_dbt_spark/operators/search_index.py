@@ -17,10 +17,14 @@ Hudi/Iceberg MOR recipe re-expressed as plain parquet + DataFrame ops):
 * an upsert of doc X at gen g appends X's new postings at g AND a
   tombstone ``(X, g)`` — a postings row ``(X, p)`` is live iff no
   tombstone ``(X, t)`` with ``t > p`` exists;
-* ``meta.json`` is the COMMIT POINT: readers ignore every row with
-  ``gen > meta.gen``, so a crash between the data append and the meta
-  write leaves the previous index version fully intact (readers never
-  see a half-applied batch);
+* ``meta.json`` is the COMMIT POINT: readers keep only rows whose
+  ``gen`` is in meta's explicit committed-gen set, so a crash between
+  the data append and the meta write leaves the previous index version
+  fully intact (readers never see a half-applied batch), and a crashed
+  attempt's orphaned rows stay dead FOREVER — a retry reserves a fresh
+  gen through a per-epoch attempt marker (``epoch_store.
+  next_attempt_gen``) instead of re-using the orphan's, so later
+  commits can never resurrect them;
 * corpus statistics (n_docs, per-field Σdl / doc counts) are maintained
   as EXACT INTEGER deltas in meta — avgdl after any upsert/delete
   sequence is bit-identical to a from-scratch rebuild (pinned by
@@ -30,6 +34,9 @@ Hudi/Iceberg MOR recipe re-expressed as plain parquet + DataFrame ops):
   (live rows only, tombstones cleared) — run it when the tombstone set
   grows past broadcast size; between compactions the read path's only
   overhead is one broadcast join against ``max(gen) per tombstoned id``.
+  The fold is committed atomically: a complete new EPOCH of directories
+  is staged and a single meta.json replace flips readers onto it
+  (``epoch_store`` docstring has the full crash-safety argument).
 
 At 100 TB: postings are term-hash-clustered on write (partition-by-term
 at cluster scale) so query scans prune; upsert cost is one pass over the
@@ -45,12 +52,26 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ariadne_dbt_spark.operators import epoch_store
 from ariadne_dbt_spark.operators.search import build_postings
 
 _POSTINGS_SCHEMA = "unique_id string, field string, term string, tf bigint, gen bigint"
 _DOCSTATS_SCHEMA = "unique_id string, field string, dl bigint, gen bigint"
 _DOCIDS_SCHEMA = "unique_id string, gen bigint"
 _TOMB_SCHEMA = "unique_id string, gen bigint"
+_LOG_NAMES = ["postings", "docstats", "docids", "tombstones"]
+
+
+def _epoch(meta: dict) -> int:
+    return int(meta.get("epoch", 0))
+
+
+def _gens(meta: dict) -> list[int]:
+    # pre-round-6 metas carried only the high-water gen; every gen up to
+    # it was committed by construction (no attempt markers existed)
+    if "gens" in meta:
+        return [int(g) for g in meta["gens"]]
+    return list(range(int(meta["gen"]) + 1))
 
 
 def _meta_path(index_dir: str) -> str:
@@ -93,12 +114,14 @@ def _stage(
     )
 
 
-def _append(df: DataFrame, index_dir: str, name: str, *, by_term: bool = False) -> None:
+def _append(
+    df: DataFrame, index_dir: str, name: str, *, epoch: int = 0, by_term: bool = False
+) -> None:
     if by_term:
         # cluster by term so query-term scans touch few files (the local
         # stand-in for partitionBy/bucketBy term ranges at cluster scale)
         df = df.repartition(8, F.col("term"))
-    df.write.mode("append").parquet(os.path.join(index_dir, name))
+    df.write.mode("append").parquet(epoch_store.data_dir(index_dir, name, epoch))
 
 
 def _agg_stats(docstats: DataFrame) -> dict[str, list[int]]:
@@ -121,14 +144,13 @@ def build_search_index(
 ) -> dict:
     """Initialize the versioned index at gen 0 from a corpus snapshot.
     Returns the committed meta."""
-    import shutil
-
     spark = docs.sparkSession
     os.makedirs(out_dir, exist_ok=True)
-    # a rebuild over an existing index must REPLACE it — the log writers
-    # below append, so stale gen-0 rows would otherwise double-count
-    for name in ("postings", "docstats", "docids", "tombstones", "_checkpoint"):
-        shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    # a rebuild over an existing index must REPLACE it — every epoch's
+    # data dirs, tombstones, attempt markers and the epoch pointer go,
+    # so stale rows can't double-count and (crucially) no pre-existing
+    # tombstone can keep suppressing an id the rebuild re-indexes
+    epoch_store.clear_index(out_dir, _LOG_NAMES)
     postings, docstats, docids = _stage(docs, id_col, field_cols, 0, stem=stem)
     # docstats/docids are derived from postings — localCheckpoint the
     # postings' source once? Not needed: each is one write job; the
@@ -148,6 +170,8 @@ def build_search_index(
     field_stats = _agg_stats(spark.read.parquet(os.path.join(out_dir, "docstats")))
     meta = {
         "gen": 0,
+        "gens": [0],
+        "epoch": 0,
         "n_docs": docs.select(id_col).distinct().count(),
         "fields": sorted(field_cols),
         "stem": bool(stem),
@@ -157,15 +181,20 @@ def build_search_index(
     return meta
 
 
-def _committed(spark: SparkSession, index_dir: str, name: str, gen: int) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, name)).where(
-        F.col("gen") <= F.lit(int(gen))
-    )
+def _committed(
+    spark: SparkSession, index_dir: str, name: str, meta: dict
+) -> DataFrame:
+    """Rows of one log visible at the CURRENT commit: gen must be in the
+    meta's committed set — not merely ``<= meta.gen``, which would
+    resurrect a crashed attempt's orphans once a later gen commits."""
+    return spark.read.parquet(
+        epoch_store.data_dir(index_dir, name, _epoch(meta))
+    ).where(F.col("gen").isin(_gens(meta)))
 
 
-def _tomb_max(spark: SparkSession, index_dir: str, gen: int) -> DataFrame:
+def _tomb_max(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
     return (
-        _committed(spark, index_dir, "tombstones", gen)
+        _committed(spark, index_dir, "tombstones", meta)
         .groupBy("unique_id")
         .agg(F.max("gen").alias("_tmax"))
     )
@@ -193,7 +222,11 @@ def upsert_search_index(
     pruned join against the live docids/docstats of the INCOMING ids only
     (for the exact stats delta) — the stored corpus is never re-read."""
     meta = _read_meta(index_dir)
-    gen = int(meta["gen"]) + 1
+    epoch = _epoch(meta)
+    # reserve a gen no prior attempt used (crash-retry safe): persisted
+    # atomically BEFORE any append, so orphans from a crashed attempt
+    # keep their own gen — which never enters meta["gens"]
+    gen = epoch_store.next_attempt_gen(index_dir, epoch, int(meta["gen"]))
     postings, _, docids = _stage(
         docs, id_col, field_cols, gen, stem=bool(meta.get("stem", False))
     )
@@ -208,23 +241,26 @@ def upsert_search_index(
     batch_ids = docids.select("unique_id")
 
     # exact stats delta: remove the replaced docs' live contribution
-    tomb = _tomb_max(spark, index_dir, meta["gen"])
+    tomb = _tomb_max(spark, index_dir, meta)
     old_stats_live = _live(
-        _committed(spark, index_dir, "docstats", meta["gen"]), tomb
+        _committed(spark, index_dir, "docstats", meta), tomb
     ).join(F.broadcast(batch_ids), "unique_id")
     removed = _agg_stats(old_stats_live)
     old_ids_live = _live(
-        _committed(spark, index_dir, "docids", meta["gen"]), tomb
+        _committed(spark, index_dir, "docids", meta), tomb
     ).join(F.broadcast(batch_ids), "unique_id")
     n_replaced = old_ids_live.select("unique_id").distinct().count()
 
     added = _agg_stats(docstats)
 
-    _append(postings, index_dir, "postings", by_term=True)
-    _append(docstats, index_dir, "docstats")
-    _append(docids, index_dir, "docids")
+    _append(postings, index_dir, "postings", epoch=epoch, by_term=True)
+    _append(docstats, index_dir, "docstats", epoch=epoch)
+    _append(docids, index_dir, "docids", epoch=epoch)
     _append(
-        batch_ids.withColumn("gen", F.lit(gen).cast("bigint")), index_dir, "tombstones"
+        batch_ids.withColumn("gen", F.lit(gen).cast("bigint")),
+        index_dir,
+        "tombstones",
+        epoch=epoch,
     )
 
     field_stats = {k: list(v) for k, v in meta["field_stats"].items()}
@@ -236,6 +272,8 @@ def upsert_search_index(
     n_batch = batch_ids.distinct().count()
     meta.update(
         gen=gen,
+        gens=sorted(set(_gens(meta)) | {gen}),
+        epoch=epoch,
         n_docs=int(meta["n_docs"]) - n_replaced + n_batch,
         field_stats=field_stats,
     )
@@ -249,7 +287,8 @@ def delete_from_search_index(
     """Tombstone a set of doc ids. O(|ids|): one pruned join for the
     stats delta, one tombstone append, no data rewrite."""
     meta = _read_meta(index_dir)
-    gen = int(meta["gen"]) + 1
+    epoch = _epoch(meta)
+    gen = epoch_store.next_attempt_gen(index_dir, epoch, int(meta["gen"]))
     if isinstance(ids, DataFrame):
         id_df = ids.select(F.col(ids.columns[0]).cast("string").alias("unique_id"))
     else:
@@ -258,24 +297,35 @@ def delete_from_search_index(
         )
     id_df = id_df.distinct()
 
-    tomb = _tomb_max(spark, index_dir, meta["gen"])
+    tomb = _tomb_max(spark, index_dir, meta)
     live_stats = _live(
-        _committed(spark, index_dir, "docstats", meta["gen"]), tomb
+        _committed(spark, index_dir, "docstats", meta), tomb
     ).join(F.broadcast(id_df), "unique_id")
     removed = _agg_stats(live_stats)
     n_removed = (
-        _live(_committed(spark, index_dir, "docids", meta["gen"]), tomb)
+        _live(_committed(spark, index_dir, "docids", meta), tomb)
         .join(F.broadcast(id_df), "unique_id")
         .select("unique_id")
         .distinct()
         .count()
     )
 
-    _append(id_df.withColumn("gen", F.lit(gen).cast("bigint")), index_dir, "tombstones")
+    _append(
+        id_df.withColumn("gen", F.lit(gen).cast("bigint")),
+        index_dir,
+        "tombstones",
+        epoch=epoch,
+    )
     field_stats = {k: list(v) for k, v in meta["field_stats"].items()}
     for fld, (s, n) in removed.items():
         field_stats[fld] = [field_stats[fld][0] - s, field_stats[fld][1] - n]
-    meta.update(gen=gen, n_docs=int(meta["n_docs"]) - n_removed, field_stats=field_stats)
+    meta.update(
+        gen=gen,
+        gens=sorted(set(_gens(meta)) | {gen}),
+        epoch=epoch,
+        n_docs=int(meta["n_docs"]) - n_removed,
+        field_stats=field_stats,
+    )
     _write_meta(index_dir, meta)
     return meta
 
@@ -287,10 +337,9 @@ def read_search_index(
     4-tuple ``operators.search.bm25`` consumes, with stats coming from
     meta's integer counters (no stats jobs on the query path)."""
     meta = _read_meta(index_dir)
-    gen = int(meta["gen"])
-    tomb = _tomb_max(spark, index_dir, gen)
-    postings = _live(_committed(spark, index_dir, "postings", gen), tomb).drop("gen")
-    docstats = _live(_committed(spark, index_dir, "docstats", gen), tomb).drop("gen")
+    tomb = _tomb_max(spark, index_dir, meta)
+    postings = _live(_committed(spark, index_dir, "postings", meta), tomb).drop("gen")
+    docstats = _live(_committed(spark, index_dir, "docstats", meta), tomb).drop("gen")
     avgdl = {
         fld: float(s) / float(n)
         for fld, (s, n) in meta["field_stats"].items()
@@ -300,42 +349,40 @@ def read_search_index(
 
 
 def compact_search_index(spark: SparkSession, index_dir: str) -> dict:
-    """Fold the log: rewrite live rows as gen 0, clear tombstones. Bounds
-    the read path's tombstone broadcast and the dead-row scan overhead;
-    run on a churn threshold (e.g. tombstoned ids > 1% of corpus).
-    Swap is atomic at the directory level (write aside, rename over)."""
-    import shutil
+    """Fold the log: rewrite live rows as gen 0 of a NEW epoch, clearing
+    tombstones with it. Bounds the read path's tombstone broadcast and
+    the dead-row scan overhead; run on a churn threshold (e.g.
+    tombstoned ids > 1% of corpus).
 
-    postings, docstats, n_docs, _ = read_search_index(spark, index_dir)
+    Crash-safe by construction: the complete compacted index (postings,
+    docstats, docids, an empty tombstone log) is staged into fresh
+    ``*_ep<k+1>`` directories, and the ONLY commit step is the atomic
+    meta.json replace that flips ``epoch``/``gen``/``gens`` together. A
+    crash anywhere before that leaves readers on the old epoch with the
+    tombstones still applied; the stale directories are swept
+    best-effort afterwards (and by the next compaction)."""
     meta = _read_meta(index_dir)
-    gen = int(meta["gen"])
-    tomb = _tomb_max(spark, index_dir, gen)
-    docids = _live(_committed(spark, index_dir, "docids", gen), tomb).drop("gen")
+    postings, docstats, _, _ = read_search_index(spark, index_dir)
+    tomb = _tomb_max(spark, index_dir, meta)
+    docids = _live(_committed(spark, index_dir, "docids", meta), tomb).drop("gen")
 
-    staged = {}
+    new_epoch = _epoch(meta) + 1
     for name, df, by_term in (
         ("postings", postings, True),
         ("docstats", docstats, False),
         ("docids", docids, False),
     ):
-        out = os.path.join(index_dir, f"_{name}.compact")
-        shutil.rmtree(out, ignore_errors=True)
         d = df.withColumn("gen", F.lit(0).cast("bigint"))
         if by_term:
             d = d.repartition(8, F.col("term"))
-        d.write.mode("overwrite").parquet(out)
-        staged[name] = out
-    for name, out in staged.items():
-        final = os.path.join(index_dir, name)
-        old = os.path.join(index_dir, f"_{name}.old")
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(final, old)
-        os.replace(out, final)
-        shutil.rmtree(old, ignore_errors=True)
-    tomb_dir = os.path.join(index_dir, "tombstones")
-    shutil.rmtree(tomb_dir, ignore_errors=True)
-    empty = spark.createDataFrame([], _TOMB_SCHEMA)
-    empty.write.mode("overwrite").parquet(tomb_dir)
-    meta.update(gen=0)
+        d.write.mode("overwrite").parquet(
+            epoch_store.data_dir(index_dir, name, new_epoch)
+        )
+    spark.createDataFrame([], _TOMB_SCHEMA).write.mode("overwrite").parquet(
+        epoch_store.data_dir(index_dir, "tombstones", new_epoch)
+    )
+    # THE commit: everything above is invisible until this one replace
+    meta.update(gen=0, gens=[0], epoch=new_epoch)
     _write_meta(index_dir, meta)
+    epoch_store.sweep_stale_epochs(index_dir, _LOG_NAMES, new_epoch)
     return meta

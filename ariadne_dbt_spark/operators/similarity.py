@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ariadne_dbt_spark.operators import epoch_store
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -697,6 +699,11 @@ def ivf_build_index(
     import json
     import os
 
+    # rebuild-replaces semantics: clear every prior epoch's vectors,
+    # staging leftovers and tombstones — a rebuild must never inherit a
+    # tombstone that silently suppresses a re-indexed id
+    os.makedirs(out_dir, exist_ok=True)
+    epoch_store.clear_index(out_dir, ["vectors"])
     centroids = ivf_train_centroids(
         embeddings,
         id_col=id_col,
@@ -713,7 +720,7 @@ def ivf_build_index(
         F.sqrt(nearest.getField("d")).alias("_dist"),
     )
     assigned.drop("_dist").write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(out_dir, "vectors")
+        epoch_store.data_dir(out_dir, "vectors", 0)
     )
     # build-time fit quality, the baseline the staleness metric compares
     # against after appends (one extra agg pass at build time only)
@@ -768,7 +775,7 @@ def ivf_append(
     # promotes float arrays to double, and mixed element types in one
     # partitioned dataset fail every subsequent read
     stored = new_vectors.sparkSession.read.parquet(
-        os.path.join(index_dir, "vectors")
+        epoch_store.data_dir(index_dir, "vectors")
     ).schema["embedding"].dataType
     nearest = _nearest_centroid(F.col(vec_col), centroids)
     assigned = new_vectors.select(
@@ -778,7 +785,7 @@ def ivf_append(
         F.sqrt(nearest.getField("d")).alias("_dist"),
     )
     assigned.drop("_dist").write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "vectors")
+        epoch_store.data_dir(index_dir, "vectors")
     )
     b = assigned.agg(F.avg("_dist").alias("m"), F.count(F.lit(1)).alias("n")).first()
     bm, bn = float(b["m"] or 0.0), int(b["n"])
@@ -838,9 +845,9 @@ def ivf_query_index(
         return sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
 
     probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    vectors = spark.read.parquet(epoch_store.data_dir(index_dir, "vectors"))
     cand = vectors.where(F.col("cell").isin([int(p) for p in probe]))
-    tomb_dir = os.path.join(index_dir, "tombstones")
+    tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
     if os.path.exists(tomb_dir):
         # merge-on-read deletes (ivf_delete): forgotten vectors stop
         # serving immediately; broadcast bounded by churn until
@@ -860,31 +867,30 @@ def ivf_delete(spark, index_dir: str, ids: list) -> int:
 
     id_df = spark.createDataFrame([(int(i),) for i in ids], "vec_id long").distinct()
     n = id_df.count()
-    id_df.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    id_df.write.mode("append").parquet(epoch_store.data_dir(index_dir, "tombstones"))
     return n
 
 
 def ivf_compact(spark, index_dir: str) -> None:
-    """Fold IVF tombstones into the cell-partitioned data (atomic
-    directory swap), clearing the log."""
+    """Fold IVF tombstones into the cell-partitioned data, committed by
+    one atomic epoch-pointer flip (crash anywhere before it leaves the
+    old vectors + tombstones live — see ``epoch_store``)."""
     import os
-    import shutil
 
-    tomb_dir = os.path.join(index_dir, "tombstones")
+    tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
     if not os.path.exists(tomb_dir):
         return
     tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
-    vec_dir = os.path.join(index_dir, "vectors")
-    live = spark.read.parquet(vec_dir).join(F.broadcast(tomb), "vec_id", "left_anti")
-    staged = os.path.join(index_dir, "_vectors.compact")
-    shutil.rmtree(staged, ignore_errors=True)
-    live.write.partitionBy("cell").parquet(staged)
-    old = os.path.join(index_dir, "_vectors.old")
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(vec_dir, old)
-    os.replace(staged, vec_dir)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tomb_dir, ignore_errors=True)
+    epoch = epoch_store.read_epoch(index_dir)
+    live = spark.read.parquet(
+        epoch_store.data_dir(index_dir, "vectors", epoch)
+    ).join(F.broadcast(tomb), "vec_id", "left_anti")
+    new_epoch = epoch + 1
+    live.write.partitionBy("cell").parquet(
+        epoch_store.data_dir(index_dir, "vectors", new_epoch)
+    )
+    epoch_store.commit_epoch(index_dir, new_epoch)
+    epoch_store.sweep_stale_epochs(index_dir, ["vectors"], new_epoch)
 
 
 # ---------------------------------------------------------------------------
@@ -1122,6 +1128,8 @@ def ivf_pq_build_index(
     import json
     import os
 
+    os.makedirs(out_dir, exist_ok=True)
+    epoch_store.clear_index(out_dir, ["codes"])
     centroids = ivf_train_centroids(
         embeddings,
         id_col=id_col,
@@ -1161,7 +1169,7 @@ def ivf_pq_build_index(
     d_sub = len(codebooks[0][0])
     out = pq_encode(enc_src, codebooks, id_col="vec_id", vec_col="_v", keep=["cell"])
     out.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(out_dir, "codes")
+        epoch_store.data_dir(out_dir, "codes", 0)
     )
     with open(os.path.join(out_dir, "centroids.json"), "w") as f:
         json.dump(centroids, f)
@@ -1215,10 +1223,10 @@ def ivf_pq_query_index(
         return sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
 
     probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
-    codes = spark.read.parquet(os.path.join(index_dir, "codes")).where(
+    codes = spark.read.parquet(epoch_store.data_dir(index_dir, "codes")).where(
         F.col("cell").isin([int(p) for p in probe])
     )
-    tomb_dir = os.path.join(index_dir, "tombstones")
+    tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
     if os.path.exists(tomb_dir):
         # merge-on-read deletes (ivf_pq_delete) — same contract as the
         # float IVF index's ivf_delete
@@ -1313,7 +1321,7 @@ def ivf_pq_append(
     batch = pq_encode(with_cell, codebooks, id_col="vec_id", vec_col="_v", keep=["cell"])
     n = batch.count()
     batch.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "codes")
+        epoch_store.data_dir(index_dir, "codes")
     )
     return n
 
@@ -1515,28 +1523,26 @@ def ivf_pq_delete(spark, index_dir: str, ids: list) -> int:
 
     id_df = spark.createDataFrame([(int(i),) for i in ids], "vec_id long").distinct()
     n = id_df.count()
-    id_df.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    id_df.write.mode("append").parquet(epoch_store.data_dir(index_dir, "tombstones"))
     return n
 
 
 def ivf_pq_compact(spark, index_dir: str) -> None:
-    """Fold IVF-PQ tombstones into the cell-partitioned code table
-    (atomic directory swap), clearing the log."""
+    """Fold IVF-PQ tombstones into the cell-partitioned code table,
+    committed by one atomic epoch-pointer flip (see ``epoch_store``)."""
     import os
-    import shutil
 
-    tomb_dir = os.path.join(index_dir, "tombstones")
+    tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
     if not os.path.exists(tomb_dir):
         return
     tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
-    codes_dir = os.path.join(index_dir, "codes")
-    live = spark.read.parquet(codes_dir).join(F.broadcast(tomb), "vec_id", "left_anti")
-    staged = os.path.join(index_dir, "_codes.compact")
-    shutil.rmtree(staged, ignore_errors=True)
-    live.write.partitionBy("cell").parquet(staged)
-    old = os.path.join(index_dir, "_codes.old")
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(codes_dir, old)
-    os.replace(staged, codes_dir)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tomb_dir, ignore_errors=True)
+    epoch = epoch_store.read_epoch(index_dir)
+    live = spark.read.parquet(
+        epoch_store.data_dir(index_dir, "codes", epoch)
+    ).join(F.broadcast(tomb), "vec_id", "left_anti")
+    new_epoch = epoch + 1
+    live.write.partitionBy("cell").parquet(
+        epoch_store.data_dir(index_dir, "codes", new_epoch)
+    )
+    epoch_store.commit_epoch(index_dir, new_epoch)
+    epoch_store.sweep_stale_epochs(index_dir, ["codes"], new_epoch)

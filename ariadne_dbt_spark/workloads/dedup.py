@@ -125,13 +125,14 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_with_near_dups(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8)
-    # honor the operator's cache contract: the pair set is already
-    # materialized and tiny at gate scale, so hand it back as a
-    # LocalRelation and release the cached frame — repeated gate/bench
-    # invocations must not accumulate blocks in the session
-    pdf = pairs.toPandas()
+    # honor the operator's cache contract WITHOUT a driver round-trip:
+    # localCheckpoint re-materializes the (already computed) pair set as
+    # executor-local blocks with the lineage cut, so the explicit cache
+    # can be released immediately; the checkpoint blocks are dropped by
+    # the ContextCleaner when the frame goes out of scope. At corpus
+    # scale the pair set is NOT driver-sized — nothing here collects.
+    out = pairs.localCheckpoint(eager=True)
     pairs.unpersist()
-    out = spark.createDataFrame(pdf, "id_a bigint, id_b bigint, jaccard double")
     return out.orderBy("id_a", "id_b")
 
 
@@ -1240,10 +1241,10 @@ def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = corpus_with_near_dups(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8)
-    pdf = pairs.toPandas()
+    # cache-release without a driver collect (see ngram_jaccard_near_dups)
+    pairs_ck = pairs.localCheckpoint(eager=True)
     pairs.unpersist()
-    pairs_local = spark.createDataFrame(pdf, "id_a bigint, id_b bigint, jaccard double")
-    clusters = dedup_clusters(pairs_local)
+    clusters = dedup_clusters(pairs_ck)
     q = corpus.select("doc_id", quality_score_millionths("text").alias("quality"))
     memb = clusters.join(q, clusters.id == q.doc_id).select(
         "cluster_id", "doc_id", "quality"

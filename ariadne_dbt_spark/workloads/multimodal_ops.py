@@ -248,3 +248,97 @@ def audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a")
     )
+
+
+# Perceptual VIDEO dedup (closes SURVEY §8.4's decode partial): every
+# 13th doc becomes a deterministic 10-frame AVI-MPNG video (md5-noise
+# PNG frames seeded by doc_id); its clone (id + 3000000) is the SAME
+# pixels re-encoded at a different zlib level — different container
+# bytes, identical frame dHashes. The uniform 8-frame sample grid
+# aligns clone-for-clone, so every planted pair matches on all 8
+# sampled frames (n_matched=8, frac=1.0) while unrelated noise videos
+# share ~no 16-bit hash band. The oracle knows this arithmetically.
+@query(
+    "video_neardup_pairs",
+    oracle="""
+    SELECT doc_id AS id_a,
+           doc_id + 3000000 AS id_b,
+           CAST(8 AS BIGINT) AS n_matched,
+           CAST(1.0 AS DOUBLE) AS frac_matched
+    FROM documents
+    WHERE doc_id % 13 = 0
+    ORDER BY id_a
+    """,
+    survey="multimodal,perceptual-hash,§8.4",
+    doc="Perceptual video near-dup pairs through the REAL frame decode "
+    "path (AVI/RIFF container parse -> MPNG frame split -> stdlib PNG "
+    "pixel decode -> per-frame dHash -> banded Hamming frame join -> "
+    "per-pair coverage): re-encoded clones pair at full frame "
+    "coverage; byte-level dedup cannot catch them.",
+)
+def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.video import (
+        encode_avi,
+        video_frame_hashes,
+        video_near_dups,
+    )
+
+    docs = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .where(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from ariadne_dbt_spark.operators.multimodal import encode_png
+
+        def frames(d: int) -> list[list[int]]:
+            out = []
+            for f in range(10):
+                raw = b"".join(
+                    hashlib.md5(f"vid:{d}:{f}:{i}".encode()).digest()
+                    for i in range(64)
+                )
+                out.append(list(raw))
+            return out
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = frames(d)
+                ids.append(d)
+                payloads.append(
+                    encode_avi(
+                        [encode_png(32, 32, 1, p) for p in px],
+                        width=32,
+                        height=32,
+                        fps=10,
+                    )
+                )
+                ids.append(d + 3000000)
+                payloads.append(
+                    encode_avi(
+                        [encode_png(32, 32, 1, p, level=1) for p in px],
+                        width=32,
+                        height=32,
+                        fps=10,
+                    )
+                )
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(build, "asset_id long, payload binary")
+    return (
+        video_near_dups(video_frame_hashes(assets))
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("frac_matched").cast("double").alias("frac_matched"),
+        )
+        .orderBy("id_a")
+    )

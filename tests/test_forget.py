@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+from ariadne_dbt_spark.operators import epoch_store
+
 from ariadne_dbt_spark.operators.dedup import (
     build_shingle_index,
     compact_shingle_index,
@@ -56,7 +58,7 @@ def test_shingle_delete_stops_matching_and_compaction_folds(spark, tmp_path):
     # physical: doc 1's postings are gone from the data files
     ids = {
         r["id"]
-        for r in spark.read.parquet(os.path.join(idx, "postings"))
+        for r in spark.read.parquet(epoch_store.data_dir(idx, "postings"))
         .select("id").distinct().collect()
     }
     assert 1 not in ids and {2, 3} <= ids
@@ -115,7 +117,9 @@ def test_ivf_delete_and_compact(spark, tmp_path):
     assert folded == after
     ids = {
         r["vec_id"]
-        for r in spark.read.parquet(os.path.join(idx, "vectors")).select("vec_id").collect()
+        for r in spark.read.parquet(
+            epoch_store.data_dir(idx, "vectors")
+        ).select("vec_id").collect()
     }
     assert rows[5][0] not in ids and len(ids) == 63
 
@@ -172,3 +176,60 @@ def test_ivf_pq_delete_and_compact(spark, tmp_path):
         r["vec_id"] for r in ivf_pq_query_index(spark, idx, q, k=6, nprobe=4).collect()
     ]
     assert folded == after
+
+
+def test_rebuild_clears_tombstones_shingle(spark, tmp_path):
+    """build_shingle_index must be rebuild-replaces: after a delete, a
+    fresh build over a corpus CONTAINING the forgotten id serves it
+    again (no inherited tombstone), and compaction keeps its rows."""
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+    delete_from_shingle_index(spark, idx, [1])
+    assert _flags(spark, idx, [(100, CORPUS[0][1])]) == {100: False}
+    # the id legitimately re-enters the corpus; rebuild replaces the index
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+    assert _flags(spark, idx, [(100, CORPUS[0][1])]) == {100: True}
+    compact_shingle_index(spark, idx)
+    assert _flags(spark, idx, [(100, CORPUS[0][1])]) == {100: True}
+
+
+def test_rebuild_clears_tombstones_ivf(spark, tmp_path):
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_delete,
+        ivf_query_index,
+    )
+
+    rows = [
+        (i, [float(i % 4), float((i * 7) % 5), float((i * 3) % 6), 1.0])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_centroids=4, iters=2)
+    ivf_delete(spark, idx, [rows[5][0]])
+    got = {
+        r["vec_id"]
+        for r in ivf_query_index(spark, idx, rows[5][1], k=5, nprobe=4).collect()
+    }
+    assert rows[5][0] not in got
+    ivf_build_index(emb, idx, n_centroids=4, iters=2)
+    got = {
+        r["vec_id"]
+        for r in ivf_query_index(spark, idx, rows[5][1], k=5, nprobe=4).collect()
+    }
+    assert rows[5][0] in got
+
+
+def test_forget_docs_string_ids_search_index_only(spark, tmp_path):
+    """GDPR erasure keyed by STRING doc ids must work when only the
+    (string-keyed) search index is given — no int coercion crash."""
+    sidx = str(tmp_path / "sidx")
+    docs = spark.createDataFrame(
+        [("model.a", "alpha beta gamma"), ("model.b", "one two three")],
+        "doc_id string, text string",
+    )
+    build_search_index(docs, "doc_id", {"text": "text"}, sidx)
+    out = forget_docs(spark, ["model.a"], search_index_dir=sidx)
+    assert out["n_ids"] == 1 and out["search_index_n_docs"] == 1

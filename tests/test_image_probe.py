@@ -79,3 +79,40 @@ def test_image_metadata_stage_mixed_formats_and_quarantine(spark):
     assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 640, 480)
     assert (got[3]["format"], got[3]["n_channels"]) == ("gif", 3)
     assert got[4]["format"] is None and got[4]["width"] is None
+
+
+def test_truncated_payloads_raise_value_error_not_struct_error():
+    """A payload carrying a valid magic but truncated before the fixed
+    header offsets must raise ValueError (the quarantine contract) —
+    never struct.error/IndexError, which would crash the Spark task."""
+    from ariadne_dbt_spark.operators.multimodal import parse_jpeg_metadata
+
+    png_magic = b"\x89PNG\r\n\x1a\n"
+    for bad in (
+        png_magic,  # magic only
+        png_magic + b"\x00" * 10,  # ends inside width/height
+        png_magic + b"\x00" * 17,  # payload[25] out of range
+    ):
+        with pytest.raises(ValueError):
+            probe_image_metadata(bad)
+    # JPEG SOF declaring seglen < 8, and SOF at the very end of payload
+    sof_short = b"\xff\xd8" + b"\xff\xc0" + b"\x00\x04" + b"\x08\x00"
+    with pytest.raises(ValueError):
+        parse_jpeg_metadata(sof_short)
+    sof_trunc = b"\xff\xd8" + b"\xff\xc0" + b"\x00\x11" + b"\x08\x00"
+    with pytest.raises(ValueError):
+        parse_jpeg_metadata(sof_trunc)
+
+
+def test_image_metadata_quarantines_truncated_png(spark):
+    """End-to-end: a corrupt asset yields the NULL row instead of
+    failing the whole job."""
+    png_magic = b"\x89PNG\r\n\x1a\n"
+    rows = [
+        (1, "image", bytearray(encode_png(4, 4, 3, bytes(48)))),
+        (2, "image", bytearray(png_magic + b"\x00" * 10)),
+    ]
+    df = spark.createDataFrame(rows, "asset_id bigint, kind string, payload binary")
+    got = {r["asset_id"]: r.asDict() for r in image_metadata(df).collect()}
+    assert got[1]["format"] == "png"
+    assert got[2]["format"] is None and got[2]["width"] is None

@@ -314,7 +314,7 @@ def test_incremental_index_read_path(spark, tmp_path):
         field_weights={"text": 1.0}, avgdl_by_field=avgdl,
     )
     plan = scored._jdf.queryExecution().executedPlan().toString()
-    assert "LessThanOrEqual(gen," in plan  # commit pointer reaches the scans
+    assert "In(gen," in plan  # committed-gen set reaches the scans
     assert "BroadcastHashJoin" in plan     # tombstone-max merge is broadcast
     assert "avg(" not in plan.lower().replace("avgdl", "")
 
@@ -381,3 +381,29 @@ def test_forgotten_index_tombstone_broadcast(spark, registry):
     assert "PartitionFilters: [bucket" in plan.replace("#", "").replace(
         "cast(bucket", "bucket"
     ) or "bucket" in plan.split("PartitionFilters:")[1][:120]
+
+
+def test_near_dup_pair_set_never_collected_to_driver(spark, tmp_path):
+    """The near-dup workload wrappers release the operator's cache via
+    localCheckpoint, not a toPandas round-trip: the returned frames must
+    be executor-backed (checkpointed scan), never a LocalTableScan
+    (which would mean the pair set passed through the driver)."""
+    from ariadne_dbt_spark.workloads.dedup import (
+        near_dup_quality_survivors,
+        ngram_jaccard_near_dups,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    for fn in (ngram_jaccard_near_dups, near_dup_quality_survivors):
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" not in plan, fn.__name__
+        assert "Scan ExistingRDD" in plan, fn.__name__  # the checkpoint
+
+
+def test_zipf_fit_has_topk_precut(spark, registry):
+    """zipf_law_fit bounds its global row_number window by a top-K
+    tf pre-cut that compiles to TakeOrderedAndProject (per-partition
+    top-K, no global sort of the full vocabulary)."""
+    plan = _plan(spark, registry, "zipf_law_fit")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -10,6 +10,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from ariadne_dbt_spark.operators import epoch_store
 from ariadne_dbt_spark.operators.search import bm25, phrase_hits, positional_postings
 from ariadne_dbt_spark.operators.search_index import (
     build_search_index,
@@ -100,10 +101,17 @@ def test_compaction_preserves_results_and_clears_log(spark, tmp_path):
     before = _ranked(spark, idx)
     compact_search_index(spark, idx)
     assert _ranked(spark, idx) == before
-    tomb = spark.read.parquet(os.path.join(idx, "tombstones"))
-    assert tomb.count() == 0
     with open(os.path.join(idx, "meta.json")) as f:
-        assert json.load(f)["gen"] == 0
+        meta = json.load(f)
+    assert meta["gen"] == 0
+    # compaction committed a fresh epoch whose tombstone log is empty,
+    # and swept the old epoch's directories
+    tomb = spark.read.parquet(
+        epoch_store.data_dir(idx, "tombstones", meta["epoch"])
+    )
+    assert tomb.count() == 0
+    assert meta["epoch"] == 1
+    assert not os.path.exists(os.path.join(idx, "tombstones"))
 
 
 def test_meta_is_the_commit_point(spark, tmp_path):
@@ -121,6 +129,72 @@ def test_meta_is_the_commit_point(spark, tmp_path):
     # simulate the crash: data of gen 1 is on disk, meta still says gen 0
     with open(meta_file, "w") as f:
         f.write(saved)
+    assert _ranked(spark, idx) == before
+
+
+def test_crash_retry_does_not_resurrect_orphans(spark, tmp_path):
+    """A crashed upsert (rows appended, meta never written) followed by
+    a RETRY of the same batch must not double-count: the retry reserves
+    a fresh gen via the attempt marker and the orphan's gen never enters
+    meta['gens'], so readers skip the orphaned copy forever."""
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+    meta_file = os.path.join(idx, "meta.json")
+    with open(meta_file) as f:
+        saved = f.read()
+    batch = [(2, "spark stream stream query")]
+    upsert_search_index(spark, idx, _docs(spark, batch), "doc_id", FIELDS)
+    # crash: the append of gen 1 survived, the commit didn't
+    with open(meta_file, "w") as f:
+        f.write(saved)
+    # retry the same logical batch — then later commits happen
+    upsert_search_index(spark, idx, _docs(spark, batch), "doc_id", FIELDS)
+    with open(meta_file) as f:
+        meta = json.load(f)
+    assert meta["gen"] == 2 and meta["gens"] == [0, 2]  # gen 1 orphaned
+    # ground truth: a clean index over the same logical corpus
+    clean = str(tmp_path / "clean")
+    rows = [r for r in BASE if r[0] != 2] + batch
+    build_search_index(_docs(spark, rows), "doc_id", FIELDS, clean)
+    assert _ranked(spark, idx) == _ranked(spark, clean)
+    # and doc 2's postings appear exactly once (no duplicated tf rows)
+    postings, _, _, _ = read_search_index(spark, idx)
+    dup = (
+        postings.where(F.col("unique_id") == "2")
+        .groupBy("field", "term")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_compaction_crash_before_commit_leaves_old_epoch_live(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction stages a whole new epoch and commits via one atomic
+    meta replace — killing it anywhere before that leaves readers on
+    the old, fully consistent version (tombstones still applied)."""
+    from ariadne_dbt_spark.operators import search_index as si
+
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+    upsert_search_index(
+        spark, idx, _docs(spark, [(2, "spark stream stream query")]), "doc_id", FIELDS
+    )
+    delete_from_search_index(spark, idx, [4])
+    before = _ranked(spark, idx)
+
+    def _boom(index_dir, meta):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(si, "_write_meta", _boom)
+    with pytest.raises(RuntimeError):
+        compact_search_index(spark, idx)
+    monkeypatch.undo()
+    assert _ranked(spark, idx) == before  # old epoch intact, delete applied
+    # and a subsequent real compaction still succeeds and agrees
+    compact_search_index(spark, idx)
     assert _ranked(spark, idx) == before
 
 

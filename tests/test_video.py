@@ -1,0 +1,157 @@
+"""Video frame extraction + perceptual video near-dup
+(operators/video.py): AVI round-trip, MJPEG split, frame-hash
+invariances (re-encode, brightness), banded pair aggregation,
+MP4/garbage quarantine. Closes SURVEY §8.4's video-decode partial."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.multimodal import encode_minimal_mp4, encode_png
+from ariadne_dbt_spark.operators.video import (
+    decode_frame_pixels,
+    encode_avi,
+    extract_video_frames,
+    parse_avi_metadata,
+    sample_frame_indices,
+    split_mjpeg_stream,
+    video_frame_hashes,
+    video_near_dups,
+)
+
+
+def _noise_pixels(seed: str, n: int = 1024, lo: int = 0, hi: int = 200) -> list[int]:
+    raw = b"".join(hashlib.md5(f"{seed}:{i}".encode()).digest() for i in range(n // 16))
+    return [lo + (b % (hi - lo)) for b in raw[:n]]
+
+
+def _video(seed: str, n_frames: int = 10, *, level: int = 6, shift: int = 0) -> bytes:
+    frames = []
+    for i in range(n_frames):
+        px = [min(p + shift, 255) for p in _noise_pixels(f"{seed}:frame{i}")]
+        frames.append(encode_png(32, 32, 1, px, level=level))
+    return encode_avi(frames, width=32, height=32, fps=10)
+
+
+def test_avi_roundtrip_and_metadata():
+    v = _video("a", 7)
+    m = parse_avi_metadata(v)
+    assert (m["width"], m["height"], m["n_frames"], m["fourcc"]) == (32, 32, 7, "MPNG")
+    assert m["fps"] == 10.0 and m["duration_ms"] == 700
+    frames = extract_video_frames(v)
+    assert len(frames) == 7
+    w, h, c, px = decode_frame_pixels(frames[3])
+    assert (w, h, c) == (32, 32, 1) and len(px) == 1024
+
+
+def test_mjpeg_stream_split():
+    import struct
+
+    def jpeg(wd):
+        return (
+            b"\xff\xd8\xff\xc0"
+            + struct.pack(">HBHHB", 11, 8, 8, wd, 1)
+            + b"\x00" * 4
+            + b"\xff\xd9"
+        )
+
+    frames = split_mjpeg_stream(jpeg(8) + jpeg(16) + jpeg(24))
+    assert len(frames) == 3
+    assert extract_video_frames(jpeg(8) + jpeg(16)) == frames[:2]
+    with pytest.raises(ValueError):
+        split_mjpeg_stream(b"\x00notajpegstream")
+
+
+def test_mp4_frames_not_implemented_and_garbage_value_error():
+    with pytest.raises(NotImplementedError):
+        extract_video_frames(encode_minimal_mp4())
+    with pytest.raises(ValueError):
+        extract_video_frames(b"definitely not video")
+
+
+def test_sample_frame_indices_deterministic():
+    assert sample_frame_indices(12, 8) == [0, 1, 3, 4, 6, 7, 9, 10]
+    assert sample_frame_indices(3, 8) == [0, 1, 2]
+    assert sample_frame_indices(0, 8) == []
+
+
+def test_frame_hashes_invariant_to_reencode_and_brightness(spark):
+    rows = [
+        (1, bytearray(_video("x"))),
+        (2, bytearray(_video("x", level=1))),  # re-encode: new bytes, same pixels
+        (3, bytearray(_video("x", shift=20))),  # brightness: gradient signs keep
+        (4, bytearray(_video("y"))),  # different content
+    ]
+    assert rows[0][1] != rows[1][1]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    fh = video_frame_hashes(df).collect()
+    by_vid = {}
+    for r in fh:
+        by_vid.setdefault(r["asset_id"], {})[r["frame_idx"]] = r["dhash"]
+    assert by_vid[1] == by_vid[2] == by_vid[3]
+    assert by_vid[1] != by_vid[4]
+
+
+def test_video_near_dups_pairs_clones_not_strangers(spark):
+    rows = [
+        (1, bytearray(_video("x"))),
+        (2, bytearray(_video("x", level=1))),
+        (3, bytearray(_video("y"))),
+        (4, bytearray(_video("z"))),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = video_near_dups(video_frame_hashes(df)).collect()
+    assert [(r["id_a"], r["id_b"], r["frac_matched"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_video_near_dups_trimmed_copy_pairs(spark):
+    """A trimmed copy (first 6 of 10 frames, re-encoded) still pairs:
+    coverage is measured against the smaller side's sampled frames."""
+    full_frames = [
+        encode_png(32, 32, 1, _noise_pixels(f"t:frame{i}")) for i in range(10)
+    ]
+    full = encode_avi(full_frames, width=32, height=32, fps=10)
+    trimmed = encode_avi(
+        [f for f in full_frames[:6]], width=32, height=32, fps=10
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(full)), (2, bytearray(trimmed))],
+        "asset_id long, payload binary",
+    )
+    pairs = video_near_dups(video_frame_hashes(df)).collect()
+    assert len(pairs) == 1 and pairs[0]["id_a"] == 1 and pairs[0]["id_b"] == 2
+    # trimmed side samples all 6 frames; 5 of them (0,1,2,3,5) land on
+    # the full side's uniform 8-of-10 grid → coverage 5/6
+    assert pairs[0]["frac_matched"] == round(5 / 6, 6)
+
+
+def test_undecodable_video_quarantined_not_crashing(spark):
+    rows = [
+        (1, bytearray(_video("x"))),
+        (2, bytearray(encode_minimal_mp4())),  # parses as MP4, no sample codec
+        (3, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    fh = video_frame_hashes(df)
+    got = {r["asset_id"]: r for r in fh.where(F.col("dhash").isNull()).collect()}
+    assert set(got) == {2, 3}
+    assert fh.where(F.col("dhash").isNotNull()).count() == 8
+    # quarantine rows don't poison the pair stage
+    assert video_near_dups(fh).count() == 0
+
+
+def test_real_features_video_tier(spark):
+    """extract_features(fake=False) no longer raises for the AVI tier."""
+    from ariadne_dbt_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(_video("x", 5)), None)],
+        "asset_id long, kind string, payload binary, meta struct<mime:string>",
+    ).drop("meta")
+    out = extract_features(df, fake=False).collect()
+    assert len(out) == 1
+    feats = out[0]["features"]
+    assert feats[0] == 32.0 and feats[1] == 32.0 and feats[2] == 5.0
