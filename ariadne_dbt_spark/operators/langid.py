@@ -1,0 +1,193 @@
+"""Model-based language identification (closes the round-5 "weakest
+member" note: the 4-language marker heuristic in ``operators/text.py``
+stays as the zero-dependency fallback; THIS is the scale path —
+reference-grade pipelines (CCNet, Wenzek et al. 2020) key everything
+per-language off a trained classifier, fastText-style).
+
+Spark-native shape (same MLlib recipe as ``operators/classifier.py``):
+
+* features = hashed CHARACTER n-gram counts — char n-grams are the
+  classic language-ID signal (they capture orthography without any
+  vocabulary), and ``HashingTF`` keeps featurization stateless/map-only
+  at any corpus size;
+* model = multinomial ``LogisticRegression`` (distributed L-BFGS on the
+  small labeled side; inference over the 100 TB corpus is a map-only
+  transform of broadcast coefficients);
+* ``detect_language_model`` adds ``lang_pred`` (string) + ``lang_prob``.
+
+``LANG_LEXICONS`` ships a small built-in seed of distinctive common
+words for 12 languages (public stopword lists, mechanically de-duplicated
+so no word appears in two languages). It powers the deterministic
+synthetic training corpus (``synth_lang_corpus`` — JVM-side expression,
+no UDF) used by the oracle-gated confusion workload and tests; real
+deployments would fit on labeled web text instead — the architecture is
+identical.
+
+Determinism: featurization is seedless-stable; the oracle workload pins
+the CONFUSION MATRIX (a hard argmax over a planted, cleanly-separable
+corpus — margins dwarf any float accumulation-order jitter in L-BFGS),
+the same invariant-style oracle as the MinHash guaranteed-recall row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "LANG_LEXICONS",
+    "char_ngram_tokens",
+    "train_language_classifier",
+    "detect_language_model",
+    "synth_lang_corpus",
+]
+
+_RAW_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "with", "that", "have", "this", "from", "they",
+           "would", "there", "their", "about", "which", "people", "because"),
+    "de": ("und", "der", "das", "ist", "nicht", "sie", "mit", "sich",
+           "auf", "für", "werden", "eine", "auch", "nach", "wird"),
+    "fr": ("les", "des", "une", "est", "dans", "pour", "qui", "pas",
+           "sur", "plus", "avec", "sont", "mais", "nous", "vous"),
+    "es": ("los", "las", "por", "con", "para", "como", "más", "pero",
+           "sus", "ser", "está", "entre", "cuando", "muy", "sin"),
+    "it": ("che", "per", "della", "sono", "anche", "come", "alla", "gli",
+           "più", "nel", "questo", "hanno", "essere", "quando", "molto"),
+    "pt": ("não", "uma", "com", "dos", "mais", "foi", "como", "mas",
+           "seu", "sua", "pelo", "isso", "ela", "entre", "depois"),
+    "nl": ("het", "een", "van", "voor", "niet", "zijn", "maar", "ook",
+           "aan", "bij", "naar", "dan", "nog", "wordt", "deze"),
+    "sv": ("och", "att", "det", "som", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "har", "om", "ett"),
+    "pl": ("nie", "się", "jest", "tak", "ale", "jak", "już", "tylko",
+           "być", "przez", "jego", "może", "bardzo", "przed", "nawet"),
+    "tr": ("bir", "bu", "ve", "için", "ile", "daha", "çok", "gibi",
+           "kadar", "sonra", "ama", "değil", "olarak", "en", "her"),
+    "fi": ("ja", "on", "ei", "että", "hän", "oli", "mutta", "kun",
+           "niin", "myös", "joka", "sen", "ovat", "vain", "mukaan"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "ke"),
+}
+
+
+def _disjoint(raw: dict[str, tuple[str, ...]]) -> dict[str, tuple[str, ...]]:
+    """Drop every word claimed by more than one language — the planted
+    corpus needs pairwise-disjoint vocabularies so the expected
+    confusion matrix is exactly diagonal (the oracle invariant)."""
+    counts: dict[str, int] = {}
+    for words in raw.values():
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+    out = {
+        lang: tuple(w for w in words if counts[w] == 1)
+        for lang, words in raw.items()
+    }
+    for lang, words in out.items():
+        assert len(words) >= 10, f"lexicon for {lang} too small after dedup"
+    return out
+
+
+LANG_LEXICONS: dict[str, tuple[str, ...]] = _disjoint(_RAW_LEXICONS)
+
+
+def char_ngram_tokens(text: Column | str, *, n: int = 3) -> Column:
+    """Character n-grams of the lowercased, space-padded text as an
+    array<string> — pure JVM expression (transform over a sequence +
+    ``substr`` with Column offsets), no UDF, stays in codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    upper = F.greatest(F.length(padded) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), upper), lambda i: padded.substr(i, F.lit(n))
+    )
+
+
+_N_FEATURES = 1 << 15
+
+
+def train_language_classifier(
+    labeled: DataFrame, text_col: str, lang_col: str = "lang", *, n: int = 3
+) -> dict:
+    """Fit char-n-gram HashingTF + multinomial LR on a labeled frame.
+    Returns ``{"model": PipelineModel, "labels": [lang...], "n": n}`` —
+    labels in the StringIndexer's (alphabetical) order so predictions
+    map back to language codes without column metadata tricks."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, StringIndexer
+
+    idx = StringIndexer(
+        inputCol=lang_col, outputCol="_label", stringOrderType="alphabetAsc"
+    ).fit(labeled)
+    tf = HashingTF(inputCol="_cng", outputCol="_features", numFeatures=_N_FEATURES)
+    lr = LogisticRegression(
+        featuresCol="_features",
+        labelCol="_label",
+        family="multinomial",
+        maxIter=40,
+        regParam=1e-4,
+        standardization=False,
+    )
+    prepped = idx.transform(labeled).withColumn(
+        "_cng", char_ngram_tokens(text_col, n=n)
+    )
+    model = Pipeline(stages=[tf, lr]).fit(prepped)
+    return {"model": model, "labels": list(idx.labels), "n": n}
+
+
+def detect_language_model(df: DataFrame, clf: dict, text_col: str) -> DataFrame:
+    """Map-only inference: adds ``lang_pred`` (language code) and
+    ``lang_prob`` (winner probability); drops ML intermediates. This is
+    the signal per-language partitioning (ccnet_perplexity_buckets'
+    grouping key) runs on when no curated lang column exists."""
+    from pyspark.ml.functions import vector_to_array
+
+    labels = clf["labels"]
+    scored = clf["model"].transform(
+        df.withColumn("_cng", char_ngram_tokens(text_col, n=clf["n"]))
+    )
+    label_arr = F.array(*[F.lit(lab) for lab in labels])
+    probs = vector_to_array(F.col("probability"))
+    pred_i = F.col("prediction").cast("int")
+    return (
+        scored.withColumn("lang_pred", F.element_at(label_arr, pred_i + 1))
+        .withColumn("lang_prob", F.round(F.element_at(probs, pred_i + 1), 6))
+        .drop("_cng", "_features", "rawPrediction", "probability", "prediction")
+    )
+
+
+def synth_lang_corpus(
+    base: DataFrame,
+    id_col: str,
+    *,
+    words_per_doc: int = 20,
+    text_col: str = "text",
+    lang_col: str = "lang_true",
+) -> DataFrame:
+    """Deterministic multi-language corpus from an id column: doc i gets
+    language ``langs[i % L]`` (alphabetical order) and ``words_per_doc``
+    words drawn from that language's disjoint lexicon by
+    ``xxhash64('langid', i, pos)``. Pure JVM expressions — replays
+    identically on any engine that implements xxhash64, and the oracle
+    side never needs the text at all (the lang assignment alone
+    determines the expected confusion matrix)."""
+    langs = sorted(LANG_LEXICONS)
+    lex_arr = F.array(
+        *[F.array(*[F.lit(w) for w in LANG_LEXICONS[lang]]) for lang in langs]
+    )
+    li = F.pmod(F.col(id_col), F.lit(len(langs))).cast("int")
+    lex = F.element_at(lex_arr, li + 1)
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+
+    def word(pos: Column) -> Column:
+        h = F.xxhash64(F.lit("langid"), F.col(id_col), pos)
+        return F.element_at(lex, (F.pmod(h, F.size(lex)) + 1).cast("int"))
+
+    text = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(1), F.lit(words_per_doc)), word)
+    )
+    return base.select(
+        F.col(id_col),
+        F.element_at(lang_arr, li + 1).alias(lang_col),
+        text.alias(text_col),
+    )

@@ -1489,3 +1489,68 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+def _langid_model_oracle() -> str:
+    """The planted corpus has pairwise-disjoint per-language vocabularies
+    and the winner's softmax probability is ≥0.999 on held-out docs, so
+    the expected confusion matrix is EXACTLY diagonal — the oracle
+    derives it from the language-assignment rule alone (same
+    invariant-style oracle as the MinHash guaranteed-recall row)."""
+    from ariadne_dbt_spark.operators.langid import LANG_LEXICONS
+
+    langs = sorted(LANG_LEXICONS)
+    case = " ".join(
+        f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(langs)
+    )
+    return f"""
+    WITH labeled AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % {len(langs)} AS INT) {case} END AS lang_true
+        FROM documents
+        WHERE (doc_id // {len(langs)}) % 2 = 1
+    )
+    SELECT lang_true, lang_true AS lang_pred, COUNT(*) AS n
+    FROM labeled GROUP BY 1 ORDER BY lang_true
+    """
+
+
+# Model-based language ID (SURVEY §8.3 / CCNet): char-n-gram HashingTF +
+# multinomial LR trained on one half of a planted 12-language corpus
+# (disjoint vocabularies, deterministic JVM-side synthesis), confusion
+# matrix measured on the OTHER half. The marker heuristic
+# (lang_detect_confusion) stays as the zero-dependency fallback; this is
+# the scale path real pipelines key per-language processing off.
+@query(
+    "lang_id_model_confusion",
+    oracle=_langid_model_oracle(),
+    survey="language-id,T7",
+    doc="Model-based language ID: hashed char-3-gram multinomial "
+    "logistic regression (MLlib, map-only inference) on a planted "
+    "12-language corpus; held-out confusion matrix is exactly diagonal "
+    "by construction (disjoint vocabularies), which the oracle knows "
+    "arithmetically.",
+)
+def lang_id_model_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.langid import (
+        LANG_LEXICONS,
+        detect_language_model,
+        synth_lang_corpus,
+        train_language_classifier,
+    )
+
+    n_langs = len(LANG_LEXICONS)
+    docs = documents(spark, sf_dir).select("doc_id")
+    corpus = synth_lang_corpus(docs, "doc_id")
+    # split decorrelated from the lang assignment (which is id % L):
+    # alternate L-sized blocks, so every language appears in both halves
+    half = F.expr(f"(doc_id div {n_langs}) % 2")
+    clf = train_language_classifier(
+        corpus.where(half == 0), "text", "lang_true"
+    )
+    pred = detect_language_model(corpus.where(half == 1), clf, "text")
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_true", "lang_pred")
+    )
