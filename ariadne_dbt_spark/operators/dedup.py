@@ -595,13 +595,26 @@ def build_shingle_index(
     os.makedirs(out_dir, exist_ok=True)
     epoch_store.clear_index(out_dir, ["postings"])
     sh = shingle_sets(df, id_col, text_col, n)
-    sh.withColumn("bucket", _shingle_bucket(n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(epoch_store.data_dir(out_dir, "postings", 0))
-    meta = {"n": n, "n_buckets": n_buckets}
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    sh.withColumn("bucket", _shingle_bucket(n_buckets)).withColumn(
+        "gen", F.lit(0).cast("bigint")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        epoch_store.data_dir(out_dir, "postings", 0)
+    )
+    meta = {"n": n, "n_buckets": n_buckets, "gen": 0, "orphans": []}
+    _write_shingle_meta(out_dir, meta)
     return meta
+
+
+def _write_shingle_meta(index_dir: str, meta: dict) -> None:
+    # atomic replace — meta.json is the COMMIT POINT for appends: rows
+    # of a gen not yet recorded here stay invisible (apply_gen_filter)
+    import json
+    import os
+
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
 
 
 def append_to_shingle_index(
@@ -615,16 +628,28 @@ def append_to_shingle_index(
     append-write its postings into the same bucket-partitioned layout —
     so the next batch's dedup sees this one without any corpus rebuild.
     Batch-bounded: touches only the batch rows, never the stored
-    postings."""
+    postings.
+
+    Crash-retry safe (same protocol as the search index): the batch's
+    rows are tagged with a gen reserved through the per-epoch attempt
+    marker BEFORE the append, and become visible only when the meta
+    commit records that gen — a crash mid-append leaves partial rows
+    permanently orphaned (readers' apply_gen_filter skips them), and a
+    retry reserves a FRESH gen instead of resurrecting them."""
     import json
     import os
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
+    epoch = epoch_store.read_epoch(index_dir)
+    gen = epoch_store.next_attempt_gen(index_dir, epoch, meta.get("gen", 0))
     sh = shingle_sets(df, id_col, text_col, meta["n"])
-    sh.withColumn("bucket", _shingle_bucket(meta["n_buckets"])).write.mode(
-        "append"
-    ).partitionBy("bucket").parquet(epoch_store.data_dir(index_dir, "postings"))
+    sh.withColumn("bucket", _shingle_bucket(meta["n_buckets"])).withColumn(
+        "gen", F.lit(gen).cast("bigint")
+    ).write.mode("append").partitionBy("bucket").parquet(
+        epoch_store.data_dir(index_dir, "postings")
+    )
+    _write_shingle_meta(index_dir, epoch_store.advance_gen(meta, gen))
 
 
 def ingest_batch_dedup_gated(
@@ -726,12 +751,12 @@ def incremental_near_dup_flags(
             _shingle_bucket(meta["n_buckets"]).alias("bucket")
         ).distinct()
         buckets = [int(r["bucket"]) for r in probe.collect()]
-        sh_e = (
-            batch.sparkSession.read.parquet(
-                epoch_store.data_dir(index_dir, "postings")
-            )
-            .where(F.col("bucket").isin(buckets) if buckets else F.lit(False))
-            .select("id", "shingle", "sz")
+        stored = batch.sparkSession.read.parquet(
+            epoch_store.data_dir(index_dir, "postings")
+        ).where(F.col("bucket").isin(buckets) if buckets else F.lit(False))
+        # skip rows from appends that crashed before their meta commit
+        sh_e = epoch_store.apply_gen_filter(stored, meta).select(
+            "id", "shingle", "sz"
         )
         # merge-on-read deletes: forgotten docs stop matching immediately
         # (takedown/GDPR — delete_from_shingle_index); broadcast is
@@ -1070,16 +1095,33 @@ def compact_shingle_index(spark, index_dir: str) -> None:
     flip leaves readers on the old postings + tombstones, never on a
     half-swapped index (see ``epoch_store``). Stale epoch dirs are swept
     best-effort after the commit."""
+    import json
+    import os
+
     tomb = _read_shingle_tombstones(spark, index_dir)
     epoch = epoch_store.read_epoch(index_dir)
-    postings = spark.read.parquet(epoch_store.data_dir(index_dir, "postings", epoch))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    postings = epoch_store.apply_gen_filter(
+        spark.read.parquet(epoch_store.data_dir(index_dir, "postings", epoch)),
+        meta,
+    )
     if tomb is not None:
         postings = postings.join(F.broadcast(tomb), "id", "left_anti")
     new_epoch = epoch + 1
-    postings.write.partitionBy("bucket").parquet(
+    # overwrite: a crash between this staged write and commit_epoch may
+    # leave a partial *_ep<k+1> dir; errorifexists would make every
+    # retry abort before the epoch pointer ever flips
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
         epoch_store.data_dir(index_dir, "postings", new_epoch)
     )
     epoch_store.commit_epoch(index_dir, new_epoch)
+    # every surviving row passed the committed filter, so the orphan
+    # exclusions are dead weight in the new epoch; clearing them after
+    # the flip is safe (a crash in between leaves harmless stale ones)
+    if "orphans" in meta and meta["orphans"]:
+        meta["orphans"] = []
+        _write_shingle_meta(index_dir, meta)
     epoch_store.sweep_stale_epochs(index_dir, ["postings"], new_epoch)
 
 

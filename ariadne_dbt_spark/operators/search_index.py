@@ -18,13 +18,20 @@ Hudi/Iceberg MOR recipe re-expressed as plain parquet + DataFrame ops):
   tombstone ``(X, g)`` — a postings row ``(X, p)`` is live iff no
   tombstone ``(X, t)`` with ``t > p`` exists;
 * ``meta.json`` is the COMMIT POINT: readers keep only rows whose
-  ``gen`` is in meta's explicit committed-gen set, so a crash between
-  the data append and the meta write leaves the previous index version
-  fully intact (readers never see a half-applied batch), and a crashed
+  ``gen`` is in meta's committed-gen set, so a crash between the data
+  append and the meta write leaves the previous index version fully
+  intact (readers never see a half-applied batch), and a crashed
   attempt's orphaned rows stay dead FOREVER — a retry reserves a fresh
   gen through a per-epoch attempt marker (``epoch_store.
   next_attempt_gen``) instead of re-using the orphan's, so later
-  commits can never resurrect them;
+  commits can never resurrect them. The set is stored as the high-water
+  ``gen`` plus an ``orphans`` exclusion list (gens reserved by crashed
+  attempts), so meta size and the read-plan predicate are O(crashes),
+  not O(commits since compaction);
+* writers are SINGLE-WRITER per index (one maintenance job at a time) —
+  enforced, not just assumed: every commit re-reads meta and refuses
+  with ``ConcurrentWriteError`` if another writer committed in between
+  (last-writer-wins would silently drop that commit's gen and stats);
 * corpus statistics (n_docs, per-field Σdl / doc counts) are maintained
   as EXACT INTEGER deltas in meta — avgdl after any upsert/delete
   sequence is bit-identical to a from-scratch rebuild (pinned by
@@ -62,16 +69,49 @@ _TOMB_SCHEMA = "unique_id string, gen bigint"
 _LOG_NAMES = ["postings", "docstats", "docids", "tombstones"]
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer committed between this writer's meta read and its
+    commit — last-writer-wins would silently drop the other commit's gen
+    and stats deltas, so the commit is refused instead. Writers are
+    expected to be externally serialized (one maintenance job per index);
+    this guard turns a violated assumption into a loud error."""
+
+
 def _epoch(meta: dict) -> int:
     return int(meta.get("epoch", 0))
 
 
-def _gens(meta: dict) -> list[int]:
+def _committed_info(meta: dict) -> tuple[int, list[int]]:
+    """(high-water committed gen, orphaned gens below it).
+
+    The committed-gen set is stored as ``gen`` (high water) plus an
+    ``orphans`` exclusion list — orphans only appear when an attempt
+    crashed mid-append, so the stored set stays O(crashes), not
+    O(commits-since-compaction), and the read filter stays two tiny
+    predicates instead of an ever-growing IN list."""
+    hi = int(meta["gen"])
+    if "orphans" in meta:
+        return hi, [int(g) for g in meta["orphans"]]
+    if "gens" in meta:  # round-6 metas: explicit committed list
+        committed = {int(g) for g in meta["gens"]}
+        hi = max(committed) if committed else hi
+        return hi, sorted(set(range(hi + 1)) - committed)
     # pre-round-6 metas carried only the high-water gen; every gen up to
     # it was committed by construction (no attempt markers existed)
-    if "gens" in meta:
-        return [int(g) for g in meta["gens"]]
-    return list(range(int(meta["gen"]) + 1))
+    return hi, []
+
+
+def _gen_filter(meta: dict):
+    hi, orphans = _committed_info(meta)
+    cond = F.col("gen") <= hi
+    if orphans:
+        cond = cond & ~F.col("gen").isin(orphans)
+    return cond
+
+
+def _meta_snapshot(meta: dict) -> tuple:
+    hi, orphans = _committed_info(meta)
+    return (_epoch(meta), hi, tuple(orphans))
 
 
 def _meta_path(index_dir: str) -> str:
@@ -83,9 +123,21 @@ def _read_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
-def _write_meta(index_dir: str, meta: dict) -> None:
+def _write_meta(index_dir: str, meta: dict, *, expect: tuple | None = None) -> None:
     # the commit point: written LAST, atomically (rename), so readers
-    # either see the previous fully-consistent version or the new one
+    # either see the previous fully-consistent version or the new one.
+    # ``expect`` is the (epoch, gen, orphans) snapshot taken when this
+    # writer read the meta — if the live meta no longer matches, another
+    # writer committed in between and blindly replacing would drop its
+    # gen/stats; refuse instead (single-writer assumption enforced).
+    if expect is not None:
+        cur = _read_meta(index_dir)
+        if _meta_snapshot(cur) != expect:
+            raise ConcurrentWriteError(
+                f"index meta changed underneath this writer "
+                f"(expected {expect}, found {_meta_snapshot(cur)}); "
+                "serialize index maintenance jobs per index"
+            )
     tmp = _meta_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, sort_keys=True)
@@ -170,7 +222,7 @@ def build_search_index(
     field_stats = _agg_stats(spark.read.parquet(os.path.join(out_dir, "docstats")))
     meta = {
         "gen": 0,
-        "gens": [0],
+        "orphans": [],
         "epoch": 0,
         "n_docs": docs.select(id_col).distinct().count(),
         "fields": sorted(field_cols),
@@ -186,10 +238,12 @@ def _committed(
 ) -> DataFrame:
     """Rows of one log visible at the CURRENT commit: gen must be in the
     meta's committed set — not merely ``<= meta.gen``, which would
-    resurrect a crashed attempt's orphans once a later gen commits."""
+    resurrect a crashed attempt's orphans once a later gen commits. The
+    set is expressed as high-water + orphan exclusions, so the plan
+    carries at most one small NOT IN, never a churn-sized IN list."""
     return spark.read.parquet(
         epoch_store.data_dir(index_dir, name, _epoch(meta))
-    ).where(F.col("gen").isin(_gens(meta)))
+    ).where(_gen_filter(meta))
 
 
 def _tomb_max(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
@@ -222,6 +276,7 @@ def upsert_search_index(
     pruned join against the live docids/docstats of the INCOMING ids only
     (for the exact stats delta) — the stored corpus is never re-read."""
     meta = _read_meta(index_dir)
+    prev = _meta_snapshot(meta)
     epoch = _epoch(meta)
     # reserve a gen no prior attempt used (crash-retry safe): persisted
     # atomically BEFORE any append, so orphans from a crashed attempt
@@ -270,14 +325,18 @@ def upsert_search_index(
         cur = field_stats.get(fld, [0, 0])
         field_stats[fld] = [cur[0] + s, cur[1] + n]
     n_batch = batch_ids.distinct().count()
+    hi, orphans = _committed_info(meta)
+    meta.pop("gens", None)  # migrate round-6 metas to gen+orphans
     meta.update(
         gen=gen,
-        gens=sorted(set(_gens(meta)) | {gen}),
+        # every gen between the old high water and this one was a
+        # reserved-but-never-committed attempt → permanent orphan
+        orphans=sorted(set(orphans) | set(range(hi + 1, gen))),
         epoch=epoch,
         n_docs=int(meta["n_docs"]) - n_replaced + n_batch,
         field_stats=field_stats,
     )
-    _write_meta(index_dir, meta)
+    _write_meta(index_dir, meta, expect=prev)
     return meta
 
 
@@ -287,6 +346,7 @@ def delete_from_search_index(
     """Tombstone a set of doc ids. O(|ids|): one pruned join for the
     stats delta, one tombstone append, no data rewrite."""
     meta = _read_meta(index_dir)
+    prev = _meta_snapshot(meta)
     epoch = _epoch(meta)
     gen = epoch_store.next_attempt_gen(index_dir, epoch, int(meta["gen"]))
     if isinstance(ids, DataFrame):
@@ -319,14 +379,16 @@ def delete_from_search_index(
     field_stats = {k: list(v) for k, v in meta["field_stats"].items()}
     for fld, (s, n) in removed.items():
         field_stats[fld] = [field_stats[fld][0] - s, field_stats[fld][1] - n]
+    hi, orphans = _committed_info(meta)
+    meta.pop("gens", None)
     meta.update(
         gen=gen,
-        gens=sorted(set(_gens(meta)) | {gen}),
+        orphans=sorted(set(orphans) | set(range(hi + 1, gen))),
         epoch=epoch,
         n_docs=int(meta["n_docs"]) - n_removed,
         field_stats=field_stats,
     )
-    _write_meta(index_dir, meta)
+    _write_meta(index_dir, meta, expect=prev)
     return meta
 
 
@@ -362,6 +424,7 @@ def compact_search_index(spark: SparkSession, index_dir: str) -> dict:
     tombstones still applied; the stale directories are swept
     best-effort afterwards (and by the next compaction)."""
     meta = _read_meta(index_dir)
+    prev = _meta_snapshot(meta)
     postings, docstats, _, _ = read_search_index(spark, index_dir)
     tomb = _tomb_max(spark, index_dir, meta)
     docids = _live(_committed(spark, index_dir, "docids", meta), tomb).drop("gen")
@@ -382,7 +445,8 @@ def compact_search_index(spark: SparkSession, index_dir: str) -> dict:
         epoch_store.data_dir(index_dir, "tombstones", new_epoch)
     )
     # THE commit: everything above is invisible until this one replace
-    meta.update(gen=0, gens=[0], epoch=new_epoch)
-    _write_meta(index_dir, meta)
+    meta.pop("gens", None)
+    meta.update(gen=0, orphans=[], epoch=new_epoch)
+    _write_meta(index_dir, meta, expect=prev)
     epoch_store.sweep_stale_epochs(index_dir, _LOG_NAMES, new_epoch)
     return meta

@@ -719,7 +719,9 @@ def ivf_build_index(
         nearest.getField("i").alias("cell"),
         F.sqrt(nearest.getField("d")).alias("_dist"),
     )
-    assigned.drop("_dist").write.mode("overwrite").partitionBy("cell").parquet(
+    assigned.drop("_dist").withColumn(
+        "gen", F.lit(0).cast("bigint")
+    ).write.mode("overwrite").partitionBy("cell").parquet(
         epoch_store.data_dir(out_dir, "vectors", 0)
     )
     # build-time fit quality, the baseline the staleness metric compares
@@ -729,16 +731,29 @@ def ivf_build_index(
     ).first()
     with open(os.path.join(out_dir, "centroids.json"), "w") as f:
         json.dump(centroids, f)
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(
-            {
-                "build_mean_dist": float(stats["m"] or 0.0),
-                "mean_dist": float(stats["m"] or 0.0),
-                "n_vectors": int(stats["n"]),
-            },
-            f,
-        )
+    _write_index_json(
+        os.path.join(out_dir, "stats.json"),
+        {
+            "build_mean_dist": float(stats["m"] or 0.0),
+            "mean_dist": float(stats["m"] or 0.0),
+            "n_vectors": int(stats["n"]),
+            "gen": 0,
+            "orphans": [],
+        },
+    )
     return centroids
+
+
+def _write_index_json(path: str, payload: dict) -> None:
+    # atomic replace — for gen-logged indexes this file is the COMMIT
+    # POINT of an append: rows of a gen not recorded here stay invisible
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def ivf_append(
@@ -762,6 +777,11 @@ def ivf_append(
     — and it is time to retrain (``ivf_build_index`` again). Append is
     batch-bounded: it touches only the batch rows, never the stored
     corpus.
+
+    Crash-retry safe (same protocol as the search/shingle indexes): the
+    batch is gen-tagged through the per-epoch attempt marker and becomes
+    visible only when the stats.json commit records the gen; a crashed
+    append's partial rows stay orphaned forever.
     """
     import json
     import os
@@ -770,6 +790,8 @@ def ivf_append(
         centroids = json.load(f)
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
+    epoch = epoch_store.read_epoch(index_dir)
+    gen = epoch_store.next_attempt_gen(index_dir, epoch, stats.get("gen", 0))
     # conform the batch's vector type to the stored layout (a footer
     # read, no data scan): arithmetic upstream of an append silently
     # promotes float arrays to double, and mixed element types in one
@@ -784,7 +806,9 @@ def ivf_append(
         nearest.getField("i").alias("cell"),
         F.sqrt(nearest.getField("d")).alias("_dist"),
     )
-    assigned.drop("_dist").write.mode("append").partitionBy("cell").parquet(
+    assigned.drop("_dist").withColumn(
+        "gen", F.lit(gen).cast("bigint")
+    ).write.mode("append").partitionBy("cell").parquet(
         epoch_store.data_dir(index_dir, "vectors")
     )
     b = assigned.agg(F.avg("_dist").alias("m"), F.count(F.lit(1)).alias("n")).first()
@@ -793,8 +817,9 @@ def ivf_append(
     stats["n_vectors"] = n0 + bn
     if stats["n_vectors"]:
         stats["mean_dist"] = (m0 * n0 + bm * bn) / stats["n_vectors"]
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
+    _write_index_json(
+        os.path.join(index_dir, "stats.json"), epoch_store.advance_gen(stats, gen)
+    )
     build = stats["build_mean_dist"]
     return {
         "n_appended": bn,
@@ -846,6 +871,12 @@ def ivf_query_index(
 
     probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
     vectors = spark.read.parquet(epoch_store.data_dir(index_dir, "vectors"))
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            # committed-gen visibility: a crashed append's rows are not
+            # in stats.json's gen record and must never serve
+            vectors = epoch_store.apply_gen_filter(vectors, json.load(f))
     cand = vectors.where(F.col("cell").isin([int(p) for p in probe]))
     tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
     if os.path.exists(tomb_dir):
@@ -877,19 +908,33 @@ def ivf_compact(spark, index_dir: str) -> None:
     old vectors + tombstones live — see ``epoch_store``)."""
     import os
 
+    import json
+
     tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
     if not os.path.exists(tomb_dir):
         return
     tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
     epoch = epoch_store.read_epoch(index_dir)
-    live = spark.read.parquet(
-        epoch_store.data_dir(index_dir, "vectors", epoch)
+    stats_path = os.path.join(index_dir, "stats.json")
+    stats = {}
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = json.load(f)
+    live = epoch_store.apply_gen_filter(
+        spark.read.parquet(epoch_store.data_dir(index_dir, "vectors", epoch)),
+        stats,
     ).join(F.broadcast(tomb), "vec_id", "left_anti")
     new_epoch = epoch + 1
-    live.write.partitionBy("cell").parquet(
+    # overwrite: a leftover partial staged dir from a crashed attempt
+    # must not make the retry fail with 'path already exists'
+    live.write.mode("overwrite").partitionBy("cell").parquet(
         epoch_store.data_dir(index_dir, "vectors", new_epoch)
     )
     epoch_store.commit_epoch(index_dir, new_epoch)
+    # orphaned gens were physically dropped by the filter above
+    if stats.get("orphans"):
+        stats["orphans"] = []
+        _write_index_json(stats_path, stats)
     epoch_store.sweep_stale_epochs(index_dir, ["vectors"], new_epoch)
 
 
@@ -1168,15 +1213,23 @@ def ivf_pq_build_index(
     # cell + codes in ONE map-only projection — no build-time join
     d_sub = len(codebooks[0][0])
     out = pq_encode(enc_src, codebooks, id_col="vec_id", vec_col="_v", keep=["cell"])
-    out.write.mode("overwrite").partitionBy("cell").parquet(
-        epoch_store.data_dir(out_dir, "codes", 0)
-    )
+    out.withColumn("gen", F.lit(0).cast("bigint")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(epoch_store.data_dir(out_dir, "codes", 0))
     with open(os.path.join(out_dir, "centroids.json"), "w") as f:
         json.dump(centroids, f)
     with open(os.path.join(out_dir, "pq_codebooks.json"), "w") as f:
         json.dump(codebooks, f)
-    with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
-        json.dump({"residual": residual, "m": len(codebooks), "d_sub": d_sub}, f)
+    _write_index_json(
+        os.path.join(out_dir, "index_meta.json"),
+        {
+            "residual": residual,
+            "m": len(codebooks),
+            "d_sub": d_sub,
+            "gen": 0,
+            "orphans": [],
+        },
+    )
     return {"centroids": centroids, "codebooks": codebooks}
 
 
@@ -1214,18 +1267,19 @@ def ivf_pq_query_index(
     with open(os.path.join(index_dir, "pq_codebooks.json")) as f:
         codebooks = json.load(f)
     meta_path = os.path.join(index_dir, "index_meta.json")
-    residual = False
+    index_meta: dict = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            residual = bool(json.load(f).get("residual", False))
+            index_meta = json.load(f)
+    residual = bool(index_meta.get("residual", False))
 
     def d2(c: list[float]) -> float:
         return sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
 
     probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
-    codes = spark.read.parquet(epoch_store.data_dir(index_dir, "codes")).where(
-        F.col("cell").isin([int(p) for p in probe])
-    )
+    codes = epoch_store.apply_gen_filter(
+        spark.read.parquet(epoch_store.data_dir(index_dir, "codes")), index_meta
+    ).where(F.col("cell").isin([int(p) for p in probe]))
     tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
     if os.path.exists(tomb_dir):
         # merge-on-read deletes (ivf_pq_delete) — same contract as the
@@ -1290,6 +1344,10 @@ def ivf_pq_append(
     float index's ``ivf_staleness`` pattern; when the coarse cells go
     stale the PQ codebooks trained on the same distribution are stale
     too, so the retrain trigger is shared.
+
+    Crash-retry safe (same protocol as the search/shingle/IVF indexes):
+    gen-tagged through the per-epoch attempt marker, visible only after
+    the index_meta.json commit records the gen.
     """
     import json
     import os
@@ -1299,10 +1357,13 @@ def ivf_pq_append(
     with open(os.path.join(index_dir, "pq_codebooks.json")) as f:
         codebooks = json.load(f)
     meta_path = os.path.join(index_dir, "index_meta.json")
-    residual = False
+    index_meta: dict = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            residual = bool(json.load(f).get("residual", False))
+            index_meta = json.load(f)
+    residual = bool(index_meta.get("residual", False))
+    epoch = epoch_store.read_epoch(index_dir)
+    gen = epoch_store.next_attempt_gen(index_dir, epoch, index_meta.get("gen", 0))
     with_cell = new_vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
@@ -1320,9 +1381,10 @@ def ivf_pq_append(
         )
     batch = pq_encode(with_cell, codebooks, id_col="vec_id", vec_col="_v", keep=["cell"])
     n = batch.count()
-    batch.write.mode("append").partitionBy("cell").parquet(
-        epoch_store.data_dir(index_dir, "codes")
-    )
+    batch.withColumn("gen", F.lit(gen).cast("bigint")).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(epoch_store.data_dir(index_dir, "codes"))
+    _write_index_json(meta_path, epoch_store.advance_gen(index_meta, gen))
     return n
 
 
@@ -1532,17 +1594,31 @@ def ivf_pq_compact(spark, index_dir: str) -> None:
     committed by one atomic epoch-pointer flip (see ``epoch_store``)."""
     import os
 
+    import json
+
     tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
     if not os.path.exists(tomb_dir):
         return
     tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
     epoch = epoch_store.read_epoch(index_dir)
-    live = spark.read.parquet(
-        epoch_store.data_dir(index_dir, "codes", epoch)
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    index_meta: dict = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            index_meta = json.load(f)
+    live = epoch_store.apply_gen_filter(
+        spark.read.parquet(epoch_store.data_dir(index_dir, "codes", epoch)),
+        index_meta,
     ).join(F.broadcast(tomb), "vec_id", "left_anti")
     new_epoch = epoch + 1
-    live.write.partitionBy("cell").parquet(
+    # overwrite: retry after a crash mid-staged-write must not abort on
+    # the leftover partial *_ep<k+1> dir
+    live.write.mode("overwrite").partitionBy("cell").parquet(
         epoch_store.data_dir(index_dir, "codes", new_epoch)
     )
     epoch_store.commit_epoch(index_dir, new_epoch)
+    # orphaned gens were physically dropped by the filter above
+    if index_meta.get("orphans"):
+        index_meta["orphans"] = []
+        _write_index_json(meta_path, index_meta)
     epoch_store.sweep_stale_epochs(index_dir, ["codes"], new_epoch)

@@ -750,11 +750,14 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings, docstats, n_docs, "spark vector stream",
         field_weights={"text": 1.0}, avgdl_by_field=avgdl,
     ).select(F.col("unique_id").cast("bigint").alias("doc_id"), "bm25_score")
+    # top-50 pre-cut FIRST (compiles to TakeOrderedAndProject — a
+    # distributed partial top-k, no shuffle-everything), THEN the rank
+    # window over the ≤50 survivors. Ranking the full candidate set with
+    # an unpartitioned row_number would funnel every term-matched doc
+    # into one partition — millions of rows at 100× with common terms.
+    bm_top = bm.orderBy(F.desc("bm25_score"), "doc_id").limit(50)
     wb = Window.orderBy(F.desc("bm25_score"), "doc_id")
-    bm_r = (
-        bm.select("doc_id", F.row_number().over(wb).alias("r_bm"))
-        .where(F.col("r_bm") <= 50)
-    )
+    bm_r = bm_top.select("doc_id", F.row_number().over(wb).alias("r_bm"))
     emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     cos = brute_force_topk(emb, qvec, k=50, exclude_self=0).select(

@@ -1,0 +1,220 @@
+"""Crash-retry safety of the gen-guarded append paths (round-7,
+VERDICT item 8): shingle-postings, IVF and IVF-PQ appends ride the same
+attempt-marker + committed-gen protocol as the search index — a batch
+appended by an attempt that crashed before its meta commit stays
+invisible FOREVER, and a retry of the same logical batch reserves a
+fresh gen instead of double-counting the orphan's rows.
+
+Crash simulation: run the real append, then restore the pre-append
+metadata file — exactly the on-disk state a crash between the data
+append and the meta commit leaves behind.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators import epoch_store
+from ariadne_dbt_spark.operators.dedup import (
+    append_to_shingle_index,
+    build_shingle_index,
+    compact_shingle_index,
+    delete_from_shingle_index,
+    incremental_near_dup_flags,
+)
+
+CORPUS = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "one two three four five six"),
+    (3, "red green blue cyan magenta yellow"),
+]
+BATCH = [(10, "lorem ipsum dolor sit amet consectetur")]
+
+
+def _save(path: str) -> str:
+    with open(path) as f:
+        return f.read()
+
+
+def _restore(path: str, content: str) -> None:
+    with open(path, "w") as f:
+        f.write(content)
+
+
+def _flags(spark, idx, batch_rows, n=3):
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    return {
+        r["id"]: r["is_dup"]
+        for r in incremental_near_dup_flags(
+            None, batch, "doc_id", "text", n=n, threshold=0.8, index_dir=idx
+        ).collect()
+    }
+
+
+def test_shingle_append_crash_retry_no_double_count(spark, tmp_path):
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+    meta_file = os.path.join(idx, "meta.json")
+    saved = _save(meta_file)
+
+    batch = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    append_to_shingle_index(batch, idx, "doc_id", "text")
+    # crash: gen-1 rows are on disk, the meta commit never happened
+    _restore(meta_file, saved)
+    # orphaned rows are invisible: the batch doc does NOT look indexed
+    assert _flags(spark, idx, [(99, BATCH[0][1])]) == {99: False}
+
+    # retry the same logical batch → fresh gen, single live copy
+    append_to_shingle_index(batch, idx, "doc_id", "text")
+    with open(meta_file) as f:
+        meta = json.load(f)
+    assert meta["gen"] == 2 and meta["orphans"] == [1]
+    assert _flags(spark, idx, [(99, BATCH[0][1])]) == {99: True}
+
+    # exact-jaccard sanity: duplicated postings would inflate the
+    # intersection count past the union and break jaccard<=1
+    flags = incremental_near_dup_flags(
+        None,
+        spark.createDataFrame([(99, BATCH[0][1])], "doc_id bigint, text string"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+        index_dir=idx,
+    ).collect()
+    assert flags[0]["max_jaccard"] <= 1.0 + 1e-9
+
+    # physically: the orphan's rows exist on disk but carry gen 1
+    postings = spark.read.parquet(epoch_store.data_dir(idx, "postings"))
+    gens = {r["gen"] for r in postings.select("gen").distinct().collect()}
+    assert gens == {0, 1, 2}
+    live = epoch_store.apply_gen_filter(postings, meta)
+    assert {r["gen"] for r in live.select("gen").distinct().collect()} == {0, 2}
+
+
+def test_shingle_compaction_drops_orphans_and_clears_exclusions(spark, tmp_path):
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+    meta_file = os.path.join(idx, "meta.json")
+    saved = _save(meta_file)
+    batch = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    append_to_shingle_index(batch, idx, "doc_id", "text")
+    _restore(meta_file, saved)  # orphan gen 1
+    append_to_shingle_index(batch, idx, "doc_id", "text")  # committed gen 2
+
+    # compaction needs a tombstone log to have work to do — delete a doc
+    delete_from_shingle_index(spark, idx, [2])
+    compact_shingle_index(spark, idx)
+    with open(meta_file) as f:
+        meta = json.load(f)
+    assert meta["orphans"] == []
+    postings = spark.read.parquet(epoch_store.data_dir(idx, "postings"))
+    assert {r["gen"] for r in postings.select("gen").distinct().collect()} == {0, 2}
+    assert _flags(spark, idx, [(99, BATCH[0][1])]) == {99: True}
+    assert _flags(spark, idx, [(98, CORPUS[1][1])]) == {98: False}  # deleted
+
+
+def test_shingle_compaction_retry_after_staged_dir_leftover(spark, tmp_path):
+    """ADVICE r6 (medium): a crash between the staged new-epoch write
+    and commit_epoch leaves a partial *_ep<k+1> dir — the compaction
+    RETRY must overwrite it, not abort with 'path already exists'."""
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+    delete_from_shingle_index(spark, idx, [1])
+    # leftover partial staged dir from a "crashed" prior attempt
+    stale = epoch_store.data_dir(idx, "postings", 1)
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    compact_shingle_index(spark, idx)
+    assert epoch_store.read_epoch(idx) == 1
+    assert _flags(spark, idx, [(99, CORPUS[0][1])]) == {99: False}
+    assert _flags(spark, idx, [(98, CORPUS[1][1])]) == {98: True}
+
+
+def _embeddings(spark, ids, dim=8, base=0.0):
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 10) + base) for j in range(dim)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_ivf_append_crash_retry_no_double_count(spark, tmp_path):
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(_embeddings(spark, range(40)), idx, n_centroids=4, iters=2)
+    stats_file = os.path.join(idx, "stats.json")
+    saved = _save(stats_file)
+
+    batch = _embeddings(spark, range(100, 105))
+    ivf_append(batch, idx)
+    _restore(stats_file, saved)  # crash before the stats.json commit
+
+    # orphaned vectors never serve
+    q = [float(((101 * 7 + j * 3) % 10)) for j in range(8)]
+    got = {r["vec_id"] for r in ivf_query_index(spark, idx, q, k=50, nprobe=4).collect()}
+    assert got.isdisjoint(set(range(100, 105)))
+
+    # retry commits; each appended id serves exactly once
+    ivf_append(batch, idx)
+    with open(stats_file) as f:
+        stats = json.load(f)
+    assert stats["gen"] == 2 and stats["orphans"] == [1]
+    res = ivf_query_index(spark, idx, q, k=100, nprobe=4).collect()
+    ids = [r["vec_id"] for r in res]
+    assert set(range(100, 105)) <= set(ids)
+    assert len(ids) == len(set(ids))
+    # full-probe candidate count = build + ONE committed batch
+    vectors = spark.read.parquet(epoch_store.data_dir(idx, "vectors"))
+    live = epoch_store.apply_gen_filter(vectors, stats)
+    assert live.count() == 45 and vectors.count() == 50
+
+
+def test_ivf_pq_append_crash_retry_no_double_count(spark, tmp_path):
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_pq_append,
+        ivf_pq_build_index,
+        ivf_pq_query_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    ivf_pq_build_index(
+        _embeddings(spark, range(40)), idx, n_centroids=4, iters=2, m=4, k_sub=4
+    )
+    meta_file = os.path.join(idx, "index_meta.json")
+    saved = _save(meta_file)
+
+    batch = _embeddings(spark, range(100, 105))
+    assert ivf_pq_append(batch, idx) == 5
+    _restore(meta_file, saved)  # crash before the index_meta.json commit
+
+    q = [float(((101 * 7 + j * 3) % 10)) for j in range(8)]
+    got = {
+        r["vec_id"]
+        for r in ivf_pq_query_index(spark, idx, q, k=50, nprobe=4).collect()
+    }
+    assert got.isdisjoint(set(range(100, 105)))
+
+    ivf_pq_append(batch, idx)
+    with open(meta_file) as f:
+        meta = json.load(f)
+    assert meta["gen"] == 2 and meta["orphans"] == [1]
+    res = ivf_pq_query_index(spark, idx, q, k=100, nprobe=4).collect()
+    ids = [r["vec_id"] for r in res]
+    assert set(range(100, 105)) <= set(ids)
+    assert len(ids) == len(set(ids))
+    codes = spark.read.parquet(epoch_store.data_dir(idx, "codes"))
+    live = epoch_store.apply_gen_filter(codes, meta)
+    assert live.count() == 45 and codes.count() == 50

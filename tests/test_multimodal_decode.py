@@ -94,10 +94,32 @@ def test_real_decode_through_spark(spark):
     assert aud[5] == pytest.approx(0.5, abs=1e-4)
 
 
-def test_video_real_decode_still_stubbed(spark):
+def test_video_garbage_payload_quarantines(spark):
+    """An unrecognized video payload hits the documented quarantine
+    contract (ValueError), NOT NotImplementedError — video decode is
+    real for the AVI(MPNG/MJPG)/bare-MJPEG tiers (operators/video.py)."""
     df = spark.createDataFrame(
         [(3, "video", bytearray(b"\x00" * 16),
           {"mime": "video/mp4", "width": 1, "height": 1, "duration_ms": 1000, "sample_rate": None})],
+        ASSET_SCHEMA,
+    )
+    with pytest.raises(Exception) as ei:
+        extract_features(df, fake=False).collect()
+    msg = str(ei.value)
+    assert "ValueError" in msg or "unrecognized video payload" in msg
+    assert "NotImplementedError" not in msg
+
+
+def test_video_mp4_sample_decode_still_stubbed(spark):
+    """MP4 *sample* decode is the one disclosed stub tier: a real
+    ISO-BMFF payload (encode_minimal_mp4) raises NotImplementedError
+    from extract_video_frames — there is no stdlib H.264 codec."""
+    from ariadne_dbt_spark.operators.multimodal import encode_minimal_mp4
+
+    mp4 = encode_minimal_mp4(width=640, height=480, duration_ms=2000)
+    df = spark.createDataFrame(
+        [(4, "video", bytearray(mp4),
+          {"mime": "video/mp4", "width": 640, "height": 480, "duration_ms": 2000, "sample_rate": None})],
         ASSET_SCHEMA,
     )
     with pytest.raises(Exception) as ei:

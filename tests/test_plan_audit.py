@@ -314,7 +314,9 @@ def test_incremental_index_read_path(spark, tmp_path):
         field_weights={"text": 1.0}, avgdl_by_field=avgdl,
     )
     plan = scored._jdf.queryExecution().executedPlan().toString()
-    assert "In(gen," in plan  # committed-gen set reaches the scans
+    # committed-gen visibility reaches the scans as a pushed range
+    # predicate (gen <= high-water), not a churn-sized IN list
+    assert "LessThanOrEqual(gen," in plan
     assert "BroadcastHashJoin" in plan     # tombstone-max merge is broadcast
     assert "avg(" not in plan.lower().replace("avgdl", "")
 
@@ -349,10 +351,19 @@ def test_curriculum_no_single_partition_window(spark):
 
 
 def test_rrf_fusion_take_ordered(spark, registry):
-    """Hybrid RRF retrieval: the final fused top-15 compiles to
-    TakeOrderedAndProject (no global sort of the fused set)."""
+    """Hybrid RRF retrieval: the final fused top-15 AND both legs'
+    top-50 cuts compile to TakeOrderedAndProject (distributed partial
+    top-k). The rank windows run over the ≤50-row cut results, never
+    over the full term-matched candidate set — an unpartitioned
+    row_number there would single-partition millions of rows at 100×."""
     plan = _plan(spark, registry, "rrf_hybrid_retrieval")
-    assert "TakeOrderedAndProject" in plan
+    # final fused top-15 + BM25-leg top-50 + cosine-leg top-50
+    assert plan.count("TakeOrderedAndProject") >= 3
+    # every rank window sits above a TakeOrdered cut: the plan string is
+    # parent-first, so the first TakeOrdered must appear before any
+    # window's single-partition exchange would
+    first_window = plan.find("Window")
+    assert first_window == -1 or "TakeOrderedAndProject" in plan[first_window:]
 
 
 def test_spellfix_vocab_broadcast(spark, registry):

@@ -135,8 +135,8 @@ def test_meta_is_the_commit_point(spark, tmp_path):
 def test_crash_retry_does_not_resurrect_orphans(spark, tmp_path):
     """A crashed upsert (rows appended, meta never written) followed by
     a RETRY of the same batch must not double-count: the retry reserves
-    a fresh gen via the attempt marker and the orphan's gen never enters
-    meta['gens'], so readers skip the orphaned copy forever."""
+    a fresh gen via the attempt marker and the orphan's gen lands in
+    meta['orphans'], so readers skip the orphaned copy forever."""
     idx = str(tmp_path / "idx")
     build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
     meta_file = os.path.join(idx, "meta.json")
@@ -151,7 +151,7 @@ def test_crash_retry_does_not_resurrect_orphans(spark, tmp_path):
     upsert_search_index(spark, idx, _docs(spark, batch), "doc_id", FIELDS)
     with open(meta_file) as f:
         meta = json.load(f)
-    assert meta["gen"] == 2 and meta["gens"] == [0, 2]  # gen 1 orphaned
+    assert meta["gen"] == 2 and meta["orphans"] == [1]  # gen 1 orphaned
     # ground truth: a clean index over the same logical corpus
     clean = str(tmp_path / "clean")
     rows = [r for r in BASE if r[0] != 2] + batch
@@ -185,7 +185,7 @@ def test_compaction_crash_before_commit_leaves_old_epoch_live(
     delete_from_search_index(spark, idx, [4])
     before = _ranked(spark, idx)
 
-    def _boom(index_dir, meta):
+    def _boom(index_dir, meta, **kw):
         raise RuntimeError("crash before commit")
 
     monkeypatch.setattr(si, "_write_meta", _boom)
@@ -196,6 +196,80 @@ def test_compaction_crash_before_commit_leaves_old_epoch_live(
     # and a subsequent real compaction still succeeds and agrees
     compact_search_index(spark, idx)
     assert _ranked(spark, idx) == before
+
+
+def test_concurrent_commit_refused(spark, tmp_path):
+    """Two writers racing on one index: the second commit must refuse
+    (ConcurrentWriteError) instead of silently dropping the first's gen
+    and stats deltas via last-writer-wins meta replace."""
+    from ariadne_dbt_spark.operators import search_index as si
+
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+
+    real_write = si._write_meta
+    state = {"raced": False}
+
+    def _race_once(index_dir, meta, **kw):
+        # simulate writer B committing between A's read and A's commit
+        if not state["raced"]:
+            state["raced"] = True
+            other = si._read_meta(index_dir)
+            other["gen"] = 99
+            real_write(index_dir, other)
+        real_write(index_dir, meta, **kw)
+
+    si._write_meta = _race_once
+    try:
+        with pytest.raises(si.ConcurrentWriteError):
+            upsert_search_index(
+                spark, idx, _docs(spark, [(5, "query")]), "doc_id", FIELDS
+            )
+    finally:
+        si._write_meta = real_write
+
+
+def test_legacy_gens_meta_reads_and_migrates(spark, tmp_path):
+    """A round-6 meta carrying an explicit 'gens' list still reads
+    correctly (orphans derived from the gaps) and the next commit
+    rewrites it to the bounded gen+orphans representation."""
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+    before = _ranked(spark, idx)
+    meta_file = os.path.join(idx, "meta.json")
+    with open(meta_file) as f:
+        meta = json.load(f)
+    del meta["orphans"]
+    meta["gens"] = [0]  # the round-6 format
+    with open(meta_file, "w") as f:
+        json.dump(meta, f)
+    assert _ranked(spark, idx) == before
+    upsert_search_index(
+        spark, idx, _docs(spark, [(5, "vector spark stream")]), "doc_id", FIELDS
+    )
+    with open(meta_file) as f:
+        meta2 = json.load(f)
+    assert "gens" not in meta2 and meta2["orphans"] == []
+    assert meta2["gen"] == 1 and meta2["n_docs"] == 5
+
+
+def test_compaction_sweeps_stale_attempt_markers(spark, tmp_path):
+    """Attempt markers of retired epochs are dead bytes once the pointer
+    moves on — compaction's sweep removes them (ADVICE r6)."""
+    idx = str(tmp_path / "idx")
+    build_search_index(_docs(spark, BASE), "doc_id", FIELDS, idx)
+    upsert_search_index(
+        spark, idx, _docs(spark, [(5, "vector spark")]), "doc_id", FIELDS
+    )
+    assert os.path.exists(os.path.join(idx, "_attempt.json"))
+    compact_search_index(spark, idx)  # → epoch 1
+    assert not os.path.exists(os.path.join(idx, "_attempt.json"))
+    upsert_search_index(
+        spark, idx, _docs(spark, [(6, "stream merge")]), "doc_id", FIELDS
+    )
+    assert os.path.exists(os.path.join(idx, "_attempt_ep1.json"))
+    compact_search_index(spark, idx)  # → epoch 2
+    assert not os.path.exists(os.path.join(idx, "_attempt_ep1.json"))
 
 
 def test_delete_then_reinsert(spark, tmp_path):

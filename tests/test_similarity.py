@@ -443,8 +443,9 @@ def test_ivf_pq_index_build_query(spark, tmp_path):
     assert len(meta["centroids"]) == 4 and len(meta["codebooks"]) == 4
 
     # the persisted code table holds NO float vectors — that's the 32x
+    # (gen is the crash-safety commit tag, one bigint per row)
     codes = spark.read.parquet(str(tmp_path / "ivfpq" / "codes"))
-    assert set(codes.columns) == {"vec_id", "pq_codes", "cell"}
+    assert set(codes.columns) == {"vec_id", "pq_codes", "cell", "gen"}
     assert dict(codes.dtypes)["pq_codes"] == "array<int>"
 
     q = rows[3][1]
