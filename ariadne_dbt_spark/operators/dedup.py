@@ -227,6 +227,12 @@ def _jaccard_pairs_count(sh: DataFrame, threshold: float) -> DataFrame:
 #: builds a per-doc array
 _MAX_DF_FOR_SET_DEDUP = 1_000_000
 
+#: candidate rows per id_a above which the distinct()-fallback's
+#: verification join routes that id through a salted join (a mega clone
+#: cluster of size m yields m candidates × |A| postings on one key —
+#: a single straggler partition without the split)
+_HOT_CAND_THRESHOLD = 2_048
+
 
 def _prefix_postings(sh: DataFrame, threshold: float, dfreq: DataFrame) -> DataFrame:
     """Each doc's PPJoin prefix: its (|X| - ⌈τ|X|⌉ + 1) globally-RAREST
@@ -281,23 +287,41 @@ def _jaccard_pairs_prefix(
         (F.col("id_a") < F.col("id_b"))
         & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
     )
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     if dedup_via_set:
         cand = (
             raw_pairs.groupBy("id_a")
             .agg(F.collect_set("id_b").alias("_ids"))
             .select("id_a", F.explode("_ids").alias("id_b"))
         )
+        # verification by COUNTING posting matches restricted to
+        # candidates — |A∩B| = #{shingle : (id_a, shingle) ∈ sh ∧
+        # (id_b, shingle) ∈ sh}; no arrays through the shuffle, cost
+        # Σ_cand |A|. Doc sizes ride on the postings (shingle_sets fuses
+        # sz), so no size-joins are needed; sh's id-hash partitioning
+        # from the build is reused by the id_a join.
+        pa = cand.join(sh_a, "id_a")
     else:
         cand = raw_pairs.select("id_a", "id_b").distinct()
-    # verification by COUNTING posting matches restricted to candidates —
-    # |A∩B| = #{shingle : (id_a, shingle) ∈ sh ∧ (id_b, shingle) ∈ sh};
-    # no arrays through the shuffle, cost Σ_cand |A|. Doc sizes ride on
-    # the postings (shingle_sets fuses sz), so no size-joins are needed;
-    # sh's id-hash partitioning from the build is reused by the id_a join.
-    pa = cand.join(
-        sh.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a")),
-        "id_a",
-    )
+        # this branch runs exactly when the max-df probe could NOT bound
+        # the per-doc candidate fan-out — i.e. when a mega clone cluster
+        # may exist. A cluster of size m gives one id_a m candidate rows
+        # × |A| postings in the id_a verification join: a single
+        # straggler partition at scale. Split-join: ids whose fan-out
+        # exceeds the threshold route through a 16-way salted join
+        # (operators/skew.py — small side is just the HOT docs'
+        # postings, bounded by n_hot × doc size), the cold long tail
+        # keeps the plain join and its reused partitioning.
+        from ariadne_dbt_spark.operators.skew import hot_keys, salted_join
+
+        hot = hot_keys(
+            cand, "id_a", threshold_rows=_HOT_CAND_THRESHOLD
+        ).select("id_a")
+        cand_cold = cand.join(F.broadcast(hot), "id_a", "left_anti")
+        cand_hot = cand.join(F.broadcast(hot), "id_a")
+        pa = cand_cold.join(sh_a, "id_a").unionByName(
+            salted_join(cand_hot, sh_a.join(F.broadcast(hot), "id_a"), "id_a")
+        )
     inter = (
         pa.join(
             sh.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b")),

@@ -243,6 +243,36 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# suite-friendly 1-row summary of the same anti-join (the detail query
+# above is legitimately EMPTY at small SFs, which would give the driver
+# suite no signal for the E1 exclusion path — the counts always pin it)
+@query(
+    "customers_order_coverage",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer) AS n_customers,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_with_orders,
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+    """,
+    survey="E1,J10,A4",
+    doc="Anti-join coverage counts: customers total / with orders / "
+    "without orders (left_anti) — always one row, so the suite hash "
+    "pins the exclusion semantics at every SF.",
+)
+def customers_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    without = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        customer.agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(orders.agg(F.countDistinct("o_custkey").alias("n_with_orders")))
+        .crossJoin(without.agg(F.count(F.lit(1)).alias("n_without_orders")))
+    )
+
+
 # --------------------------------------------------------------------------
 # P4/P5: case-insensitive point lookup + LIKE pattern filter
 # (reference: search.py:222-239 name lookup; :130-144 LIKE fallback).

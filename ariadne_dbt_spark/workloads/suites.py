@@ -98,6 +98,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         ("neighbors", "meta_neighbors", {"unique_id": "string", "relationship": "string"}),
+        (
+            "pk_fk",
+            "meta_pk_fk_flags",
+            {
+                "model_id": "string",
+                "name": "string",
+                "is_primary_key": "boolean",
+                "is_foreign_key": "boolean",
+            },
+        ),
     ],
     "meta_search_suite": [
         (
@@ -172,6 +182,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "exec_seconds": "double",
             },
         ),
+        (
+            "edge_degrees",
+            "manifest_edges_degrees",
+            {
+                "unique_id": "string",
+                "upstream_count": "bigint",
+                "downstream_count": "bigint",
+                "centrality": "double",
+            },
+        ),
     ],
     "manifest_kv_counts": [
         ("kv", "manifest_metadata_kv", {"key": "string", "value": "string"}),
@@ -205,6 +225,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "n_triangles": "bigint",
                 "clustering_millionths": "bigint",
             },
+        ),
+        (
+            "multi_pivot",
+            "multi_pivot_min_distance",
+            {"unique_id": "string", "distance": "int"},
         ),
     ],
     "sketch_dedup_invariants": [
@@ -345,6 +370,51 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "segment_overlap",
             {"n_both": "bigint", "n_only_building": "bigint"},
         ),
+        (
+            "anti_join",
+            "customers_order_coverage",
+            {
+                "n_customers": "bigint",
+                "n_with_orders": "bigint",
+                "n_without_orders": "bigint",
+            },
+        ),
+        (
+            "prefix",
+            "prefix_filter_brands",
+            {"p_brand": "string", "part_count": "bigint", "total_price": "double"},
+        ),
+        (
+            "nation_degrees",
+            "nation_degree_centrality",
+            {
+                "n_nationkey": "int",
+                "n_name": "string",
+                "customer_count": "bigint",
+                "supplier_count": "bigint",
+                "centrality": "double",
+            },
+        ),
+        (
+            "first_order",
+            "first_order_per_customer",
+            {
+                "o_custkey": "bigint",
+                "first_orderkey": "bigint",
+                "first_orderdate": "date",
+            },
+        ),
+        (
+            "dbt_dim",
+            "dbt_run_dim_customers",
+            {
+                "customer_id": "bigint",
+                "customer_name": "string",
+                "segment": "string",
+                "order_count": "bigint",
+                "lifetime_value": "double",
+            },
+        ),
     ],
     "event_stats_suite": [
         (
@@ -435,8 +505,48 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "trailing_avg": "double",
             },
         ),
+        (
+            "sessions",
+            "user_sessions",
+            {"user_id": "bigint", "n_sessions": "bigint", "n_events": "bigint"},
+        ),
+        (
+            "session_windows",
+            "session_window_stats",
+            {
+                "user_id": "bigint",
+                "start_us": "bigint",
+                "end_us": "bigint",
+                "n_events": "bigint",
+            },
+        ),
+        (
+            "type_pivot",
+            "event_type_pivot",
+            {
+                "event_date": "date",
+                "click": "bigint",
+                "view": "bigint",
+                "purchase": "bigint",
+                "signup": "bigint",
+                "error": "bigint",
+            },
+        ),
     ],
     "text_index_suite": [
+        # index_build MUST run first: its force-rebuild replaces the
+        # persisted index's part files, and later sections' lazy plans
+        # must be created against the files that will exist at collect
+        (
+            "index_build",
+            "bm25_index_build",
+            {
+                "n_postings": "bigint",
+                "n_terms": "bigint",
+                "n_docs_indexed": "bigint",
+                "total_tf": "bigint",
+            },
+        ),
         ("tf", "term_frequency_topk", {"term": "string", "tf": "bigint", "df": "bigint"}),
         ("stems", "porter_stem_tokens", {"term": "string", "stem": "string", "tf": "bigint"}),
         (
@@ -519,6 +629,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "dist": "int",
                 "tf": "bigint",
             },
+        ),
+        (
+            "stemmed_search",
+            "bm25_stemmed_search",
+            {"doc_id": "bigint", "bm25_score": "double"},
         ),
     ],
     "olap_ext_suite": [
@@ -776,6 +891,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "n_vecs": "bigint",
                 "n_within_bound": "bigint",
                 "n_out_of_range": "bigint",
+            },
+        ),
+        (
+            "label_centroids",
+            "embedding_label_centroids_sim",
+            {
+                "label_a": "int",
+                "label_b": "int",
+                "n_pairs": "bigint",
+                "avg_cos": "double",
             },
         ),
     ],

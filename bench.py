@@ -53,6 +53,11 @@ HEADLINE = [
     "block_pack_chunks",
     "corpus_drift_psi",
     "rrf_hybrid_retrieval",
+    # the composed end-to-end pipeline (quality filter → exact dedup →
+    # near-dup → deterministic shuffle → shards) gets its own tracked
+    # number: individual stage numbers above don't expose regressions in
+    # the composition (extra shuffles between stages, lost co-partition)
+    "corpus_build_pipeline",
     # bm25_incremental_upsert is gate-covered but excluded: its wall
     # clock is ~80% the from-scratch index build it starts from, which
     # bm25_index_build already measures — the upsert delta itself is

@@ -213,3 +213,35 @@ def test_semdedup_hot_cluster_aqe_skew_split(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_jaccard_distinct_fallback_mega_clone_cluster(spark):
+    """The distinct()-fallback verification join under a planted
+    MEGA-clone cluster (the exact shape that forces the fallback): a
+    120-member identical-text cluster plus unique docs. The hot ids
+    route through the salted join; results must equal the exact
+    all-pairs answer — C(120,2) jaccard-1.0 pairs, nothing else."""
+    from ariadne_dbt_spark.operators.dedup import (
+        _jaccard_pairs_prefix,
+        shingle_sets,
+    )
+
+    m = 120
+    clone_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, clone_text) for i in range(m)] + [
+        (1000 + i, f"unique{i} text{i} body{i} words{i} tail{i}")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingle_sets(docs, "doc_id", "text", 3)
+    out = _jaccard_pairs_prefix(sh, 0.8, dedup_via_set=None)  # safe fallback path
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    want = {(a, b) for a in range(m) for b in range(a + 1, m)}
+    assert got == want
+    assert all(
+        r.jaccard == 1.0 for r in out.collect()
+    )
+    # the split is physically in the plan: salted branch's join carries
+    # the _salt key next to id_a
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
