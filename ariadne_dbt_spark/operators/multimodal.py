@@ -299,6 +299,179 @@ def encode_minimal_mp4(
     )
 
 
+def _find_video_stbl(payload: bytes) -> tuple[int, int] | None:
+    """(start, end) of the FIRST video track's sample table (``stbl``)
+    box payload, or None when the structure has no such box (e.g. the
+    metadata-only minimal writer)."""
+    for btype, s, e in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ct, cs, ce in _iter_boxes(payload, s, e):
+            if ct != b"trak":
+                continue
+            is_video, stbl = False, None
+            for tt, ts, te in _iter_boxes(payload, cs, ce):
+                if tt != b"mdia":
+                    continue
+                for mt, ms, me in _iter_boxes(payload, ts, te):
+                    if mt == b"hdlr" and payload[ms + 8 : ms + 12] == b"vide":
+                        is_video = True
+                    elif mt == b"minf":
+                        for nt, ns, ne in _iter_boxes(payload, ms, me):
+                            if nt == b"stbl":
+                                stbl = (ns, ne)
+            if is_video and stbl is not None:
+                return stbl
+    return None
+
+
+def extract_mp4_samples(payload: bytes) -> tuple[bytes, list[bytes]]:
+    """Walk the video track's sample table (stsd/stsz/stsc/stco|co64)
+    and slice the raw samples out of the file → ``(codec_fourcc,
+    [sample bytes...])``. Pure stdlib — the sample TABLES are plain
+    struct data regardless of codec; whether the returned samples are
+    decodable is the caller's dispatch (JPEG samples are; H.264 isn't).
+
+    Raises NotImplementedError when no parseable sample table exists
+    (metadata-only files), ValueError on non-ISO-BMFF payloads.
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 payload (no ftyp box)")
+    stbl = _find_video_stbl(payload)
+    if stbl is None:
+        raise NotImplementedError(
+            "MP4 has no video sample table (stbl) — metadata-only payload"
+        )
+    s, e = stbl
+    fourcc = b""
+    sizes: list[int] = []
+    chunk_offsets: list[int] = []
+    stsc_entries: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    for bt, bs, be in _iter_boxes(payload, s, e):
+        if bt == b"stsd":
+            (n_entries,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+            if n_entries >= 1 and bs + 16 <= be:
+                fourcc = payload[bs + 12 : bs + 16]
+        elif bt == b"stsz":
+            uniform, count = struct.unpack(">II", payload[bs + 4 : bs + 12])
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                sizes = list(
+                    struct.unpack(f">{count}I", payload[bs + 12 : bs + 12 + 4 * count])
+                )
+        elif bt == b"stco":
+            (count,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+            chunk_offsets = list(
+                struct.unpack(f">{count}I", payload[bs + 8 : bs + 8 + 4 * count])
+            )
+        elif bt == b"co64":
+            (count,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+            chunk_offsets = list(
+                struct.unpack(f">{count}Q", payload[bs + 8 : bs + 8 + 8 * count])
+            )
+        elif bt == b"stsc":
+            (count,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+            for i in range(count):
+                first, per = struct.unpack(
+                    ">II", payload[bs + 8 + 12 * i : bs + 16 + 12 * i]
+                )
+                stsc_entries.append((first, per))
+    if not sizes or not chunk_offsets or not stsc_entries:
+        raise NotImplementedError(
+            "MP4 video track lacks a complete stsz/stsc/stco sample table"
+        )
+    # expand sample-to-chunk runs: entry i applies from its first_chunk
+    # (1-based) until the next entry's
+    samples: list[bytes] = []
+    si = 0
+    n_chunks = len(chunk_offsets)
+    for i, (first, per) in enumerate(stsc_entries):
+        last = stsc_entries[i + 1][0] - 1 if i + 1 < len(stsc_entries) else n_chunks
+        for chunk in range(first, last + 1):
+            if chunk > n_chunks or si >= len(sizes):
+                break
+            off = chunk_offsets[chunk - 1]
+            for _ in range(per):
+                if si >= len(sizes):
+                    break
+                sz = sizes[si]
+                if off + sz > len(payload):
+                    raise ValueError("sample table points past end of file")
+                samples.append(payload[off : off + sz])
+                off += sz
+                si += 1
+    return fourcc, samples
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes],
+    *,
+    width: int,
+    height: int,
+    fps: int = 10,
+    fourcc: bytes = b"jpeg",
+) -> bytes:
+    """Structurally-real still-image-codec MP4 writer: ftyp + mdat
+    (concatenated per-frame samples) + moov with a full sample table
+    (stsd ``fourcc`` — 'jpeg' for MJPEG-in-MP4, 'png ' for PNG samples —
+    plus stts, stsc, stsz, stco). mdat precedes moov so chunk offsets
+    are known without a second layout pass. The sample-side inverse of
+    :func:`extract_mp4_samples`, mirroring encode_avi/encode_png."""
+
+    def box(btype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(data)) + btype + data
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    first_off = len(ftyp) + 8  # samples start right after mdat's header
+
+    timescale = 1000
+    duration = len(frames) * timescale // max(fps, 1)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, duration) + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3xIIIII", 0, 0, 0, 1, 0, duration)
+        + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    hdlr = box(b"hdlr", struct.pack(">B3x4x4s", 0, b"vide") + b"\x00" * 13)
+    # spec-shaped 86-byte visual sample entry
+    entry = (
+        struct.pack(">I4s", 86, fourcc)
+        + b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, color table
+    )
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = box(
+        b"stts",
+        struct.pack(">B3xIII", 0, 1, len(frames), timescale // max(fps, 1)),
+    )
+    stsc = box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, len(frames), 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, len(frames))
+        + struct.pack(f">{len(frames)}I", *[len(f) for f in frames]),
+    )
+    stco = box(b"stco", struct.pack(">B3xII", 0, 1, first_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def video_metadata(df: DataFrame) -> DataFrame:
     """Box-parse every video asset's payload → ``(asset_id, duration_ms,
     width, height, n_tracks, n_video_tracks, n_audio_tracks)`` via

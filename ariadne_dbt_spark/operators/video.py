@@ -223,8 +223,13 @@ def extract_video_frames(payload: bytes, *, max_frames: int | None = None) -> li
 
     * RIFF/AVI → the ``movi`` LIST's ``00dc``/``00db`` chunk payloads;
     * bare MJPEG stream → SOI/EOI split;
-    * ISO-BMFF/MP4 → NotImplementedError (entropy-coded samples, no
-      stdlib codec — metadata via ``parse_mp4_metadata`` still works);
+    * ISO-BMFF/MP4 → the video track's sample table is walked
+      (stsz/stsc/stco — ``multimodal.extract_mp4_samples``) and JPEG
+      samples (MJPEG-in-MP4, fourcc ``jpeg``/``mjpa``/``mjpb``) are
+      returned; entropy-coded codecs (H.264/H.265 — fourcc ``avc1``
+      etc.) raise NotImplementedError, the one disclosed stub tier
+      (no stdlib codec exists; metadata via ``parse_mp4_metadata``
+      still works);
     * anything else → ValueError (quarantine).
     """
     if is_avi(payload):
@@ -242,9 +247,19 @@ def extract_video_frames(payload: bytes, *, max_frames: int | None = None) -> li
         frames = split_mjpeg_stream(payload)
         return frames[:max_frames] if max_frames is not None else frames
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from ariadne_dbt_spark.operators.multimodal import extract_mp4_samples
+
+        fourcc, samples = extract_mp4_samples(payload)
+        if samples and (
+            fourcc in (b"jpeg", b"mjpa", b"mjpb", b"png ")
+            or samples[0][:2] == _JPEG_SOI
+            or samples[0][:8] == b"\x89PNG\r\n\x1a\n"
+        ):
+            return samples[:max_frames] if max_frames is not None else samples
         raise NotImplementedError(
-            "MP4 sample decode requires an H.264/H.265 codec — not in this "
-            "image; AVI(MPNG/MJPG) and bare MJPEG are the decodable tiers"
+            f"MP4 sample decode for codec {fourcc.decode('ascii', 'replace')!r} "
+            "requires an H.264/H.265-class codec — not in this image; "
+            "AVI(MPNG/MJPG), bare MJPEG and MJPEG-in-MP4 are the decodable tiers"
         )
     raise ValueError("unrecognized video payload")
 
