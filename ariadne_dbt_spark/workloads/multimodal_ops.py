@@ -271,10 +271,13 @@ def audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="multimodal,perceptual-hash,§8.4",
     doc="Perceptual video near-dup pairs through the REAL frame decode "
-    "path (AVI/RIFF container parse -> MPNG frame split -> stdlib PNG "
-    "pixel decode -> per-frame dHash -> banded Hamming frame join -> "
-    "per-pair coverage): re-encoded clones pair at full frame "
-    "coverage; byte-level dedup cannot catch them.",
+    "path: originals are AVI-MPNG; every other clone is the SAME "
+    "pixels re-boxed as MP4 (stsz/stsc/stco sample-table walk) — so "
+    "the oracle-hard row covers container parse (RIFF AND ISO-BMFF), "
+    "frame split, stdlib PNG pixel decode, per-frame dHash, banded "
+    "Hamming frame join, per-pair coverage. Re-encoded cross-container "
+    "clones pair at full frame coverage; byte-level dedup cannot catch "
+    "them.",
 )
 def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_dbt_spark.operators.video import (
@@ -294,7 +297,10 @@ def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        from ariadne_dbt_spark.operators.multimodal import encode_png
+        from ariadne_dbt_spark.operators.multimodal import (
+            encode_mp4_mjpeg,
+            encode_png,
+        )
 
         def frames(d: int) -> list[list[int]]:
             out = []
@@ -321,14 +327,21 @@ def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 ids.append(d + 3000000)
-                payloads.append(
-                    encode_avi(
-                        [encode_png(32, 32, 1, p, level=1) for p in px],
-                        width=32,
-                        height=32,
-                        fps=10,
+                clone_frames = [encode_png(32, 32, 1, p, level=1) for p in px]
+                if (d // 13) % 2 == 0:
+                    # every other clone re-boxed as MP4-PNG: the pair
+                    # only matches if the ISO-BMFF sample-table walk
+                    # extracts the same frames the RIFF path does
+                    payloads.append(
+                        encode_mp4_mjpeg(
+                            clone_frames, width=32, height=32, fps=10,
+                            fourcc=b"png ",
+                        )
                     )
-                )
+                else:
+                    payloads.append(
+                        encode_avi(clone_frames, width=32, height=32, fps=10)
+                    )
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
     assets = docs.mapInPandas(build, "asset_id long, payload binary")
