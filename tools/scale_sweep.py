@@ -419,8 +419,26 @@ def _neardup_ingest_gated_op(out_dir: str):
         # indexed ids would flag 100% dup and skip the append work,
         # silently shrinking the timed region)
         run_id = next(counter) + (os.getpid() % 997) * 100
+        # half the batch is corpus clones (rejected by the gate), half
+        # carries a novel token suffix (accepted → exercises the append
+        # write, not just the flags join)
+        novel_text = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda j: F.concat(
+                    F.lit(f"nv{run_id}w"),
+                    j.cast("string"),
+                    F.lit("x"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ),
+        )
         batch = docs.where(F.col("doc_id") < 1000).select(
-            (F.col("doc_id") + 20_000_000 + run_id * 10_000).alias("doc_id"), "text"
+            (F.col("doc_id") + 20_000_000 + run_id * 10_000).alias("doc_id"),
+            F.when(F.col("doc_id") % 2 == 1, novel_text)
+            .otherwise(F.col("text"))
+            .alias("text"),
         )
         return ingest_batch_dedup_gated(
             batch, idx, "doc_id", "text", threshold=0.8
@@ -443,7 +461,8 @@ def _video_neardup_op(out_dir: str):
     def run(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
         from pyspark.sql import types as T
 
-        assets_path = os.path.join(out_dir, "video_assets.parquet")
+        # v2: 16x16 frames (dhash needs ≥9px width), non-linear pixels
+        assets_path = os.path.join(out_dir, "video_assets_v2.parquet")
         if not os.path.exists(assets_path):
             n_docs = docs.count()
             n_videos = max(64, n_docs // 16)
@@ -456,17 +475,24 @@ def _video_neardup_op(out_dir: str):
 
                 for pdf in batches:
                     payloads = []
+                    import hashlib
+
                     for vid in pdf["asset_id"]:
                         vid = int(vid)
                         seed = vid - 3 if (vid % 10 == 0 and vid > 0) else vid
-                        frames = [
-                            encode_png(
-                                8, 8, 3,
-                                [(seed * 31 + f * 17 + p * 7) % 256 for p in range(192)],
+                        # 16x16 (dhash resamples to a 9x8 grid → ≥9px
+                        # wide) NOISE frames via md5 — smooth/gradient
+                        # pixels would dhash-collide across seeds and
+                        # bake a quadratic pair mass into the DATA,
+                        # corrupting the very curve this measures
+                        frames = []
+                        for f in range(4):
+                            raw = b"".join(
+                                hashlib.md5(f"sv:{seed}:{f}:{i}".encode()).digest()
+                                for i in range(48)
                             )
-                            for f in range(4)
-                        ]
-                        payloads.append(encode_avi(frames, width=8, height=8))
+                            frames.append(encode_png(16, 16, 3, list(raw)))
+                        payloads.append(encode_avi(frames, width=16, height=16))
                     yield pd.DataFrame(
                         {"asset_id": pdf["asset_id"], "payload": payloads}
                     )
