@@ -49,6 +49,55 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ann_ivf_topk",
+    oracle=f"""
+    SELECT b.vec_id, ROUND({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+    ORDER BY {_COS_SQL} DESC, b.vec_id
+    LIMIT 10
+    """,
+    survey="similarity-ivf,streaming-index-upsert,E5",
+    doc="Streaming vector-index maintenance driven as a REAL stream "
+    "(3 micro-batch files: the first trains the IVF cells, each later "
+    "one is a gen-guarded O(batch) append): a full-probe query served "
+    "from the streamed-built index equals brute-force cosine over "
+    "everything ingested, which the oracle recomputes from scratch — "
+    "any lost/duplicated batch changes the ranking and fails the hash.",
+)
+def stream_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.operators.similarity import ivf_query_index
+    from ariadne_dbt_spark.streaming.vector_stream import ivf_ingest_stream
+
+    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    work = tempfile.mkdtemp(prefix="ariadne_vector_stream_")
+    try:
+        src = os.path.join(work, "src")
+        idx = os.path.join(work, "idx")
+        emb.repartition(3).write.parquet(src)
+        n_batches = ivf_ingest_stream(spark, src, idx, n_centroids=8, iters=2)
+        assert n_batches >= 2  # train + at least one append
+        # full probe → exact ranking; vec 0 itself (cos 1.0, lowest id)
+        # leads and is dropped, leaving the oracle's exact top-10
+        served = ivf_query_index(spark, idx, qvec, k=11, nprobe=8)
+        top = (
+            served.where(F.col("vec_id") != 0)
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10)
+            .select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+        )
+        # LocalRelation: the temp index is deleted below, the returned
+        # frame must not re-read it
+        return spark.createDataFrame(top.toPandas(), top.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "embedding_label_centroids_sim",
     oracle=f"""
     WITH pairs AS (
