@@ -665,6 +665,7 @@ def append_to_shingle_index(
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
+    expect = epoch_store.gen_state(meta)
     epoch = epoch_store.read_epoch(index_dir)
     gen = epoch_store.next_attempt_gen(index_dir, epoch, meta.get("gen", 0))
     sh = shingle_sets(df, id_col, text_col, meta["n"])
@@ -673,6 +674,10 @@ def append_to_shingle_index(
     ).write.mode("append").partitionBy("bucket").parquet(
         epoch_store.data_dir(index_dir, "postings")
     )
+    # CAS: refuse the commit if another writer slipped in (last-writer-
+    # wins would drop its gen and resurrect nothing — but silently)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        epoch_store.check_gen_unchanged(json.load(f), expect)
     _write_shingle_meta(index_dir, epoch_store.advance_gen(meta, gen))
 
 

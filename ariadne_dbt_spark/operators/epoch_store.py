@@ -175,6 +175,26 @@ def advance_gen(meta: dict, gen: int) -> dict:
     return meta
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer committed between this writer's meta read and its
+    commit — last-writer-wins would silently drop the other commit's gen
+    (and any stats deltas), so the commit is refused instead. Index
+    maintenance is single-writer per index; this guard turns a violated
+    assumption into a loud error."""
+
+
+def check_gen_unchanged(live_meta: dict, expect: tuple[int, list[int]]) -> None:
+    """CAS guard for gen-logged meta commits: raise ConcurrentWriteError
+    when the live meta's (gen, orphans) no longer matches the snapshot
+    taken when this writer read it."""
+    if gen_state(live_meta) != (int(expect[0]), [int(g) for g in expect[1]]):
+        raise ConcurrentWriteError(
+            f"index meta changed underneath this writer "
+            f"(expected gen state {expect}, found {gen_state(live_meta)}); "
+            "serialize index maintenance jobs per index"
+        )
+
+
 def next_attempt_gen(index_dir: str, epoch: int, committed_gen: int) -> int:
     """Reserve a gen no prior attempt (committed OR crashed) in this
     epoch has used: read the per-epoch attempt marker, take

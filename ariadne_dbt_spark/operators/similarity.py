@@ -790,6 +790,7 @@ def ivf_append(
         centroids = json.load(f)
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
+    expect = epoch_store.gen_state(stats)
     epoch = epoch_store.read_epoch(index_dir)
     gen = epoch_store.next_attempt_gen(index_dir, epoch, stats.get("gen", 0))
     # conform the batch's vector type to the stored layout (a footer
@@ -817,6 +818,9 @@ def ivf_append(
     stats["n_vectors"] = n0 + bn
     if stats["n_vectors"]:
         stats["mean_dist"] = (m0 * n0 + bm * bn) / stats["n_vectors"]
+    # CAS: a concurrent writer's committed gen/stats must not be dropped
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        epoch_store.check_gen_unchanged(json.load(f), expect)
     _write_index_json(
         os.path.join(index_dir, "stats.json"), epoch_store.advance_gen(stats, gen)
     )
@@ -1362,6 +1366,7 @@ def ivf_pq_append(
         with open(meta_path) as f:
             index_meta = json.load(f)
     residual = bool(index_meta.get("residual", False))
+    expect = epoch_store.gen_state(index_meta)
     epoch = epoch_store.read_epoch(index_dir)
     gen = epoch_store.next_attempt_gen(index_dir, epoch, index_meta.get("gen", 0))
     with_cell = new_vectors.select(
@@ -1384,6 +1389,10 @@ def ivf_pq_append(
     batch.withColumn("gen", F.lit(gen).cast("bigint")).write.mode(
         "append"
     ).partitionBy("cell").parquet(epoch_store.data_dir(index_dir, "codes"))
+    # CAS: a concurrent writer's committed gen must not be dropped
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            epoch_store.check_gen_unchanged(json.load(f), expect)
     _write_index_json(meta_path, epoch_store.advance_gen(index_meta, gen))
     return n
 

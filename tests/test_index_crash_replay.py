@@ -218,3 +218,40 @@ def test_ivf_pq_append_crash_retry_no_double_count(spark, tmp_path):
     codes = spark.read.parquet(epoch_store.data_dir(idx, "codes"))
     live = epoch_store.apply_gen_filter(codes, meta)
     assert live.count() == 45 and codes.count() == 50
+
+
+def test_shingle_append_concurrent_commit_refused(spark, tmp_path):
+    """Two writers racing on one shingle index: the second commit must
+    refuse (ConcurrentWriteError) instead of silently dropping the
+    first's gen via last-writer-wins meta replace."""
+    import pytest
+
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+    meta_file = os.path.join(idx, "meta.json")
+
+    batch = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    # writer B commits between A's meta read and A's commit: simulate by
+    # bumping the live meta's gen under A's feet via a hook on the
+    # attempt-gen reservation (runs after A read the meta)
+    real_next = epoch_store.next_attempt_gen
+
+    def _race(index_dir, epoch, committed):
+        g = real_next(index_dir, epoch, committed)
+        with open(meta_file) as f:
+            live = json.load(f)
+        live["gen"] = live.get("gen", 0) + 7  # writer B's commit
+        live.setdefault("orphans", [])
+        tmp = meta_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(live, fh)
+        os.replace(tmp, meta_file)
+        return g
+
+    epoch_store.next_attempt_gen = _race
+    try:
+        with pytest.raises(epoch_store.ConcurrentWriteError):
+            append_to_shingle_index(batch, idx, "doc_id", "text")
+    finally:
+        epoch_store.next_attempt_gen = real_next
