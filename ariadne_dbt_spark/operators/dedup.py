@@ -302,7 +302,13 @@ def _jaccard_pairs_prefix(
         # from the build is reused by the id_a join.
         pa = cand.join(sh_a, "id_a")
     else:
-        cand = raw_pairs.select("id_a", "id_b").distinct()
+        # materialize the candidate set ONCE: the hot-key probe, the
+        # cold branch and the hot branch below would each otherwise
+        # recompute the whole prefix-join subtree (3x the exchanges,
+        # 3x the work)
+        cand = (
+            raw_pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=True)
+        )
         # this branch runs exactly when the max-df probe could NOT bound
         # the per-doc candidate fan-out — i.e. when a mega clone cluster
         # may exist. A cluster of size m gives one id_a m candidate rows
