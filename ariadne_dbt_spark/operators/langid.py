@@ -39,6 +39,8 @@ __all__ = [
     "char_ngram_tokens",
     "train_language_classifier",
     "detect_language_model",
+    "save_language_classifier",
+    "load_language_classifier",
     "synth_lang_corpus",
 ]
 
@@ -169,6 +171,38 @@ def detect_language_model(df: DataFrame, clf: dict, text_col: str) -> DataFrame:
         .withColumn("lang_prob", F.round(F.element_at(probs, pred_i + 1), 6))
         .drop("_cng", "_features", "rawPrediction", "probability", "prediction")
     )
+
+
+def save_language_classifier(clf: dict, out_dir: str) -> None:
+    """Persist a trained classifier (MLlib PipelineModel + the
+    labels/n-gram sidecar) — the production shape: train ONCE on a
+    small labeled set, load in every ingest job, pay only the map-only
+    transform over the corpus."""
+    import json
+    import os
+
+    clf["model"].write().overwrite().save(os.path.join(out_dir, "model"))
+    tmp = os.path.join(out_dir, "langid_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"labels": clf["labels"], "n": clf["n"]}, f)
+    os.replace(tmp, os.path.join(out_dir, "langid_meta.json"))
+
+
+def load_language_classifier(out_dir: str) -> dict:
+    """Inverse of :func:`save_language_classifier` — returns the same
+    dict shape ``train_language_classifier`` produces."""
+    import json
+    import os
+
+    from pyspark.ml import PipelineModel
+
+    with open(os.path.join(out_dir, "langid_meta.json")) as f:
+        meta = json.load(f)
+    return {
+        "model": PipelineModel.load(os.path.join(out_dir, "model")),
+        "labels": list(meta["labels"]),
+        "n": int(meta["n"]),
+    }
 
 
 def synth_lang_corpus(

@@ -255,3 +255,54 @@ def test_shingle_append_concurrent_commit_refused(spark, tmp_path):
             append_to_shingle_index(batch, idx, "doc_id", "text")
     finally:
         epoch_store.next_attempt_gen = real_next
+
+
+def test_ivf_compaction_retry_after_staged_dir_leftover(spark, tmp_path):
+    """Same ADVICE-r6 shape for the IVF compaction: a partial staged
+    vectors_ep1 dir from a crashed attempt must not wedge the retry."""
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_compact,
+        ivf_delete,
+        ivf_query_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(_embeddings(spark, range(30)), idx, n_centroids=4, iters=2)
+    ivf_delete(spark, idx, [3])
+    stale = epoch_store.data_dir(idx, "vectors", 1)
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    ivf_compact(spark, idx)
+    assert epoch_store.read_epoch(idx) == 1
+    q = [float(((3 * 7 + j * 3) % 10)) for j in range(8)]
+    got = {r.vec_id for r in ivf_query_index(spark, idx, q, k=30, nprobe=4).collect()}
+    assert 3 not in got and len(got) == 29
+
+
+def test_ivf_pq_compaction_retry_after_staged_dir_leftover(spark, tmp_path):
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_pq_build_index,
+        ivf_pq_compact,
+        ivf_pq_delete,
+        ivf_pq_query_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    ivf_pq_build_index(
+        _embeddings(spark, range(30)), idx, n_centroids=4, iters=2, m=4, k_sub=4
+    )
+    ivf_pq_delete(spark, idx, [3])
+    stale = epoch_store.data_dir(idx, "codes", 1)
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    ivf_pq_compact(spark, idx)
+    assert epoch_store.read_epoch(idx) == 1
+    q = [float(((3 * 7 + j * 3) % 10)) for j in range(8)]
+    got = {
+        r.vec_id
+        for r in ivf_pq_query_index(spark, idx, q, k=30, nprobe=4).collect()
+    }
+    assert 3 not in got

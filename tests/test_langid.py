@@ -103,3 +103,30 @@ def test_perplexity_buckets_arg_validation(spark):
         perplexity_buckets(df, "doc_id", "text")
     with pytest.raises(ValueError):
         perplexity_buckets(df, "doc_id", "text", lang_col="lang", lang_clf={})
+
+
+def test_classifier_save_load_roundtrip(spark, tmp_path):
+    """Persisted classifier predicts identically after reload — the
+    train-once / load-everywhere production shape."""
+    from ariadne_dbt_spark.operators.langid import (
+        load_language_classifier,
+        save_language_classifier,
+    )
+
+    n_langs = len(LANG_LEXICONS)
+    corpus = synth_lang_corpus(
+        spark.range(n_langs * 10).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    clf = train_language_classifier(corpus, "text", "lang_true")
+    save_language_classifier(clf, str(tmp_path / "clf"))
+    clf2 = load_language_classifier(str(tmp_path / "clf"))
+    assert clf2["labels"] == clf["labels"] and clf2["n"] == clf["n"]
+    a = sorted(
+        map(tuple, detect_language_model(corpus, clf, "text")
+            .select("doc_id", "lang_pred", "lang_prob").collect())
+    )
+    b = sorted(
+        map(tuple, detect_language_model(corpus, clf2, "text")
+            .select("doc_id", "lang_pred", "lang_prob").collect())
+    )
+    assert a == b
