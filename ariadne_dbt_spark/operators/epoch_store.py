@@ -159,9 +159,12 @@ def apply_gen_filter(df, meta: dict):
     from pyspark.sql import functions as F
 
     hi, orphans = gen_state(meta)
-    cond = F.col("gen") <= hi
+    # NULL gen = rows written before gen tagging (a legacy index being
+    # upgraded in place by its first guarded append) — committed by
+    # definition, must stay live
+    cond = F.col("gen").isNull() | (F.col("gen") <= hi)
     if orphans:
-        cond = cond & ~F.col("gen").isin(orphans)
+        cond = cond & (F.col("gen").isNull() | ~F.col("gen").isin(orphans))
     return df.where(cond)
 
 

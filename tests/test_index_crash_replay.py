@@ -306,3 +306,37 @@ def test_ivf_pq_compaction_retry_after_staged_dir_leftover(spark, tmp_path):
         for r in ivf_pq_query_index(spark, idx, q, k=30, nprobe=4).collect()
     }
     assert 3 not in got
+
+
+def test_legacy_shingle_index_without_gen_still_reads(spark, tmp_path):
+    """Pre-round-7 indexes have no gen column and no gen keys in meta —
+    apply_gen_filter must no-op and every row stays (optimistically)
+    live, so an in-place upgrade never breaks existing indexes."""
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+    # strip the round-7 artifacts back to the legacy on-disk format
+    postings_dir = epoch_store.data_dir(idx, "postings")
+    legacy = (
+        spark.read.parquet(postings_dir).drop("gen").localCheckpoint(eager=True)
+    )
+    import shutil
+
+    shutil.rmtree(postings_dir)
+    legacy.write.partitionBy("bucket").parquet(postings_dir)
+    meta_file = os.path.join(idx, "meta.json")
+    with open(meta_file) as f:
+        meta = json.load(f)
+    meta.pop("gen", None)
+    meta.pop("orphans", None)
+    with open(meta_file, "w") as f:
+        json.dump(meta, f)
+
+    assert _flags(spark, idx, [(99, CORPUS[0][1])]) == {99: True}
+    # and a round-7 append onto the legacy index upgrades it in place:
+    # schema union (old rows read gen NULL → kept: NULL <= hi is false...
+    # so the filter must only engage when the meta says gens exist)
+    batch = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    append_to_shingle_index(batch, idx, "doc_id", "text")
+    assert _flags(spark, idx, [(98, BATCH[0][1])]) == {98: True}
+    assert _flags(spark, idx, [(97, CORPUS[1][1])]) == {97: True}
