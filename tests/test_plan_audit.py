@@ -340,6 +340,20 @@ def test_block_pack_no_global_sort_and_bounded_exchanges(spark):
     assert plan.count("Exchange") <= 4
 
 
+def test_corpus_build_pipeline_composition_shape(spark, registry):
+    """The composed corpus-build pipeline (quality → LM filter → exact
+    dedup → shuffle → shards) is now a bench headline: pin its shape so
+    a regression in the composition (lost co-partitioning, a cartesian
+    creeping into the stage joins) is caught structurally, not by
+    wall-clock noise. The two SinglePartition exchanges are the 1-row
+    global aggregates (vocab size / total counts) that broadcast-cross
+    into the scoring — O(1) rows by construction."""
+    plan = _plan(spark, registry, "corpus_build_pipeline")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 22, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
 def test_curriculum_no_single_partition_window(spark):
     """curriculum_order's result plan: phases are a literal CASE (the
     percentile agg ran at build time), windows partition by
