@@ -1228,13 +1228,27 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(qm) DIV COUNT(1)").alias("mean_q"),
     )
     dup = base.select(F.expr("(n_docs - n_fp) * 1000000 DIV n_docs").alias("v"))
-    ranked = counts.select(
+    # exact discrete percentiles via VALUE-histogram selection: the
+    # value at rank k in (n_toks, doc_id) order is the smallest length
+    # whose cumulative count reaches k, so the only window runs over
+    # DISTINCT LENGTH VALUES (bounded by the longest doc, never corpus
+    # rows) — an unpartitioned row_number over every doc would funnel
+    # the whole corpus through one partition at 100x
+    hist = counts.groupBy("n_toks").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("n_toks").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
         "n_toks",
-        F.row_number().over(Window.orderBy("n_toks", "doc_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nt"),
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("nt"),
     )
-    p50 = ranked.where(F.expr("rn = (nt + 1) DIV 2")).select("n_toks")
-    p95 = ranked.where(F.expr("rn = (19 * nt + 19) DIV 20")).select("n_toks")
+    p50 = (
+        cum.where(F.col("cum") >= F.expr("(nt + 1) DIV 2"))
+        .orderBy("n_toks").limit(1).select("n_toks")
+    )
+    p95 = (
+        cum.where(F.col("cum") >= F.expr("(19 * nt + 19) DIV 20"))
+        .orderBy("n_toks").limit(1).select("n_toks")
+    )
     src = counts.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
     top_share = src.agg(F.expr("MAX(ns) * 1000000 DIV SUM(ns)").alias("v"))
     out = (
