@@ -41,6 +41,7 @@ __all__ = [
     "detect_language_model",
     "save_language_classifier",
     "load_language_classifier",
+    "partition_corpus_by_language",
     "synth_lang_corpus",
 ]
 
@@ -240,3 +241,35 @@ def synth_lang_corpus(
         F.element_at(lang_arr, li + 1).alias(lang_col),
         text.alias(text_col),
     )
+
+
+def partition_corpus_by_language(
+    df,
+    clf: dict,
+    text_col: str,
+    out_dir: str,
+    *,
+    min_prob: float = 0.0,
+) -> dict:
+    """CCNet's corpus layout step: classify every document (map-only)
+    and write the corpus parquet PARTITIONED BY the predicted language
+    — downstream per-language stages (perplexity terciles, per-language
+    sampling quotas, language-specific tokenizers) then read ONLY their
+    language's directory (partition pruning, no full-corpus scan).
+
+    Documents whose winner probability falls below ``min_prob`` land in
+    the ``und`` (undetermined) partition instead of polluting a
+    language — the CCNet recipe for low-confidence text. Returns
+    ``{lang: n_docs}`` (one tiny aggregate over the written data).
+    """
+    scored = detect_language_model(df, clf, text_col)
+    lang = F.when(F.col("lang_prob") >= float(min_prob), F.col("lang_pred")).otherwise(
+        F.lit("und")
+    )
+    out = scored.withColumn("lang_part", lang).drop("lang_pred", "lang_prob")
+    out.write.mode("overwrite").partitionBy("lang_part").parquet(out_dir)
+    written = df.sparkSession.read.parquet(out_dir)
+    return {
+        r["lang_part"]: r["n"]
+        for r in written.groupBy("lang_part").agg(F.count(F.lit(1)).alias("n")).collect()
+    }

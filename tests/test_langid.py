@@ -130,3 +130,35 @@ def test_classifier_save_load_roundtrip(spark, tmp_path):
             .select("doc_id", "lang_pred", "lang_prob").collect())
     )
     assert a == b
+
+
+def test_partition_corpus_by_language_prunes_and_quarantines(spark, tmp_path):
+    """CCNet layout: the corpus lands partitioned by the PREDICTED
+    language; a one-language read physically prunes the other
+    partitions (PartitionFilters), and low-confidence docs land in
+    'und' instead of polluting a language."""
+    from ariadne_dbt_spark.operators.langid import partition_corpus_by_language
+
+    n_langs = len(LANG_LEXICONS)
+    corpus = synth_lang_corpus(
+        spark.range(n_langs * 10).withColumnRenamed("id", "doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+    clf = train_language_classifier(corpus, "text", "lang_true")
+    out = str(tmp_path / "by_lang")
+    sizes = partition_corpus_by_language(
+        corpus.select("doc_id", "text"), clf, "text", out
+    )
+    assert sizes == {lang: 10 for lang in LANG_LEXICONS}
+
+    one = spark.read.parquet(out).where(F.col("lang_part") == "de")
+    assert one.count() == 10
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "lang_part" in plan.split("PartitionFilters")[1][:200]
+
+    # an impossible confidence floor quarantines everything to 'und'
+    out2 = str(tmp_path / "by_lang_strict")
+    sizes2 = partition_corpus_by_language(
+        corpus.select("doc_id", "text"), clf, "text", out2, min_prob=1.1
+    )
+    assert sizes2 == {"und": n_langs * 10}
