@@ -340,3 +340,26 @@ def test_legacy_shingle_index_without_gen_still_reads(spark, tmp_path):
     append_to_shingle_index(batch, idx, "doc_id", "text")
     assert _flags(spark, idx, [(98, BATCH[0][1])]) == {98: True}
     assert _flags(spark, idx, [(97, CORPUS[1][1])]) == {97: True}
+
+
+def test_gen_filter_pushes_to_scan_and_keeps_partition_pruning(spark, tmp_path):
+    """The committed-gen visibility predicate reaches the parquet scan
+    as a pushed filter (row groups of uncommitted gens skip at the
+    reader), and the IVF cell partition pruning survives alongside it."""
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(_embeddings(spark, range(30)), idx, n_centroids=4, iters=2)
+    ivf_append(_embeddings(spark, range(100, 105)), idx)
+    q = [float(((3 * 7 + j * 3) % 10)) for j in range(8)]
+    plan = (
+        ivf_query_index(spark, idx, q, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LessThanOrEqual(gen," in plan  # pushed visibility range
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
