@@ -1346,9 +1346,13 @@ def doc_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="quality-scoring,compressibility",
     doc="zlib-compressibility quality signal (Arrow-batched pandas UDF): "
-    "three planted classes per sampled doc — 'spark ' repeated, the "
-    "natural text, and concatenated md5 hex noise — must rank "
-    "1 < 2 < 3 by mean compression ratio. The ranking (not the float "
+    "three planted classes per sampled doc — a 6-char loop, the natural "
+    "text cycled to a fixed 1200-char window, and a 1200-char md5 hex "
+    "chain — must rank 1 < 2 < 3 by mean compression ratio. All three "
+    "classes are LENGTH-NORMALIZED so the invariant is independent of "
+    "how long the corpus' docs happen to be (a sub-100-char natural doc "
+    "barely compresses at all — zlib header overhead — and at tiny SFs "
+    "that flipped natural above hexish). The ranking (not the float "
     "ratios) is the oracle-checked output, the invariant pattern used "
     "for every engine-hash-unstable operator here.",
 )
@@ -1358,27 +1362,30 @@ def compressibility_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_dbt_spark.operators.text import compression_ratio_millionths
 
     base = documents(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
+    window_chars = 1200
+    # natural text cycled to the window: zlib dedups the cycles (the
+    # repeats cost ~nothing) but each window still carries one full copy
+    # of natural-entropy text → ratio lands firmly between the pure
+    # 6-char loop and the hex chain at ANY base doc length
+    natural = F.substring(F.repeat(F.col("text"), 16), 1, window_chars)
+    hexish = F.substring(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(window_chars // 32 + 1)),
+                lambda i: F.md5(F.concat(F.col("text"), i.cast("string"))),
+            ),
+        ),
+        1,
+        window_chars,
+    )
     classes = base.select(
         "doc_id",
         F.explode(
             F.array(
                 F.struct(F.lit("repeat").alias("klass"), F.repeat(F.lit("spark "), 200).alias("t")),
-                F.struct(F.lit("natural").alias("klass"), F.col("text").alias("t")),
-                F.struct(
-                    F.lit("hexish").alias("klass"),
-                    F.concat(
-                        F.md5(F.col("text")),
-                        F.md5(F.concat(F.col("text"), F.lit("a"))),
-                        F.md5(F.concat(F.col("text"), F.lit("b"))),
-                        F.md5(F.concat(F.col("text"), F.lit("c"))),
-                        F.md5(F.concat(F.col("text"), F.lit("d"))),
-                        F.md5(F.concat(F.col("text"), F.lit("e"))),
-                        F.md5(F.concat(F.col("text"), F.lit("f"))),
-                        F.md5(F.concat(F.col("text"), F.lit("g"))),
-                        F.md5(F.concat(F.col("text"), F.lit("h"))),
-                        F.md5(F.concat(F.col("text"), F.lit("i"))),
-                    ).alias("t"),
-                ),
+                F.struct(F.lit("natural").alias("klass"), natural.alias("t")),
+                F.struct(F.lit("hexish").alias("klass"), hexish.alias("t")),
             )
         ).alias("r"),
     ).select("doc_id", "r.klass", "r.t")
