@@ -69,12 +69,9 @@ _TOMB_SCHEMA = "unique_id string, gen bigint"
 _LOG_NAMES = ["postings", "docstats", "docids", "tombstones"]
 
 
-class ConcurrentWriteError(RuntimeError):
-    """A second writer committed between this writer's meta read and its
-    commit — last-writer-wins would silently drop the other commit's gen
-    and stats deltas, so the commit is refused instead. Writers are
-    expected to be externally serialized (one maintenance job per index);
-    this guard turns a violated assumption into a loud error."""
+# one CAS-refusal type across every gen-logged index (shingle/IVF/
+# IVF-PQ commits raise the same class via epoch_store.check_gen_unchanged)
+ConcurrentWriteError = epoch_store.ConcurrentWriteError
 
 
 def _epoch(meta: dict) -> int:
