@@ -429,10 +429,25 @@ def perplexity_buckets(
     that 100 TB of web text doesn't have. Exactly one of
     ``lang_col``/``lang_clf`` must be given.
 
-    Scale shape: xent is one LM pass; the tercile boundaries are one
-    tiny per-language aggregate broadcast back — no per-language window
-    over the corpus.
+    Scale shape: xent is one LM pass; the tercile boundaries come from a
+    VALUE-histogram rank selection — group by ``(lang, xent)`` counts,
+    cumulative sums over DISTINCT rounded xent values per language, then
+    the boundary is the smallest value whose cumulative count reaches the
+    tercile rank. No executor ever buffers a language's full score list
+    (exact ``percentile`` would — on CCNet's real workload a single
+    language holds billions of docs), and the per-language window runs
+    over distinct 6-decimal-rounded xents, never corpus rows.
+
+    Membership equivalence with interpolated terciles (what DuckDB's
+    ``quantile_cont`` computes): the interpolated boundary q(p) lies in
+    ``[v_k, v_{k+1}]`` for ``k = floor(1 + (n-1)p)``, and no DATA value
+    falls strictly between adjacent sorted values, so for every doc
+    ``xent <= q(p)`` iff ``xent <= v_k`` — the boundary value at rank k.
+    The bucket labels are therefore bit-identical to the exact-percentile
+    formulation; only the aggregation shape changed.
     """
+    from pyspark.sql.window import Window
+
     if (lang_col is None) == (lang_clf is None):
         raise ValueError("pass exactly one of lang_col= or lang_clf=")
     if lang_col is not None:
@@ -447,12 +462,33 @@ def perplexity_buckets(
         ).select(F.col(id_col), F.col("lang_pred").alias("lang"), F.col(text_col))
     x = lm_cross_entropy(langed, id_col, text_col).select(id_col, "xent")
     xl = x.join(langed.select(id_col, "lang"), id_col)
-    qs = xl.groupBy("lang").agg(
-        F.percentile("xent", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))).alias("bs")
+    hist = xl.groupBy("lang", "xent").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("lang")
+        .orderBy("xent")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    cum = hist.select(
+        "lang",
+        "xent",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    # rank of the interpolated boundary's floor value: k = 1 + (n-1)p DIV 1
+    b1 = (
+        cum.where(F.col("cum") >= F.expr("1 + (n - 1) DIV 3"))
+        .groupBy("lang")
+        .agg(F.min("xent").alias("b1"))
+    )
+    b2 = (
+        cum.where(F.col("cum") >= F.expr("1 + (2 * (n - 1)) DIV 3"))
+        .groupBy("lang")
+        .agg(F.min("xent").alias("b2"))
+    )
+    qs = b1.join(b2, "lang")
     bucket = (
-        F.when(F.col("xent") <= F.col("bs")[0], F.lit("head"))
-        .when(F.col("xent") <= F.col("bs")[1], F.lit("middle"))
+        F.when(F.col("xent") <= F.col("b1"), F.lit("head"))
+        .when(F.col("xent") <= F.col("b2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return (

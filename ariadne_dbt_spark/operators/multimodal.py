@@ -14,10 +14,10 @@ Decoding tiers (``extract_features``):
   unfilter, 8-bit gray/RGB/RGBA non-interlaced — the PNG spec's required
   baseline) and WAV PCM via the stdlib ``wave`` module. Features are
   real signal statistics (dimensions, per-channel means, RMS). Video
-  FRAMES decode for the AVI(MPNG/MJPG) and bare-MJPEG tiers
-  (``operators/video.py`` — container parse + frame split + PNG pixel
-  decode all stdlib; JPEG pixels need PIL); only MP4 SAMPLE decode
-  still raises NotImplementedError (H.264/H.265 entropy data, no
+  FRAMES decode for the AVI(MPNG/MJPG), bare-MJPEG, and MJPEG/PNG-in-MP4
+  tiers (``operators/video.py`` — container parse + sample-table walk +
+  frame split + PNG pixel decode all stdlib; JPEG pixels need PIL); only
+  entropy-coded H.264/H.265 MP4 samples raise NotImplementedError (no
   stdlib codec). Video METADATA is real for both containers: the
   ISO-BMFF box parser here (``parse_mp4_metadata`` /
   ``video_metadata``) and the RIFF/AVI header parser
@@ -333,7 +333,12 @@ def extract_mp4_samples(payload: bytes) -> tuple[bytes, list[bytes]]:
     decodable is the caller's dispatch (JPEG samples are; H.264 isn't).
 
     Raises NotImplementedError when no parseable sample table exists
-    (metadata-only files), ValueError on non-ISO-BMFF payloads.
+    (metadata-only files), ValueError on non-ISO-BMFF payloads AND on
+    malformed/hostile tables (truncated boxes, count fields that claim
+    more entries than the enclosing box holds, uniform-size tables whose
+    total exceeds the file) — every count is bounds-checked against the
+    box extent BEFORE unpacking, so a bad asset quarantines instead of
+    raising struct.error or ballooning allocations in the task.
     """
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF/MP4 payload (no ftyp box)")
@@ -347,36 +352,64 @@ def extract_mp4_samples(payload: bytes) -> tuple[bytes, list[bytes]]:
     sizes: list[int] = []
     chunk_offsets: list[int] = []
     stsc_entries: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
-    for bt, bs, be in _iter_boxes(payload, s, e):
-        if bt == b"stsd":
-            (n_entries,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
-            if n_entries >= 1 and bs + 16 <= be:
-                fourcc = payload[bs + 12 : bs + 16]
-        elif bt == b"stsz":
-            uniform, count = struct.unpack(">II", payload[bs + 4 : bs + 12])
-            if uniform:
-                sizes = [uniform] * count
-            else:
-                sizes = list(
-                    struct.unpack(f">{count}I", payload[bs + 12 : bs + 12 + 4 * count])
+
+    def need(bs: int, be: int, end: int, what: str) -> None:
+        if end > be:
+            raise ValueError(f"malformed MP4 {what} table: claims {end - bs} "
+                             f"bytes but box holds {be - bs}")
+
+    try:
+        for bt, bs, be in _iter_boxes(payload, s, e):
+            if bt == b"stsd":
+                need(bs, be, bs + 8, "stsd")
+                (n_entries,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+                if n_entries >= 1 and bs + 16 <= be:
+                    fourcc = payload[bs + 12 : bs + 16]
+            elif bt == b"stsz":
+                need(bs, be, bs + 12, "stsz")
+                uniform, count = struct.unpack(">II", payload[bs + 4 : bs + 12])
+                if uniform:
+                    # a uniform table has no per-entry rows to bound the
+                    # count with — bound it by the file itself: count
+                    # samples of uniform bytes each must fit in payload
+                    if uniform * count > len(payload):
+                        raise ValueError(
+                            "malformed MP4 stsz: uniform sample total "
+                            "exceeds file size"
+                        )
+                    sizes = [uniform] * count
+                else:
+                    need(bs, be, bs + 12 + 4 * count, "stsz")
+                    sizes = list(
+                        struct.unpack(
+                            f">{count}I", payload[bs + 12 : bs + 12 + 4 * count]
+                        )
+                    )
+            elif bt == b"stco":
+                need(bs, be, bs + 8, "stco")
+                (count,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+                need(bs, be, bs + 8 + 4 * count, "stco")
+                chunk_offsets = list(
+                    struct.unpack(f">{count}I", payload[bs + 8 : bs + 8 + 4 * count])
                 )
-        elif bt == b"stco":
-            (count,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
-            chunk_offsets = list(
-                struct.unpack(f">{count}I", payload[bs + 8 : bs + 8 + 4 * count])
-            )
-        elif bt == b"co64":
-            (count,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
-            chunk_offsets = list(
-                struct.unpack(f">{count}Q", payload[bs + 8 : bs + 8 + 8 * count])
-            )
-        elif bt == b"stsc":
-            (count,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
-            for i in range(count):
-                first, per = struct.unpack(
-                    ">II", payload[bs + 8 + 12 * i : bs + 16 + 12 * i]
+            elif bt == b"co64":
+                need(bs, be, bs + 8, "co64")
+                (count,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+                need(bs, be, bs + 8 + 8 * count, "co64")
+                chunk_offsets = list(
+                    struct.unpack(f">{count}Q", payload[bs + 8 : bs + 8 + 8 * count])
                 )
-                stsc_entries.append((first, per))
+            elif bt == b"stsc":
+                need(bs, be, bs + 8, "stsc")
+                (count,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+                need(bs, be, bs + 8 + 12 * count, "stsc")
+                for i in range(count):
+                    first, per = struct.unpack(
+                        ">II", payload[bs + 8 + 12 * i : bs + 16 + 12 * i]
+                    )
+                    stsc_entries.append((first, per))
+    except struct.error as exc:  # short slice despite checks → quarantine
+        raise ValueError(f"malformed MP4 sample table: {exc}") from exc
     if not sizes or not chunk_offsets or not stsc_entries:
         raise NotImplementedError(
             "MP4 video track lacks a complete stsz/stsc/stco sample table"
@@ -618,10 +651,12 @@ def _audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def _video_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Real video features (AVI-MPNG/MJPG + bare MJPEG tiers —
-    operators/video.py): [width, height, n_frames, mean luma of up to 4
-    sampled frames (0-1), 0-pad]. MP4 still raises NotImplementedError
-    (no stdlib sample codec; metadata-only for that tier)."""
+    """Real video features (AVI-MPNG/MJPG, bare-MJPEG, and
+    MJPEG/PNG-in-MP4 tiers — operators/video.py walks the MP4 sample
+    table and decodes still-image-codec samples): [width, height,
+    n_frames, mean luma of up to 4 sampled frames (0-1), 0-pad].
+    Entropy-coded H.264/H.265 MP4 raises NotImplementedError (no stdlib
+    codec; metadata-only for that tier)."""
     from ariadne_dbt_spark.operators.video import (
         decode_frame_pixels,
         extract_video_frames,
@@ -655,8 +690,9 @@ def _video_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 def real_features(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> list[float]:
     """Dispatch a REAL decode by asset kind (see module docstring for
-    codec tiers). Video decodes for the AVI(MPNG/MJPG)/bare-MJPEG tiers
-    (operators/video.py); MP4 samples remain NotImplementedError."""
+    codec tiers). Video decodes for the AVI(MPNG/MJPG), bare-MJPEG, and
+    MJPEG/PNG-in-MP4 tiers (operators/video.py); only entropy-coded
+    H.264/H.265 MP4 samples remain NotImplementedError."""
     if kind == "image":
         return _image_features(payload, dim)
     if kind == "audio":
@@ -674,8 +710,9 @@ def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     ``fake=True`` (the oracle-gate path) emits the deterministic
     hash-derived vector; ``fake=False`` runs a REAL decode per asset —
     PIL/soundfile when importable, the stdlib PNG/WAV codecs otherwise.
-    Video decodes for the AVI(MPNG/MJPG)/bare-MJPEG tiers
-    (operators/video.py); MP4 sample decode is the one disclosed
+    Video decodes for the AVI(MPNG/MJPG), bare-MJPEG, and
+    MJPEG/PNG-in-MP4 tiers (operators/video.py); entropy-coded
+    H.264/H.265 MP4 sample decode is the one disclosed
     NotImplementedError tier; unrecognized payloads raise ValueError
     (the quarantine contract). The Spark plumbing (schema, batching,
     partition shape) is identical either way.

@@ -1569,30 +1569,120 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetically.",
 )
 def lang_id_model_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ariadne_dbt_spark.operators.langid import (
-        LANG_LEXICONS,
-        detect_language_model,
-        synth_lang_corpus,
-        train_language_classifier,
+    from ariadne_dbt_spark.operators.langid import detect_language_model
+
+    clf = _train_langid_on_corpus(spark, sf_dir)
+    corpus, half = _langid_synth_corpus(spark, sf_dir)
+    pred = detect_language_model(corpus.where(half == 1), clf, "text")
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_true", "lang_pred")
     )
+
+
+def _langid_synth_corpus(spark: SparkSession, sf_dir: str):
+    """(synth 12-language corpus, train/held-out half expression). The
+    split is decorrelated from the lang assignment (which is id % L):
+    alternate L-sized blocks, so every language appears in both halves."""
+    from ariadne_dbt_spark.operators.langid import LANG_LEXICONS, synth_lang_corpus
 
     n_langs = len(LANG_LEXICONS)
     docs = documents(spark, sf_dir).select("doc_id")
     corpus = synth_lang_corpus(docs, "doc_id")
-    # split decorrelated from the lang assignment (which is id % L):
-    # alternate L-sized blocks, so every language appears in both halves
-    half = F.expr(f"(doc_id div {n_langs}) % 2")
-    # training cost is capped (≤100 docs/language — ample for the
-    # disjoint-vocabulary corpus) while INFERENCE still covers the whole
-    # held-out half: the oracle's expected counts depend only on that
-    # half, which is untouched. At 100 TB this is exactly the real
-    # shape — the classifier trains once on a small labeled set and the
-    # corpus only ever pays the map-only transform.
-    clf = train_language_classifier(
+    return corpus, F.expr(f"(doc_id div {n_langs}) % 2")
+
+
+def _train_langid_on_corpus(spark: SparkSession, sf_dir: str) -> dict:
+    """Train the language classifier on the capped labeled half.
+
+    Training cost is capped (≤200 docs/language — ample for the
+    disjoint-vocabulary corpus) while INFERENCE still covers the whole
+    held-out half: the oracle's expected counts depend only on that
+    half, which is untouched. At 100 TB this is exactly the real
+    shape — the classifier trains once on a small labeled set and the
+    corpus only ever pays the map-only transform."""
+    from ariadne_dbt_spark.operators.langid import (
+        LANG_LEXICONS,
+        train_language_classifier,
+    )
+
+    n_langs = len(LANG_LEXICONS)
+    corpus, half = _langid_synth_corpus(spark, sf_dir)
+    return train_language_classifier(
         corpus.where(half == 0).where(F.col("doc_id") < n_langs * 200),
         "text",
         "lang_true",
     )
+
+
+#: train-once cache for the langid_infer bench row, keyed by (app, sf):
+#: mirrors production (train once, load in every ingest job) and gives
+#: the bench a pure map-only inference number — a cold langid_infer run
+#: trains (like a job loading a saved model pays I/O once), the warm run
+#: is inference only, so inference-path regressions stop hiding inside
+#: training noise (round-7 note on lang_detect_confusion's 2.5 s).
+_LANGID_CLF_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _cached_langid_clf(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    clf = _LANGID_CLF_CACHE.get(key)
+    if clf is None:
+        clf = _train_langid_on_corpus(spark, sf_dir)
+        _LANGID_CLF_CACHE.clear()  # models bind to their session
+        _LANGID_CLF_CACHE[key] = clf
+    return clf
+
+
+def _langid_train_oracle() -> str:
+    from ariadne_dbt_spark.operators.langid import LANG_LEXICONS
+
+    n_langs = len(LANG_LEXICONS)
+    return f"""
+    SELECT {n_langs} AS n_classes, COUNT(*) AS n_train_docs
+    FROM documents
+    WHERE (doc_id // {n_langs}) % 2 = 0 AND doc_id < {n_langs * 200}
+    """
+
+
+@query(
+    "langid_train",
+    oracle=_langid_train_oracle(),
+    survey="language-id,T7",
+    doc="Language-ID TRAINING cost, isolated: fit the hashed char-3-gram "
+    "multinomial LR on the capped labeled half and report the model "
+    "shape. The bench-side twin of bm25_index_build — training wall "
+    "clock gets its own number instead of hiding inside the confusion "
+    "rows.",
+)
+def langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.langid import LANG_LEXICONS
+
+    n_langs = len(LANG_LEXICONS)
+    corpus, half = _langid_synth_corpus(spark, sf_dir)
+    n_train = corpus.where(half == 0).where(F.col("doc_id") < n_langs * 200).count()
+    clf = _train_langid_on_corpus(spark, sf_dir)
+    return spark.createDataFrame(
+        [(len(clf["labels"]), n_train)], "n_classes int, n_train_docs bigint"
+    )
+
+
+@query(
+    "langid_infer",
+    oracle=_langid_model_oracle(),
+    survey="language-id,T7",
+    doc="Language-ID INFERENCE cost, isolated: map-only transform of the "
+    "held-out half under a train-once cached classifier (the bench-side "
+    "twin of bm25_search — cold pays one training, warm is pure "
+    "inference). Same diagonal-confusion oracle as "
+    "lang_id_model_confusion.",
+)
+def langid_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.langid import detect_language_model
+
+    clf = _cached_langid_clf(spark, sf_dir)
+    corpus, half = _langid_synth_corpus(spark, sf_dir)
     pred = detect_language_model(corpus.where(half == 1), clf, "text")
     return (
         pred.groupBy("lang_true", "lang_pred")

@@ -42,6 +42,13 @@ HEADLINE = [
     "ann_pq_lossless_topk",
     "doc_quality_scores",
     "lang_detect_confusion",
+    # round 8: train/infer split (the bm25_index_build/bm25_search
+    # pattern) — lang_detect_confusion trains the LR per invocation (the
+    # gate fold), so an inference-path regression would hide inside its
+    # training noise; langid_infer's WARM number is pure map-only
+    # inference under the train-once cache
+    "langid_train",
+    "langid_infer",
     "doc_lm_cross_entropy",
     "semantic_dedup_flags",
     "shared_span_pairs",

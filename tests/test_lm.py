@@ -209,3 +209,65 @@ class TestDSIR:
         target = corpus.where(F.col("doc_id") % 3 == 0)
         for x in dsir_log_ratios(corpus, target, "doc_id", "text").collect():
             assert abs(x.log_ratio - round(x.xent_raw - x.xent_target, 6)) < 1e-9
+
+
+class TestPerplexityBucketsScale:
+    """Round 8: perplexity_buckets' terciles come from value-histogram
+    rank selection (group by (lang, xent) + cumulative counts over
+    DISTINCT rounded xents), never an exact percentile that buffers a
+    language's full score list in one aggregation buffer — on CCNet's
+    real workload a single language ('en') holds billions of docs."""
+
+    def test_no_exact_percentile_in_plan(self, spark):
+        from ariadne_dbt_spark.operators.lm import perplexity_buckets
+
+        df = spark.createDataFrame(
+            [(i, "en", "the cat sat on the mat again " + str(i % 7)) for i in range(30)],
+            "doc_id long, lang string, text string",
+        )
+        out = perplexity_buckets(df, "doc_id", "text", lang_col="lang")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "percentile" not in plan.lower()
+
+    def test_giant_language_skew_buckets_match_interpolated(self, spark):
+        """Planted skew: one language holds 94% of docs. Bucket labels
+        must equal the interpolated-tercile formulation (quantile_cont
+        membership), doc by doc — the histogram recipe is an exact
+        re-aggregation, not an approximation."""
+        import numpy as np
+
+        from ariadne_dbt_spark.operators.lm import (
+            lm_cross_entropy,
+            perplexity_buckets,
+        )
+
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        rows = []
+        for i in range(470):  # giant language
+            t = " ".join(words[(i + j) % len(words)] for j in range(5 + i % 9))
+            rows.append((i, "en", t))
+        for i in range(470, 500):  # tiny language
+            t = " ".join(words[(i * 3 + j) % len(words)] for j in range(4 + i % 5))
+            rows.append((i, "fr", t))
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+        got = {
+            r.doc_id: r.ppl_bucket
+            for r in perplexity_buckets(df, "doc_id", "text", lang_col="lang").collect()
+        }
+
+        # independent expectation: numpy interpolated terciles per lang
+        x = {
+            r.doc_id: r.xent
+            for r in lm_cross_entropy(df, "doc_id", "text").collect()
+        }
+        langs = {r.doc_id: r.lang for r in df.select("doc_id", "lang").collect()}
+        for lang in ("en", "fr"):
+            vals = sorted(v for d, v in x.items() if langs[d] == lang)
+            b1 = float(np.quantile(vals, 1 / 3, method="linear"))
+            b2 = float(np.quantile(vals, 2 / 3, method="linear"))
+            for d, v in x.items():
+                if langs[d] != lang:
+                    continue
+                want = "head" if v <= b1 else ("middle" if v <= b2 else "tail")
+                assert got[d] == want, (d, v, b1, b2, got[d], want)

@@ -233,3 +233,80 @@ def test_mp4_video_near_dup_pairs_through_spark(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_mp4_hostile_sample_tables_quarantine_not_crash():
+    """Round 8 (ADVICE): truncated/hostile stsz/stsc/stco count fields
+    must raise ValueError (the quarantine contract), never struct.error
+    or a giant allocation."""
+    import struct as _s
+
+    from ariadne_dbt_spark.operators.multimodal import (
+        encode_mp4_mjpeg,
+        extract_mp4_samples,
+    )
+
+    frames = [encode_png(16, 16, 1, _noise_pixels(f"h:{i}")) for i in range(3)]
+    good = encode_mp4_mjpeg(frames, width=16, height=16, fourcc=b"png ")
+
+    def corrupt_count(payload: bytes, box: bytes, count_off: int, value: int) -> bytes:
+        i = payload.find(box)
+        assert i > 0
+        at = i + 4 + count_off  # box type + offset to count field
+        return payload[:at] + _s.pack(">I", value) + payload[at + 4 :]
+
+    # stsz non-uniform: claim 1M entries the box can't hold
+    bad_stsz = corrupt_count(good, b"stsz", 8, 1_000_000)
+    with pytest.raises(ValueError, match="stsz"):
+        extract_mp4_samples(bad_stsz)
+
+    # stco: claim more chunk offsets than the box holds
+    bad_stco = corrupt_count(good, b"stco", 4, 1_000_000)
+    with pytest.raises(ValueError, match="stco"):
+        extract_mp4_samples(bad_stco)
+
+    # stsc: entry count past the box end
+    bad_stsc = corrupt_count(good, b"stsc", 4, 1_000_000)
+    with pytest.raises(ValueError, match="stsc"):
+        extract_mp4_samples(bad_stsc)
+
+    # uniform stsz whose total exceeds the file: 2^31 samples of 64 bytes
+    i = good.find(b"stsz")
+    at = i + 4 + 4  # uniform field
+    huge_uniform = (
+        good[:at] + _s.pack(">II", 64, 2**31 - 1) + good[at + 8 :]
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        extract_mp4_samples(huge_uniform)
+
+    # the good file still round-trips after all that slicing logic
+    fourcc, samples = extract_mp4_samples(good)
+    assert fourcc == b"png " and samples == frames
+
+
+def test_mp4_hostile_table_raises_valueerror_through_spark(spark):
+    """extract_features(fake=False) is the STRICT path — its documented
+    quarantine signal is ValueError. A hostile stsz count must surface
+    as ValueError through the Spark task, never struct.error (which
+    per-row quarantine layers don't catch as a decode failure)."""
+    import struct as _s
+
+    import pytest
+
+    from ariadne_dbt_spark.operators.multimodal import (
+        encode_mp4_mjpeg,
+        extract_features,
+    )
+
+    frames = [encode_png(16, 16, 1, _noise_pixels(f"q:{i}")) for i in range(3)]
+    good = encode_mp4_mjpeg(frames, width=16, height=16, fourcc=b"png ")
+    i = good.find(b"stsz")
+    bad = good[: i + 12] + _s.pack(">I", 1_000_000) + good[i + 16 :]
+    df = spark.createDataFrame(
+        [(2, "video", bad)], "asset_id long, kind string, payload binary"
+    )
+    with pytest.raises(Exception) as ei:
+        extract_features(df, fake=False).collect()
+    msg = str(ei.value)
+    assert "ValueError" in msg and "malformed MP4" in msg
+    assert "MemoryError" not in msg
