@@ -680,11 +680,13 @@ def append_to_shingle_index(
     ).write.mode("append").partitionBy("bucket").parquet(
         epoch_store.data_dir(index_dir, "postings")
     )
-    # CAS: refuse the commit if another writer slipped in (last-writer-
-    # wins would drop its gen and resurrect nothing — but silently)
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        epoch_store.check_gen_unchanged(json.load(f), expect)
-    _write_shingle_meta(index_dir, epoch_store.advance_gen(meta, gen))
+    # CAS under the commit lock: refuse the commit if another writer
+    # slipped in (last-writer-wins would drop its gen — silently); the
+    # lock makes the check→replace window atomic, not just best-effort
+    with epoch_store.commit_lock(index_dir):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            epoch_store.check_gen_unchanged(json.load(f), expect)
+        _write_shingle_meta(index_dir, epoch_store.advance_gen(meta, gen))
 
 
 def ingest_batch_dedup_gated(
@@ -786,8 +788,8 @@ def incremental_near_dup_flags(
             _shingle_bucket(meta["n_buckets"]).alias("bucket")
         ).distinct()
         buckets = [int(r["bucket"]) for r in probe.collect()]
-        stored = batch.sparkSession.read.parquet(
-            epoch_store.data_dir(index_dir, "postings")
+        stored = epoch_store.read_gen_data(
+            batch.sparkSession, index_dir, "postings"
         ).where(F.col("bucket").isin(buckets) if buckets else F.lit(False))
         # skip rows from appends that crashed before their meta commit
         sh_e = epoch_store.apply_gen_filter(stored, meta).select(
@@ -1138,7 +1140,7 @@ def compact_shingle_index(spark, index_dir: str) -> None:
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     postings = epoch_store.apply_gen_filter(
-        spark.read.parquet(epoch_store.data_dir(index_dir, "postings", epoch)),
+        epoch_store.read_gen_data(spark, index_dir, "postings", epoch),
         meta,
     )
     if tomb is not None:

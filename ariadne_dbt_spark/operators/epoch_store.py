@@ -48,11 +48,20 @@ always was — just committed atomically.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 
 _EPOCH_FILE = "epoch.json"
+_LOCK_FILE = "_commit.lock"
+
+#: a lock older than this is presumed held by a crashed writer and is
+#: stolen; the guarded window is pure metadata work (read-check one JSON
+#: file + one os.replace — no Spark actions), so a LIVE holder finishes
+#: in milliseconds and can never legitimately age this far
+_LOCK_STALE_SEC = 60.0
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
@@ -184,6 +193,72 @@ class ConcurrentWriteError(RuntimeError):
     (and any stats deltas), so the commit is refused instead. Index
     maintenance is single-writer per index; this guard turns a violated
     assumption into a loud error."""
+
+
+@contextlib.contextmanager
+def commit_lock(index_dir: str, *, stale_sec: float = _LOCK_STALE_SEC):
+    """Make the CAS commit window actually atomic (round-7 advice): the
+    ``check_gen_unchanged`` → ``os.replace`` sequence is check-then-write
+    across two file operations, so two racing writers could both pass
+    the check and the second replace silently won. Holding an
+    ``O_CREAT|O_EXCL`` lock file across that window turns the race into
+    a loud ``ConcurrentWriteError`` on the second writer.
+
+    Liveness: a writer that crashes INSIDE the window leaves the lock
+    behind; since the guarded work is metadata-only (milliseconds), a
+    lock older than ``stale_sec`` is provably abandoned and is stolen.
+    The steal itself races benignly — losers land back on O_EXCL and
+    raise.
+    """
+    path = os.path.join(index_dir, _LOCK_FILE)
+
+    def acquire() -> int:
+        return os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+
+    try:
+        fd = acquire()
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:  # holder released between our EXCL fail and stat
+            age = -1.0
+        if 0 <= age < stale_sec:
+            raise ConcurrentWriteError(
+                f"another writer holds the commit lock for {index_dir} "
+                "(age {:.1f}s); serialize index maintenance jobs per index".format(age)
+            )
+        with contextlib.suppress(OSError):  # steal the abandoned lock
+            os.remove(path)
+        try:
+            fd = acquire()
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"lost the lock-steal race for {index_dir}; "
+                "serialize index maintenance jobs per index"
+            ) from None
+    try:
+        with contextlib.suppress(OSError):
+            os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(path)
+
+
+def read_gen_data(spark, index_dir: str, name: str, epoch: int | None = None):
+    """Read a gen-tagged data directory for serving, with
+    ``mergeSchema=true`` (round-7 advice): a legacy index upgraded in
+    place mixes pre-gen parquet files with gen-tagged appends, and
+    default schema resolution may sample a pre-gen footer — then
+    ``apply_gen_filter`` silently no-ops ('gen' not in columns) and a
+    crashed append's orphan rows become visible nondeterministically.
+    Merging guarantees the gen column is in the resolved schema whenever
+    ANY file carries it. Cost is one footer read per file at planning
+    time — bounded by append churn since the last compaction."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        data_dir(index_dir, name, epoch)
+    )
 
 
 def check_gen_unchanged(live_meta: dict, expect: tuple[int, list[int]]) -> None:

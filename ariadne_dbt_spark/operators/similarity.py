@@ -684,6 +684,7 @@ def ivf_build_index(
     n_centroids: int = 8,
     iters: int = 3,
     train_mod: int = 1,
+    stream_epoch: tuple[str, int] | None = None,
 ) -> list[list[float]]:
     """Persist a cell-partitioned IVF index: vectors written as parquet
     PARTITIONED BY their Voronoi cell (``cell=<i>/`` directories), plus
@@ -731,16 +732,20 @@ def ivf_build_index(
     ).first()
     with open(os.path.join(out_dir, "centroids.json"), "w") as f:
         json.dump(centroids, f)
-    _write_index_json(
-        os.path.join(out_dir, "stats.json"),
-        {
-            "build_mean_dist": float(stats["m"] or 0.0),
-            "mean_dist": float(stats["m"] or 0.0),
-            "n_vectors": int(stats["n"]),
-            "gen": 0,
-            "orphans": [],
-        },
-    )
+    payload = {
+        "build_mean_dist": float(stats["m"] or 0.0),
+        "mean_dist": float(stats["m"] or 0.0),
+        "n_vectors": int(stats["n"]),
+        "gen": 0,
+        "orphans": [],
+    }
+    if stream_epoch is not None:
+        # a streaming first-batch build records its micro-batch id in the
+        # same atomic commit — a replay (crash between this commit and
+        # the streaming checkpoint) would otherwise take the APPEND path
+        # (stats.json now exists) and duplicate batch 0
+        payload["stream_epochs"] = {str(stream_epoch[0]): int(stream_epoch[1])}
+    _write_index_json(os.path.join(out_dir, "stats.json"), payload)
     return centroids
 
 
@@ -762,6 +767,7 @@ def ivf_append(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stream_epoch: tuple[str, int] | None = None,
 ) -> dict:
     """Index maintenance: assign a new batch to the EXISTING cells (no
     retrain — the same map-only broadcast-literal expression as the
@@ -782,6 +788,14 @@ def ivf_append(
     batch is gen-tagged through the per-epoch attempt marker and becomes
     visible only when the stats.json commit records the gen; a crashed
     append's partial rows stay orphaned forever.
+
+    ``stream_epoch=(stream_id, epoch_id)`` records the last applied
+    streaming micro-batch INSIDE the same atomic stats.json commit —
+    foreachBatch is at-least-once, so a crash AFTER this commit but
+    BEFORE the streaming checkpoint commit replays the micro-batch, and
+    without the marker the replay would blind-append the same vec_ids
+    under a fresh gen (duplicates would serve). The stream maintainer
+    (streaming/vector_stream.py) short-circuits replayed epoch_ids.
     """
     import json
     import os
@@ -818,12 +832,20 @@ def ivf_append(
     stats["n_vectors"] = n0 + bn
     if stats["n_vectors"]:
         stats["mean_dist"] = (m0 * n0 + bm * bn) / stats["n_vectors"]
-    # CAS: a concurrent writer's committed gen/stats must not be dropped
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        epoch_store.check_gen_unchanged(json.load(f), expect)
-    _write_index_json(
-        os.path.join(index_dir, "stats.json"), epoch_store.advance_gen(stats, gen)
-    )
+    if stream_epoch is not None:
+        sid, eid = stream_epoch
+        se = dict(stats.get("stream_epochs") or {})
+        se[str(sid)] = int(eid)
+        stats["stream_epochs"] = se
+    # CAS under the commit lock: a concurrent writer's committed
+    # gen/stats must not be dropped, and the lock makes the
+    # check→replace window atomic (not merely best-effort)
+    with epoch_store.commit_lock(index_dir):
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            epoch_store.check_gen_unchanged(json.load(f), expect)
+        _write_index_json(
+            os.path.join(index_dir, "stats.json"), epoch_store.advance_gen(stats, gen)
+        )
     build = stats["build_mean_dist"]
     return {
         "n_appended": bn,
@@ -874,7 +896,7 @@ def ivf_query_index(
         return sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))
 
     probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
-    vectors = spark.read.parquet(epoch_store.data_dir(index_dir, "vectors"))
+    vectors = epoch_store.read_gen_data(spark, index_dir, "vectors")
     stats_path = os.path.join(index_dir, "stats.json")
     if os.path.exists(stats_path):
         with open(stats_path) as f:
@@ -925,7 +947,7 @@ def ivf_compact(spark, index_dir: str) -> None:
         with open(stats_path) as f:
             stats = json.load(f)
     live = epoch_store.apply_gen_filter(
-        spark.read.parquet(epoch_store.data_dir(index_dir, "vectors", epoch)),
+        epoch_store.read_gen_data(spark, index_dir, "vectors", epoch),
         stats,
     ).join(F.broadcast(tomb), "vec_id", "left_anti")
     new_epoch = epoch + 1
@@ -1282,7 +1304,7 @@ def ivf_pq_query_index(
 
     probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
     codes = epoch_store.apply_gen_filter(
-        spark.read.parquet(epoch_store.data_dir(index_dir, "codes")), index_meta
+        epoch_store.read_gen_data(spark, index_dir, "codes"), index_meta
     ).where(F.col("cell").isin([int(p) for p in probe]))
     tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
     if os.path.exists(tomb_dir):
@@ -1389,11 +1411,13 @@ def ivf_pq_append(
     batch.withColumn("gen", F.lit(gen).cast("bigint")).write.mode(
         "append"
     ).partitionBy("cell").parquet(epoch_store.data_dir(index_dir, "codes"))
-    # CAS: a concurrent writer's committed gen must not be dropped
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            epoch_store.check_gen_unchanged(json.load(f), expect)
-    _write_index_json(meta_path, epoch_store.advance_gen(index_meta, gen))
+    # CAS under the commit lock: a concurrent writer's committed gen
+    # must not be dropped, and the lock makes check→replace atomic
+    with epoch_store.commit_lock(index_dir):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                epoch_store.check_gen_unchanged(json.load(f), expect)
+        _write_index_json(meta_path, epoch_store.advance_gen(index_meta, gen))
     return n
 
 
@@ -1616,7 +1640,7 @@ def ivf_pq_compact(spark, index_dir: str) -> None:
         with open(meta_path) as f:
             index_meta = json.load(f)
     live = epoch_store.apply_gen_filter(
-        spark.read.parquet(epoch_store.data_dir(index_dir, "codes", epoch)),
+        epoch_store.read_gen_data(spark, index_dir, "codes", epoch),
         index_meta,
     ).join(F.broadcast(tomb), "vec_id", "left_anti")
     new_epoch = epoch + 1

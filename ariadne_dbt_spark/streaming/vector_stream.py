@@ -15,12 +15,19 @@ Division of labor as everywhere in this package: Structured Streaming's
 file source owns discovery/ordering/exactly-once bookkeeping
 (checkpointed); the index write runs in ``foreachBatch`` because it
 needs actions (centroid training, parquet appends), not a streaming
-sink. Crash safety is layered: a batch that died mid-append is
-invisible to readers (committed-gen filter) and the RETRY of that
-micro-batch — which Structured Streaming replays from the checkpoint —
-reserves a fresh gen, so the crashed attempt's rows stay orphaned
-instead of double-counting (tests/test_index_crash_replay.py proves the
-underlying protocol; tests/test_streaming_vectors.py the streamed shape).
+sink. Crash safety is layered against BOTH sides of the at-least-once
+window: a batch that died mid-append is invisible to readers
+(committed-gen filter) and the RETRY of that micro-batch — which
+Structured Streaming replays from the checkpoint — reserves a fresh
+gen, so the crashed attempt's rows stay orphaned instead of
+double-counting; and a crash AFTER the index's stats.json commit but
+BEFORE the streaming checkpoint commit is caught by the stream-epoch
+marker recorded inside that same atomic commit — the replayed epoch_id
+short-circuits instead of blind-appending the same vec_ids under a
+fresh gen (round-7 advice; unlike search_stream's id-idempotent upsert,
+ivf_append has no id-based replacement to make replays harmless).
+tests/test_index_crash_replay.py proves the underlying protocol;
+tests/test_streaming_vectors.py the streamed shape.
 
 Reference analog: the engine rebuilds its serving artifacts wholesale
 per refresh (src/ariadne_dbt/indexer.py:90-98 full replace); this is the
@@ -39,6 +46,61 @@ from pyspark.sql import functions as F
 from ariadne_dbt_spark.operators.similarity import ivf_append, ivf_build_index
 
 VECTORS_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def apply_vector_batch(
+    batch_df,
+    index_dir: str,
+    stream_id: str,
+    epoch_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> bool:
+    """Apply one foreachBatch micro-batch to the IVF index; returns
+    whether it was applied (False: empty batch or a REPLAY).
+
+    foreachBatch is AT-LEAST-once: a crash after the index's stats.json
+    commit but BEFORE the streaming checkpoint commit replays this
+    micro-batch — without the guard the replay would blind-append the
+    same vec_ids under a fresh committed gen (duplicates would serve;
+    unlike search_stream's id-idempotent upsert, ivf_append has no
+    id-based replacement). The last applied ``(stream_id, epoch_id)`` is
+    recorded INSIDE stats.json's atomic commit, so "applied" and
+    "marked applied" can never diverge; a replayed epoch_id
+    short-circuits here.
+    """
+    import json
+
+    batch = batch_df.select(F.col(id_col), F.col(vec_col))
+    if batch.isEmpty():
+        return False
+    stats_path = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        ivf_build_index(
+            batch,
+            index_dir,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            iters=iters,
+            stream_epoch=(stream_id, epoch_id),
+        )
+        return True
+    with open(stats_path) as f:
+        stats = json.load(f)
+    if int((stats.get("stream_epochs") or {}).get(stream_id, -1)) >= epoch_id:
+        return False  # replayed micro-batch, already committed
+    ivf_append(
+        batch,
+        index_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        stream_epoch=(stream_id, epoch_id),
+    )
+    return True
 
 
 def ivf_ingest_stream(
@@ -66,23 +128,24 @@ def ivf_ingest_stream(
     if checkpoint_dir is None:
         checkpoint_dir = index_dir.rstrip("/") + "_checkpoint"
     applied: list[int] = []
+    # the replay guard's identity for this stream: foreachBatch epoch_ids
+    # are scoped to a checkpoint, so the checkpoint path is the stable
+    # stream id across restarts (a NEW checkpoint restarts epochs at 0
+    # under a new id — no false skip)
+    stream_id = os.path.abspath(checkpoint_dir)
 
     def process(batch_df, epoch_id: int) -> None:
-        batch = batch_df.select(F.col(id_col), F.col(vec_col))
-        if batch.isEmpty():
-            return
-        if not os.path.exists(os.path.join(index_dir, "stats.json")):
-            ivf_build_index(
-                batch,
-                index_dir,
-                id_col=id_col,
-                vec_col=vec_col,
-                n_centroids=n_centroids,
-                iters=iters,
-            )
-        else:
-            ivf_append(batch, index_dir, id_col=id_col, vec_col=vec_col)
-        applied.append(1)
+        if apply_vector_batch(
+            batch_df,
+            index_dir,
+            stream_id,
+            int(epoch_id),
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            iters=iters,
+        ):
+            applied.append(1)
 
     q = (
         spark.readStream.schema(schema)

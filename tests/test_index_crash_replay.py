@@ -363,3 +363,111 @@ def test_gen_filter_pushes_to_scan_and_keeps_partition_pruning(spark, tmp_path):
     assert "LessThanOrEqual(gen," in plan  # pushed visibility range
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_commit_lock_excludes_and_steals_stale(tmp_path):
+    """Round 8 (ADVICE): the CAS commit window is guarded by a real
+    O_CREAT|O_EXCL lock — a live concurrent holder raises
+    ConcurrentWriteError; a crashed holder's stale lock is stolen."""
+    import pytest
+
+    idx = str(tmp_path / "lk")
+    os.makedirs(idx)
+
+    with epoch_store.commit_lock(idx):
+        with pytest.raises(epoch_store.ConcurrentWriteError, match="commit lock"):
+            with epoch_store.commit_lock(idx):
+                pass
+    # released on exit — reacquire works
+    with epoch_store.commit_lock(idx):
+        pass
+
+    # a crashed writer's leftover lock (old mtime) is stolen
+    lock = os.path.join(idx, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write("dead")
+    old = os.path.getmtime(lock) - 3600
+    os.utime(lock, (old, old))
+    with epoch_store.commit_lock(idx):  # steals, no raise
+        pass
+    assert not os.path.exists(lock)
+
+    # exception inside the window still releases the lock
+    with pytest.raises(ValueError):
+        with epoch_store.commit_lock(idx):
+            raise ValueError("boom")
+    assert not os.path.exists(lock)
+
+
+def test_ivf_append_refused_while_lock_held(spark, tmp_path):
+    """A live lock (another writer mid-commit) makes ivf_append raise
+    ConcurrentWriteError AFTER its data write but BEFORE its meta
+    commit — the refused attempt's rows stay orphaned, never served."""
+    import pytest
+
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(_embeddings(spark, range(30)), idx, n_centroids=4, iters=2)
+    with epoch_store.commit_lock(idx):
+        with pytest.raises(epoch_store.ConcurrentWriteError):
+            ivf_append(_embeddings(spark, range(100, 105)), idx)
+    # the refused batch never serves (its gen was never committed)
+    q = [float(((101 * 7 + j * 3) % 10)) for j in range(8)]
+    got = {r.vec_id for r in ivf_query_index(spark, idx, q, k=40, nprobe=4).collect()}
+    assert not ({100, 101, 102, 103, 104} & got)
+    # and a retry after the lock is gone succeeds
+    ivf_append(_embeddings(spark, range(100, 105)), idx)
+    got2 = {r.vec_id for r in ivf_query_index(spark, idx, q, k=40, nprobe=4).collect()}
+    assert {100, 101, 102, 103, 104} <= got2
+
+
+def test_mixed_legacy_files_resolve_gen_column(spark, tmp_path):
+    """Round 8 (ADVICE): a legacy index upgraded in place mixes pre-gen
+    parquet files with gen-tagged appends; with default mergeSchema the
+    resolved schema could come from a pre-gen footer and the gen filter
+    would silently no-op. read_gen_data merges schemas, so orphan rows
+    of a crashed append stay invisible even in a mixed directory."""
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(_embeddings(spark, range(30)), idx, n_centroids=4, iters=2)
+
+    # plant a LEGACY (pre-gen) file into every cell dir: drop the gen
+    # column and write alongside — mimics an index whose old files
+    # predate gen tagging
+    legacy = _embeddings(spark, range(200, 204))
+    vec_dir = epoch_store.data_dir(idx, "vectors")
+    stored = spark.read.parquet(vec_dir)
+    # assign cells the same way the index does: reuse query-side schema
+    import json as _json
+
+    with open(os.path.join(idx, "centroids.json")) as f:
+        cents = _json.load(f)
+    from ariadne_dbt_spark.operators.similarity import _nearest_centroid
+
+    nearest = _nearest_centroid(F.col("embedding"), cents)
+    legacy.select(
+        "vec_id", "embedding", nearest.getField("i").alias("cell")
+    ).write.mode("append").partitionBy("cell").parquet(vec_dir)
+
+    # crash a real append: run it, then restore the pre-append stats —
+    # its rows are on disk under an uncommitted gen
+    stats_file = os.path.join(idx, "stats.json")
+    before = _save(stats_file)
+    ivf_append(_embeddings(spark, range(300, 305)), idx)
+    _restore(stats_file, before)
+
+    q = [float(((201 * 7 + j * 3) % 10)) for j in range(8)]
+    got = {r.vec_id for r in ivf_query_index(spark, idx, q, k=50, nprobe=4).collect()}
+    # legacy NULL-gen rows are live; the crashed append's rows are not
+    assert {200, 201, 202, 203} <= got
+    assert not ({300, 301, 302, 303, 304} & got)

@@ -69,3 +69,81 @@ def test_streamed_index_equals_bruteforce_and_is_exactly_once(spark, tmp_path):
     # the checkpoint survived the first batch's index build (it lives
     # beside, not inside, the index dir)
     assert os.path.exists(idx + "_checkpoint")
+
+
+def test_replayed_microbatch_does_not_duplicate(spark, tmp_path):
+    """Round 8 (ADVICE): foreachBatch is at-least-once — a crash AFTER
+    ivf_append's stats.json commit but BEFORE the streaming checkpoint
+    commit replays the micro-batch. apply_vector_batch (the exact
+    function foreachBatch runs) must short-circuit the replayed
+    epoch_id on the stream-epoch marker instead of blind-appending the
+    same vec_ids under a fresh gen."""
+    import json
+
+    from ariadne_dbt_spark.streaming.vector_stream import apply_vector_batch
+
+    vec = _vectors(spark)
+    idx = str(tmp_path / "idx")
+    sid = "ckpt-A"
+    b0 = vec.where(F.col("vec_id") < 20)
+    b1 = vec.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    b2 = vec.where(F.col("vec_id") >= 40)
+    assert apply_vector_batch(b0, idx, sid, 0, n_centroids=4)
+    assert apply_vector_batch(b1, idx, sid, 1, n_centroids=4)
+    assert apply_vector_batch(b2, idx, sid, 2, n_centroids=4)
+    with open(os.path.join(idx, "stats.json")) as f:
+        stats1 = json.load(f)
+    assert stats1["n_vectors"] == 60
+    assert stats1["stream_epochs"] == {sid: 2}
+
+    # the crash window: index commit landed, streaming commit didn't —
+    # Structured Streaming re-invokes foreachBatch with the SAME epoch
+    assert apply_vector_batch(b2, idx, sid, 2, n_centroids=4) is False
+    with open(os.path.join(idx, "stats.json")) as f:
+        stats2 = json.load(f)
+    assert stats2["n_vectors"] == 60  # no duplicate append
+    assert stats2["gen"] == stats1["gen"]
+
+    # brute-force parity still holds after the replay
+    q = [float(((5 * 7 + j * 3) % 10)) for j in range(8)]
+    served = {
+        (r.vec_id, round(r.cos_sim, 9))
+        for r in ivf_query_index(spark, idx, q, k=10, nprobe=4).collect()
+    }
+    exact = {
+        (r.vec_id, round(r.cos_sim, 9))
+        for r in brute_force_topk(vec, q, k=10).collect()
+    }
+    assert served == exact
+
+    # a LATER epoch under the same stream still applies
+    extra = spark.createDataFrame(
+        [(1000, [float(((5 * 7 + j * 3) % 10)) for j in range(8)])],
+        "vec_id bigint, embedding array<float>",
+    )
+    assert apply_vector_batch(extra, idx, sid, 3, n_centroids=4)
+    with open(os.path.join(idx, "stats.json")) as f:
+        assert json.load(f)["n_vectors"] == 61
+
+    # a DIFFERENT stream id (new checkpoint, epochs restart at 0) is
+    # never falsely skipped
+    extra2 = spark.createDataFrame(
+        [(1001, [1.0] * 8)], "vec_id bigint, embedding array<float>"
+    )
+    assert apply_vector_batch(extra2, idx, "ckpt-B", 0, n_centroids=4)
+
+
+def test_replayed_first_batch_build_does_not_duplicate(spark, tmp_path):
+    """Crash after the FIRST batch's build but before its streaming
+    commit: the replay sees stats.json exists and takes the APPEND
+    path — the build-time stream-epoch marker must stop it."""
+    import json
+
+    from ariadne_dbt_spark.streaming.vector_stream import apply_vector_batch
+
+    vec = _vectors(spark, n=20)
+    idx = str(tmp_path / "idx")
+    assert apply_vector_batch(vec, idx, "ckpt", 0, n_centroids=4)
+    assert apply_vector_batch(vec, idx, "ckpt", 0, n_centroids=4) is False
+    with open(os.path.join(idx, "stats.json")) as f:
+        assert json.load(f)["n_vectors"] == 20
