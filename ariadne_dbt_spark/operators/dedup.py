@@ -675,7 +675,12 @@ def append_to_shingle_index(
     epoch = epoch_store.read_epoch(index_dir)
     gen = epoch_store.next_attempt_gen(index_dir, epoch, meta.get("gen", 0))
     sh = shingle_sets(df, id_col, text_col, meta["n"])
-    sh.withColumn("bucket", _shingle_bucket(meta["n_buckets"])).withColumn(
+    # one file per touched bucket per append (see ivf_append): without
+    # the cluster-by-key, each append writes one file per (shuffle
+    # partition, bucket) and MOR planning cost balloons
+    sh.withColumn("bucket", _shingle_bucket(meta["n_buckets"])).repartition(
+        F.col("bucket")
+    ).withColumn(
         "gen", F.lit(gen).cast("bigint")
     ).write.mode("append").partitionBy("bucket").parquet(
         epoch_store.data_dir(index_dir, "postings")
@@ -1097,6 +1102,14 @@ def containment_pairs(
 # deletion request is O(corpus).
 
 
+def shingle_maintenance_report(index_dir: str, **kw) -> dict:
+    """Compaction-cadence signal for the shingle-postings index
+    (metadata-only — parquet footers + meta.json): dead/tombstone row
+    fractions, live file count, ``should_compact`` + reasons. Run
+    :func:`compact_shingle_index` when it fires."""
+    return epoch_store.maintenance_report(index_dir, "postings", "meta.json", **kw)
+
+
 def _read_shingle_tombstones(spark, index_dir: str):
     import os
 
@@ -1146,6 +1159,10 @@ def compact_shingle_index(spark, index_dir: str) -> None:
     if tomb is not None:
         postings = postings.join(F.broadcast(tomb), "id", "left_anti")
     new_epoch = epoch + 1
+    # hash-cluster by bucket so each bucket folds to ONE file — the fold
+    # exists to cut MOR file-count amplification, so it must not
+    # re-fragment (see ivf_compact)
+    postings = postings.repartition(F.col("bucket"))
     # overwrite: a crash between this staged write and commit_epoch may
     # leave a partial *_ep<k+1> dir; errorifexists would make every
     # retry abort before the epoch pointer ever flips

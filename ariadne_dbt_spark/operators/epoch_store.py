@@ -246,6 +246,138 @@ def commit_lock(index_dir: str, *, stale_sec: float = _LOCK_STALE_SEC):
             os.remove(path)
 
 
+def _parquet_file_stats(path: str) -> tuple[int, int | None, int | None]:
+    """(num_rows, gen_min, gen_max) for one parquet file, from the
+    FOOTER only — no data pages are read. gen bounds are None when the
+    file predates gen tagging (legacy → its rows are live by contract)
+    or when stats are missing."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(len(md.schema))]
+    if "gen" not in names:
+        return md.num_rows, None, None
+    gi = names.index("gen")
+    lo: int | None = None
+    hi: int | None = None
+    for r in range(md.num_row_groups):
+        st = md.row_group(r).column(gi).statistics
+        if st is None or not st.has_min_max:
+            return md.num_rows, None, None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return md.num_rows, lo, hi
+
+
+def _walk_parquet(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return out
+
+
+#: compaction-cadence defaults, measured on this repo's MOR layout (see
+#: SCALE.md "Compaction cadence"): many small appended files dominate
+#: scan planning long before dead rows dominate bytes, so the file-count
+#: knob usually fires first on streaming maintainers
+COMPACT_MAX_FILES = 64
+COMPACT_DEAD_FRAC = 0.2
+
+
+def maintenance_report(
+    index_dir: str,
+    names: str | tuple[str, ...],
+    meta_file: str,
+    *,
+    max_files: int = COMPACT_MAX_FILES,
+    dead_frac_threshold: float = COMPACT_DEAD_FRAC,
+) -> dict:
+    """Compaction-cadence signal for one gen-logged index — METADATA
+    ONLY (parquet footers + the meta/tombstone files; no Spark job, no
+    data pages): the measured answer to "should I compact now?" that the
+    merge-on-read design otherwise leaves to guesswork.
+
+    Signals and why they matter at 100 TB:
+
+    * ``n_data_files`` — MOR read amplification: every query plans over
+      every live file; thousands of O(batch) appends make scan PLANNING
+      the bottleneck before data volume does.
+    * ``dead_rows`` — rows whose footer gen-range lies entirely in
+      orphaned/uncommitted gens: physically scanned, always filtered.
+      (Files mixing live+dead gens count as live — the estimate is
+      conservative.)
+    * ``tombstone_rows`` — merge-on-read deletes: each one is an
+      anti-join probe on every read until folded.
+    * ``n_orphans`` — crashed-attempt exclusions carried in the meta;
+      bounded by churn but folded to zero by compaction.
+
+    ``should_compact`` fires when dead+tombstone rows exceed
+    ``dead_frac_threshold`` of total rows, or the live directory exceeds
+    ``max_files`` files; ``reasons`` lists which. Streaming maintainers
+    call this after each applied batch and trigger the index's compact
+    function when it fires.
+    """
+    meta_path = os.path.join(index_dir, meta_file)
+    meta: dict = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    # the search index carries its epoch inside meta.json; the others
+    # use the shared epoch.json pointer
+    epoch = int(meta.get("epoch", read_epoch(index_dir)))
+    hi, orphans = gen_state(meta)
+    dead_gens = set(orphans)
+
+    n_files = total_rows = dead_rows = 0
+    for name in (names,) if isinstance(names, str) else names:
+        ddir = data_dir(index_dir, name, epoch)
+        if not os.path.isdir(ddir):
+            continue
+        for path in _walk_parquet(ddir):
+            rows, glo, ghi = _parquet_file_stats(path)
+            n_files += 1
+            total_rows += rows
+            if glo is not None and ghi is not None:
+                # a file is provably dead when EVERY row's gen is
+                # orphaned or above the committed high water
+                if glo > hi or (glo == ghi and glo in dead_gens):
+                    dead_rows += rows
+
+    tomb_rows = 0
+    tdir = data_dir(index_dir, "tombstones", epoch)
+    if not os.path.isdir(tdir):
+        tdir = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tdir):
+        for path in _walk_parquet(tdir):
+            tomb_rows += _parquet_file_stats(path)[0]
+
+    dead_frac = (dead_rows + tomb_rows) / total_rows if total_rows else 0.0
+    reasons = []
+    if total_rows and dead_frac >= dead_frac_threshold:
+        reasons.append(
+            f"dead+tombstone rows {dead_rows + tomb_rows}/{total_rows} "
+            f"({dead_frac:.1%}) >= {dead_frac_threshold:.0%}"
+        )
+    if n_files >= max_files:
+        reasons.append(f"{n_files} live data files >= {max_files}")
+    return {
+        "epoch": epoch,
+        "gen": hi,
+        "n_orphans": len(orphans),
+        "n_data_files": n_files,
+        "total_rows": total_rows,
+        "dead_rows": dead_rows,
+        "tombstone_rows": tomb_rows,
+        "dead_frac": round(dead_frac, 6),
+        "should_compact": bool(reasons),
+        "reasons": reasons,
+    }
+
+
 def read_gen_data(spark, index_dir: str, name: str, epoch: int | None = None):
     """Read a gen-tagged data directory for serving, with
     ``mergeSchema=true`` (round-7 advice): a legacy index upgraded in

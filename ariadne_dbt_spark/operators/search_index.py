@@ -407,6 +407,17 @@ def read_search_index(
     return postings, docstats, int(meta["n_docs"]), avgdl
 
 
+def search_maintenance_report(index_dir: str, **kw) -> dict:
+    """Compaction-cadence signal for the search (BM25) index across all
+    three gen-logged data dirs (metadata-only — parquet footers +
+    meta.json): dead/tombstone row fractions, live file count,
+    ``should_compact`` + reasons. Run :func:`compact_search_index` when
+    it fires."""
+    return epoch_store.maintenance_report(
+        index_dir, ("postings", "docstats", "docids"), "meta.json", **kw
+    )
+
+
 def compact_search_index(spark: SparkSession, index_dir: str) -> dict:
     """Fold the log: rewrite live rows as gen 0 of a NEW epoch, clearing
     tombstones with it. Bounds the read path's tombstone broadcast and

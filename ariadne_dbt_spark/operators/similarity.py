@@ -821,6 +821,12 @@ def ivf_append(
         nearest.getField("i").alias("cell"),
         F.sqrt(nearest.getField("d")).alias("_dist"),
     )
+    # cluster the batch by cell before the write: one file per touched
+    # cell per append instead of one per (shuffle partition, cell) —
+    # measured ~300 files per 500-row append without this, which is the
+    # MOR file-count amplification the maintenance_report exists to
+    # bound. The extra shuffle is batch-sized, O(batch)
+    assigned = assigned.repartition(F.col("cell"))
     assigned.drop("_dist").withColumn(
         "gen", F.lit(gen).cast("bigint")
     ).write.mode("append").partitionBy("cell").parquet(
@@ -872,6 +878,21 @@ def ivf_staleness(index_dir: str) -> dict:
         "build_mean_dist": round(build, 6),
         "drift": round(stats["mean_dist"] / build - 1, 6) if build else None,
     }
+
+
+def ivf_maintenance_report(index_dir: str, **kw) -> dict:
+    """Compaction-cadence signal for the IVF index (metadata-only —
+    parquet footers + stats.json): dead/tombstone row fractions, live
+    file count, ``should_compact`` + reasons. Run :func:`ivf_compact`
+    when it fires; retrain-vs-compact is a separate decision
+    (:func:`ivf_staleness` answers that one)."""
+    return epoch_store.maintenance_report(index_dir, "vectors", "stats.json", **kw)
+
+
+def ivf_pq_maintenance_report(index_dir: str, **kw) -> dict:
+    """Compaction-cadence signal for the IVF-PQ codes index — see
+    :func:`ivf_maintenance_report`; fold with :func:`ivf_pq_compact`."""
+    return epoch_store.maintenance_report(index_dir, "codes", "index_meta.json", **kw)
 
 
 def ivf_query_index(
@@ -937,9 +958,6 @@ def ivf_compact(spark, index_dir: str) -> None:
     import json
 
     tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
-    if not os.path.exists(tomb_dir):
-        return
-    tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
     epoch = epoch_store.read_epoch(index_dir)
     stats_path = os.path.join(index_dir, "stats.json")
     stats = {}
@@ -949,8 +967,20 @@ def ivf_compact(spark, index_dir: str) -> None:
     live = epoch_store.apply_gen_filter(
         epoch_store.read_gen_data(spark, index_dir, "vectors", epoch),
         stats,
-    ).join(F.broadcast(tomb), "vec_id", "left_anti")
+    )
+    # no tombstones is still a valid reason to compact: folding many
+    # small appended files + orphaned gens bounds MOR read amplification
+    # (the maintenance_report file-count signal)
+    if os.path.exists(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+        live = live.join(F.broadcast(tomb), "vec_id", "left_anti")
     new_epoch = epoch + 1
+    # hash-cluster by cell so each cell folds to ONE file — compaction
+    # exists to cut MOR file-count amplification, so the fold itself
+    # must not re-fragment (measured: 8.9k append files → 16 after this
+    # vs 373 with the default write partitioning); at true 100 TB scale
+    # a cell may need several files, which AQE's target-size split gives
+    live = live.repartition(F.col("cell"))
     # overwrite: a leftover partial staged dir from a crashed attempt
     # must not make the retry fail with 'path already exists'
     live.write.mode("overwrite").partitionBy("cell").parquet(
@@ -1408,6 +1438,8 @@ def ivf_pq_append(
         )
     batch = pq_encode(with_cell, codebooks, id_col="vec_id", vec_col="_v", keep=["cell"])
     n = batch.count()
+    # one file per touched cell per append (see ivf_append)
+    batch = batch.repartition(F.col("cell"))
     batch.withColumn("gen", F.lit(gen).cast("bigint")).write.mode(
         "append"
     ).partitionBy("cell").parquet(epoch_store.data_dir(index_dir, "codes"))
@@ -1630,9 +1662,6 @@ def ivf_pq_compact(spark, index_dir: str) -> None:
     import json
 
     tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
-    if not os.path.exists(tomb_dir):
-        return
-    tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
     epoch = epoch_store.read_epoch(index_dir)
     meta_path = os.path.join(index_dir, "index_meta.json")
     index_meta: dict = {}
@@ -1642,8 +1671,14 @@ def ivf_pq_compact(spark, index_dir: str) -> None:
     live = epoch_store.apply_gen_filter(
         epoch_store.read_gen_data(spark, index_dir, "codes", epoch),
         index_meta,
-    ).join(F.broadcast(tomb), "vec_id", "left_anti")
+    )
+    # tombstone-free compaction still folds small files + orphaned gens
+    if os.path.exists(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+        live = live.join(F.broadcast(tomb), "vec_id", "left_anti")
     new_epoch = epoch + 1
+    # one file per cell after the fold (see ivf_compact)
+    live = live.repartition(F.col("cell"))
     # overwrite: retry after a crash mid-staged-write must not abort on
     # the leftover partial *_ep<k+1> dir
     live.write.mode("overwrite").partitionBy("cell").parquet(

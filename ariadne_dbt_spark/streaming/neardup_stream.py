@@ -57,6 +57,9 @@ def near_dup_ingest_stream(
     max_files_per_trigger: int = 1,
     dedup_within_batch: bool = True,
     update_index: bool = True,
+    auto_compact: bool = True,
+    compact_max_files: int | None = None,
+    compact_dead_frac: float | None = None,
 ) -> int:
     """Run the ingest stream to completion (``Trigger.AvailableNow``)
     over the parquet files in ``docs_dir``; returns the number of
@@ -106,6 +109,23 @@ def near_dup_ingest_stream(
             accepted.write.mode("append").parquet(os.path.join(out_dir, "docs"))
             if update_index:
                 append_to_shingle_index(accepted, index_dir, id_col, text_col)
+                # round 8: fold the shingle log when the metadata-only
+                # cadence signal fires, so a long-running ingest stream
+                # bounds its own MOR read amplification (the fold is
+                # rebuild-identical — epoch flip of the same live rows)
+                if auto_compact:
+                    from ariadne_dbt_spark.operators.dedup import (
+                        compact_shingle_index,
+                        shingle_maintenance_report,
+                    )
+
+                    kw: dict = {}
+                    if compact_max_files is not None:
+                        kw["max_files"] = compact_max_files
+                    if compact_dead_frac is not None:
+                        kw["dead_frac_threshold"] = compact_dead_frac
+                    if shingle_maintenance_report(index_dir, **kw)["should_compact"]:
+                        compact_shingle_index(batch.sparkSession, index_dir)
 
     stream = (
         spark.readStream.schema(schema)

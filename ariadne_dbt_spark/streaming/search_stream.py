@@ -24,8 +24,11 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ariadne_dbt_spark.operators import epoch_store
 from ariadne_dbt_spark.operators.search_index import (
     build_search_index,
+    compact_search_index,
+    search_maintenance_report,
     upsert_search_index,
 )
 
@@ -41,6 +44,9 @@ def search_index_ingest_stream(
     text_col: str = "text",
     schema: str = DOCS_SCHEMA,
     max_files_per_trigger: int = 1,
+    auto_compact: bool = True,
+    compact_max_files: int = epoch_store.COMPACT_MAX_FILES,
+    compact_dead_frac: float = epoch_store.COMPACT_DEAD_FRAC,
 ) -> int:
     """Run the index-ingest stream to completion (AvailableNow) over the
     parquet files in ``docs_dir``, upserting every micro-batch into the
@@ -48,7 +54,16 @@ def search_index_ingest_stream(
     Returns the number of micro-batches applied. Checkpoint lives under
     ``index_dir/_checkpoint``; a re-run after a crash skips committed
     source files, and the index's own gen commit pointer makes a batch
-    that died mid-append invisible to readers."""
+    that died mid-append invisible to readers.
+
+    ``auto_compact`` (round 8): after each applied batch the
+    metadata-only ``search_maintenance_report`` runs, and when it fires
+    (live files >= ``compact_max_files`` or dead+tombstone fraction >=
+    ``compact_dead_frac``) the stream folds its own log via
+    ``compact_search_index`` — long-running ingest streams bound their
+    MOR read amplification without an operator babysitting. Compaction
+    is rebuild-identical by construction (epoch flip of the same live
+    rows), so served results are unchanged."""
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         empty = spark.createDataFrame([], f"{id_col} long, {text_col} string")
         build_search_index(empty, id_col, {text_col: text_col}, index_dir)
@@ -60,6 +75,12 @@ def search_index_ingest_stream(
             return
         upsert_search_index(spark, index_dir, batch, id_col, {text_col: text_col})
         applied.append(1)
+        if auto_compact and search_maintenance_report(
+            index_dir,
+            max_files=compact_max_files,
+            dead_frac_threshold=compact_dead_frac,
+        )["should_compact"]:
+            compact_search_index(spark, index_dir)
 
     q = (
         spark.readStream.schema(schema)

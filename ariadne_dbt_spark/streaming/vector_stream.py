@@ -115,6 +115,9 @@ def ivf_ingest_stream(
     schema: str = VECTORS_SCHEMA,
     max_files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
+    auto_compact: bool = True,
+    compact_max_files: int | None = None,
+    compact_dead_frac: float | None = None,
 ) -> int:
     """Run the vector-ingest stream to completion (AvailableNow) over
     the parquet files in ``vectors_dir``: the first micro-batch trains
@@ -124,7 +127,15 @@ def ivf_ingest_stream(
     ``<index_dir>_checkpoint`` — it cannot live inside the index dir
     because the first batch's build clears ``_``-prefixed staging
     entries there (epoch_store.clear_index). A re-run skips committed
-    source files."""
+    source files.
+
+    ``auto_compact`` (round 8): after each applied batch the
+    metadata-only ``ivf_maintenance_report`` runs, and when it fires the
+    stream folds its append log via ``ivf_compact`` — long-running
+    ingest streams bound their MOR read amplification without an
+    operator babysitting. The fold is rebuild-identical (epoch flip of
+    the same committed rows); the stream-epoch replay marker lives in
+    stats.json, which compaction leaves in place."""
     if checkpoint_dir is None:
         checkpoint_dir = index_dir.rstrip("/") + "_checkpoint"
     applied: list[int] = []
@@ -134,7 +145,18 @@ def ivf_ingest_stream(
     # under a new id — no false skip)
     stream_id = os.path.abspath(checkpoint_dir)
 
+    kw: dict = {}
+    if compact_max_files is not None:
+        kw["max_files"] = compact_max_files
+    if compact_dead_frac is not None:
+        kw["dead_frac_threshold"] = compact_dead_frac
+
     def process(batch_df, epoch_id: int) -> None:
+        from ariadne_dbt_spark.operators.similarity import (
+            ivf_compact,
+            ivf_maintenance_report,
+        )
+
         if apply_vector_batch(
             batch_df,
             index_dir,
@@ -146,6 +168,10 @@ def ivf_ingest_stream(
             iters=iters,
         ):
             applied.append(1)
+            if auto_compact and ivf_maintenance_report(index_dir, **kw)[
+                "should_compact"
+            ]:
+                ivf_compact(batch_df.sparkSession, index_dir)
 
     q = (
         spark.readStream.schema(schema)
