@@ -355,3 +355,119 @@ def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a")
     )
+
+
+# Decode-coverage report (round 8): the user-visible face of the codec
+# tier matrix — ONE probe+decode pass over a planted six-way asset mix
+# answering "what fraction of my corpus decodes, per kind/tier, and why
+# not". The mix is derived arithmetically from doc_id, so the oracle
+# knows every (kind, tier, status, n) cell exactly: PNG images, WAV
+# audio, AVI-MPNG video and MP4-PNG video DECODE; MP4-avc1 (entropy
+# codec, the one disclosed stub) reports STUB; truncated garbage
+# QUARANTINES — one pass, no NULL-counting after an expensive run.
+@query(
+    "decode_coverage_report",
+    oracle="""
+    WITH mix AS (
+        SELECT CASE CAST(doc_id % 6 AS INT)
+                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               END AS kind,
+               CASE CAST(doc_id % 6 AS INT)
+                 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                 WHEN 2 THEN 'avi-mpng' WHEN 3 THEN 'mp4-png'
+                 WHEN 4 THEN 'mp4-avc1' ELSE 'unknown'
+               END AS tier,
+               CASE CAST(doc_id % 6 AS INT)
+                 WHEN 4 THEN 'stub' WHEN 5 THEN 'quarantined'
+                 ELSE 'decoded'
+               END AS status
+        FROM documents)
+    SELECT kind, tier, status, CAST(COUNT(*) AS BIGINT) AS n_assets
+    FROM mix GROUP BY 1, 2, 3 ORDER BY kind, tier, status
+    """,
+    survey="multimodal,quality-scoring,§8.4",
+    doc="Decode-coverage report: one Arrow probe+decode pass over a "
+    "planted 6-way asset mix (PNG/WAV/AVI-MPNG/MP4-PNG decode; "
+    "MP4-avc1 is the disclosed stub tier; garbage quarantines) — "
+    "per-(kind, tier, status) counts the oracle re-derives from the "
+    "doc_id mix arithmetically.",
+)
+def decode_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.multimodal import decode_coverage_stats
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select("doc_id")
+
+    def build(batches):
+        import hashlib
+        import io
+        import struct as _struct
+        import wave
+
+        import pandas as pd
+
+        from ariadne_dbt_spark.operators.multimodal import (
+            encode_mp4_mjpeg,
+            encode_png,
+        )
+        from ariadne_dbt_spark.operators.video import encode_avi
+
+        def noise(seed: str, n_bytes: int) -> bytes:
+            return b"".join(
+                hashlib.md5(f"{seed}:{i}".encode()).digest()
+                for i in range(n_bytes // 16 + 1)
+            )[:n_bytes]
+
+        def wav_bytes(d: int) -> bytes:
+            raw = noise(f"cov-aud:{d}", 128)
+            samples = list(_struct.unpack(f"<{len(raw) // 2}h", raw))
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+            return buf.getvalue()
+
+        def png_frames(d: int, n: int) -> list[bytes]:
+            return [
+                encode_png(8, 8, 1, list(noise(f"cov-vid:{d}:{f}", 64)))
+                for f in range(n)
+            ]
+
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = d % 6
+                if m == 0:
+                    kind = "image"
+                    payload = encode_png(8, 8, 1, list(noise(f"cov-img:{d}", 64)))
+                elif m == 1:
+                    kind = "audio"
+                    payload = wav_bytes(d)
+                elif m == 2:
+                    kind = "video"
+                    payload = encode_avi(png_frames(d, 3), width=8, height=8, fps=10)
+                elif m == 3:
+                    kind = "video"
+                    payload = encode_mp4_mjpeg(
+                        png_frames(d, 3), width=8, height=8, fps=10, fourcc=b"png "
+                    )
+                elif m == 4:
+                    kind = "video"  # entropy-coded: samples exist, no codec
+                    payload = encode_mp4_mjpeg(
+                        [noise(f"cov-h264:{d}", 48)],
+                        width=8, height=8, fps=10, fourcc=b"avc1",
+                    )
+                else:
+                    kind = "video"  # unrecognized container → quarantine
+                    payload = noise(f"cov-bad:{d}", 32)
+                ids.append(d)
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(build, "asset_id long, kind string, payload binary")
+    return decode_coverage_stats(assets)

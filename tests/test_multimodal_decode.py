@@ -369,3 +369,55 @@ def test_audio_near_dups_through_spark(spark):
     assert got[4] is None
     pairs = dhash_near_dups(fp, hash_col="afp").collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_decode_tier_labels():
+    """Round 8: header-only tier probe covers every documented tier."""
+    from ariadne_dbt_spark.operators.multimodal import (
+        decode_tier,
+        encode_minimal_mp4,
+        encode_mp4_mjpeg,
+        encode_png,
+    )
+    from ariadne_dbt_spark.operators.video import encode_avi
+
+    png = encode_png(4, 4, 1, list(range(16)))
+    assert decode_tier("image", png) == "png"
+    assert decode_tier("image", b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert decode_tier("image", b"GIF89a" + b"\x00" * 10) == "gif"
+    assert decode_tier("image", b"???") == "unknown"
+    assert decode_tier("audio", _wav_bytes()) == "wav"
+    assert decode_tier("audio", b"???") == "unknown"
+    avi = encode_avi([png], width=4, height=4, fps=10)
+    assert decode_tier("video", avi) == "avi-mpng"
+    mp4png = encode_mp4_mjpeg([png], width=4, height=4, fourcc=b"png ")
+    assert decode_tier("video", mp4png) == "mp4-png"
+    h264 = encode_mp4_mjpeg([b"\x00\x01entropy"], width=4, height=4, fourcc=b"avc1")
+    assert decode_tier("video", h264) == "mp4-avc1"
+    assert decode_tier("video", encode_minimal_mp4()) == "mp4-metadata"
+    assert decode_tier("video", b"\x00" * 32) == "unknown"
+
+
+def test_decode_coverage_statuses_through_spark(spark):
+    """Mixed corpus through the real coverage pass: every status lands
+    on the right row and one bad asset never fails the task."""
+    from ariadne_dbt_spark.operators.multimodal import (
+        decode_coverage,
+        encode_mp4_mjpeg,
+        encode_png,
+    )
+
+    png = encode_png(4, 4, 1, list(range(16)))
+    h264 = encode_mp4_mjpeg([b"\x00entropy"], width=4, height=4, fourcc=b"avc1")
+    rows = [
+        (1, "image", bytearray(png)),
+        (2, "audio", bytearray(_wav_bytes())),
+        (3, "video", bytearray(h264)),
+        (4, "video", bytearray(b"\x00" * 16)),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
+    got = {r.asset_id: (r.tier, r.status) for r in decode_coverage(df).collect()}
+    assert got[1] == ("png", "decoded")
+    assert got[2] == ("wav", "decoded")
+    assert got[3] == ("mp4-avc1", "stub")
+    assert got[4] == ("unknown", "quarantined")
