@@ -162,3 +162,80 @@ def dbt_test_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = run_tests(tests, ex.relation, spark=spark)
     rows = sorted((r.name, r.failures) for r in results)
     return spark.createDataFrame(rows, "test_name string, failures long")
+
+
+# dbt incremental materialization, gate-hard (round 8): the inline
+# project's one model builds first over EVEN order keys (tagged v1),
+# then re-runs incrementally over ALL orders under the MERGE strategy
+# with merge_update_columns=['amount'] — matched (even) keys update
+# amount but KEEP batch_tag='v1' (the partial-update semantics
+# delete+insert cannot express), odd keys insert whole as v2. The
+# oracle derives every row from orders arithmetically.
+_INC_MANIFEST = {
+    "metadata": {"project_name": "incproj", "adapter_type": "spark"},
+    "nodes": {
+        "model.incproj.inc_orders": {
+            "resource_type": "model",
+            "name": "inc_orders",
+            "fqn": ["incproj", "marts", "inc_orders"],
+            "path": "models/marts/inc_orders.sql",
+            "raw_code": (
+                "SELECT o_orderkey AS order_id,"
+                " {% if is_incremental() %} 'v2' {% else %} 'v1' {% endif %}"
+                " AS batch_tag,"
+                " ROUND(o_totalprice"
+                " {% if is_incremental() %} + 1 {% endif %}, 2) AS amount"
+                " FROM {{ source('raw', 'orders') }}"
+                " {% if not is_incremental() %} WHERE o_orderkey % 2 = 0"
+                " {% endif %}"
+            ),
+            "config": {
+                "materialized": "incremental",
+                "unique_key": "order_id",
+                "incremental_strategy": "merge",
+                "merge_update_columns": "['amount']",
+            },
+            "depends_on": {"nodes": []},
+        }
+    },
+    "sources": {},
+    "macros": {},
+}
+
+
+@query(
+    "dbt_run_incremental",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS batch_tag,
+           ROUND(o_totalprice + 1, 2) AS amount
+    FROM orders ORDER BY order_id
+    """,
+    survey="S10,§2.11-incremental",
+    doc="dbt incremental run under the MERGE strategy: first build over "
+    "even order keys (v1), incremental re-run over all orders — "
+    "matched keys update amount via merge_update_columns but keep the "
+    "v1 batch_tag, odd keys insert as v2; every row oracle-derived "
+    "from orders.",
+)
+def dbt_run_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.plans.dbt_executor import DbtSparkExecutor
+
+    target = tempfile.mkdtemp(prefix="dbt_inc_")
+    try:
+        ex = DbtSparkExecutor(
+            spark=spark,
+            manifest=_INC_MANIFEST,
+            source_map={("raw", "orders"): f"{sf_dir}/orders.parquet"},
+            target_dir=target,
+        )
+        ex.run()  # first build: even keys, v1, amount = totalprice
+        out = ex.run()["inc_orders"]  # incremental merge over all orders
+        # pin rows executor-side before the temp target dir goes away
+        result = out.orderBy("order_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return result

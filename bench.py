@@ -331,6 +331,29 @@ def main() -> None:
 
     latency = latency_section(spark)
 
+    # behavioral summary (committed session fixtures, round 8): the
+    # replay's headline numbers ride along in the main bench line so
+    # the per-round gate records them — `--behavioral` remains the
+    # full-detail report
+    behavioral = None
+    try:
+        from ariadne_dbt_spark.benchmarks.session_replay import replay_sessions
+        from ariadne_dbt_spark.ingest.indexer import AriadneIndex
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        idx = AriadneIndex.build(
+            spark, os.path.join(repo, "tests", "fixtures", "manifest.json")
+        )
+        out = replay_sessions(idx, os.path.join(repo, "tests", "fixtures", "sessions"))
+        behavioral = {
+            "sessions": out["sessions"],
+            "avg_overlap_pct": out["avg_overlap_pct"],
+            "total_potential_savings": out["total_potential_savings"],
+            "total_context_calls": out["total_context_calls"],
+        }
+    except Exception as exc:  # never fail the bench line on the add-on
+        behavioral = {"error": str(exc)[:200]}
+
     total = round(sum(t["cold"] for t in times.values()), 3)
     total_warm = round(sum(t["warm"] for t in times.values()), 3)
     print(
@@ -344,6 +367,7 @@ def main() -> None:
                 "sf": sf,
                 "host_load_1m": load_1m,
                 "interactive_latency": latency,
+                "behavioral": behavioral,
             }
         )
     )

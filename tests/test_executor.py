@@ -239,3 +239,63 @@ def test_incremental_full_refresh(spark, tmp_path):
     )
     out = ex.run(full_refresh=True)["inc_events"]
     assert [(r.id, r.val) for r in out.collect()] == [(9, "z")]
+
+
+def test_incremental_merge_updates_subset_keeps_rest(spark, tmp_path):
+    """Round 8: merge strategy — matched rows take merge_update_columns
+    from the incoming row and keep every OTHER column's old value (the
+    partial-update semantics delete+insert cannot express)."""
+    sql = "SELECT id, val, tag FROM {{ source('raw','ev') }}"
+    cfg = {
+        "unique_key": "id",
+        "incremental_strategy": "merge",
+        "merge_update_columns": "['val']",
+    }
+    src1 = spark.createDataFrame(
+        [(1, "a", "t1"), (2, "b", "t1")], "id long, val string, tag string"
+    )
+    _run_inc(spark, tmp_path, src1, sql, cfg)
+    src2 = spark.createDataFrame(
+        [(2, "b2", "t2"), (3, "c", "t2")], "id long, val string, tag string"
+    )
+    out = _run_inc(spark, tmp_path, src2, sql, cfg)
+    got = sorted((r.id, r.val, r.tag) for r in out.collect())
+    # id 2: val updated, tag KEPT from the old row; id 3 inserted whole
+    assert got == [(1, "a", "t1"), (2, "b2", "t1"), (3, "c", "t2")]
+
+
+def test_incremental_merge_null_update_and_all_columns_default(spark, tmp_path):
+    """merge without merge_update_columns updates every non-key column,
+    and a legitimately-NULL incoming value really lands as NULL (marker
+    join, not a value coalesce)."""
+    sql = "SELECT id, val, tag FROM {{ source('raw','ev') }}"
+    cfg = {"unique_key": "id", "incremental_strategy": "merge"}
+    src1 = spark.createDataFrame(
+        [(1, "a", "t1")], "id long, val string, tag string"
+    )
+    _run_inc(spark, tmp_path, src1, sql, cfg)
+    src2 = spark.createDataFrame(
+        [(1, None, "t2")], "id long, val string, tag string"
+    )
+    out = _run_inc(spark, tmp_path, src2, sql, cfg)
+    assert [(r.id, r.val, r.tag) for r in out.collect()] == [(1, None, "t2")]
+
+
+def test_incremental_merge_without_key_is_insert_only(spark, tmp_path):
+    sql = "SELECT id, val FROM {{ source('raw','ev') }}"
+    cfg = {"incremental_strategy": "merge"}
+    src1 = spark.createDataFrame([(1, "a")], "id long, val string")
+    _run_inc(spark, tmp_path, src1, sql, cfg)
+    src2 = spark.createDataFrame([(1, "a2")], "id long, val string")
+    out = _run_inc(spark, tmp_path, src2, sql, cfg)
+    assert sorted((r.id, r.val) for r in out.collect()) == [(1, "a"), (1, "a2")]
+
+
+def test_incremental_unknown_strategy_raises(spark, tmp_path):
+    import pytest
+
+    sql = "SELECT id FROM {{ source('raw','ev') }}"
+    src1 = spark.createDataFrame([(1,)], "id long")
+    _run_inc(spark, tmp_path, src1, sql, {})
+    with pytest.raises(ValueError, match="incremental_strategy"):
+        _run_inc(spark, tmp_path, src1, sql, {"incremental_strategy": "bogus"})

@@ -515,6 +515,80 @@ def _video_neardup_op(out_dir: str):
     return run
 
 
+def _rrf_hybrid_op(out_dir: str):
+    """The rrf_hybrid_retrieval serving composition against a per-corpus
+    PERSISTED BM25 index + the embeddings table: BM25 top-50 pre-cut
+    (TakeOrderedAndProject) → rank window over ≤50 rows, brute-force
+    cosine top-50, reciprocal-rank fusion, final top-15. Index build is
+    amortized one-time setup (excluded, like the other *_query ops).
+    Expected slope ≪ 2: the BM25 side is postings-pruned by the query's
+    isin literal, the window never sees more than 50 rows at ANY corpus
+    size (the round-7 fix this curve exists to pin), and the cosine side
+    is one linear map + partial top-k."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from ariadne_dbt_spark.operators.search import bm25
+    from ariadne_dbt_spark.operators.search_index import (
+        build_search_index,
+        read_search_index,
+    )
+    from ariadne_dbt_spark.operators.similarity import brute_force_topk
+
+    def run(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        idx = os.path.join(out_dir, "bm25_index")
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            build_search_index(docs, "doc_id", {"text": "text"}, idx)
+        postings, docstats, n_docs, avgdl = read_search_index(spark, idx)
+        bm = bm25(
+            postings, docstats, n_docs, "w0 w1 w2",
+            field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+        ).select(
+            F.col("unique_id").cast("bigint").alias("doc_id"), "bm25_score"
+        )
+        bm_top = bm.orderBy(F.desc("bm25_score"), "doc_id").limit(50)
+        wb = Window.orderBy(F.desc("bm25_score"), "doc_id")
+        bm_r = bm_top.select("doc_id", F.row_number().over(wb).alias("r_bm"))
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+        cos = brute_force_topk(emb, qvec, k=50, exclude_self=1).select(
+            F.col("vec_id").alias("doc_id"), "cos_sim"
+        )
+        wc = Window.orderBy(F.desc("cos_sim"), "doc_id")
+        cos_r = cos.select("doc_id", F.row_number().over(wc).alias("r_cos"))
+        fused = bm_r.join(cos_r, "doc_id", "full_outer").select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.lit(60) + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
+            ).alias("score"),
+        )
+        return fused.orderBy(F.desc("score"), "doc_id").limit(15).count()
+
+    return run
+
+
+def _ccnet_buckets_op():
+    """ccnet_perplexity_buckets' composition over the sweep corpus with
+    a synthesized 4-language key (doc_id % 4 — constant distribution
+    across sizes): one bigram-LM scoring pass + the round-8
+    value-histogram tercile selection (group by (lang, xent), window
+    over DISTINCT rounded xents only). Expected slope ~1 — LM-pass
+    dominated; the tercile aggregation never buffers a language's full
+    score list, which is exactly what this curve pins."""
+    from ariadne_dbt_spark.operators.lm import perplexity_buckets
+
+    def run(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        langed = docs.select(
+            "doc_id",
+            F.concat(F.lit("l"), F.pmod(F.col("doc_id"), F.lit(4)).cast("string")).alias("lang"),
+            "text",
+        )
+        return perplexity_buckets(langed, "doc_id", "text", lang_col="lang").count()
+
+    return run
+
+
 def _fit_slope(xs: list[float], ys: list[float]) -> float:
     """Least-squares slope of log(y) on log(x)."""
     lx = [math.log(x) for x in xs]
@@ -543,12 +617,14 @@ def run_sweep(spark: SparkSession, base_dir: str, sizes=SWEEP_SIZES) -> dict:
     ops = dict(_ops())
     # None marks per-corpus ops: their persisted index lives beside
     # each corpus, so the callable is built per sweep point below
+    ops["ccnet_perplexity_buckets"] = _ccnet_buckets_op()
     per_corpus = {
         "incremental_indexed_1k_batch": _incremental_indexed_op,
         "ivf_pq_query": _ivf_pq_query_op,
         "scd2_merge_2k_batch": _scd2_merge_op,
         "neardup_ingest_gated_1k": _neardup_ingest_gated_op,
         "video_neardup": _video_neardup_op,
+        "rrf_hybrid_retrieval": _rrf_hybrid_op,
     }
     for name in per_corpus:
         ops[name] = None
