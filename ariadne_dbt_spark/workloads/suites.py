@@ -415,6 +415,15 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "lifetime_value": "double",
             },
         ),
+        (
+            "dbt_incremental",
+            "dbt_run_incremental",
+            {
+                "order_id": "bigint",
+                "batch_tag": "string",
+                "amount": "double",
+            },
+        ),
     ],
     "event_stats_suite": [
         (
@@ -1064,6 +1073,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             "stream_neardup",
             "stream_neardup_kept",
             {"n_kept": "bigint", "n_rejected": "bigint", "n_input": "bigint"},
+        ),
+        (
+            "decode_coverage",
+            "decode_coverage_report",
+            {
+                "kind": "string",
+                "tier": "string",
+                "status": "string",
+                "n_assets": "bigint",
+            },
         ),
     ],
 }
