@@ -126,8 +126,20 @@ def _write_meta(index_dir: str, meta: dict, *, expect: tuple | None = None) -> N
     # ``expect`` is the (epoch, gen, orphans) snapshot taken when this
     # writer read the meta — if the live meta no longer matches, another
     # writer committed in between and blindly replacing would drop its
-    # gen/stats; refuse instead (single-writer assumption enforced).
-    if expect is not None:
+    # gen/stats; refuse instead. Round 8: the check→replace window runs
+    # under epoch_store.commit_lock (O_CREAT|O_EXCL), so the
+    # single-writer guard is atomic rather than check-then-write
+    # best-effort — two racing writers can no longer both pass the check.
+    def commit() -> None:
+        tmp = _meta_path(index_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, sort_keys=True)
+        os.replace(tmp, _meta_path(index_dir))
+
+    if expect is None:
+        commit()
+        return
+    with epoch_store.commit_lock(index_dir):
         cur = _read_meta(index_dir)
         if _meta_snapshot(cur) != expect:
             raise ConcurrentWriteError(
@@ -135,10 +147,7 @@ def _write_meta(index_dir: str, meta: dict, *, expect: tuple | None = None) -> N
                 f"(expected {expect}, found {_meta_snapshot(cur)}); "
                 "serialize index maintenance jobs per index"
             )
-    tmp = _meta_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, sort_keys=True)
-    os.replace(tmp, _meta_path(index_dir))
+        commit()
 
 
 def _stage(
