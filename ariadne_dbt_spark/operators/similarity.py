@@ -800,8 +800,7 @@ def ivf_append(
     import json
     import os
 
-    with open(os.path.join(index_dir, "centroids.json")) as f:
-        centroids = json.load(f)
+    centroids = _read_ivf_centroids(index_dir)
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     expect = epoch_store.gen_state(stats)
@@ -880,6 +879,124 @@ def ivf_staleness(index_dir: str) -> dict:
     }
 
 
+def _ivf_centroids_path(index_dir: str, epoch: int) -> str:
+    import os
+
+    suffix = "" if epoch == 0 else f"_ep{epoch}"
+    return os.path.join(index_dir, f"centroids{suffix}.json")
+
+
+def _read_ivf_centroids(index_dir: str, epoch: int | None = None) -> list:
+    """Centroids for the CURRENT epoch (round 8): a retrain writes
+    ``centroids_ep<k>.json`` beside the new epoch's vectors and commits
+    both with the one epoch-pointer flip, so queries can never pair new
+    cell assignments with old centroids (or vice versa). A compaction
+    flips epochs WITHOUT retraining, so resolution takes the newest
+    centroid file at-or-below the committed epoch."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    if epoch is None:
+        epoch = epoch_store.read_epoch(index_dir)
+    best, best_k = None, -1
+    for p in glob.glob(os.path.join(index_dir, "centroids*.json")):
+        m = _re.fullmatch(r"centroids(?:_ep(\d+))?\.json", os.path.basename(p))
+        if m is None:
+            continue
+        k = int(m.group(1) or 0)
+        if best_k < k <= epoch:
+            best, best_k = p, k
+    if best is None:
+        raise FileNotFoundError(f"no centroids file in {index_dir}")
+    with open(best) as f:
+        return json.load(f)
+
+
+def ivf_retrain(
+    spark,
+    index_dir: str,
+    *,
+    n_centroids: int = 8,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Retrain the coarse centroids over the CURRENT live vectors and
+    re-cluster the layout — the answer to a baggy ``ivf_staleness``
+    drift, as a crash-safe EPOCH FLIP (round 8; previously the README'd
+    recipe was a manual wholesale ``ivf_build_index`` rerun):
+
+    * train on the committed live vectors (gen filter + tombstones),
+    * stage the reassigned, cell-clustered layout AND the new centroids
+      into ``*_ep<k+1>`` names,
+    * commit with the single atomic epoch-pointer flip; stats.json then
+      resets the drift baseline while PRESERVING the streaming replay
+      markers (``stream_epochs``) — a crash anywhere before the flip
+      leaves readers on the old epoch with the old centroids.
+
+    O(corpus) by nature (every vector reassigns) — that is what retrain
+    means; the point of the signal-driven trigger is to pay it only
+    when drift says the cells went baggy.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    epoch = epoch_store.read_epoch(index_dir)
+    live = epoch_store.apply_gen_filter(
+        epoch_store.read_gen_data(spark, index_dir, "vectors", epoch), stats
+    )
+    tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
+    if os.path.exists(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+        live = live.join(F.broadcast(tomb), "vec_id", "left_anti")
+    live = live.select("vec_id", "embedding")
+    centroids = ivf_train_centroids(
+        live, id_col="vec_id", vec_col="embedding",
+        n_centroids=n_centroids, iters=iters,
+    )
+    nearest = _nearest_centroid(F.col("embedding"), centroids)
+    assigned = live.select(
+        "vec_id",
+        "embedding",
+        nearest.getField("i").alias("cell"),
+        F.sqrt(nearest.getField("d")).alias("_dist"),
+    )
+    new_epoch = epoch + 1
+    # stage: clustered one-file-per-cell, mode overwrite so a crashed
+    # attempt's leftover staged dir can't wedge the retry
+    assigned.drop("_dist").withColumn(
+        "gen", F.lit(0).cast("bigint")
+    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(epoch_store.data_dir(index_dir, "vectors", new_epoch))
+    fit = assigned.agg(F.avg("_dist").alias("m"), F.count(F.lit(1)).alias("n")).first()
+    tmp = _ivf_centroids_path(index_dir, new_epoch) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(centroids, f)
+    os.replace(tmp, _ivf_centroids_path(index_dir, new_epoch))
+    # THE commit: pointer flip makes new vectors + new centroids + (via
+    # the stats write below) the reset drift baseline visible together.
+    # stats.json after the flip: a crash between flip and stats write
+    # serves the NEW epoch under the OLD stats — gens there are all 0,
+    # and apply_gen_filter keeps gen<=hi, so rows still serve correctly;
+    # only the drift baseline is stale until the write lands.
+    epoch_store.commit_epoch(index_dir, new_epoch)
+    new_stats = {
+        "build_mean_dist": float(fit["m"] or 0.0),
+        "mean_dist": float(fit["m"] or 0.0),
+        "n_vectors": int(fit["n"]),
+        "gen": 0,
+        "orphans": [],
+    }
+    if stats.get("stream_epochs"):
+        new_stats["stream_epochs"] = stats["stream_epochs"]
+    _write_index_json(os.path.join(index_dir, "stats.json"), new_stats)
+    epoch_store.sweep_stale_epochs(index_dir, ["vectors"], new_epoch)
+    return centroids
+
+
 def ivf_maintenance_report(index_dir: str, **kw) -> dict:
     """Compaction-cadence signal for the IVF index (metadata-only —
     parquet footers + stats.json): dead/tombstone row fractions, live
@@ -910,8 +1027,7 @@ def ivf_query_index(
     import json
     import os
 
-    with open(os.path.join(index_dir, "centroids.json")) as f:
-        centroids = json.load(f)
+    centroids = _read_ivf_centroids(index_dir)
 
     def d2(c: list[float]) -> float:
         return sum((float(x) - float(y)) ** 2 for x, y in zip(query_vec, c))

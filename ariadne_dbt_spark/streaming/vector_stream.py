@@ -118,6 +118,7 @@ def ivf_ingest_stream(
     auto_compact: bool = True,
     compact_max_files: int | None = None,
     compact_dead_frac: float | None = None,
+    auto_retrain_drift: float | None = None,
 ) -> int:
     """Run the vector-ingest stream to completion (AvailableNow) over
     the parquet files in ``vectors_dir``: the first micro-batch trains
@@ -135,7 +136,14 @@ def ivf_ingest_stream(
     ingest streams bound their MOR read amplification without an
     operator babysitting. The fold is rebuild-identical (epoch flip of
     the same committed rows); the stream-epoch replay marker lives in
-    stats.json, which compaction leaves in place."""
+    stats.json, which compaction leaves in place.
+
+    ``auto_retrain_drift`` (round 8, opt-in): when set, a batch that
+    pushes ``ivf_staleness`` drift past the threshold triggers
+    ``ivf_retrain`` — an O(corpus) epoch-flip re-clustering that resets
+    the drift baseline and preserves the replay markers. Opt-in because
+    retrain cost is corpus-sized by nature; the drift signal exists so
+    it is paid only when the cells actually went baggy."""
     if checkpoint_dir is None:
         checkpoint_dir = index_dir.rstrip("/") + "_checkpoint"
     applied: list[int] = []
@@ -155,6 +163,8 @@ def ivf_ingest_stream(
         from ariadne_dbt_spark.operators.similarity import (
             ivf_compact,
             ivf_maintenance_report,
+            ivf_retrain,
+            ivf_staleness,
         )
 
         if apply_vector_batch(
@@ -168,6 +178,16 @@ def ivf_ingest_stream(
             iters=iters,
         ):
             applied.append(1)
+            if auto_retrain_drift is not None:
+                drift = ivf_staleness(index_dir).get("drift")
+                if drift is not None and drift >= auto_retrain_drift:
+                    ivf_retrain(
+                        batch_df.sparkSession,
+                        index_dir,
+                        n_centroids=n_centroids,
+                        iters=iters,
+                    )
+                    return  # retrain already folded the log
             if auto_compact and ivf_maintenance_report(index_dir, **kw)[
                 "should_compact"
             ]:

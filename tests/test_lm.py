@@ -271,3 +271,32 @@ class TestPerplexityBucketsScale:
                     continue
                 want = "head" if v <= b1 else ("middle" if v <= b2 else "tail")
                 assert got[d] == want, (d, v, b1, b2, got[d], want)
+
+    def test_tiny_language_edges(self, spark):
+        """n=1 and n=2 languages: rank-selection boundaries must match
+        numpy's interpolated terciles at the degenerate sizes too."""
+        import numpy as np
+
+        from ariadne_dbt_spark.operators.lm import (
+            lm_cross_entropy,
+            perplexity_buckets,
+        )
+
+        rows = [
+            (1, "solo", "alpha beta alpha beta gamma"),
+            (2, "duo", "one two three four five"),
+            (3, "duo", "one two one two one two seven"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {
+            r.doc_id: r.ppl_bucket
+            for r in perplexity_buckets(df, "doc_id", "text", lang_col="lang").collect()
+        }
+        x = {r.doc_id: r.xent for r in lm_cross_entropy(df, "doc_id", "text").collect()}
+        assert got[1] == "head"  # single doc: b1=b2=its own xent
+        duo = sorted([x[2], x[3]])
+        b1 = float(np.quantile(duo, 1 / 3))
+        b2 = float(np.quantile(duo, 2 / 3))
+        for d in (2, 3):
+            want = "head" if x[d] <= b1 else ("middle" if x[d] <= b2 else "tail")
+            assert got[d] == want

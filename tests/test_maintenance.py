@@ -272,3 +272,141 @@ class TestStreamingAutoCompact:
         idx2 = str(tmp_path / "fts2")
         build_search_index(docs, "doc_id", {"text": "text"}, idx2)
         assert got == ranked(idx2)
+
+
+class TestIvfRetrain:
+    def test_retrain_resets_drift_and_preserves_results(self, spark, tmp_path):
+        """Round 8: ivf_retrain is a crash-safe epoch flip — centroids
+        retrain over live vectors, drift baseline resets, tombstones
+        fold, served results stay brute-force-exact."""
+        from ariadne_dbt_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_append,
+            ivf_build_index,
+            ivf_delete,
+            ivf_query_index,
+            ivf_retrain,
+            ivf_staleness,
+        )
+
+        idx = str(tmp_path / "ivf")
+        # train on a low-value region, then append a far-shifted batch
+        base = _embeddings(spark, range(30))
+        shifted = spark.createDataFrame(
+            [(100 + i, [50.0 + ((i * 7 + j * 3) % 10) for j in range(8)])
+             for i in range(30)],
+            "vec_id bigint, embedding array<float>",
+        )
+        ivf_build_index(base, idx, n_centroids=4, iters=2)
+        ivf_append(shifted, idx)
+        ivf_delete(spark, idx, [0, 1])
+        drift_before = ivf_staleness(idx)["drift"]
+        assert drift_before > 0.5  # the shifted mass made cells baggy
+
+        ivf_retrain(spark, idx, n_centroids=4, iters=2)
+        st = ivf_staleness(idx)
+        assert st["drift"] == 0.0  # baseline reset at the new fit
+        assert st["n_vectors"] == 58  # 60 - 2 tombstoned
+        q = [50.0 + ((3 * 7 + j * 3) % 10) for j in range(8)]
+        served = {
+            (r.vec_id, round(r.cos_sim, 9))
+            for r in ivf_query_index(spark, idx, q, k=10, nprobe=4).collect()
+        }
+        live = base.where(~F.col("vec_id").isin([0, 1])).union(shifted)
+        exact = {
+            (r.vec_id, round(r.cos_sim, 9))
+            for r in brute_force_topk(live, q, k=10).collect()
+        }
+        assert served == exact
+
+    def test_retrain_preserves_stream_epochs_and_later_appends_work(
+        self, spark, tmp_path
+    ):
+        from ariadne_dbt_spark.operators.similarity import ivf_retrain
+        from ariadne_dbt_spark.streaming.vector_stream import apply_vector_batch
+
+        idx = str(tmp_path / "ivf")
+        b0 = _embeddings(spark, range(20))
+        assert apply_vector_batch(b0, idx, "ck", 0, n_centroids=4)
+        ivf_retrain(spark, idx, n_centroids=4, iters=2)
+        with open(os.path.join(idx, "stats.json")) as f:
+            st = json.load(f)
+        assert st["stream_epochs"] == {"ck": 0}  # replay marker survived
+        # a replay of epoch 0 after the retrain still short-circuits
+        assert apply_vector_batch(b0, idx, "ck", 0, n_centroids=4) is False
+        # and a fresh epoch appends into the NEW epoch's layout
+        b1 = _embeddings(spark, range(100, 105))
+        assert apply_vector_batch(b1, idx, "ck", 1, n_centroids=4)
+        with open(os.path.join(idx, "stats.json")) as f:
+            assert json.load(f)["n_vectors"] == 25
+
+    def test_centroid_resolution_survives_compaction_after_retrain(
+        self, spark, tmp_path
+    ):
+        """retrain (ep1) then compaction (ep2, no retrain): queries must
+        resolve the ep1 centroids, not the stale epoch-0 file."""
+        from ariadne_dbt_spark.operators.similarity import (
+            _read_ivf_centroids,
+            brute_force_topk,
+            ivf_build_index,
+            ivf_compact,
+            ivf_delete,
+            ivf_query_index,
+            ivf_retrain,
+        )
+
+        idx = str(tmp_path / "ivf")
+        vec = _embeddings(spark, range(40))
+        ivf_build_index(vec, idx, n_centroids=4, iters=2)
+        c1 = ivf_retrain(spark, idx, n_centroids=4, iters=2)
+        ivf_delete(spark, idx, [5])
+        ivf_compact(spark, idx)  # ep2, no centroid rewrite
+        assert _read_ivf_centroids(idx) == c1
+        q = [float(((9 * 7 + j * 3) % 10)) for j in range(8)]
+        served = {
+            (r.vec_id, round(r.cos_sim, 9))
+            for r in ivf_query_index(spark, idx, q, k=10, nprobe=4).collect()
+        }
+        exact = {
+            (r.vec_id, round(r.cos_sim, 9))
+            for r in brute_force_topk(
+                vec.where(F.col("vec_id") != 5), q, k=10
+            ).collect()
+        }
+        assert served == exact
+
+    def test_stream_auto_retrain_fires_on_drift(self, spark, tmp_path):
+        """Opt-in auto_retrain_drift: a drifting stream retrains itself
+        mid-run and parity with brute force still holds."""
+        from ariadne_dbt_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_query_index,
+            ivf_staleness,
+        )
+        from ariadne_dbt_spark.streaming.vector_stream import ivf_ingest_stream
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        base = _embeddings(spark, range(30))
+        shifted = spark.createDataFrame(
+            [(100 + i, [50.0 + ((i * 7 + j * 3) % 10) for j in range(8)])
+             for i in range(30)],
+            "vec_id bigint, embedding array<float>",
+        )
+        base.coalesce(1).write.parquet(src)
+        shifted.coalesce(1).write.mode("append").parquet(src)
+        n = ivf_ingest_stream(
+            spark, src, idx, n_centroids=4, iters=2, auto_retrain_drift=0.5
+        )
+        assert n == 2
+        assert ivf_staleness(idx)["drift"] == 0.0  # the retrain fired
+        q = [50.0 + ((3 * 7 + j * 3) % 10) for j in range(8)]
+        served = {
+            (r.vec_id, round(r.cos_sim, 9))
+            for r in ivf_query_index(spark, idx, q, k=10, nprobe=4).collect()
+        }
+        exact = {
+            (r.vec_id, round(r.cos_sim, 9))
+            for r in brute_force_topk(base.union(shifted), q, k=10).collect()
+        }
+        assert served == exact
