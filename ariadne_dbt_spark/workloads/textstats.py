@@ -1453,9 +1453,12 @@ def compressibility_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="lm-perplexity-scoring,sampling-curriculum",
     doc="CCNet head/middle/tail perplexity buckets PER LANGUAGE "
     "(Wenzek et al. 2020): bigram-LM cross-entropy terciles within each "
-    "lang — the quality partition CCNet keeps head+middle of. Exact "
-    "interpolated terciles over rounded xent; bucket boundaries and "
-    "every membership SQL-verified.",
+    "lang — the quality partition CCNet keeps head+middle of. Bucket "
+    "membership is exactly the interpolated-tercile semantics the "
+    "oracle's quantile_cont computes, but the Spark side derives it by "
+    "value-histogram rank selection over DISTINCT rounded xents "
+    "(round 8) — no executor ever buffers a language's full score "
+    "list; every membership SQL-verified.",
 )
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_dbt_spark.operators.lm import perplexity_buckets
