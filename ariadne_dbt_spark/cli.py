@@ -368,6 +368,35 @@ def cmd_stats(args):
     )
 
 
+def cmd_maintain(args):
+    """Compaction-cadence report for a persisted serving index (round 8):
+    metadata-only — parquet footers + the index meta, no Spark session —
+    so it runs in milliseconds on any index dir. Prints the
+    maintenance_report JSON (live files, dead/tombstone rows,
+    should_compact + reasons); pass --kind to pick the index layout."""
+    from ariadne_dbt_spark.operators import epoch_store
+
+    layouts = {
+        "ivf": ("vectors", "stats.json"),
+        "ivf-pq": ("codes", "index_meta.json"),
+        "shingle": ("postings", "meta.json"),
+        "search": (("postings", "docstats", "docids"), "meta.json"),
+    }
+    names, meta_file = layouts[args.kind]
+    kw = {}
+    if args.max_files is not None:
+        kw["max_files"] = args.max_files
+    if args.dead_frac is not None:
+        kw["dead_frac_threshold"] = args.dead_frac
+    _emit(
+        {
+            "index_dir": args.index,
+            "kind": args.kind,
+            **epoch_store.maintenance_report(args.index, names, meta_file, **kw),
+        }
+    )
+
+
 def cmd_serve(args):
     """Serve the tool surface: MCP when --transport is given (reference:
     cli.py:131-161) — fastmcp for any transport when installed, the
@@ -501,6 +530,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("stats")
     common(sp, manifest_required=False)
     sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser(
+        "maintain",
+        help="compaction-cadence report for a persisted serving index (metadata-only)",
+    )
+    sp.add_argument("--index", required=True, help="index directory")
+    sp.add_argument(
+        "--kind",
+        choices=("ivf", "ivf-pq", "shingle", "search"),
+        required=True,
+    )
+    sp.add_argument("--max-files", dest="max_files", type=int, default=None)
+    sp.add_argument("--dead-frac", dest="dead_frac", type=float, default=None)
+    sp.set_defaults(fn=cmd_maintain)
 
     sp = sub.add_parser(
         "serve", help="tool server: JSON-lines on stdio, or MCP via --transport"

@@ -115,3 +115,22 @@ def test_cli_serve_transport_stdio_speaks_mcp(capsys, monkeypatch):
     assert {t["name"] for t in resps[2]["result"]["tools"]} >= {
         "search_models", "get_context_capsule",
     }
+
+
+def test_cli_maintain_reports_index_health(tmp_path, capsys, spark):
+    """Round 8: `maintain` prints the metadata-only compaction-cadence
+    report for a persisted index without needing a manifest or (for the
+    report itself) a Spark job."""
+    from ariadne_dbt_spark.operators.similarity import ivf_build_index, ivf_delete
+
+    idx = str(tmp_path / "ivf")
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 7 + j * 3) % 10)) for j in range(8)]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ivf_build_index(emb, idx, n_centroids=4, iters=2)
+    ivf_delete(spark, idx, [1, 2, 3])
+    out = _run(capsys, "maintain", "--index", idx, "--kind", "ivf")
+    assert out["kind"] == "ivf" and out["total_rows"] == 30
+    assert out["tombstone_rows"] == 3
+    assert "should_compact" in out and "reasons" in out
