@@ -77,7 +77,11 @@ def test_distributed_bfs_cache_lifecycle(spark):
     from conftest import settle_persistent
 
     jsc = spark.sparkContext._jsc.sc()
-    settle_persistent(spark, 0, timeout=5.0)  # drain earlier tests' queue
+    # drain earlier tests' queue; at the tail of a full-suite run the
+    # ContextCleaner drains MUCH slower than in isolation (see the same
+    # note in test_pagerank.py::test_no_cache_leak), so budgets are
+    # generous — a REAL leak never drains regardless of budget
+    settle_persistent(spark, 0, timeout=30.0)
     base = jsc.getPersistentRDDs().size()
     edf = spark.createDataFrame(
         [(f"n{i}", f"n{i+1}") for i in range(30)], "parent_id string, child_id string"
@@ -85,9 +89,9 @@ def test_distributed_bfs_cache_lifecycle(spark):
     out = _bfs_distributed(edf, ["n0"], DOWNSTREAM, 5, True)
     assert out.count() == 5
 
-    after = settle_persistent(spark, base + 1)
+    after = settle_persistent(spark, base + 1, timeout=240.0)
     assert after <= base + 1, f"leaked {after - base} persistent RDDs"
     # the result is localCheckpoint'd: release = drop the reference
     # (ContextCleaner), NOT unpersist() (a no-op on a LogicalRDD plan)
     del out
-    assert settle_persistent(spark, base) <= base
+    assert settle_persistent(spark, base, timeout=240.0) <= base
