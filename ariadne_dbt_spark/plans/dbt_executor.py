@@ -112,6 +112,24 @@ class DbtSparkExecutor:
         self._env = jinja2.Environment(undefined=jinja2.StrictUndefined)
         for row in mf.parse_models(self.manifest):
             self._models[row["name"]] = row
+        # dbt SNAPSHOT nodes (round 8): same executable shape as models
+        # (raw select + config), materialization pinned to 'snapshot' so
+        # run() routes them through the SCD2 merge; ref() on a snapshot
+        # resolves like any model view
+        for uid, n in (self.manifest.get("nodes") or {}).items():
+            if n.get("resource_type") != "snapshot":
+                continue
+            config = n.get("config") or {}
+            self._models[n.get("name")] = {
+                "unique_id": uid,
+                "name": n.get("name") or "",
+                "raw_code": n.get("raw_code") or n.get("raw_sql") or "",
+                "materialization": "snapshot",
+                "config": {str(k): str(v) for k, v in config.items()},
+                "depends_on_nodes": [
+                    str(x) for x in (n.get("depends_on") or {}).get("nodes") or []
+                ],
+            }
         for row in mf.parse_macros(self.manifest):
             parsed = parse_macro_sql(row["macro_sql"])
             if parsed:
@@ -171,7 +189,8 @@ class DbtSparkExecutor:
             deps[name] = {
                 d.split(".")[-1]
                 for d in row["depends_on_nodes"]
-                if d.startswith("model.") and d.split(".")[-1] in names
+                if d.startswith(("model.", "snapshot."))
+                and d.split(".")[-1] in names
             }
         order, ready = [], sorted(n for n, d in deps.items() if not d)
         remaining = {n: set(d) for n, d in deps.items()}
@@ -277,22 +296,113 @@ class DbtSparkExecutor:
             else:
                 # append — also dbt's insert-only merge (no unique_key)
                 final = old.select(*old.columns).unionByName(new.select(*old.columns))
-            # the tmp write EXECUTES the read of `out`, so the swap below
-            # never drops data that hasn't been rewritten yet. Swap order:
-            # move the live dir ASIDE first, then promote tmp — a crash
-            # between the two steps leaves the data recoverable in __old
-            # and never a window with no readable target path about to be
-            # created from nothing (rmtree-then-replace had one).
-            tmp = out + "__tmp"
-            final.write.mode("overwrite").parquet(tmp)
-            import shutil
+            self._swap_commit(out, final)
+        return self.spark.read.parquet(out)
 
-            old_dir = out + "__old"
-            if os.path.exists(old_dir):
-                shutil.rmtree(old_dir)
-            os.replace(out, old_dir)
-            os.replace(tmp, out)
+    def _swap_commit(self, out: str, final: DataFrame) -> None:
+        # the tmp write EXECUTES the read of `out`, so the swap below
+        # never drops data that hasn't been rewritten yet. Swap order:
+        # move the live dir ASIDE first, then promote tmp — a crash
+        # between the two steps leaves the data recoverable in __old
+        # and never a window with no readable target path about to be
+        # created from nothing (rmtree-then-replace had one).
+        tmp = out + "__tmp"
+        final.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        old_dir = out + "__old"
+        if os.path.exists(old_dir):
             shutil.rmtree(old_dir)
+        os.replace(out, old_dir)
+        os.replace(tmp, out)
+        shutil.rmtree(old_dir)
+
+    def _run_snapshot(self, name: str, full_refresh: bool) -> DataFrame:
+        """dbt SNAPSHOT materialization (round 8): SCD2 over the
+        snapshot's select, timestamp strategy (``check`` needs a
+        wall-clock snapshot time — pass ``snapshot_at`` on the executor
+        to enable it deterministically).
+
+        Columns follow dbt: ``dbt_updated_at`` / ``dbt_valid_from`` /
+        ``dbt_valid_to`` (NULL = current) / ``dbt_scd_id``
+        (md5(key|updated_at)). Timestamp semantics per run: a source row
+        whose ``updated_at`` advanced past the key's open row closes it
+        (``dbt_valid_to`` = new updated_at) and inserts the new open
+        version; unchanged keys pass through; brand-new keys insert
+        open. Hard deletes are left open (dbt's default;
+        invalidate_hard_deletes is not modeled). Commit is the same
+        crash-safe dir swap as incremental."""
+        from pyspark.sql import functions as F
+
+        cfg = self._models[name].get("config") or {}
+        strategy = str(cfg.get("strategy") or "timestamp").strip().lower()
+        if strategy != "timestamp":
+            raise ValueError(
+                f"snapshot strategy {strategy!r} not supported for {name} "
+                "(timestamp only; check-strategy needs a snapshot clock)"
+            )
+        key = self._unique_key(name)
+        updated_at = str(cfg.get("updated_at") or "").strip()
+        if not key or not updated_at:
+            raise ValueError(
+                f"snapshot {name} needs unique_key and updated_at configs"
+            )
+        out = os.path.join(self.target_dir, name)
+        exists = not full_refresh and os.path.exists(os.path.join(out, "_SUCCESS"))
+        new = self.spark.sql(self.render(name))
+
+        def scd_cols(df: DataFrame) -> DataFrame:
+            u = F.col(updated_at)
+            return (
+                df.withColumn("dbt_updated_at", u)
+                .withColumn("dbt_valid_from", u)
+                .withColumn(
+                    "dbt_valid_to", F.lit(None).cast(df.schema[updated_at].dataType)
+                )
+                .withColumn(
+                    "dbt_scd_id",
+                    F.md5(F.concat_ws("|", *key, u.cast("string"))),
+                )
+            )
+
+        if not exists:
+            scd_cols(new).write.mode("overwrite").parquet(out)
+            return self.spark.read.parquet(out)
+
+        old = self.spark.read.parquet(out)
+        open_old = old.where(F.col("dbt_valid_to").isNull())
+        closed_old = old.where(F.col("dbt_valid_to").isNotNull())
+        o = open_old.alias("_o")
+        n = new.withColumn("_nm", F.lit(True)).alias("_n")
+        j = o.join(n, key, "left")
+        advanced = F.col("_nm") & (
+            F.col(f"_n.{updated_at}") > F.col("_o.dbt_updated_at")
+        )
+        # keys whose source row advanced: close the open version at the
+        # new updated_at ...
+        closed_now = j.where(advanced).select(
+            *[F.col(c) if c in key else F.col(f"_o.{c}").alias(c) for c in old.columns if c != "dbt_valid_to"],
+            F.col(f"_n.{updated_at}").cast(old.schema["dbt_valid_to"].dataType).alias("dbt_valid_to"),
+        ).select(*old.columns)
+        # ... and keys that didn't (or vanished from the source): the
+        # open row passes through untouched
+        still_open = j.where(~F.coalesce(advanced, F.lit(False))).select(
+            *[F.col(c) if c in key else F.col(f"_o.{c}").alias(c) for c in old.columns]
+        )
+        source_cols = new.columns
+        changed_new = (
+            j.where(advanced)
+            .select(
+                *[
+                    F.col(c) if c in key else F.col(f"_n.{c}").alias(c)
+                    for c in source_cols
+                ]
+            )
+        )
+        fresh_keys = new.join(open_old.select(*key).distinct(), key, "left_anti")
+        inserts = scd_cols(changed_new.unionByName(fresh_keys)).select(*old.columns)
+        final = closed_old.unionByName(closed_now).unionByName(still_open).unionByName(inserts)
+        self._swap_commit(out, final)
         return self.spark.read.parquet(out)
 
     def run(
@@ -305,6 +415,8 @@ class DbtSparkExecutor:
             mat = self._models[name]["materialization"]
             if mat == "incremental" and self.target_dir:
                 df = self._run_incremental(name, full_refresh)
+            elif mat == "snapshot" and self.target_dir:
+                df = self._run_snapshot(name, full_refresh)
             else:
                 df = self.spark.sql(self.render(name))
                 if mat == "table" and self.target_dir:

@@ -239,3 +239,99 @@ def dbt_run_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(target, ignore_errors=True)
     return result
+
+
+# dbt SNAPSHOT materialization, gate-hard (round 8): two snapshot runs
+# over a shifting source — run 1 sees every order at (o_orderstatus,
+# o_orderdate); in run 2 every key % 3 == 0 advanced (status suffixed
+# '2', updated_at +30 days) while the rest are byte-identical. The SCD2
+# outcome is fully derivable from orders: advanced keys carry a closed
+# original (valid_to = the new updated_at) plus an open new version;
+# unchanged keys stay a single open row.
+_SNAP_MANIFEST = {
+    "metadata": {"project_name": "snapproj", "adapter_type": "spark"},
+    "nodes": {
+        "snapshot.snapproj.orders_snap": {
+            "resource_type": "snapshot",
+            "name": "orders_snap",
+            "raw_code": (
+                "SELECT order_id, status, updated_at"
+                " FROM {{ source('raw', 'orders_feed') }}"
+            ),
+            "config": {
+                "strategy": "timestamp",
+                "unique_key": "order_id",
+                "updated_at": "updated_at",
+            },
+            "depends_on": {"nodes": []},
+        }
+    },
+    "sources": {},
+    "macros": {},
+}
+
+
+@query(
+    "dbt_snapshot_scd2",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_orderstatus AS status,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN CAST(o_orderdate AS DATE) + 30 END AS valid_to
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus || '2', CAST(o_orderdate AS DATE) + 30, NULL
+    FROM orders WHERE o_orderkey % 3 = 0
+    ORDER BY order_id, valid_from
+    """,
+    survey="S10,§2.11-snapshots",
+    doc="dbt snapshot (SCD2, timestamp strategy) through the executor: "
+    "two runs over a shifting source — advanced keys close the old "
+    "version at the new updated_at and insert an open one, unchanged "
+    "keys pass through; every row oracle-derived from orders.",
+)
+def dbt_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.plans.dbt_executor import DbtSparkExecutor
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    feed1 = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("updated_at"),
+    )
+    advanced = F.col("o_orderkey") % 3 == 0
+    feed2 = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.when(advanced, F.concat(F.col("o_orderstatus"), F.lit("2")))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(advanced, F.date_add(F.to_date("o_orderdate"), 30))
+        .otherwise(F.to_date("o_orderdate"))
+        .alias("updated_at"),
+    )
+    target = tempfile.mkdtemp(prefix="dbt_snap_")
+    try:
+        for feed in (feed1, feed2):
+            ex = DbtSparkExecutor(
+                spark=spark,
+                manifest=_SNAP_MANIFEST,
+                source_map={("raw", "orders_feed"): feed},
+                target_dir=target,
+            )
+            out = ex.run()["orders_snap"]
+        result = (
+            out.select(
+                "order_id",
+                "status",
+                F.col("dbt_valid_from").alias("valid_from"),
+                F.col("dbt_valid_to").alias("valid_to"),
+            )
+            .orderBy("order_id", "valid_from")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return result

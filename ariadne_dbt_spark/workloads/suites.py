@@ -424,6 +424,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "amount": "double",
             },
         ),
+        (
+            "dbt_snapshot",
+            "dbt_snapshot_scd2",
+            {
+                "order_id": "bigint",
+                "status": "string",
+                "valid_from": "date",
+                "valid_to": "date",
+            },
+        ),
     ],
     "event_stats_suite": [
         (

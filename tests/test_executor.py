@@ -299,3 +299,125 @@ def test_incremental_unknown_strategy_raises(spark, tmp_path):
     _run_inc(spark, tmp_path, src1, sql, {})
     with pytest.raises(ValueError, match="incremental_strategy"):
         _run_inc(spark, tmp_path, src1, sql, {"incremental_strategy": "bogus"})
+
+
+# -- dbt SNAPSHOT materialization (round 8: SCD2, timestamp strategy) ---------
+
+
+def _snap_manifest(raw_code: str, config: dict) -> dict:
+    return {
+        "metadata": {"project_name": "snapproj", "adapter_type": "spark"},
+        "nodes": {
+            "snapshot.snapproj.user_states": {
+                "resource_type": "snapshot",
+                "name": "user_states",
+                "raw_code": raw_code,
+                "config": {"strategy": "timestamp", **config},
+                "depends_on": {"nodes": []},
+            }
+        },
+        "sources": {},
+        "macros": {},
+    }
+
+
+def _run_snap(spark, tmpdir, src_df, config=None):
+    sql = "SELECT id, state, updated_at FROM {{ source('raw','ev') }}"
+    ex = DbtSparkExecutor(
+        spark=spark,
+        manifest=_snap_manifest(sql, config or {"unique_key": "id", "updated_at": "updated_at"}),
+        source_map={("raw", "ev"): src_df},
+        target_dir=str(tmpdir),
+    )
+    return ex.run()["user_states"]
+
+
+def test_snapshot_first_run_all_open(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, state string, updated_at long"
+    )
+    out = _run_snap(spark, tmp_path, src)
+    rows = {(r.id, r.state, r.dbt_valid_from, r.dbt_valid_to) for r in out.collect()}
+    assert rows == {(1, "a", 10, None), (2, "b", 20, None)}
+    assert all(r.dbt_scd_id for r in out.collect())
+
+
+def test_snapshot_timestamp_merge_closes_and_inserts(spark, tmp_path):
+    src1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, state string, updated_at long"
+    )
+    _run_snap(spark, tmp_path, src1)
+    # id 1 advanced (new version), id 2 unchanged, id 3 brand new
+    src2 = spark.createDataFrame(
+        [(1, "a2", 30), (2, "b", 20), (3, "c", 25)],
+        "id long, state string, updated_at long",
+    )
+    out = _run_snap(spark, tmp_path, src2)
+    rows = sorted(
+        (r.id, r.state, r.dbt_valid_from, r.dbt_valid_to) for r in out.collect()
+    )
+    assert rows == [
+        (1, "a", 10, 30),    # closed at the new version's updated_at
+        (1, "a2", 30, None), # the new open version
+        (2, "b", 20, None),  # unchanged: passes through open
+        (3, "c", 25, None),  # brand-new key inserts open
+    ]
+    # a THIRD run with the same source is a no-op (idempotent state)
+    out3 = _run_snap(spark, tmp_path, src2)
+    rows3 = sorted(
+        (r.id, r.state, r.dbt_valid_from, r.dbt_valid_to) for r in out3.collect()
+    )
+    assert rows3 == rows
+
+
+def test_snapshot_hard_delete_stays_open_and_stale_update_ignored(spark, tmp_path):
+    src1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, state string, updated_at long"
+    )
+    _run_snap(spark, tmp_path, src1)
+    # id 2 vanished (hard delete → stays open, dbt default); id 1 comes
+    # back with an OLDER updated_at → ignored
+    src2 = spark.createDataFrame(
+        [(1, "aold", 5)], "id long, state string, updated_at long"
+    )
+    out = _run_snap(spark, tmp_path, src2)
+    rows = sorted(
+        (r.id, r.state, r.dbt_valid_from, r.dbt_valid_to) for r in out.collect()
+    )
+    assert rows == [(1, "a", 10, None), (2, "b", 20, None)]
+
+
+def test_snapshot_ref_from_model_and_unsupported_strategy(spark, tmp_path):
+    import pytest
+
+    man = _snap_manifest(
+        "SELECT id, state, updated_at FROM {{ source('raw','ev') }}",
+        {"unique_key": "id", "updated_at": "updated_at"},
+    )
+    man["nodes"]["model.snapproj.current_states"] = {
+        "resource_type": "model",
+        "name": "current_states",
+        "fqn": ["snapproj", "marts", "current_states"],
+        "path": "models/marts/current_states.sql",
+        "raw_code": "SELECT id, state FROM {{ ref('user_states') }} WHERE dbt_valid_to IS NULL",
+        "config": {"materialized": "view"},
+        "depends_on": {"nodes": ["snapshot.snapproj.user_states"]},
+    }
+    src = spark.createDataFrame(
+        [(1, "a", 10)], "id long, state string, updated_at long"
+    )
+    ex = DbtSparkExecutor(
+        spark=spark, manifest=man, source_map={("raw", "ev"): src},
+        target_dir=str(tmp_path),
+    )
+    rel = ex.run()
+    assert [(r.id, r.state) for r in rel["current_states"].collect()] == [(1, "a")]
+    # the snapshot ordered BEFORE its consumer
+    assert ex.topo_order() == ["user_states", "current_states"]
+
+    with pytest.raises(ValueError, match="strategy"):
+        _run_snap(
+            spark, tmp_path / "x",
+            src,
+            {"unique_key": "id", "updated_at": "updated_at", "strategy": "check"},
+        )
