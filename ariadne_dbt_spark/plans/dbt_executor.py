@@ -11,7 +11,12 @@ executor does what dbt-spark does, minus the packaging:
 2. topologically order models by their model-to-model depends_on
 3. execute each with ``spark.sql`` against temp views; materialization
    honors the model config: ``view`` → temp view (lazy, fused into
-   downstream plans by Catalyst), ``table`` → parquet write + re-read
+   downstream plans by Catalyst; ``ephemeral`` rides the same path —
+   Catalyst inlines a temp view into its consumer exactly the way dbt
+   inlines an ephemeral CTE, so the distinction is materialized away by
+   the optimizer), ``seed`` → CSV load with ``column_types`` casts
+   (round 8), ``snapshot`` → SCD2 merge (round 8, see
+   ``_run_snapshot``), ``table`` → parquet write + re-read
    (cuts lineage, downstream stages scan columnar data — at 100 TB this
    is the shuffle-boundary you want between marts), ``incremental`` →
    dbt's incremental contract: ``is_incremental()`` is False on the
@@ -102,6 +107,9 @@ class DbtSparkExecutor:
     source_map: dict[tuple[str, str], object]
     #: where `materialized='table'` models land (parquet)
     target_dir: str | None = None
+    #: project root that seed CSV paths resolve against (dbt's
+    #: `seeds/<name>.csv`); None → seeds raise at run time
+    seed_dir: str | None = None
     _models: dict[str, dict] = field(default_factory=dict, init=False)
     _macros: dict[str, _MacroShim] = field(default_factory=dict, init=False)
     _relations: dict[str, DataFrame] = field(default_factory=dict, init=False)
@@ -112,19 +120,21 @@ class DbtSparkExecutor:
         self._env = jinja2.Environment(undefined=jinja2.StrictUndefined)
         for row in mf.parse_models(self.manifest):
             self._models[row["name"]] = row
-        # dbt SNAPSHOT nodes (round 8): same executable shape as models
-        # (raw select + config), materialization pinned to 'snapshot' so
-        # run() routes them through the SCD2 merge; ref() on a snapshot
+        # dbt SNAPSHOT and SEED nodes (round 8): same executable shape
+        # as models — snapshots route through the SCD2 merge, seeds load
+        # their CSV (resolved against ``seed_dir``); ref() on either
         # resolves like any model view
         for uid, n in (self.manifest.get("nodes") or {}).items():
-            if n.get("resource_type") != "snapshot":
+            rt = n.get("resource_type")
+            if rt not in ("snapshot", "seed"):
                 continue
             config = n.get("config") or {}
             self._models[n.get("name")] = {
                 "unique_id": uid,
                 "name": n.get("name") or "",
                 "raw_code": n.get("raw_code") or n.get("raw_sql") or "",
-                "materialization": "snapshot",
+                "file_path": n.get("original_file_path") or n.get("path") or "",
+                "materialization": rt,
                 "config": {str(k): str(v) for k, v in config.items()},
                 "depends_on_nodes": [
                     str(x) for x in (n.get("depends_on") or {}).get("nodes") or []
@@ -189,7 +199,7 @@ class DbtSparkExecutor:
             deps[name] = {
                 d.split(".")[-1]
                 for d in row["depends_on_nodes"]
-                if d.startswith(("model.", "snapshot."))
+                if d.startswith(("model.", "snapshot.", "seed."))
                 and d.split(".")[-1] in names
             }
         order, ready = [], sorted(n for n, d in deps.items() if not d)
@@ -317,6 +327,29 @@ class DbtSparkExecutor:
         os.replace(tmp, out)
         shutil.rmtree(old_dir)
 
+    def _run_seed(self, name: str) -> DataFrame:
+        """dbt SEED: load the node's CSV (header row; ``column_types``
+        config wins over inference, exactly dbt's contract) and register
+        it like any relation — `ref('my_seed')` then resolves normally."""
+        if not self.seed_dir:
+            raise ValueError(
+                f"seed {name} requires seed_dir= on the executor "
+                "(the project root its CSV path resolves against)"
+            )
+        row = self._models[name]
+        path = os.path.join(self.seed_dir, row.get("file_path") or f"seeds/{name}.csv")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"seed csv not found: {path}")
+        df = self.spark.read.option("header", "true").option(
+            "inferSchema", "true"
+        ).csv(path)
+        col_types = (row.get("config") or {}).get("column_types") or ""
+        # stringified map '{"col": "bigint", ...}' → explicit casts
+        for col, typ in re.findall(r"['\"]?(\w+)['\"]?\s*:\s*['\"](\w+)['\"]", str(col_types)):
+            if col in df.columns:
+                df = df.withColumn(col, df[col].cast(typ))
+        return df
+
     def _run_snapshot(self, name: str, full_refresh: bool) -> DataFrame:
         """dbt SNAPSHOT materialization (round 8): SCD2 over the
         snapshot's select, timestamp strategy (``check`` needs a
@@ -417,6 +450,8 @@ class DbtSparkExecutor:
                 df = self._run_incremental(name, full_refresh)
             elif mat == "snapshot" and self.target_dir:
                 df = self._run_snapshot(name, full_refresh)
+            elif mat == "seed":
+                df = self._run_seed(name)
             else:
                 df = self.spark.sql(self.render(name))
                 if mat == "table" and self.target_dir:

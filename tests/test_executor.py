@@ -421,3 +421,106 @@ def test_snapshot_ref_from_model_and_unsupported_strategy(spark, tmp_path):
             src,
             {"unique_key": "id", "updated_at": "updated_at", "strategy": "check"},
         )
+
+
+# -- dbt SEED + ephemeral (round 8) -------------------------------------------
+
+
+def test_seed_loads_csv_with_column_types_and_ref(spark, tmp_path):
+    seeds = tmp_path / "seeds"
+    seeds.mkdir()
+    (seeds / "country_codes.csv").write_text(
+        "code,name,population\nus,United States,331000000\nfr,France,67000000\n"
+    )
+    man = {
+        "metadata": {"project_name": "seedproj", "adapter_type": "spark"},
+        "nodes": {
+            "seed.seedproj.country_codes": {
+                "resource_type": "seed",
+                "name": "country_codes",
+                "path": "seeds/country_codes.csv",
+                "config": {"column_types": "{'population': 'bigint'}"},
+                "depends_on": {"nodes": []},
+            },
+            "model.seedproj.big_countries": {
+                "resource_type": "model",
+                "name": "big_countries",
+                "fqn": ["seedproj", "marts", "big_countries"],
+                "path": "models/marts/big_countries.sql",
+                "raw_code": (
+                    "SELECT code, name FROM {{ ref('country_codes') }}"
+                    " WHERE population > 100000000"
+                ),
+                "config": {"materialized": "view"},
+                "depends_on": {"nodes": ["seed.seedproj.country_codes"]},
+            },
+        },
+        "sources": {},
+        "macros": {},
+    }
+    ex = DbtSparkExecutor(
+        spark=spark, manifest=man, source_map={}, seed_dir=str(tmp_path)
+    )
+    rel = ex.run()
+    assert ex.topo_order() == ["country_codes", "big_countries"]
+    assert dict(rel["country_codes"].dtypes)["population"] == "bigint"
+    assert [(r.code, r.name) for r in rel["big_countries"].collect()] == [
+        ("us", "United States")
+    ]
+
+
+def test_seed_without_seed_dir_raises(spark):
+    import pytest
+
+    man = {
+        "metadata": {"project_name": "p", "adapter_type": "spark"},
+        "nodes": {
+            "seed.p.s": {
+                "resource_type": "seed",
+                "name": "s",
+                "path": "seeds/s.csv",
+                "config": {},
+                "depends_on": {"nodes": []},
+            }
+        },
+        "sources": {},
+        "macros": {},
+    }
+    ex = DbtSparkExecutor(spark=spark, manifest=man, source_map={})
+    with pytest.raises(ValueError, match="seed_dir"):
+        ex.run()
+
+
+def test_ephemeral_materialization_inlines_like_dbt(spark):
+    """ephemeral rides the view path: Catalyst inlines the temp view
+    into its consumer exactly the way dbt inlines an ephemeral CTE —
+    the consumer's plan scans the source directly."""
+    man = {
+        "metadata": {"project_name": "e", "adapter_type": "spark"},
+        "nodes": {
+            "model.e.eph_orders": {
+                "resource_type": "model",
+                "name": "eph_orders",
+                "fqn": ["e", "staging", "eph_orders"],
+                "path": "models/staging/eph_orders.sql",
+                "raw_code": "SELECT id, val FROM {{ source('raw','ev') }} WHERE id > 1",
+                "config": {"materialized": "ephemeral"},
+                "depends_on": {"nodes": []},
+            },
+            "model.e.mart": {
+                "resource_type": "model",
+                "name": "mart",
+                "fqn": ["e", "marts", "mart"],
+                "path": "models/marts/mart.sql",
+                "raw_code": "SELECT count(*) AS n FROM {{ ref('eph_orders') }}",
+                "config": {"materialized": "view"},
+                "depends_on": {"nodes": ["model.e.eph_orders"]},
+            },
+        },
+        "sources": {},
+        "macros": {},
+    }
+    src = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, val string")
+    ex = DbtSparkExecutor(spark=spark, manifest=man, source_map={("raw", "ev"): src})
+    rel = ex.run()
+    assert rel["mart"].first()["n"] == 2
