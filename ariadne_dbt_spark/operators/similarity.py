@@ -879,20 +879,20 @@ def ivf_staleness(index_dir: str) -> dict:
     }
 
 
-def _ivf_centroids_path(index_dir: str, epoch: int) -> str:
+def _epoch_json_path(index_dir: str, base: str, epoch: int) -> str:
     import os
 
     suffix = "" if epoch == 0 else f"_ep{epoch}"
-    return os.path.join(index_dir, f"centroids{suffix}.json")
+    return os.path.join(index_dir, f"{base}{suffix}.json")
 
 
-def _read_ivf_centroids(index_dir: str, epoch: int | None = None) -> list:
-    """Centroids for the CURRENT epoch (round 8): a retrain writes
-    ``centroids_ep<k>.json`` beside the new epoch's vectors and commits
-    both with the one epoch-pointer flip, so queries can never pair new
-    cell assignments with old centroids (or vice versa). A compaction
-    flips epochs WITHOUT retraining, so resolution takes the newest
-    centroid file at-or-below the committed epoch."""
+def _read_epoch_json(index_dir: str, base: str, epoch: int | None = None):
+    """Epoch-resolved JSON artifact (round 8): a retrain writes
+    ``<base>_ep<k>.json`` beside the new epoch's data and commits both
+    with the one epoch-pointer flip, so queries can never pair new cell
+    assignments with old centroids/codebooks (or vice versa). A
+    compaction flips epochs WITHOUT retraining, so resolution takes the
+    newest artifact file at-or-below the committed epoch."""
     import glob
     import json
     import os
@@ -901,17 +901,21 @@ def _read_ivf_centroids(index_dir: str, epoch: int | None = None) -> list:
     if epoch is None:
         epoch = epoch_store.read_epoch(index_dir)
     best, best_k = None, -1
-    for p in glob.glob(os.path.join(index_dir, "centroids*.json")):
-        m = _re.fullmatch(r"centroids(?:_ep(\d+))?\.json", os.path.basename(p))
+    for p in glob.glob(os.path.join(index_dir, f"{base}*.json")):
+        m = _re.fullmatch(rf"{base}(?:_ep(\d+))?\.json", os.path.basename(p))
         if m is None:
             continue
         k = int(m.group(1) or 0)
         if best_k < k <= epoch:
             best, best_k = p, k
     if best is None:
-        raise FileNotFoundError(f"no centroids file in {index_dir}")
+        raise FileNotFoundError(f"no {base} file in {index_dir}")
     with open(best) as f:
         return json.load(f)
+
+
+def _read_ivf_centroids(index_dir: str, epoch: int | None = None) -> list:
+    return _read_epoch_json(index_dir, "centroids", epoch)
 
 
 def ivf_retrain(
@@ -972,10 +976,10 @@ def ivf_retrain(
         "cell"
     ).parquet(epoch_store.data_dir(index_dir, "vectors", new_epoch))
     fit = assigned.agg(F.avg("_dist").alias("m"), F.count(F.lit(1)).alias("n")).first()
-    tmp = _ivf_centroids_path(index_dir, new_epoch) + ".tmp"
+    tmp = _epoch_json_path(index_dir, "centroids", new_epoch) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(centroids, f)
-    os.replace(tmp, _ivf_centroids_path(index_dir, new_epoch))
+    os.replace(tmp, _epoch_json_path(index_dir, "centroids", new_epoch))
     # THE commit: pointer flip makes new vectors + new centroids + (via
     # the stats write below) the reset drift baseline visible together.
     # stats.json after the flip: a crash between flip and stats write
@@ -1434,10 +1438,8 @@ def ivf_pq_query_index(
     import json
     import os
 
-    with open(os.path.join(index_dir, "centroids.json")) as f:
-        centroids = json.load(f)
-    with open(os.path.join(index_dir, "pq_codebooks.json")) as f:
-        codebooks = json.load(f)
+    centroids = _read_epoch_json(index_dir, "centroids")
+    codebooks = _read_epoch_json(index_dir, "pq_codebooks")
     meta_path = os.path.join(index_dir, "index_meta.json")
     index_meta: dict = {}
     if os.path.exists(meta_path):
@@ -1524,10 +1526,8 @@ def ivf_pq_append(
     import json
     import os
 
-    with open(os.path.join(index_dir, "centroids.json")) as f:
-        centroids = json.load(f)
-    with open(os.path.join(index_dir, "pq_codebooks.json")) as f:
-        codebooks = json.load(f)
+    centroids = _read_epoch_json(index_dir, "centroids")
+    codebooks = _read_epoch_json(index_dir, "pq_codebooks")
     meta_path = os.path.join(index_dir, "index_meta.json")
     index_meta: dict = {}
     if os.path.exists(meta_path):
@@ -1806,3 +1806,99 @@ def ivf_pq_compact(spark, index_dir: str) -> None:
         index_meta["orphans"] = []
         _write_index_json(meta_path, index_meta)
     epoch_store.sweep_stale_epochs(index_dir, ["codes"], new_epoch)
+
+
+def ivf_pq_retrain(
+    spark,
+    index_dir: str,
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 3,
+    m: int = 8,
+    k_sub: int = 16,
+    dim: int | None = None,
+    train_mod: int = 1,
+) -> dict:
+    """Retrain the IVF-PQ index's centroids AND codebooks as a
+    crash-safe EPOCH FLIP (round 8; closes the last manual-rebuild note
+    in SCALE.md) — the PQ analog of :func:`ivf_retrain`.
+
+    PQ codes are lossy, so retraining needs the ORIGINAL float vectors:
+    ``embeddings`` is the source table; membership stays the INDEX's —
+    the committed live code rows (gen filter + tombstones) pick which
+    ids re-encode, via a semi-join against the source. The residual
+    flag is preserved from the existing index_meta. All three artifacts
+    (codes_ep<k+1>, centroids_ep<k+1>.json, pq_codebooks_ep<k+1>.json)
+    stage first; the ONLY commit is the epoch-pointer flip, so a crash
+    anywhere before it leaves every reader on the old consistent
+    triple.
+    """
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    index_meta: dict = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            index_meta = json.load(f)
+    residual = bool(index_meta.get("residual", False))
+    epoch = epoch_store.read_epoch(index_dir)
+
+    live_ids = epoch_store.apply_gen_filter(
+        epoch_store.read_gen_data(spark, index_dir, "codes", epoch), index_meta
+    ).select("vec_id")
+    tomb_dir = epoch_store.data_dir(index_dir, "tombstones")
+    if os.path.exists(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+        live_ids = live_ids.join(F.broadcast(tomb), "vec_id", "left_anti")
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).join(live_ids.distinct(), "vec_id", "semi")
+
+    centroids = ivf_train_centroids(
+        src, id_col="vec_id", vec_col="_v",
+        n_centroids=n_centroids, iters=iters, train_mod=train_mod,
+    )
+    with_cell = src.select(
+        "vec_id", "_v", _assign_col(F.col("_v"), centroids).alias("cell")
+    )
+    enc_src = with_cell
+    if residual:
+        cent_lit = _centroid_literal(centroids)
+        enc_src = with_cell.withColumn(
+            "_v",
+            F.zip_with(
+                F.col("_v"),
+                F.element_at(cent_lit, F.col("cell") + 1),
+                lambda x, c: x.cast("double") - c,
+            ),
+        )
+    codebooks = pq_train(
+        enc_src, id_col="vec_id", vec_col="_v",
+        m=m, k=k_sub, iters=iters, train_mod=train_mod, dim=dim,
+    )
+    out = pq_encode(enc_src, codebooks, id_col="vec_id", vec_col="_v", keep=["cell"])
+    new_epoch = epoch + 1
+    out.withColumn("gen", F.lit(0).cast("bigint")).repartition(
+        F.col("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        epoch_store.data_dir(index_dir, "codes", new_epoch)
+    )
+    for base, payload in (("centroids", centroids), ("pq_codebooks", codebooks)):
+        tmp = _epoch_json_path(index_dir, base, new_epoch) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, _epoch_json_path(index_dir, base, new_epoch))
+    # THE commit: flip the pointer — codes + centroids + codebooks
+    # become visible together; stats below are bookkeeping
+    epoch_store.commit_epoch(index_dir, new_epoch)
+    index_meta.update(
+        residual=residual, m=len(codebooks), d_sub=len(codebooks[0][0]),
+        gen=0, orphans=[],
+    )
+    _write_index_json(meta_path, index_meta)
+    epoch_store.sweep_stale_epochs(index_dir, ["codes"], new_epoch)
+    return {"centroids": centroids, "codebooks": codebooks}

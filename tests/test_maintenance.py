@@ -410,3 +410,60 @@ class TestIvfRetrain:
             for r in brute_force_topk(base.union(shifted), q, k=10).collect()
         }
         assert served == exact
+
+
+class TestIvfPqRetrain:
+    def test_pq_retrain_epoch_flip_preserves_results(self, spark, tmp_path):
+        """Round 8: ivf_pq_retrain re-trains centroids AND codebooks
+        over the index's live membership (tombstones folded) from the
+        source embeddings, committed by one epoch flip; full-probe
+        serving equals brute force over the survivors."""
+        from ariadne_dbt_spark.operators import epoch_store
+        from ariadne_dbt_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_pq_build_index,
+            ivf_pq_delete,
+            ivf_pq_query_index,
+            ivf_pq_retrain,
+        )
+
+        idx = str(tmp_path / "pq")
+        emb = _embeddings(spark, range(60))
+        ivf_pq_build_index(emb, idx, n_centroids=4, iters=2, m=4, k_sub=8)
+        ivf_pq_delete(spark, idx, [2, 3])
+        ivf_pq_retrain(
+            spark, idx, emb, n_centroids=4, iters=2, m=4, k_sub=8
+        )
+        assert epoch_store.read_epoch(idx) == 1
+        # artifacts staged under the new epoch's names
+        assert os.path.exists(os.path.join(idx, "centroids_ep1.json"))
+        assert os.path.exists(os.path.join(idx, "pq_codebooks_ep1.json"))
+
+        q = [float(((9 * 7 + j * 3) % 10)) for j in range(8)]
+        survivors = emb.where(~F.col("vec_id").isin([2, 3]))
+        got = {
+            r.vec_id
+            for r in ivf_pq_query_index(
+                spark, idx, q, k=10, nprobe=4, refine=6, embeddings=emb
+            ).collect()
+        }
+        want = {r.vec_id for r in brute_force_topk(survivors, q, k=10).collect()}
+        assert got == want
+        assert not ({2, 3} & got)  # tombstoned ids never resurrect
+
+        # appends after the retrain land in the new epoch and serve
+        from ariadne_dbt_spark.operators.similarity import ivf_pq_append
+
+        clone = spark.createDataFrame(
+            [(1000, [float(((9 * 7 + j * 3) % 10)) for j in range(8)])],
+            "vec_id bigint, embedding array<float>",
+        )
+        ivf_pq_append(clone, idx)
+        got2 = {
+            r.vec_id
+            for r in ivf_pq_query_index(
+                spark, idx, q, k=10, nprobe=4, refine=6,
+                embeddings=emb.union(clone),
+            ).collect()
+        }
+        assert 1000 in got2
