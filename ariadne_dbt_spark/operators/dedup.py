@@ -982,6 +982,105 @@ def shared_span_pairs(
     )
 
 
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    L: int = 50,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Corpus-level exact-substring REMOVAL — the ExactSubstr dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed as distributed window counting instead of a
+    suffix array: cut every token position covered by an ``L``-token
+    window whose exact text occurs >= 2 times corpus-wide (including
+    repeats WITHIN one document). The covered-position union equals the
+    union of all maximal duplicated substrings of length >= L — every
+    L-window inside a duplicated substring is itself duplicated, and a
+    duplicated L-window IS a duplicated substring — so the cut is exact,
+    not approximate. Like the released suffix-array tool, ALL
+    occurrences are removed (no canonical copy survives); the paper
+    accepts the possibly-ungrammatical seams for the memorization win.
+
+    Returns one row per input document:
+    ``(id, n_tokens, n_removed, text_clean)`` where ``text_clean`` is
+    the surviving tokens rejoined by single spaces (whitespace is
+    normalized as a side effect, matching the tokenizer) — empty string
+    when the whole document was duplicated text.
+
+    Shape & scale (vs. the paper's single-node suffix array, which
+    needs the whole corpus in one address space):
+
+    * gram construction is MAP-ONLY — ``transform(sequence(...))`` over
+      the token array, no per-doc window shuffle;
+    * the only corpus-sized shuffle keys on the gram (count >= 2, then
+      a semi-join back) — O(total tokens) rows, the same mass every
+      shingle operator here carries, never all-pairs;
+    * covered positions explode only DUPLICATED windows (churn-sized,
+      L rows each) and feed a left_anti join on (id, pos) directly —
+      no distinct() pass, duplicates on the anti side are free;
+    * the rebuild is one groupBy(id) with ``array_sort(collect_list)``
+      — per-doc state, bounded by the longest document.
+
+    ``hash_grams=True`` swaps the shuffle key for ``xxhash64(gram)`` —
+    at 100 TB the 50-token gram strings dominate shuffle bytes and the
+    64-bit key cuts them ~25x; a collision can only over-remove one
+    window (probability ~n²/2⁶⁴) — tests pin both paths identical on
+    the fixture. Default False = bit-exact, what the oracle verifies.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+    )
+    gram_expr = (
+        f"transform(sequence(0, size(t) - {int(L)}), "
+        f"i -> struct(i AS start, array_join(slice(t, i + 1, {int(L)}), ' ') AS gram))"
+    )
+    grams = (
+        toks.where(F.size("t") >= int(L))
+        .select("id", F.explode(F.expr(gram_expr)).alias("g"))
+        .select("id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    )
+    if hash_grams:
+        grams = grams.select("id", "start", F.xxhash64("gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("gram")
+    )
+    covered = grams.join(dup, "gram").select(
+        "id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(int(L) - 1))
+        ).alias("pos"),
+    )
+    kept = (
+        toks.select("id", F.posexplode("t").alias("pos", "tok"))
+        .join(covered, ["id", "pos"], "left_anti")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    base = toks.select("id", F.size("t").alias("n_tokens"))
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 def edit_distance_near_dups(
     df: DataFrame,
     id_col: str,

@@ -706,6 +706,90 @@ def shared_span_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "exact_substring_excision",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               'quoted passage begins here now ' ||
+               array_to_string(string_split_regex(trim(lower(text)), '\s+')[4:25], ' ') ||
+               ' quoted passage ends here now' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus
+    ),
+    grams AS (
+        SELECT doc_id,
+               UNNEST(generate_series(0, len(t) - 15)) AS start,
+               UNNEST(list_transform(generate_series(0, len(t) - 15),
+                                     i -> array_to_string(t[i + 1 : i + 15], ' '))) AS gram
+        FROM toks WHERE len(t) >= 15
+    ),
+    dups AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    cov AS (
+        SELECT DISTINCT g.doc_id, g.start + o AS pos
+        FROM grams g JOIN dups USING (gram), UNNEST(generate_series(0, 14)) AS u(o)
+    ),
+    pos AS (
+        SELECT doc_id,
+               UNNEST(t) AS tok,
+               UNNEST(generate_series(0, len(t) - 1)) AS pos
+        FROM toks
+    ),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        WHERE c.pos IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS kept_n,
+               string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    WHERE b.n_tokens - COALESCE(r.kept_n, 0) > 0
+    ORDER BY b.doc_id
+    """,
+    survey="dedup-substring-excision",
+    doc="Corpus-level exact-substring REMOVAL (the ExactSubstr dedup of "
+    "Lee et al. 2022, distributed-window form): every token position "
+    "covered by a 15-token window occurring >=2x corpus-wide is cut from "
+    "every occurrence; affected docs return (n_tokens, n_removed, "
+    "text_clean). The fixture plants 'quoting' docs embedding a verbatim "
+    "22-token slice of every 10th doc; the oracle re-derives the covered "
+    "union and the rebuilt text from first principles.",
+)
+def exact_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import excise_duplicate_spans
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    quotes = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("quoted passage begins here now "),
+            F.array_join(
+                F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 4, 22), " "
+            ),
+            F.lit(" quoted passage ends here now"),
+        ).alias("text"),
+    )
+    corpus = docs.union(quotes)
+    return (
+        excise_duplicate_spans(corpus, "doc_id", "text", L=15)
+        .where(F.col("n_removed") > 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 _R5_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) >= 1)"
 
 

@@ -36,6 +36,7 @@ HEADLINE = [
     "user_sessions",
     "exact_dedup_groups",
     "ngram_jaccard_near_dups",
+    "exact_substring_excision",
     "minhash_lsh_candidates",
     "simhash_fingerprints",
     "ann_brute_force_topk",

@@ -1,0 +1,125 @@
+"""excise_duplicate_spans — corpus-level ExactSubstr removal (Lee et
+al. 2022): every token position covered by an L-token window occurring
+>= 2x corpus-wide (within-doc repeats included) is cut from EVERY
+occurrence. Verified against a from-first-principles Python oracle on
+hand-built corpora covering: cross-doc shared spans, within-doc
+repeats, sub-L documents, whole-doc clones, overlapping-window merge,
+and the hash_grams scale path's bit-parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from ariadne_dbt_spark.operators.dedup import excise_duplicate_spans
+
+
+def _oracle(rows: list[tuple[int, str]], L: int) -> dict[int, tuple[int, int, str]]:
+    toks = {i: t.strip().lower().split() if t.strip() else [""] for i, t in rows}
+    # NOTE: Spark's split('\\s+') on a trimmed empty string yields [""];
+    # mirror that so the edge case is pinned, not papered over.
+    counts: dict[tuple[str, ...], int] = {}
+    for t in toks.values():
+        for s in range(len(t) - L + 1):
+            g = tuple(t[s : s + L])
+            counts[g] = counts.get(g, 0) + 1
+    out = {}
+    for i, t in toks.items():
+        covered = set()
+        for s in range(len(t) - L + 1):
+            if counts[tuple(t[s : s + L])] >= 2:
+                covered.update(range(s, s + L))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        out[i] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+def _run(spark, rows, L, **kw):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in excise_duplicate_spans(df, "doc_id", "text", L=L, **kw).collect()
+    }
+    assert got == _oracle(rows, L)
+    return got
+
+
+def test_cross_doc_span_removed_from_both(spark):
+    rows = [
+        (1, "alpha beta THE SHARED RUN OF FIVE tail one"),
+        (2, "intro words the shared run of five closing"),
+        (3, "completely unrelated text with no repeats at all"),
+    ]
+    got = _run(spark, rows, L=5)
+    assert got[1][2] == "alpha beta tail one"
+    assert got[2][2] == "intro words closing"
+    assert got[3] == (8, 0, "completely unrelated text with no repeats at all")
+
+
+def test_within_doc_repeat_both_occurrences_cut(spark):
+    rows = [(1, "x y z a b c q q x y z a b c w")]
+    got = _run(spark, rows, L=6)
+    # "x y z a b c" appears twice inside the one doc -> both cut
+    assert got[1] == (15, 12, "q q w")
+
+
+def test_sub_L_doc_untouched_and_whole_doc_clones_emptied(spark):
+    rows = [
+        (1, "one two three"),
+        (2, "c l o n e d d o c b o d y"),
+        (3, "c l o n e d d o c b o d y"),
+    ]
+    got = _run(spark, rows, L=5)
+    assert got[1] == (3, 0, "one two three")
+    assert got[2] == (13, 13, "")
+    assert got[3] == (13, 13, "")
+
+
+def test_overlapping_duplicated_windows_merge(spark):
+    # doc 2 embeds a 7-token run from doc 1: its three L=5 windows
+    # overlap; the union must cut exactly the 7-token run, once.
+    rows = [
+        (1, "p q SEVEN TOKEN RUN IS EXACTLY HERE NOW r s"),
+        (2, "seven token run is exactly here now suffix junk"),
+    ]
+    got = _run(spark, rows, L=5)
+    assert got[1][2] == "p q r s"
+    assert got[2][2] == "suffix junk"
+
+
+def test_whitespace_normalization_and_case_fold(spark):
+    rows = [(1, "  Mixed   CASE    spacing  doc  "), (2, "other words here")]
+    got = _run(spark, rows, L=5)
+    assert got[1] == (4, 0, "mixed case spacing doc")
+
+
+def test_hash_grams_path_is_bit_identical(spark):
+    rows = [
+        (i, f"unique head {i} the shared run of five tokens tail {i}")
+        for i in range(20)
+    ] + [(99, "nothing in common with anything else whatsoever")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = sorted(
+        map(tuple, excise_duplicate_spans(df, "doc_id", "text", L=5).collect())
+    )
+    hashed = sorted(
+        map(
+            tuple,
+            excise_duplicate_spans(
+                df, "doc_id", "text", L=5, hash_grams=True
+            ).collect(),
+        )
+    )
+    assert exact == hashed
+    _run(spark, rows, L=5)
+
+
+def test_no_cartesian_and_single_gram_shuffle(spark):
+    rows = [(i, f"doc {i} body shared filler words again {i}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plan = (
+        excise_duplicate_spans(df, "doc_id", "text", L=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -276,9 +276,29 @@ def _ops() -> dict:
         )
         return triangle_counts(edges).count()
 
+    def run_excision(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        # ExactSubstr removal in its scale configuration (hash_grams:
+        # 64-bit shuffle keys instead of 15-token strings); every 16th
+        # doc re-appears as a clone so the duplicated-window fraction is
+        # constant across sizes. One gram-keyed count shuffle + churn-
+        # bounded covered explode + (id,pos) anti-join — expected ~1.
+        from ariadne_dbt_spark.operators.dedup import excise_duplicate_spans
+
+        clones = docs.where(F.col("doc_id") % 16 == 0).select(
+            (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+        )
+        return (
+            excise_duplicate_spans(
+                docs.union(clones), "doc_id", "text", L=15, hash_grams=True
+            )
+            .where(F.col("n_removed") > 0)
+            .count()
+        )
+
     return {
         "exact_dedup": run_exact,
         "ngram_jaccard": run_ngram,
+        "substring_excision": run_excision,
         "block_pack": run_block_pack,
         "minhash_lsh": run_minhash,
         "embedding_banded_lsh": run_banded_lsh,
