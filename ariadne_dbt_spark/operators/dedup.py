@@ -1029,10 +1029,26 @@ def excise_duplicate_spans(
     window (probability ~n²/2⁶⁴) — tests pin both paths identical on
     the fixture. Default False = bit-exact, what the oracle verifies.
     """
-    toks = df.select(
+    toks = _excise_tokens(df, id_col, text_col)
+    grams = _excise_grams(toks, L, hash_grams)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("gram")
+    )
+    return _excise_rebuild(toks, grams.join(dup, "gram"), L)
+
+
+def _excise_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
     )
+
+
+def _excise_grams(toks: DataFrame, L: int, hash_grams: bool) -> DataFrame:
+    """(id, start, gram) for every L-token window — map-only HOFs."""
     gram_expr = (
         f"transform(sequence(0, size(t) - {int(L)}), "
         f"i -> struct(i AS start, array_join(slice(t, i + 1, {int(L)}), ' ') AS gram))"
@@ -1044,13 +1060,13 @@ def excise_duplicate_spans(
     )
     if hash_grams:
         grams = grams.select("id", "start", F.xxhash64("gram").alias("gram"))
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .where(F.col("_c") >= 2)
-        .select("gram")
-    )
-    covered = grams.join(dup, "gram").select(
+    return grams
+
+
+def _excise_rebuild(toks: DataFrame, bad: DataFrame, L: int) -> DataFrame:
+    """Cut positions covered by the flagged windows ``bad`` (id, start)
+    and rebuild text — shared tail of the excision operators."""
+    covered = bad.select(
         "id",
         F.explode(
             F.sequence(F.col("start"), F.col("start") + F.lit(int(L) - 1))
@@ -1078,6 +1094,58 @@ def excise_duplicate_spans(
         .cast("long")
         .alias("n_removed"),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+def excise_contaminated_spans(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bench_text_col: str | None = None,
+    L: int = 13,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Span-level TEST-SET DECONTAMINATION: cut from every training
+    document each token position covered by an ``L``-token window that
+    appears verbatim anywhere in ``bench_df`` (the benchmark/eval
+    corpus) — the surgical alternative to ``decontamination_flags``,
+    which can only drop whole documents. L=13 follows the GPT-3/PaLM
+    appendix convention for n-gram contamination checks; the covered
+    union equals all shared substrings of length >= L exactly (same
+    argument as ``excise_duplicate_spans``).
+
+    Returns ``(id, n_tokens, n_removed, text_clean)`` for every row of
+    ``df`` — ``n_removed = 0`` rows pass through with whitespace
+    normalized, fully-contaminated docs come back empty (drop or route
+    them with a ``where``).
+
+    Shape: benchmark grams are DISTINCT'd (the benchmark is the small
+    side by construction — semi-join keys, broadcast by AQE when it
+    fits); the corpus side stays the one O(total tokens) gram pass +
+    the churn-bounded rebuild. ``hash_grams`` as in
+    ``excise_duplicate_spans``.
+    """
+    toks = _excise_tokens(df, id_col, text_col)
+    grams = _excise_grams(toks, L, hash_grams)
+    bench_t = bench_df.select(
+        F.split(
+            F.trim(F.lower(F.col(bench_text_col or text_col))), r"\s+"
+        ).alias("t")
+    )
+    bgram_expr = (
+        f"transform(sequence(0, size(t) - {int(L)}), "
+        f"i -> array_join(slice(t, i + 1, {int(L)}), ' '))"
+    )
+    bench_grams = (
+        bench_t.where(F.size("t") >= int(L))
+        .select(F.explode(F.expr(bgram_expr)).alias("gram"))
+    )
+    if hash_grams:
+        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
+    return _excise_rebuild(
+        toks, grams.join(bench_grams.distinct(), "gram"), L
     )
 
 

@@ -790,6 +790,97 @@ def exact_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decontamination_excision",
+    oracle=r"""
+    WITH train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id,
+               'paraphrase lead in ' ||
+               array_to_string(string_split_regex(trim(lower(text)), '\s+')[4:25], ' ') ||
+               ' trailing commentary words' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    btoks AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    bgrams AS (
+        SELECT DISTINCT UNNEST(list_transform(generate_series(0, len(t) - 13),
+                               i -> array_to_string(t[i + 1 : i + 13], ' '))) AS gram
+        FROM btoks WHERE len(t) >= 13
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM train
+    ),
+    grams AS (
+        SELECT doc_id,
+               UNNEST(generate_series(0, len(t) - 13)) AS start,
+               UNNEST(list_transform(generate_series(0, len(t) - 13),
+                                     i -> array_to_string(t[i + 1 : i + 13], ' '))) AS gram
+        FROM toks WHERE len(t) >= 13
+    ),
+    cov AS (
+        SELECT DISTINCT g.doc_id, g.start + o AS pos
+        FROM grams g JOIN bgrams USING (gram), UNNEST(generate_series(0, 12)) AS u(o)
+    ),
+    pos AS (
+        SELECT doc_id, UNNEST(t) AS tok,
+               UNNEST(generate_series(0, len(t) - 1)) AS pos
+        FROM toks
+    ),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        WHERE c.pos IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS kept_n,
+               string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    WHERE b.n_tokens - COALESCE(r.kept_n, 0) > 0
+    ORDER BY b.doc_id
+    """,
+    survey="decontamination-excision",
+    doc="Span-level test-set decontamination (GPT-3/PaLM 13-gram "
+    "convention): every training-doc position covered by a 13-token "
+    "window present verbatim in the benchmark split is cut — the "
+    "surgical alternative to whole-doc dropping. The fixture plants "
+    "'leaky' train docs embedding a 22-token slice of every benchmark "
+    "doc; the oracle re-derives covered positions and rebuilt text from "
+    "first principles.",
+)
+def decontamination_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import excise_contaminated_spans
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    leaky = bench.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("paraphrase lead in "),
+            F.array_join(
+                F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 4, 22), " "
+            ),
+            F.lit(" trailing commentary words"),
+        ).alias("text"),
+    )
+    train = docs.where(F.col("doc_id") % 10 != 0).union(leaky)
+    return (
+        excise_contaminated_spans(train, bench, "doc_id", "text", L=13)
+        .where(F.col("n_removed") > 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 _R5_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) >= 1)"
 
 

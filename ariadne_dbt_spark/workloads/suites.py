@@ -254,6 +254,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "verdict": "string"},
         ),
         (
+            "decon_excision",
+            "decontamination_excision",
+            {
+                "doc_id": "bigint",
+                "n_tokens": "bigint",
+                "n_removed": "bigint",
+                "text_clean": "string",
+            },
+        ),
+        (
             "excision",
             "exact_substring_excision",
             {

@@ -113,6 +113,66 @@ def test_hash_grams_path_is_bit_identical(spark):
     _run(spark, rows, L=5)
 
 
+def _decon_oracle(
+    rows: list[tuple[int, str]], bench: list[str], L: int
+) -> dict[int, tuple[int, int, str]]:
+    btoks = [b.strip().lower().split() for b in bench]
+    bgrams = set()
+    for t in btoks:
+        for s in range(len(t) - L + 1):
+            bgrams.add(tuple(t[s : s + L]))
+    out = {}
+    for i, txt in rows:
+        t = txt.strip().lower().split() if txt.strip() else [""]
+        covered = set()
+        for s in range(len(t) - L + 1):
+            if tuple(t[s : s + L]) in bgrams:
+                covered.update(range(s, s + L))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        out[i] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+def test_contaminated_spans_cut_clean_docs_pass_through(spark):
+    from ariadne_dbt_spark.operators.dedup import excise_contaminated_spans
+
+    bench = [
+        "what is the capital of france the answer is paris",
+        "solve for x in two x plus three equals seven",
+    ]
+    rows = [
+        # embeds a full benchmark question mid-document
+        (1, "intro text what is the capital of france the answer is paris outro"),
+        # clean doc sharing a few (< L) benchmark tokens
+        (2, "the capital markets of france reopened today"),
+        # two docs contaminated by the SAME benchmark item (df doesn't
+        # matter — presence in bench is the trigger, not corpus count)
+        (3, "copy a solve for x in two x plus three equals seven"),
+        (4, "copy b solve for x in two x plus three equals seven"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bdf = spark.createDataFrame([(t,) for t in bench], ["text"])
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in excise_contaminated_spans(
+            df, bdf, "doc_id", "text", L=9
+        ).collect()
+    }
+    assert got == _decon_oracle(rows, bench, 9)
+    assert got[1][2] == "intro text outro"
+    assert got[2][1] == 0
+    assert got[3][2] == "copy a" and got[4][2] == "copy b"
+    # corpus-internal duplication alone must NOT trigger cuts: docs 3/4
+    # share a 10-token run, but the trigger set is the benchmark only
+    hashed = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in excise_contaminated_spans(
+            df, bdf, "doc_id", "text", L=9, hash_grams=True
+        ).collect()
+    }
+    assert hashed == got
+
+
 def test_no_cartesian_and_single_gram_shuffle(spark):
     rows = [(i, f"doc {i} body shared filler words again {i}") for i in range(8)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
