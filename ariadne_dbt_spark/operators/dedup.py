@@ -1305,7 +1305,9 @@ def delete_from_shingle_index(spark, index_dir: str, ids: list | DataFrame) -> i
     return n
 
 
-def compact_shingle_index(spark, index_dir: str) -> None:
+def compact_shingle_index(
+    spark, index_dir: str, *, retention_sec: float = 0.0
+) -> None:
     """Fold deletes into the data: rewrite live postings (bucket
     partitioning preserved) into a NEW epoch's directory and commit by
     atomically flipping the epoch pointer — a crash anywhere before the
@@ -1343,7 +1345,9 @@ def compact_shingle_index(spark, index_dir: str) -> None:
     if "orphans" in meta and meta["orphans"]:
         meta["orphans"] = []
         _write_shingle_meta(index_dir, meta)
-    epoch_store.sweep_stale_epochs(index_dir, ["postings"], new_epoch)
+    epoch_store.sweep_stale_epochs(
+        index_dir, ["postings"], new_epoch, retention_sec=retention_sec
+    )
 
 
 def forget_docs(

@@ -121,16 +121,35 @@ def clear_index(index_dir: str, names: list[str]) -> None:
                     pass
 
 
-def sweep_stale_epochs(index_dir: str, names: list[str], current: int) -> None:
+def sweep_stale_epochs(
+    index_dir: str,
+    names: list[str],
+    current: int,
+    *,
+    retention_sec: float = 0.0,
+) -> None:
     """Best-effort GC of directories belonging to epochs other than
     ``current`` (plus staging dirs, plus attempt markers of retired
     epochs — a marker only guards gen reservation within ITS epoch, so
     once the pointer moves past it, it's dead bytes). Safe to crash
     mid-sweep: everything removed here is unreachable through the
-    committed pointer."""
+    committed pointer.
+
+    ``retention_sec`` is the VACUUM-retention knob (the same contract
+    Delta/Iceberg expose): a retired epoch dir younger than this is
+    kept, so a CONCURRENT READER IN ANOTHER PROCESS that resolved the
+    old epoch at plan time can finish its scan — the pointer flip is
+    atomic, but physical file deletion under a planned scan is not.
+    Default 0.0 preserves single-process semantics (the in-process
+    maintainers read before they sweep, so immediate GC is safe there);
+    set it >= your longest query duration wherever more than one
+    process serves the index. Age is the dir's own mtime — writes
+    stopped at stage time, so mtime marks retirement, and the NEXT
+    sweep (every compaction runs one) picks up whatever aged out."""
     wanted = set(names) | {"tombstones"}
     keep = {data_dir(index_dir, n, current) for n in wanted}
     cur_attempt = "_attempt.json" if current == 0 else f"_attempt_ep{current}.json"
+    now = time.time()
     for entry in os.listdir(index_dir):
         full = os.path.join(index_dir, entry)
         if not os.path.isdir(full):
@@ -148,6 +167,12 @@ def sweep_stale_epochs(index_dir: str, names: list[str], current: int) -> None:
             continue
         base = entry.split("_ep")[0]
         if base in wanted or entry.startswith("_") and entry.endswith(".compact"):
+            if retention_sec > 0 and base in wanted:
+                try:
+                    if now - os.path.getmtime(full) < retention_sec:
+                        continue  # retired epoch still inside retention
+                except OSError:
+                    pass
             shutil.rmtree(full, ignore_errors=True)
 
 

@@ -427,7 +427,9 @@ def search_maintenance_report(index_dir: str, **kw) -> dict:
     )
 
 
-def compact_search_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_search_index(
+    spark: SparkSession, index_dir: str, *, retention_sec: float = 0.0
+) -> dict:
     """Fold the log: rewrite live rows as gen 0 of a NEW epoch, clearing
     tombstones with it. Bounds the read path's tombstone broadcast and
     the dead-row scan overhead; run on a churn threshold (e.g.
@@ -465,5 +467,7 @@ def compact_search_index(spark: SparkSession, index_dir: str) -> dict:
     meta.pop("gens", None)
     meta.update(gen=0, orphans=[], epoch=new_epoch)
     _write_meta(index_dir, meta, expect=prev)
-    epoch_store.sweep_stale_epochs(index_dir, _LOG_NAMES, new_epoch)
+    epoch_store.sweep_stale_epochs(
+        index_dir, _LOG_NAMES, new_epoch, retention_sec=retention_sec
+    )
     return meta

@@ -924,6 +924,7 @@ def ivf_retrain(
     *,
     n_centroids: int = 8,
     iters: int = 3,
+    retention_sec: float = 0.0,
 ) -> list[list[float]]:
     """Retrain the coarse centroids over the CURRENT live vectors and
     re-cluster the layout — the answer to a baggy ``ivf_staleness``
@@ -997,7 +998,9 @@ def ivf_retrain(
     if stats.get("stream_epochs"):
         new_stats["stream_epochs"] = stats["stream_epochs"]
     _write_index_json(os.path.join(index_dir, "stats.json"), new_stats)
-    epoch_store.sweep_stale_epochs(index_dir, ["vectors"], new_epoch)
+    epoch_store.sweep_stale_epochs(
+        index_dir, ["vectors"], new_epoch, retention_sec=retention_sec
+    )
     return centroids
 
 
@@ -1069,7 +1072,7 @@ def ivf_delete(spark, index_dir: str, ids: list) -> int:
     return n
 
 
-def ivf_compact(spark, index_dir: str) -> None:
+def ivf_compact(spark, index_dir: str, *, retention_sec: float = 0.0) -> None:
     """Fold IVF tombstones into the cell-partitioned data, committed by
     one atomic epoch-pointer flip (crash anywhere before it leaves the
     old vectors + tombstones live — see ``epoch_store``)."""
@@ -1111,7 +1114,9 @@ def ivf_compact(spark, index_dir: str) -> None:
     if stats.get("orphans"):
         stats["orphans"] = []
         _write_index_json(stats_path, stats)
-    epoch_store.sweep_stale_epochs(index_dir, ["vectors"], new_epoch)
+    epoch_store.sweep_stale_epochs(
+        index_dir, ["vectors"], new_epoch, retention_sec=retention_sec
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1770,7 +1775,7 @@ def ivf_pq_delete(spark, index_dir: str, ids: list) -> int:
     return n
 
 
-def ivf_pq_compact(spark, index_dir: str) -> None:
+def ivf_pq_compact(spark, index_dir: str, *, retention_sec: float = 0.0) -> None:
     """Fold IVF-PQ tombstones into the cell-partitioned code table,
     committed by one atomic epoch-pointer flip (see ``epoch_store``)."""
     import os
@@ -1805,7 +1810,9 @@ def ivf_pq_compact(spark, index_dir: str) -> None:
     if index_meta.get("orphans"):
         index_meta["orphans"] = []
         _write_index_json(meta_path, index_meta)
-    epoch_store.sweep_stale_epochs(index_dir, ["codes"], new_epoch)
+    epoch_store.sweep_stale_epochs(
+        index_dir, ["codes"], new_epoch, retention_sec=retention_sec
+    )
 
 
 def ivf_pq_retrain(
@@ -1821,6 +1828,7 @@ def ivf_pq_retrain(
     k_sub: int = 16,
     dim: int | None = None,
     train_mod: int = 1,
+    retention_sec: float = 0.0,
 ) -> dict:
     """Retrain the IVF-PQ index's centroids AND codebooks as a
     crash-safe EPOCH FLIP (round 8; closes the last manual-rebuild note
@@ -1900,5 +1908,7 @@ def ivf_pq_retrain(
         gen=0, orphans=[],
     )
     _write_index_json(meta_path, index_meta)
-    epoch_store.sweep_stale_epochs(index_dir, ["codes"], new_epoch)
+    epoch_store.sweep_stale_epochs(
+        index_dir, ["codes"], new_epoch, retention_sec=retention_sec
+    )
     return {"centroids": centroids, "codebooks": codebooks}

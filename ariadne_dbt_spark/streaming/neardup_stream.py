@@ -58,6 +58,7 @@ def near_dup_ingest_stream(
     dedup_within_batch: bool = True,
     update_index: bool = True,
     auto_compact: bool = True,
+    compact_retention_sec: float = 0.0,
     compact_max_files: int | None = None,
     compact_dead_frac: float | None = None,
 ) -> int:
@@ -125,7 +126,11 @@ def near_dup_ingest_stream(
                     if compact_dead_frac is not None:
                         kw["dead_frac_threshold"] = compact_dead_frac
                     if shingle_maintenance_report(index_dir, **kw)["should_compact"]:
-                        compact_shingle_index(batch.sparkSession, index_dir)
+                        compact_shingle_index(
+                            batch.sparkSession,
+                            index_dir,
+                            retention_sec=compact_retention_sec,
+                        )
 
     stream = (
         spark.readStream.schema(schema)

@@ -45,6 +45,7 @@ def search_index_ingest_stream(
     schema: str = DOCS_SCHEMA,
     max_files_per_trigger: int = 1,
     auto_compact: bool = True,
+    compact_retention_sec: float = 0.0,
     compact_max_files: int = epoch_store.COMPACT_MAX_FILES,
     compact_dead_frac: float = epoch_store.COMPACT_DEAD_FRAC,
 ) -> int:
@@ -80,7 +81,9 @@ def search_index_ingest_stream(
             max_files=compact_max_files,
             dead_frac_threshold=compact_dead_frac,
         )["should_compact"]:
-            compact_search_index(spark, index_dir)
+            compact_search_index(
+                spark, index_dir, retention_sec=compact_retention_sec
+            )
 
     q = (
         spark.readStream.schema(schema)

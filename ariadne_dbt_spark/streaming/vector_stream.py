@@ -116,6 +116,7 @@ def ivf_ingest_stream(
     max_files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
     auto_compact: bool = True,
+    compact_retention_sec: float = 0.0,
     compact_max_files: int | None = None,
     compact_dead_frac: float | None = None,
     auto_retrain_drift: float | None = None,
@@ -191,7 +192,11 @@ def ivf_ingest_stream(
             if auto_compact and ivf_maintenance_report(index_dir, **kw)[
                 "should_compact"
             ]:
-                ivf_compact(batch_df.sparkSession, index_dir)
+                ivf_compact(
+                    batch_df.sparkSession,
+                    index_dir,
+                    retention_sec=compact_retention_sec,
+                )
 
     q = (
         spark.readStream.schema(schema)
