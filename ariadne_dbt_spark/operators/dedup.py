@@ -1018,10 +1018,11 @@ def excise_duplicate_spans(
       a semi-join back) — O(total tokens) rows, the same mass every
       shingle operator here carries, never all-pairs;
     * covered positions explode only DUPLICATED windows (churn-sized,
-      L rows each) and feed a left_anti join on (id, pos) directly —
-      no distinct() pass, duplicates on the anti side are free;
-    * the rebuild is one groupBy(id) with ``array_sort(collect_list)``
-      — per-doc state, bounded by the longest document.
+      L rows each) and reduce to one position-set per AFFECTED doc;
+    * the rebuild is a left join of the token arrays against that
+      churn-sized side + map-only ``array_except`` HOFs — unaffected
+      docs pass through with a NULL set, touching no shuffle (see
+      ``_excise_rebuild``).
 
     ``hash_grams=True`` swaps the shuffle key for ``xxhash64(gram)`` —
     at 100 TB the 50-token gram strings dominate shuffle bytes and the
@@ -1065,35 +1066,39 @@ def _excise_grams(toks: DataFrame, L: int, hash_grams: bool) -> DataFrame:
 
 def _excise_rebuild(toks: DataFrame, bad: DataFrame, L: int) -> DataFrame:
     """Cut positions covered by the flagged windows ``bad`` (id, start)
-    and rebuild text — shared tail of the excision operators."""
-    covered = bad.select(
+    and rebuild text — shared tail of the excision operators.
+
+    CHURN-SIZED, not corpus-sized: only flagged windows explode into
+    covered positions and only AFFECTED docs carry a covered-position
+    set through the one groupBy; the rebuild itself is a left join of
+    the token arrays against that (churn-sized, AQE-broadcastable) side
+    followed by map-only JVM HOFs — ``array_except`` over the position
+    range (hash-set, O(n_tok + n_cov)) picks survivors in order, and
+    unaffected docs pass through with ``cov = NULL`` touching no
+    shuffle. (The first cut of this operator posexploded EVERY token of
+    EVERY doc through an (id, pos) anti-join and re-assembled with a
+    corpus-wide collect_list groupBy — two corpus-sized exchanges the
+    churn never justified.)"""
+    covered = (
+        bad.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(int(L) - 1))
+            ).alias("pos"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("t") - 1), F.coalesce("cov", F.array())
+    )
+    return toks.join(covered, "id", "left").select(
         "id",
-        F.explode(
-            F.sequence(F.col("start"), F.col("start") + F.lit(int(L) - 1))
-        ).alias("pos"),
-    )
-    kept = (
-        toks.select("id", F.posexplode("t").alias("pos", "tok"))
-        .join(covered, ["id", "pos"], "left_anti")
-    )
-    rebuilt = kept.groupBy("id").agg(
+        F.size("t").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
+            F.transform(kept_pos, lambda p: F.element_at("t", p + 1)), " "
         ).alias("text_clean"),
-        F.count(F.lit(1)).alias("_kept"),
-    )
-    base = toks.select("id", F.size("t").alias("n_tokens"))
-    return base.join(rebuilt, "id", "left").select(
-        "id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
 
 
