@@ -58,6 +58,39 @@ def split(
     return df.withColumn(out_col, expr)
 
 
+def leakproof_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-dup-ATOMIC train/val/test split: every row is assigned by
+    the hash of its cluster REPRESENTATIVE (``dedup_clusters``' min-
+    member ``cluster_id``), so near-duplicate documents can never
+    straddle a split boundary — the eval-contamination channel a
+    per-doc hash split leaves open (a test doc whose near-clone sits in
+    train is a leaked answer, which ``split_leakage_audit`` can only
+    DETECT after the fact; this prevents it by construction). Docs in
+    no cluster split by their own id, so the assignment stays total,
+    stable, and growth-stable like :func:`split`.
+
+    ``clusters`` is the ``(id, cluster_id)`` frame from
+    ``dedup_clusters`` (or any grouping with the same shape — e.g. a
+    URL-domain or source key for grouped splits). One left join against
+    the churn-sized cluster frame (AQE broadcasts it when it fits);
+    everything else is :func:`split`'s map-only bucket expression.
+    """
+    key = clusters.select(
+        F.col(clusters.columns[0]).alias(id_col),
+        F.col(clusters.columns[1]).alias("_cl"),
+    )
+    withk = df.join(key, id_col, "left").withColumn(
+        "_skey", F.coalesce(F.col("_cl"), F.col(id_col))
+    )
+    return split(withk, "_skey", fractions, out_col).drop("_cl", "_skey")
+
+
 def stratified_quota_sample(
     df: DataFrame, stratum_col: str, quotas: dict, *, key: str
 ) -> DataFrame:

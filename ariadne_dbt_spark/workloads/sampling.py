@@ -535,3 +535,60 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("bucket", "drift_bucket")
         .orderBy("feature", "drift_bucket")
     )
+
+
+@query(
+    "leakproof_split_audit",
+    oracle="""
+    SELECT doc_id AS cluster_id,
+           CAST(5 AS BIGINT) AS n_members,
+           TRUE AS leak_free
+    FROM documents WHERE doc_id % 10 = 0
+    ORDER BY cluster_id
+    """,
+    survey="sampling-leakproof-split",
+    doc="Near-dup-atomic split audit: 5-member near-dup chains (the "
+    "near_dup_clusters construction) are split by their cluster "
+    "representative's hash, so every cluster lands WHOLE in one split. "
+    "leak_free is the operator's CONTRACT — the oracle pins it TRUE per "
+    "cluster with the exact member count; a split that scattered any "
+    "chain flips the live value to FALSE and fails the hash. (Split "
+    "membership itself is xxhash64 = engine-private, same rule as the "
+    "other sampling oracles; per-row determinism + the naive-split-"
+    "actually-leaks contrast live in tests/test_sampling.py.)",
+)
+def leakproof_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import dedup_clusters
+    from ariadne_dbt_spark.operators.sampling import leakproof_split
+
+    ks = documents(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    members = ks.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("i")
+    ).select((F.col("doc_id") + F.col("i") * 1000000).alias("doc_id"))
+    corpus = (
+        documents(spark, sf_dir)
+        .select("doc_id")
+        .union(members.where(F.col("doc_id") >= 1000000))
+    )
+    pairs = ks.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    ).select(
+        (F.col("doc_id") + F.col("i") * 1000000).alias("id_a"),
+        (F.col("doc_id") + (F.col("i") + 1) * 1000000).alias("id_b"),
+    )
+    clusters = dedup_clusters(pairs)
+    out = leakproof_split(
+        corpus, "doc_id", clusters,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        out.join(
+            clusters.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.countDistinct("split") == 1).alias("leak_free"),
+        )
+        .orderBy("cluster_id")
+    )

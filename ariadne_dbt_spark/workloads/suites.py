@@ -747,6 +747,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"n_total": "bigint", "n_labeled": "bigint", "n_unlabeled": "int"},
         ),
         (
+            "leakproof",
+            "leakproof_split_audit",
+            {"cluster_id": "bigint", "n_members": "bigint", "leak_free": "boolean"},
+        ),
+        (
             "packing",
             "sequence_packing",
             {"doc_id": "bigint", "bucket": "int", "pack_id": "bigint", "n_tokens": "int"},

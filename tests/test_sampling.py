@@ -210,3 +210,48 @@ def test_weighted_sample_is_takeordered(spark):
     out = weighted_sample(df, weight_col="w", id_col="id", k=10)
     plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_leakproof_split_keeps_clusters_whole_where_naive_leaks(spark):
+    """Near-dup clusters must land WHOLE in one split; the per-doc hash
+    split demonstrably scatters them on the same fixture (so the
+    operator is doing real work, not vacuously passing)."""
+    from ariadne_dbt_spark.operators.sampling import leakproof_split, split
+
+    # 40 clusters x 5 members with far-apart ids (hash-independent)
+    rows = [(k * 17 + i * 1_000_000,) for k in range(40) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id"])
+    clusters = spark.createDataFrame(
+        [(k * 17 + i * 1_000_000, k * 17) for k in range(40) for i in range(5)],
+        ["id", "cluster_id"],
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakproof_split(df, "doc_id", clusters, fr)
+    got = out.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id"
+    ).groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("ns"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    assert len(got) == 40
+    assert all(r["ns"] == 1 and r["n"] == 5 for r in got)
+    # determinism + totality: rerun matches, no NULL labels
+    again = leakproof_split(df, "doc_id", clusters, fr)
+    assert out.exceptAll(again).count() == 0
+    assert out.where(F.col("split").isNull()).count() == 0
+    # naive per-doc split scatters at least one cluster on this fixture
+    naive = split(df, "doc_id", fr)
+    leaks = naive.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id"
+    ).groupBy("cluster_id").agg(F.countDistinct("split").alias("ns"))
+    assert leaks.where(F.col("ns") > 1).count() > 0
+
+
+def test_leakproof_split_unclustered_docs_follow_plain_split(spark):
+    from ariadne_dbt_spark.operators.sampling import leakproof_split, split
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    empty = spark.createDataFrame([], "id long, cluster_id long")
+    fr = {"train": 0.5, "test": 0.5}
+    a = leakproof_split(df, "doc_id", empty, fr).orderBy("doc_id").collect()
+    b = split(df, "doc_id", fr).orderBy("doc_id").collect()
+    assert [r["split"] for r in a] == [r["split"] for r in b]
