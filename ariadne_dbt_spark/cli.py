@@ -388,11 +388,33 @@ def cmd_maintain(args):
         kw["max_files"] = args.max_files
     if args.dead_frac is not None:
         kw["dead_frac_threshold"] = args.dead_frac
+    report = epoch_store.maintenance_report(args.index, names, meta_file, **kw)
+    compacted = False
+    if args.compact and report["should_compact"]:
+        # the one path here that needs Spark; retention keeps the
+        # retired epoch scannable for readers in OTHER processes
+        from ariadne_dbt_spark.session import get_spark
+
+        spark = get_spark("ariadne-maintain")
+        if args.kind == "ivf":
+            from ariadne_dbt_spark.operators.similarity import ivf_compact as fold
+        elif args.kind == "ivf-pq":
+            from ariadne_dbt_spark.operators.similarity import ivf_pq_compact as fold
+        elif args.kind == "shingle":
+            from ariadne_dbt_spark.operators.dedup import compact_shingle_index as fold
+        else:
+            from ariadne_dbt_spark.operators.search_index import (
+                compact_search_index as fold,
+            )
+        fold(spark, args.index, retention_sec=args.retention_sec)
+        compacted = True
+        report = epoch_store.maintenance_report(args.index, names, meta_file, **kw)
     _emit(
         {
             "index_dir": args.index,
             "kind": args.kind,
-            **epoch_store.maintenance_report(args.index, names, meta_file, **kw),
+            "compacted": compacted,
+            **report,
         }
     )
 
@@ -543,6 +565,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--max-files", dest="max_files", type=int, default=None)
     sp.add_argument("--dead-frac", dest="dead_frac", type=float, default=None)
+    sp.add_argument(
+        "--compact",
+        action="store_true",
+        help="fold the log when the report says should_compact",
+    )
+    sp.add_argument(
+        "--retention-sec",
+        dest="retention_sec",
+        type=float,
+        default=0.0,
+        help="keep retired epoch dirs younger than this (cross-process readers)",
+    )
     sp.set_defaults(fn=cmd_maintain)
 
     sp = sub.add_parser(

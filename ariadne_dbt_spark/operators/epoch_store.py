@@ -373,9 +373,13 @@ def maintenance_report(
                     dead_rows += rows
 
     tomb_rows = 0
+    # tombstones resolve STRICTLY through the epoch: at epoch 0
+    # data_dir already IS the flat legacy name, and at epoch k>0 a
+    # missing tombstones_ep<k> means the compactor folded them — zero
+    # live tombstones. (A flat-dir fallback here would double-count a
+    # RETAINED retired epoch's tombstones after a vacuum-retention
+    # compaction; the retired dir exists only for in-flight readers.)
     tdir = data_dir(index_dir, "tombstones", epoch)
-    if not os.path.isdir(tdir):
-        tdir = os.path.join(index_dir, "tombstones")
     if os.path.isdir(tdir):
         for path in _walk_parquet(tdir):
             tomb_rows += _parquet_file_stats(path)[0]

@@ -134,3 +134,34 @@ def test_cli_maintain_reports_index_health(tmp_path, capsys, spark):
     assert out["kind"] == "ivf" and out["total_rows"] == 30
     assert out["tombstone_rows"] == 3
     assert "should_compact" in out and "reasons" in out
+
+
+def test_cli_maintain_compact_folds_when_signal_fires(tmp_path, capsys, spark):
+    """`maintain --compact` folds the log only when should_compact, and
+    --retention-sec keeps the retired epoch dir for cross-process
+    readers; the post-fold report is re-emitted with compacted=true."""
+    import os
+
+    from ariadne_dbt_spark.operators import epoch_store
+    from ariadne_dbt_spark.operators.similarity import ivf_build_index, ivf_delete
+
+    idx = str(tmp_path / "ivf")
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 7 + j * 3) % 10)) for j in range(8)]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ivf_build_index(emb, idx, n_centroids=4, iters=2)
+    ivf_delete(spark, idx, list(range(10)))  # 33% tombstoned -> fires
+    old_vectors = epoch_store.data_dir(idx, "vectors", epoch_store.read_epoch(idx))
+    out = _run(
+        capsys, "maintain", "--index", idx, "--kind", "ivf",
+        "--compact", "--retention-sec", "3600",
+    )
+    assert out["compacted"] is True
+    assert out["tombstone_rows"] == 0 and out["should_compact"] is False
+    assert os.path.isdir(old_vectors)  # retention kept the retired epoch
+    # signal clear -> a second --compact run is a no-op
+    out2 = _run(
+        capsys, "maintain", "--index", idx, "--kind", "ivf", "--compact",
+    )
+    assert out2["compacted"] is False
