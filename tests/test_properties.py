@@ -304,3 +304,52 @@ def test_search_index_random_op_sequence_matches_rebuild(spark, tmp_path_factory
     got, n_got = ranked(idx)
     want, n_want = ranked(ref)
     assert got == want and n_got == n_want == len(state)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=30
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_excision_matches_python_oracle(spark, texts, L):
+    """ExactSubstr excision over a 5-symbol alphabet (duplicated windows
+    are dense by construction) must match a from-first-principles Python
+    oracle on every random corpus — both the exact-string and the
+    hash_grams shuffle key produce identical output."""
+    from ariadne_dbt_spark.operators.dedup import excise_duplicate_spans
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def oracle():
+        toks = {i: t.split() if t.strip() else [""] for i, t in rows}
+        counts = {}
+        for t in toks.values():
+            for s in range(len(t) - L + 1):
+                g = tuple(t[s : s + L])
+                counts[g] = counts.get(g, 0) + 1
+        out = {}
+        for i, t in toks.items():
+            cov = set()
+            for s in range(len(t) - L + 1):
+                if counts[tuple(t[s : s + L])] >= 2:
+                    cov.update(range(s, s + L))
+            kept = [tok for p, tok in enumerate(t) if p not in cov]
+            out[i] = (len(t), len(t) - len(kept), " ".join(kept))
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = oracle()
+    for hashed in (False, True):
+        got = {
+            r["id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+            for r in excise_duplicate_spans(
+                df, "doc_id", "text", L=L, hash_grams=hashed
+            ).collect()
+        }
+        assert got == expected, f"hash_grams={hashed}"
