@@ -989,6 +989,7 @@ def excise_duplicate_spans(
     *,
     L: int = 50,
     hash_grams: bool = False,
+    keep: str = "all",
 ) -> DataFrame:
     """Corpus-level exact-substring REMOVAL — the ExactSubstr dedup of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1029,16 +1030,32 @@ def excise_duplicate_spans(
     64-bit key cuts them ~25x; a collision can only over-remove one
     window (probability ~n²/2⁶⁴) — tests pin both paths identical on
     the fixture. Default False = bit-exact, what the oracle verifies.
+
+    ``keep="first"`` switches from redaction to DEDUP semantics: each
+    duplicated window's canonical occurrence — min ``(id, start)``, so
+    the lowest-id document always wins every gram it holds — survives,
+    and only the OTHER occurrences are cut. A span shared by docs A < B
+    therefore stays whole in A and is removed from B, and a within-doc
+    repeat keeps its first copy; corpus token mass loses only the
+    redundant copies. Same one gram-keyed aggregate (min-by instead of
+    count) + an occurrence≠canonical filter; default ``keep="all"`` is
+    the paper tool's remove-every-copy behavior.
     """
+    if keep not in ("all", "first"):
+        raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
     toks = _excise_tokens(df, id_col, text_col)
     grams = _excise_grams(toks, L, hash_grams)
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .where(F.col("_c") >= 2)
-        .select("gram")
-    )
-    return _excise_rebuild(toks, grams.join(dup, "gram"), L)
+    counted = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("id", "start")).alias("_canon"),
+    ).where(F.col("_c") >= 2)
+    bad = grams.join(counted, "gram")
+    if keep == "first":
+        bad = bad.where(
+            (F.col("id") != F.col("_canon.id"))
+            | (F.col("start") != F.col("_canon.start"))
+        )
+    return _excise_rebuild(toks, bad.select("id", "start"), L)
 
 
 def _excise_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -791,6 +791,93 @@ def exact_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_substring_dedup_first",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               'quoted passage begins here now ' ||
+               array_to_string(string_split_regex(trim(lower(text)), '\s+')[4:25], ' ') ||
+               ' quoted passage ends here now' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus
+    ),
+    grams AS (
+        SELECT doc_id,
+               UNNEST(generate_series(0, len(t) - 15)) AS start,
+               UNNEST(list_transform(generate_series(0, len(t) - 15),
+                                     i -> array_to_string(t[i + 1 : i + 15], ' '))) AS gram
+        FROM toks WHERE len(t) >= 15
+    ),
+    ranked AS (
+        SELECT doc_id, start,
+               COUNT(*) OVER (PARTITION BY gram) AS c,
+               ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+        FROM grams
+    ),
+    cov AS (
+        SELECT DISTINCT r.doc_id, r.start + o AS pos
+        FROM ranked r, UNNEST(generate_series(0, 14)) AS u(o)
+        WHERE r.c >= 2 AND r.rn > 1
+    ),
+    pos AS (
+        SELECT doc_id, UNNEST(t) AS tok,
+               UNNEST(generate_series(0, len(t) - 1)) AS pos
+        FROM toks
+    ),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        WHERE c.pos IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS kept_n,
+               string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    WHERE b.n_tokens - COALESCE(r.kept_n, 0) > 0
+    ORDER BY b.doc_id
+    """,
+    survey="dedup-substring-excision-keep-first",
+    doc="Keep-first ExactSubstr DEDUP (vs the remove-all redaction row): "
+    "each duplicated 15-token window's canonical occurrence — min "
+    "(doc_id, start), so the source doc keeps the quoted span whole — "
+    "survives and only redundant copies are cut. Same planted-quote "
+    "fixture as exact_substring_excision; the oracle re-derives the "
+    "canonical ranking with a window over the identical grams.",
+)
+def exact_substring_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.dedup import excise_duplicate_spans
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    quotes = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("quoted passage begins here now "),
+            F.array_join(
+                F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 4, 22), " "
+            ),
+            F.lit(" quoted passage ends here now"),
+        ).alias("text"),
+    )
+    corpus = docs.union(quotes)
+    return (
+        excise_duplicate_spans(corpus, "doc_id", "text", L=15, keep="first")
+        .where(F.col("n_removed") > 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "decontamination_excision",
     oracle=r"""
     WITH train AS (

@@ -274,6 +274,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             },
         ),
         (
+            "excision_first",
+            "exact_substring_dedup_first",
+            {
+                "doc_id": "bigint",
+                "n_tokens": "bigint",
+                "n_removed": "bigint",
+                "text_clean": "string",
+            },
+        ),
+        (
             "forgotten",
             "incremental_dedup_forgotten",
             {

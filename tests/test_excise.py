@@ -9,6 +9,7 @@ and the hash_grams scale path's bit-parity."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ariadne_dbt_spark.operators.dedup import excise_duplicate_spans
 
@@ -111,6 +112,76 @@ def test_hash_grams_path_is_bit_identical(spark):
     )
     assert exact == hashed
     _run(spark, rows, L=5)
+
+
+def _oracle_keep_first(
+    rows: list[tuple[int, str]], L: int
+) -> dict[int, tuple[int, int, str]]:
+    toks = {i: t.strip().lower().split() if t.strip() else [""] for i, t in rows}
+    occ: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        t = toks[i]
+        for s in range(len(t) - L + 1):
+            occ.setdefault(tuple(t[s : s + L]), []).append((i, s))
+    out = {}
+    for i, t in toks.items():
+        covered = set()
+        for s in range(len(t) - L + 1):
+            g = occ[tuple(t[s : s + L])]
+            if len(g) >= 2 and min(g) != (i, s):
+                covered.update(range(s, s + L))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        out[i] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+def test_keep_first_retains_canonical_copy(spark):
+    rows = [
+        (1, "alpha beta THE SHARED RUN OF FIVE tail one"),
+        (2, "intro words the shared run of five closing"),
+        (5, "c l o n e d d o c b o d y"),
+        (6, "c l o n e d d o c b o d y"),
+        (7, "x y z a b c q q x y z a b c w"),
+    ]
+    from ariadne_dbt_spark.operators.dedup import excise_duplicate_spans
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in excise_duplicate_spans(
+            df, "doc_id", "text", L=5, keep="first"
+        ).collect()
+    }
+    assert got == _oracle_keep_first(rows, 5)
+    # lowest-id doc keeps the shared span whole; the clone is cut
+    assert got[1] == (9, 0, "alpha beta the shared run of five tail one")
+    assert got[2][2] == "intro words closing"
+    # whole-doc clones: first copy survives intact, second empties
+    assert got[5][1] == 0 and got[6] == (13, 13, "")
+    # within-doc repeat (L=6 run at positions 0 and 8): first copy kept
+    got6 = {
+        r["id"]: r["text_clean"]
+        for r in excise_duplicate_spans(
+            df.where(F.col("doc_id") == 7), "doc_id", "text", L=6, keep="first"
+        ).collect()
+    }
+    assert got6[7] == "x y z a b c q q w"
+    # hash_grams parity for keep="first"
+    hashed = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in excise_duplicate_spans(
+            df, "doc_id", "text", L=5, keep="first", hash_grams=True
+        ).collect()
+    }
+    assert hashed == got
+
+
+def test_keep_rejects_unknown_mode(spark):
+    from ariadne_dbt_spark.operators.dedup import excise_duplicate_spans
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        excise_duplicate_spans(df, "doc_id", "text", L=2, keep="last")
 
 
 def _decon_oracle(
