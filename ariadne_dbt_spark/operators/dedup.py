@@ -1027,9 +1027,16 @@ def excise_duplicate_spans(
 
     ``hash_grams=True`` swaps the shuffle key for ``xxhash64(gram)`` —
     at 100 TB the 50-token gram strings dominate shuffle bytes and the
-    64-bit key cuts them ~25x; a collision can only over-remove one
-    window (probability ~n²/2⁶⁴) — tests pin both paths identical on
-    the fixture. Default False = bit-exact, what the oracle verifies.
+    64-bit key cuts them ~25x; under ``keep="all"`` a collision can
+    only over-remove one window (probability ~n²/2⁶⁴). Under
+    ``keep="first"`` the symptom differs: a collision merges two
+    distinct grams' occurrence lists, so the min-``(id, start)``
+    canonical can FLIP — a genuinely duplicated window's true first
+    copy may be cut while the colliding unique window survives as the
+    merged group's canonical (same negligible probability, but a
+    removed-canonical rather than one extra removal). Tests pin both
+    key paths identical on the fixture. Default False = bit-exact,
+    what the oracle verifies.
 
     ``keep="first"`` switches from redaction to DEDUP semantics: each
     duplicated window's canonical occurrence — min ``(id, start)``, so

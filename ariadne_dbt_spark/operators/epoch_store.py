@@ -57,6 +57,23 @@ import time
 _EPOCH_FILE = "epoch.json"
 _LOCK_FILE = "_commit.lock"
 
+#: retirement stamp written INSIDE a retired epoch dir by the first
+#: sweep that sees it; the ``_`` prefix makes parquet readers (and
+#: ``_walk_parquet``) ignore it, so an in-flight reader's scan of the
+#: retained dir is unaffected
+_RETIRED_FILE = "_retired.json"
+
+
+def _read_retired_at(path: str) -> float | None:
+    """Retirement timestamp from a ``_retired.json`` stamp, or None when
+    the stamp is absent/unreadable (→ caller re-stamps: the clock
+    restarts, which only ever RETAINS LONGER — never deletes early)."""
+    try:
+        with open(path) as f:
+            return float(json.load(f)["retired_at"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
 #: a lock older than this is presumed held by a crashed writer and is
 #: stolen; the guarded window is pure metadata work (read-check one JSON
 #: file + one os.replace — no Spark actions), so a LIVE holder finishes
@@ -136,16 +153,25 @@ def sweep_stale_epochs(
     committed pointer.
 
     ``retention_sec`` is the VACUUM-retention knob (the same contract
-    Delta/Iceberg expose): a retired epoch dir younger than this is
-    kept, so a CONCURRENT READER IN ANOTHER PROCESS that resolved the
-    old epoch at plan time can finish its scan — the pointer flip is
-    atomic, but physical file deletion under a planned scan is not.
-    Default 0.0 preserves single-process semantics (the in-process
-    maintainers read before they sweep, so immediate GC is safe there);
-    set it >= your longest query duration wherever more than one
-    process serves the index. Age is the dir's own mtime — writes
-    stopped at stage time, so mtime marks retirement, and the NEXT
-    sweep (every compaction runs one) picks up whatever aged out."""
+    Delta/Iceberg expose): a retired epoch dir is kept for at least this
+    long AFTER RETIREMENT, so a CONCURRENT READER IN ANOTHER PROCESS
+    that resolved the old epoch at plan time can finish its scan — the
+    pointer flip is atomic, but physical file deletion under a planned
+    scan is not. Default 0.0 preserves single-process semantics (the
+    in-process maintainers read before they sweep, so immediate GC is
+    safe there); set it >= your longest query duration wherever more
+    than one process serves the index.
+
+    Retirement time is stamped EXPLICITLY (round-8 advice): the dir's
+    own mtime marks its last data write, not the pointer flip — an
+    epoch built hours before it's retired (churned only via tombstone
+    deletes, which land in a different dir) would otherwise age out in
+    the very sweep that retired it. The first sweep to encounter a
+    retired dir writes a ``_retired.json`` stamp into it and KEEPS it;
+    every compaction sweeps immediately after its pointer flip, so the
+    stamp lands at retirement time, and later sweeps age from the stamp
+    (an unreadable stamp is re-written — conservatively restarting the
+    clock rather than deleting early)."""
     wanted = set(names) | {"tombstones"}
     keep = {data_dir(index_dir, n, current) for n in wanted}
     cur_attempt = "_attempt.json" if current == 0 else f"_attempt_ep{current}.json"
@@ -168,11 +194,17 @@ def sweep_stale_epochs(
         base = entry.split("_ep")[0]
         if base in wanted or entry.startswith("_") and entry.endswith(".compact"):
             if retention_sec > 0 and base in wanted:
-                try:
-                    if now - os.path.getmtime(full) < retention_sec:
-                        continue  # retired epoch still inside retention
-                except OSError:
-                    pass
+                stamp = os.path.join(full, _RETIRED_FILE)
+                retired_at = _read_retired_at(stamp)
+                if retired_at is None:
+                    # first encounter since retirement: start the
+                    # retention clock now (== the pointer flip — this
+                    # sweep runs right after it) and keep the dir
+                    with contextlib.suppress(OSError):
+                        _atomic_write_json(stamp, {"retired_at": now})
+                    continue
+                if now - retired_at < retention_sec:
+                    continue  # retired epoch still inside retention
             shutil.rmtree(full, ignore_errors=True)
 
 

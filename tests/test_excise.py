@@ -254,8 +254,9 @@ def test_no_cartesian_and_single_gram_shuffle(spark):
         .toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
-    # exchange ceiling: gram count agg + dup semi-join + (id,pos)
-    # anti-join + rebuild groupBy + final id join — measured 5 on the
-    # sf0.001 corpus; 8 leaves AQE headroom without hiding a regression
-    # to a recompute-heavy shape
+    # exchange ceiling: gram count agg + dup semi-join + covered-set
+    # groupBy + rebuild left join (covered positions via array_except,
+    # churn-sized — NOT a corpus-wide (id,pos) anti-join) — measured 5
+    # on the sf0.001 corpus; 8 leaves AQE headroom without hiding a
+    # regression to a recompute-heavy shape
     assert plan.count("Exchange") <= 8, plan.count("Exchange")

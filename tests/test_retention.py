@@ -63,12 +63,43 @@ def test_retention_keeps_old_epoch_readable_then_next_sweep_collects(
     postings, _, n_docs, _ = read_search_index(spark, idx)
     assert n_docs == 28
 
-    # age the retired dir past the window; ANY later sweep collects it
-    past = 1e9  # 2001 — far older than the 3600s window
-    os.utime(old_postings, (past, past))
+    # the retiring sweep stamped retirement time explicitly (round-8
+    # advice: dir mtime marks the last data write, NOT retirement)
+    stamp = os.path.join(old_postings, "_retired.json")
+    assert os.path.isfile(stamp)
+    # age the RETIREMENT STAMP past the window; ANY later sweep collects
+    epoch_store._atomic_write_json(stamp, {"retired_at": 1e9})  # 2001
     delete_from_search_index(spark, idx, ["5"])
     compact_search_index(spark, idx, retention_sec=3600.0)
     assert not os.path.isdir(old_postings), "aged-out epoch must be swept"
+
+
+def test_retention_clock_starts_at_retirement_not_data_write(spark, tmp_path):
+    """Round-8 advice (high): an epoch BUILT hours ago but retired just
+    now must survive the retiring compaction's sweep — aging by the
+    dir's own mtime would delete it immediately, silently defeating the
+    concurrent-reader guarantee."""
+    idx = str(tmp_path / "srch_old")
+    build_search_index(_docs(spark), "doc_id", {"body": "body"}, idx)
+    delete_from_search_index(spark, idx, ["3"])
+    old_postings = epoch_store.data_dir(idx, "postings", _search_epoch(idx))
+    # simulate an index built long ago: last data write far in the past
+    past = 1e9
+    os.utime(old_postings, (past, past))
+    for dirpath, dirs, files in os.walk(old_postings):
+        for name in dirs + files:
+            os.utime(os.path.join(dirpath, name), (past, past))
+
+    compact_search_index(spark, idx, retention_sec=3600.0)
+    assert os.path.isdir(old_postings), (
+        "just-retired epoch swept because its mtime predates retention — "
+        "retirement must be stamped at the pointer flip"
+    )
+    assert spark.read.parquet(old_postings).count() > 0
+    retired = epoch_store._read_retired_at(
+        os.path.join(old_postings, "_retired.json")
+    )
+    assert retired is not None and retired > 1e9, "stamp must be flip-time, not mtime"
 
 
 def test_retention_zero_sweeps_immediately(spark, tmp_path):

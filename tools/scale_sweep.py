@@ -280,8 +280,10 @@ def _ops() -> dict:
         # ExactSubstr removal in its scale configuration (hash_grams:
         # 64-bit shuffle keys instead of 15-token strings); every 16th
         # doc re-appears as a clone so the duplicated-window fraction is
-        # constant across sizes. One gram-keyed count shuffle + churn-
-        # bounded covered explode + (id,pos) anti-join — expected ~1.
+        # constant across sizes. One gram-keyed count shuffle + dup
+        # semi-join + churn-sized covered-set groupBy + rebuild left
+        # join (array_except drops covered positions; no corpus-wide
+        # (id,pos) anti-join) — expected ~1.
         from ariadne_dbt_spark.operators.dedup import excise_duplicate_spans
 
         clones = docs.where(F.col("doc_id") % 16 == 0).select(
