@@ -253,3 +253,97 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("column", "col_name")
         .orderBy("col_name", "metric")
     )
+
+
+# Mergeable sketch tables (round 9): the 100 TB statistics-store
+# pattern. The corpus is scanned ONCE into a per-(type, day) sketch
+# table; every later distinct-count rollup merges KB-scale sketches
+# instead of rescanning raw data. The sketch bytes are engine-private,
+# so the oracle pins the exact counts plus the accuracy contract
+# (booleans), the same recipe sketch_aggregates uses.
+@query(
+    "sketch_partitioned_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="sketch-tables,approx-distinct,A10",
+    doc="Per-(event_type, day) HLL sketch table on user_id rolled up to "
+    "event_type by LOSSLESS sketch union (hll_union_agg) — no raw "
+    "rescan; estimate pinned within 5% of the exact distinct (lgK=12 "
+    "is 0.8% relative std error, so 5% is a >6 sigma envelope).",
+)
+def sketch_partitioned_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sketches import hll_rollup, hll_sketch_table
+
+    ev = events(spark, sf_dir).select("event_type", F.to_date("ts").alias("day"), "user_id")
+    table = hll_sketch_table(ev, ["event_type", "day"], "user_id")
+    rolled = hll_rollup(table, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_distinct")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "n_exact_distinct",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_exact_distinct"))
+                <= 0.05 * F.col("n_exact_distinct")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS exact_cnt,
+           TRUE AS est_ge_exact, TRUE AS est_within_eps
+    FROM events GROUP BY user_id
+    ORDER BY exact_cnt DESC, user_id LIMIT 5
+    """,
+    survey="sketch-tables,heavy-hitters,A3",
+    doc="Per-day Count-Min sketch table on user_id merged across days "
+    "(NumPy cell-wise add of Spark's V1 payloads — byte-identical to "
+    "the monolithic sketch, pinned in tests/test_sketches.py); top-5 "
+    "heavy-hitter frequencies estimated from the MERGED sketch and "
+    "pinned against exact counts: never under, over by <= eps*N.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sketches import (
+        cms_rollup_estimates,
+        cms_sketch_table,
+    )
+
+    eps = 0.001
+    ev = events(spark, sf_dir).select(F.to_date("ts").alias("day"), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # top-5 ids: 5 driver-side values (metadata-scale), deterministic
+    # tie-break so Spark and the oracle select the identical set
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(5).collect()
+    items = [int(r["user_id"]) for r in top]
+    n_total = ev.count()
+
+    table = cms_sketch_table(
+        ev, ["day"], "user_id", eps=eps, confidence=0.999, seed=11
+    )
+    ests = cms_rollup_estimates(table, [], items, spark)
+    return (
+        ests.withColumnRenamed("item", "user_id")
+        .join(exact, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("freq_est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+            (F.col("freq_est") - F.col("exact_cnt") <= eps * n_total).alias(
+                "est_within_eps"
+            ),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+    )

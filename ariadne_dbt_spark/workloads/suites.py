@@ -743,6 +743,26 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "hll_within_5pct": "boolean",
             },
         ),
+        (
+            "sketch_table",
+            "sketch_partitioned_distinct",
+            {
+                "event_type": "string",
+                "n_rows": "bigint",
+                "n_exact_distinct": "bigint",
+                "hll_within_5pct": "boolean",
+            },
+        ),
+        (
+            "cms_table",
+            "cms_heavy_hitters",
+            {
+                "user_id": "bigint",
+                "exact_cnt": "bigint",
+                "est_ge_exact": "boolean",
+                "est_within_eps": "boolean",
+            },
+        ),
     ],
     "sampling_suite": [
         ("stratified", "stratified_sample_counts", {"lang": "string", "n_sampled": "bigint"}),

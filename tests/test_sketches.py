@@ -1,0 +1,176 @@
+"""Mergeable sketch tables (operators/sketches.py).
+
+The contracts under test are the ones the 100 TB design leans on:
+
+* CMS payload round-trip: parse(serialize(x)) is byte-identical, and
+  the NumPy bucket formula reads back PLANTED EXACT counts from a
+  Spark-built sketch (wide sketch, few items → zero collisions), which
+  pins both the serialization layout and the hash fold against the
+  engine, not against this module's own math.
+* Merging per-partition CMS sketches is byte-identical to the
+  monolithic sketch of the concatenated stream (the mergeability
+  property the sketch-table pattern depends on), and refuses
+  mismatched parameters loudly.
+* CMS never underestimates (structural invariant — min over rows of
+  additive cells).
+* HLL sketch table + rollup: union across the finest grouping lands
+  within the lgK error envelope of the exact distinct, at every
+  grouping level including the global one.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.sketches import (
+    cms_merge,
+    cms_parse,
+    cms_query,
+    cms_rollup_estimates,
+    cms_serialize,
+    cms_sketch_table,
+    hll_rollup,
+    hll_sketch_table,
+)
+
+
+def _cms_build(spark, rows, eps=0.001, conf=0.99, seed=42):
+    df = spark.createDataFrame([(r,) for r in rows], "item long")
+    return bytes(
+        df.agg(
+            F.count_min_sketch(
+                "item", F.lit(float(eps)), F.lit(float(conf)), F.lit(seed)
+            ).alias("c")
+        ).first()["c"]
+    )
+
+
+MULTISET = [42] * 100 + [7] * 3 + [-5] * 17 + [2**62 + 11] * 9 + [0] * 2
+
+
+def test_cms_reads_back_planted_exact_counts(spark):
+    raw = _cms_build(spark, MULTISET)
+    sk = cms_parse(raw)
+    assert (sk["depth"], sk["width"]) == (7, 2000)
+    assert sk["total"] == len(MULTISET)
+    # wide sketch, 5 distinct items: collisions are (5/2000)^7-unlikely,
+    # so a single wrong bucket in the hash fold would read 0, not these
+    assert cms_query(raw, [42, 7, -5, 2**62 + 11, 0, 99999]) == [
+        100,
+        3,
+        17,
+        9,
+        2,
+        0,
+    ]
+
+
+def test_cms_serialize_roundtrip_bitexact(spark):
+    raw = _cms_build(spark, MULTISET)
+    assert cms_serialize(cms_parse(raw)) == raw
+
+
+def test_cms_merge_equals_monolithic_bytes(spark):
+    raw = _cms_build(spark, MULTISET)
+    parts = [MULTISET[:40], MULTISET[40:90], MULTISET[90:]]
+    payloads = [_cms_build(spark, p) for p in parts]
+    merged = cms_merge(payloads)
+    assert merged == raw  # cell-wise add IS Spark's mergeInPlace
+    # associativity: fold order doesn't matter
+    assert cms_merge([cms_merge(payloads[:2]), payloads[2]]) == raw
+
+
+def test_cms_merge_refuses_mismatched_params(spark):
+    a = _cms_build(spark, [1, 2, 3], seed=42)
+    b = _cms_build(spark, [1, 2, 3], seed=43)  # different hashA
+    with pytest.raises(ValueError, match="different"):
+        cms_merge([a, b])
+    c = _cms_build(spark, [1, 2, 3], eps=0.01)  # different width
+    with pytest.raises(ValueError, match="different"):
+        cms_merge([a, c])
+
+
+def test_cms_never_underestimates(spark):
+    # deterministic skewed multiset over 200 keys in a NARROW sketch
+    # (width 20) so collisions are guaranteed: estimates may exceed but
+    # must never undercut the exact counts
+    rows = [k for k in range(200) for _ in range(1 + k % 7)]
+    raw = _cms_build(spark, rows, eps=0.1)  # width 20
+    from collections import Counter
+
+    exact = Counter(rows)
+    ests = cms_query(raw, list(range(200)))
+    assert all(e >= exact[k] for k, e in zip(range(200), ests))
+
+
+def test_cms_sketch_table_rollup_matches_local_query(spark):
+    rows = [(d % 3, u % 11) for d in range(6) for u in range(d * 17 + 20)]
+    df = spark.createDataFrame(rows, "day int, user_id long")
+    table = cms_sketch_table(df, ["day"], "user_id", eps=0.01, seed=7)
+    assert table.count() == 3
+    items = list(range(11))
+    got = {
+        r["item"]: r["freq_est"]
+        for r in cms_rollup_estimates(table, [], items, spark).collect()
+    }
+    # distributed merge+query == local merge+query of the same payloads
+    payloads = [r["cms"] for r in table.collect()]
+    local = cms_query(cms_merge(payloads), items)
+    assert [got[i] for i in items] == local
+    # and with a wide sketch the estimates are exactly the true counts
+    from collections import Counter
+
+    exact = Counter(u for _, u in rows)
+    assert [got[i] for i in items] == [exact[i] for i in items]
+
+
+def test_hll_sketch_table_rollup_within_error(spark):
+    # 5k users spread over (type, day) cells; rollups at two levels
+    df = spark.range(20_000).select(
+        (F.col("id") % 4).cast("string").alias("typ"),
+        (F.col("id") % 13).alias("day"),
+        (F.col("id") % 5_000).alias("user_id"),
+    )
+    table = hll_sketch_table(df, ["typ", "day"], "user_id")
+    assert table.count() == 52
+    by_typ = {r["typ"]: r for r in hll_rollup(table, ["typ"]).collect()}
+    exact = {
+        r["typ"]: r["nd"]
+        for r in df.groupBy("typ").agg(F.countDistinct("user_id").alias("nd")).collect()
+    }
+    for t, row in by_typ.items():
+        assert abs(row["n_distinct_est"] - exact[t]) <= 0.05 * exact[t]
+        assert row["n_rows"] == 5_000
+    # global rollup (empty grouping): one row, all 5k users
+    g = hll_rollup(table, []).collect()
+    assert len(g) == 1
+    assert abs(g[0]["n_distinct_est"] - 5_000) <= 0.05 * 5_000
+    assert g[0]["n_rows"] == 20_000
+
+
+def test_hll_rollup_shuffles_sketches_not_raw_rows(spark):
+    """The scale claim: a rollup over the sketch TABLE plans one
+    aggregate over table rows — the raw frame is not in the plan."""
+    df = spark.range(1_000).select(
+        (F.col("id") % 3).cast("string").alias("typ"),
+        (F.col("id") % 5).alias("day"),
+        F.col("id").alias("user_id"),
+    )
+    table = hll_sketch_table(df, ["typ", "day"], "user_id")
+    path = None  # persisted table stands in for the 100 TB ingest output
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/sketches"
+        table.write.parquet(path)
+        persisted = spark.read.parquet(path)
+        plan = (
+            hll_rollup(persisted, ["typ"])
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # the rollup reads the KB-scale sketch table (a parquet
+        # relation) only — the raw row source is not in the plan
+        assert "parquet" in plan and "range" not in plan.lower()
