@@ -51,6 +51,9 @@ __all__ = [
     "cms_merge",
     "cms_query",
     "cms_rollup_estimates",
+    "value_histogram_table",
+    "histogram_rollup",
+    "histogram_quantiles",
 ]
 
 #: DataSketches HLL lgK default: 2^12 registers ≈ 0.8% relative
@@ -313,3 +316,99 @@ def cms_rollup_estimates(
         ]
     )
     return sketch_df.groupBy(*group_cols).applyInPandas(_merge, schema=fields)
+
+
+# --------------------------------------------------------------------------
+# Value-histogram sketch tables (mergeable order statistics)
+# --------------------------------------------------------------------------
+#
+# The third leg of the sketch-table trio: HLL answers distinct-count,
+# CMS answers point frequency, the value histogram answers ORDER
+# statistics (medians / p90 / p99) — and unlike KLL/t-digest it is
+# LOSSLESS for discrete (or deliberately quantized) values: the merged
+# histogram of two partitions IS the histogram of their union, so any
+# quantile read off a rollup equals the exact quantile of the raw data.
+# Size is bounded by the number of DISTINCT values, not rows — quantize
+# first (round / floor-to-cents / bucketize) when the domain is
+# continuous; the repo already uses the same recipe driver-side for
+# report-card percentiles (workloads/textstats.py value-histogram rank
+# selection), this module makes it a PERSISTABLE table like the other
+# two sketches.
+
+
+def value_histogram_table(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """One scan of ``df`` → ``(group_cols..., value, cnt)``: an exact
+    exploded histogram per group, built at the FINEST grouping you will
+    ever roll up to and persisted partitioned by the ingest key.
+
+    ``value_col`` must be discrete (integers, cents, rounded scores) —
+    the table's size per group is its distinct-value count, and every
+    merge/rollup above it is a ``SUM(cnt)``, never a rescan. Quantize
+    continuous domains before calling (e.g. ``FLOOR(x*100)`` for
+    cents): the quantization error is then a DESIGN choice made once at
+    ingest, not an opaque sketch property.
+    """
+    return df.groupBy(*group_cols, F.col(value_col).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_rollup(hist_df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge a histogram table to a coarser grouping — a lossless
+    ``SUM(cnt)`` per ``(group, value)``. The result is again a
+    histogram table (associative, like ``hll_union_agg``/``cms_merge``),
+    so it can be persisted and rolled up further."""
+    return hist_df.groupBy(*group_cols, "value").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist_df: DataFrame, group_cols: list[str], probs: list[float]
+) -> DataFrame:
+    """Exact discrete quantiles read off a (rolled-up) histogram table:
+    ``(group_cols..., p, q, n_rows)`` where ``q`` is the smallest value
+    whose cumulative count reaches ``max(ceil(p * n_rows), 1)`` — the
+    lower discrete-quantile convention (p=1.0 → max, p→0 → min), chosen
+    because it is expressible identically in ANSI SQL (the oracle pins
+    it value-exactly, not within-epsilon like HLL/CMS).
+
+    Scale shape: ONE window over distinct values per group (the same
+    bounded-buffer posture as the report-card percentile recipe — the
+    window runs over the histogram's rows, never corpus rows), then a
+    map-side explode of ``probs``; a row emits ``p`` exactly when the
+    target rank falls inside its ``(cum - cnt, cum]`` span, so no
+    second join or per-group collect exists.
+    """
+    from pyspark.sql.window import Window
+
+    merged = histogram_rollup(hist_df, group_cols)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    cum = merged.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_rows", F.sum("cnt").over(wg)
+    )
+    out = (
+        cum.select(
+            *group_cols,
+            "value",
+            "cnt",
+            "cum",
+            "n_rows",
+            F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+        )
+        .withColumn(
+            "target",
+            F.greatest(F.ceil(F.col("p") * F.col("n_rows")), F.lit(1)).cast("long"),
+        )
+        .where(
+            (F.col("cum") >= F.col("target"))
+            & (F.col("cum") - F.col("cnt") < F.col("target"))
+        )
+        .select(*group_cols, "p", F.col("value").alias("q"), "n_rows")
+    )
+    return out

@@ -347,3 +347,57 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
     )
+
+
+@query(
+    "sketch_quantile_rollup",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, cents, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n_rows
+        FROM h
+    ),
+    p AS (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+    SELECT c.event_type, p.p AS p, c.cents AS q,
+           CAST(c.n_rows AS BIGINT) AS n_rows
+    FROM c CROSS JOIN p
+    WHERE c.cum >= GREATEST(CAST(CEIL(p.p * c.n_rows) AS BIGINT), 1)
+      AND c.cum - c.cnt < GREATEST(CAST(CEIL(p.p * c.n_rows) AS BIGINT), 1)
+    ORDER BY event_type, p
+    """,
+    survey="sketch-tables,percentiles,A10",
+    doc="Per-(event_type, day) value-histogram sketch table over "
+    "floor-to-cents event values, merged LOSSLESSLY to event_type "
+    "(SUM(cnt) — the histogram of a union is the sum of histograms) and "
+    "read out as exact discrete p50/p90/p99 via rank selection over "
+    "DISTINCT values. Unlike the HLL/CMS rows this oracle pins the "
+    "quantiles VALUE-exactly: histogram merge loses nothing on a "
+    "quantized domain, which is the whole point of the third sketch "
+    "table (order statistics without rescanning raw data, window "
+    "buffers bounded by distinct values — the perplexity_buckets / "
+    "report-card posture as a persistable table).",
+)
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram_table,
+    )
+
+    ev = events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    table = value_histogram_table(ev, ["event_type", "day"], "cents")
+    return (
+        histogram_quantiles(table, ["event_type"], [0.5, 0.9, 0.99])
+        .select("event_type", "p", "q", "n_rows")
+        .orderBy("event_type", "p")
+    )

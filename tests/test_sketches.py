@@ -174,3 +174,111 @@ def test_hll_rollup_shuffles_sketches_not_raw_rows(spark):
         # the rollup reads the KB-scale sketch table (a parquet
         # relation) only — the raw row source is not in the plan
         assert "parquet" in plan and "range" not in plan.lower()
+
+
+# --------------------------------------------------------------------------
+# Value-histogram sketch tables (lossless mergeable order statistics)
+# --------------------------------------------------------------------------
+
+
+def _hist_oracle_quantile(values: list[int], p: float) -> int:
+    """Lower discrete quantile: smallest value whose cumulative count
+    reaches max(ceil(p*n), 1) — the module's documented convention."""
+    import math
+
+    xs = sorted(values)
+    rank = max(math.ceil(p * len(xs)), 1)
+    return xs[rank - 1]
+
+
+def test_histogram_quantiles_match_sorted_list_oracle(spark):
+    from ariadne_dbt_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram_table,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(("a" if i % 3 else "b"), rng.randrange(-50, 50)) for i in range(997)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    table = value_histogram_table(df, ["g", "v"][:1], "v")
+    probs = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        (r["g"], r["p"]): (r["q"], r["n_rows"])
+        for r in histogram_quantiles(table, ["g"], probs).collect()
+    }
+    for g in ("a", "b"):
+        vals = [v for gg, v in rows if gg == g]
+        for p in probs:
+            assert got[(g, p)] == (_hist_oracle_quantile(vals, p), len(vals)), (g, p)
+
+
+def test_histogram_rollup_is_lossless_merge(spark):
+    """Quantiles read from a per-(g, day) table rolled up to g equal
+    quantiles computed from a direct per-g histogram — merge loses
+    nothing (the property KLL/t-digest can't give)."""
+    from ariadne_dbt_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram_table,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        ("g%d" % (i % 2), i % 5, rng.randrange(0, 30)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, day int, v long")
+    fine = value_histogram_table(df, ["g", "day"], "v")
+    direct = value_histogram_table(df, ["g"], "v")
+    probs = [0.5, 0.95]
+    a = sorted(
+        map(tuple, histogram_quantiles(fine, ["g"], probs).collect())
+    )
+    b = sorted(
+        map(tuple, histogram_quantiles(direct, ["g"], probs).collect())
+    )
+    assert a == b
+
+
+def test_histogram_quantiles_global_group_and_edges(spark):
+    from ariadne_dbt_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram_table,
+    )
+
+    df = spark.createDataFrame([(v,) for v in [5, 1, 9, 9, 3]], "v long")
+    table = value_histogram_table(df, [], "v")
+    got = {
+        r["p"]: (r["q"], r["n_rows"])
+        for r in histogram_quantiles(table, [], [0.0001, 0.5, 1.0]).collect()
+    }
+    # p→0 clamps to rank 1 (min); p=0.5 → ceil(2.5)=3rd of [1,3,5,9,9];
+    # p=1 → max
+    assert got[0.0001] == (1, 5)
+    assert got[0.5] == (5, 5)
+    assert got[1.0] == (9, 5)
+
+
+def test_histogram_window_runs_over_distinct_values_not_rows(spark):
+    """Plan shape: the rank-selection window's input is the MERGED
+    histogram (one row per distinct value), so per-group window buffers
+    are bounded by the value domain, never corpus rows."""
+    from ariadne_dbt_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram_table,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i % 3) for i in range(1000)], "g string, v long"
+    )
+    table = value_histogram_table(df, ["g"], "v")
+    out = histogram_quantiles(table, ["g"], [0.5])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the aggregate (histogram merge) must sit BELOW the window in the
+    # plan: Window's child chain contains a HashAggregate
+    win_at = plan.find("Window")
+    assert win_at >= 0
+    assert "HashAggregate" in plan[win_at:], plan
+    assert out.count() == 1
