@@ -1571,3 +1571,54 @@ def incremental_dedup_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dup_flags(
         None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=index_dir
     ).orderBy("id")
+
+
+@query(
+    "bloom_decontamination_check",
+    oracle=r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+                   t -> length(t) >= 1) AS toks
+        FROM documents
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+              FROM toked)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 10 = 0),
+    train AS (SELECT * FROM shingled WHERE doc_id % 10 <> 0),
+    hits AS (
+        SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
+        FROM train t JOIN bench b ON t.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 3 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    survey="decontamination,bloom-filter-pruning",
+    doc="BFF-style Bloom-pruned decontamination: benchmark 3-gram "
+    "shingles -> broadcast Bloom bitmap (fpp 1e-3) -> MAP-ONLY corpus "
+    "probe -> exact verify join over the candidate sliver. Same flags "
+    "contract as decontamination_check (the oracle is join-based and "
+    "knows nothing of the Bloom filter — false positives must die in "
+    "the verify join for this row to hash-match), different physical "
+    "route: the shuffle into the verify join is candidate-sized, not "
+    "corpus-sized.",
+)
+def bloom_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_dbt_spark.operators.bloom import bloom_decontaminate
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return bloom_decontaminate(
+        train, bench, "doc_id", "text", n=3, min_hits=3, fpp=0.001
+    ).select(F.col("id").alias("doc_id"), "n_hits", "contaminated")
