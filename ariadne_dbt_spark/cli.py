@@ -373,8 +373,38 @@ def cmd_maintain(args):
     metadata-only — parquet footers + the index meta, no Spark session —
     so it runs in milliseconds on any index dir. Prints the
     maintenance_report JSON (live files, dead/tombstone rows,
-    should_compact + reasons); pass --kind to pick the index layout."""
+    should_compact + reasons); pass --kind to pick the index layout.
+    ``--kind table`` targets a managed parquet table
+    (operators/table_store.py): the report is the small-file OPTIMIZE
+    signal and ``--compact`` runs the epoch-flip rewrite."""
     from ariadne_dbt_spark.operators import epoch_store
+
+    if args.kind == "table":
+        from ariadne_dbt_spark.operators import table_store
+
+        kw = {}
+        if args.max_files is not None:
+            kw["max_files"] = args.max_files
+        report = table_store.table_report(args.index, **kw)
+        compacted = False
+        if args.compact and report["should_optimize"]:
+            from ariadne_dbt_spark.session import get_spark
+
+            spark = get_spark("ariadne-maintain")
+            table_store.optimize_table(
+                spark, args.index, retention_sec=args.retention_sec
+            )
+            compacted = True
+            report = table_store.table_report(args.index, **kw)
+        _emit(
+            {
+                "index_dir": args.index,
+                "kind": "table",
+                "compacted": compacted,
+                **report,
+            }
+        )
+        return
 
     layouts = {
         "ivf": ("vectors", "stats.json"),
@@ -560,7 +590,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--index", required=True, help="index directory")
     sp.add_argument(
         "--kind",
-        choices=("ivf", "ivf-pq", "shingle", "search"),
+        choices=("ivf", "ivf-pq", "shingle", "search", "table"),
         required=True,
     )
     sp.add_argument("--max-files", dest="max_files", type=int, default=None)

@@ -165,3 +165,23 @@ def test_cli_maintain_compact_folds_when_signal_fires(tmp_path, capsys, spark):
         capsys, "maintain", "--index", idx, "--kind", "ivf", "--compact",
     )
     assert out2["compacted"] is False
+
+
+def test_cli_maintain_table_kind_reports_and_optimizes(tmp_path, capsys, spark):
+    """Round 9: `maintain --kind table` prints the managed-table
+    OPTIMIZE signal and `--compact` runs the epoch-flip rewrite."""
+    from ariadne_dbt_spark.operators.epoch_store import read_epoch
+    from ariadne_dbt_spark.operators.table_store import read_table, write_table
+
+    tdir = str(tmp_path / "tbl")
+    write_table(spark, spark.range(2000).repartition(12), tdir)
+    out = _run(capsys, "maintain", "--index", tdir, "--kind", "table",
+               "--max-files", "4")
+    assert out["kind"] == "table" and out["n_files"] == 12
+    assert out["should_optimize"] and not out["compacted"]
+
+    out = _run(capsys, "maintain", "--index", tdir, "--kind", "table",
+               "--max-files", "4", "--compact")
+    assert out["compacted"] and out["epoch"] == 1 and out["n_files"] <= 4
+    assert read_epoch(tdir) == 1
+    assert read_table(spark, tdir).count() == 2000

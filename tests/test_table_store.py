@@ -1,0 +1,129 @@
+"""Managed-table OPTIMIZE (operators/table_store.py).
+
+Contracts under test:
+
+* compaction preserves every row and lands near the target file count;
+* ``table_report`` fires on the small-file pathologies it documents,
+  and not on a healthy table;
+* ``cluster_by`` yields non-overlapping per-file key ranges (the
+  min/max footer property file skipping depends on);
+* a crashed prior attempt (garbage in the next epoch's staging dir) is
+  overwritten, never merged;
+* a held commit lock turns a concurrent optimize into
+  ``ConcurrentWriteError``, leaving the committed epoch readable;
+* ``retention_sec`` keeps the retired epoch dir for cross-process
+  readers, and a later sweep past retention removes it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.epoch_store import ConcurrentWriteError, read_epoch
+from ariadne_dbt_spark.operators.table_store import (
+    DATA_NAME,
+    optimize_table,
+    read_table,
+    table_report,
+    write_table,
+)
+
+
+def _make_fragmented(spark, tmp_path, n_rows=10_000, n_files=40):
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.sha1(F.col("id").cast("string")).alias("pad")
+    )
+    write_table(spark, df.repartition(n_files), tdir)
+    return tdir
+
+
+def test_report_fires_on_fragmentation_and_optimize_fixes_it(spark, tmp_path):
+    tdir = _make_fragmented(spark, tmp_path)
+    rep = table_report(tdir, target_file_mb=128, max_files=16)
+    assert rep["n_files"] == 40 and rep["should_optimize"]
+
+    before = sorted(r["id"] for r in read_table(spark, tdir).collect())
+    out = optimize_table(spark, tdir, target_file_mb=128)
+    assert out["new_epoch"] == 1 and read_epoch(tdir) == 1
+
+    after_rep = table_report(tdir, target_file_mb=128, max_files=16)
+    assert after_rep["n_files"] <= 2
+    assert not after_rep["should_optimize"]
+    after = sorted(r["id"] for r in read_table(spark, tdir).collect())
+    assert after == before
+
+
+def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    # ~4 MB of data at 1 MB target → several output files with ranges
+    # to compare
+    tdir = _make_fragmented(spark, tmp_path, n_rows=60_000, n_files=20)
+    optimize_table(spark, tdir, target_file_mb=1, cluster_by=["id"])
+
+    from ariadne_dbt_spark.operators.epoch_store import _walk_parquet, data_dir
+
+    live = data_dir(tdir, DATA_NAME, read_epoch(tdir))
+    ranges = []
+    for p in _walk_parquet(live):
+        md = pq.ParquetFile(p).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        ci = names.index("id")
+        lo = min(md.row_group(r).column(ci).statistics.min for r in range(md.num_row_groups))
+        hi = max(md.row_group(r).column(ci).statistics.max for r in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint → min/max footers prune files
+
+
+def test_crashed_attempt_is_overwritten(spark, tmp_path):
+    tdir = _make_fragmented(spark, tmp_path, n_rows=500, n_files=8)
+    # simulate a crashed optimize: garbage parquet-less staging dir for
+    # the next epoch
+    staged = os.path.join(tdir, f"{DATA_NAME}_ep1")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    before = read_table(spark, tdir).count()
+    optimize_table(spark, tdir)
+    assert read_epoch(tdir) == 1
+    assert read_table(spark, tdir).count() == before
+
+
+def test_concurrent_optimize_raises_and_table_stays_readable(spark, tmp_path):
+    tdir = _make_fragmented(spark, tmp_path, n_rows=500, n_files=8)
+    lock = os.path.join(tdir, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write("424242")
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            optimize_table(spark, tdir)
+    finally:
+        os.remove(lock)
+    assert read_epoch(tdir) == 0
+    assert read_table(spark, tdir).count() == 500
+
+
+def test_retention_keeps_retired_epoch_then_sweeps(spark, tmp_path):
+    from ariadne_dbt_spark.operators.epoch_store import data_dir, sweep_stale_epochs
+
+    tdir = _make_fragmented(spark, tmp_path, n_rows=500, n_files=8)
+    old_dir = data_dir(tdir, DATA_NAME, 0)
+    optimize_table(spark, tdir, retention_sec=3600)
+    assert os.path.isdir(old_dir)  # retired but inside retention
+    stamp = os.path.join(old_dir, "_retired.json")
+    assert os.path.exists(stamp)
+    # age the stamp past retention; the next sweep removes the dir
+    with open(stamp, "w") as f:
+        json.dump({"retired_at": time.time() - 7200}, f)
+    sweep_stale_epochs(tdir, [DATA_NAME], read_epoch(tdir), retention_sec=3600)
+    assert not os.path.isdir(old_dir)
+    assert read_table(spark, tdir).count() == 500
