@@ -768,6 +768,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "est_within_eps": "boolean",
             },
         ),
+        (
+            "quantile_table",
+            "sketch_quantile_rollup",
+            {
+                "event_type": "string",
+                "p": "double",
+                "q": "bigint",
+                "n_rows": "bigint",
+            },
+        ),
     ],
     "sampling_suite": [
         ("stratified", "stratified_sample_counts", {"lang": "string", "n_sampled": "bigint"}),
