@@ -54,6 +54,10 @@ __all__ = [
     "value_histogram_table",
     "histogram_rollup",
     "histogram_quantiles",
+    "kmv_sketch_table",
+    "kmv_rollup",
+    "kmv_estimate",
+    "kmv_pairwise_overlap",
 ]
 
 #: DataSketches HLL lgK default: 2^12 registers ≈ 0.8% relative
@@ -412,3 +416,176 @@ def histogram_quantiles(
         .select(*group_cols, "p", F.col("value").alias("q"), "n_rows")
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch tables: set INTERSECTION
+# --------------------------------------------------------------------------
+#
+# The fourth sketch answers the question the other three can't: how much
+# do two sets OVERLAP (corpus-shard overlap, train/test user leakage,
+# day-over-day audience churn) — HLL unions but cannot intersect. A KMV
+# sketch is the k smallest hash values of a set; the bottom-k of a union
+# is computable from two sketches, and the fraction of that bottom-k
+# present in both sides estimates Jaccard (the classic KMV/theta-sketch
+# estimator; RSE ~ 1/sqrt(k)).
+#
+# Hash values are stored SIGN-FLIPPED (xxhash64 XOR Long.MIN_VALUE) so
+# the natural signed ordering of the stored longs equals the unsigned
+# ordering of the raw hashes — every later step (array_sort, window
+# order, element_at(k)) then uses plain JVM ordering, ANSI-safe with no
+# overflow anywhere. The uniform fraction of a stored value v is
+# v/2^64 + 0.5.
+
+#: default bottom-k size: RSE ~ 1/sqrt(1024) ≈ 3.1%, 8 KB per group
+DEFAULT_KMV_K = 1024
+
+_LONG_MIN = -(1 << 63)
+
+
+def _kmv_hash(value_col: str):
+    return F.xxhash64(F.col(value_col)).bitwiseXOR(F.lit(_LONG_MIN))
+
+
+def kmv_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: int = DEFAULT_KMV_K,
+) -> DataFrame:
+    """One scan → ``(group_cols..., n_rows, kmv)``: the sorted bottom-k
+    distinct sign-flipped hashes of ``value_col`` per group (fewer when
+    the group has under k distinct values — then the sketch IS the
+    exact hashed set).
+
+    Scale shape: distinct ``(group, hash)`` rows shuffle once; the
+    bottom-k selection is a ``row_number`` window on that sort order —
+    sort-based and streaming, never an unbounded per-group buffer —
+    and only k rows per group survive into the KB-scale ``collect_list``.
+    """
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols) or ["_all"]
+    src = df if group_cols else df.withColumn("_all", F.lit(1))
+    h = src.select(*gcols, _kmv_hash(value_col).alias("h"))
+    counts = h.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy(*gcols).orderBy("h")
+    bottom = (
+        h.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(*gcols)
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+    out = counts.join(bottom, gcols)
+    return out.drop("_all") if not group_cols else out
+
+
+def kmv_rollup(
+    sketch_df: DataFrame, group_cols: list[str], *, k: int = DEFAULT_KMV_K
+) -> DataFrame:
+    """Merge a KMV sketch table to a coarser grouping: bottom-k of the
+    union of member sketches (explode → distinct → re-select — rows in
+    flight are k × fine-groups, metadata-scale). The result is again a
+    valid KMV table; merging is associative like the other sketches."""
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols) or ["_all"]
+    src = sketch_df if group_cols else sketch_df.withColumn("_all", F.lit(1))
+    counts = src.groupBy(*gcols).agg(F.sum("n_rows").alias("n_rows"))
+    w = Window.partitionBy(*gcols).orderBy("h")
+    bottom = (
+        src.select(*gcols, F.explode("kmv").alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(*gcols)
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+    out = counts.join(bottom, gcols)
+    return out.drop("_all") if not group_cols else out
+
+
+def _kmv_fraction(col):
+    """Uniform [0,1) fraction of a stored (sign-flipped) hash."""
+    return col.cast("double") / F.lit(float(1 << 64)) + F.lit(0.5)
+
+
+def kmv_estimate(sketch_df: DataFrame, *, k: int = DEFAULT_KMV_K) -> DataFrame:
+    """Append ``n_distinct_est``: exact ``size(kmv)`` when the group
+    holds fewer than k distinct values, else the KMV estimator
+    ``(k-1) / fraction(kth smallest)``."""
+    full = F.size("kmv") >= k
+    kth = _kmv_fraction(F.element_at("kmv", k))
+    return sketch_df.withColumn(
+        "n_distinct_est",
+        F.when(full, (F.lit(float(k - 1)) / kth)).otherwise(
+            F.size("kmv").cast("double")
+        ),
+    )
+
+
+def kmv_pairwise_overlap(
+    sketch_df: DataFrame,
+    group_cols: list[str],
+    *,
+    k: int = DEFAULT_KMV_K,
+) -> DataFrame:
+    """All distinct group pairs with estimated set overlap:
+    ``(a_<group...>, b_<group...>, union_est, jaccard_est,
+    intersection_est)`` — computed ENTIRELY from the KB-scale sketches
+    with JVM array HOFs (no rescan, no join of the underlying sets):
+
+    * ``u`` = bottom-k of ``array_union(a, b)`` (valid because each side
+      is itself a bottom-k: the union's k smallest hashes all appear in
+      one of the sides' bottom-k);
+    * ``jaccard_est`` = |u ∩ a ∩ b| / |u| (fraction of the union's
+      uniform bottom-k sample present in both sides);
+    * ``union_est`` from the kth smallest of ``u``;
+    * ``intersection_est`` = jaccard_est × union_est.
+
+    Pair fan-out is groups², which is the INTENDED regime (shards,
+    days, sources — not users); every pair's work is O(k log k).
+    """
+    a = sketch_df.select(
+        *[F.col(c).alias(f"a_{c}") for c in group_cols], F.col("kmv").alias("_ka")
+    )
+    b = sketch_df.select(
+        *[F.col(c).alias(f"b_{c}") for c in group_cols], F.col("kmv").alias("_kb")
+    )
+    pair_pred = F.struct(*[F.col(f"a_{c}") for c in group_cols]) < F.struct(
+        *[F.col(f"b_{c}") for c in group_cols]
+    )
+    u = F.slice(F.array_sort(F.array_union("_ka", "_kb")), 1, k)
+    out = (
+        a.crossJoin(b)
+        .where(pair_pred)
+        .withColumn("_u", u)
+        .withColumn(
+            "_matches",
+            F.size(F.array_intersect(F.array_intersect("_u", "_ka"), "_kb")),
+        )
+        .withColumn(
+            "union_est",
+            F.when(
+                F.size("_u") >= k,
+                F.lit(float(k - 1)) / _kmv_fraction(F.element_at("_u", k)),
+            ).otherwise(F.size("_u").cast("double")),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.when(
+                F.size("_u") > 0,
+                F.col("_matches").cast("double") / F.size("_u").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("intersection_est", F.col("jaccard_est") * F.col("union_est"))
+    )
+    return out.select(
+        *[f"a_{c}" for c in group_cols],
+        *[f"b_{c}" for c in group_cols],
+        "union_est",
+        "jaccard_est",
+        "intersection_est",
+    )

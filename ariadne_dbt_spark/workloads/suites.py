@@ -778,6 +778,19 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "n_rows": "bigint",
             },
         ),
+        (
+            "kmv_overlap",
+            "kmv_set_overlap",
+            {
+                "type_a": "string",
+                "type_b": "string",
+                "exact_union": "bigint",
+                "exact_inter": "bigint",
+                "union_within_10pct": "boolean",
+                "jaccard_within_abs_10": "boolean",
+                "inter_within_25pct": "boolean",
+            },
+        ),
     ],
     "sampling_suite": [
         ("stratified", "stratified_sample_counts", {"lang": "string", "n_sampled": "bigint"}),

@@ -36,6 +36,11 @@ HEADLINE = [
     "user_sessions",
     "exact_dedup_groups",
     "ngram_jaccard_near_dups",
+    # round 9: the Bloom-pruned decontamination path — tracked because
+    # its scale claim (map-only prefilter, candidate-sized verify
+    # shuffle) is a PERFORMANCE contract; the oracle row only proves
+    # semantics
+    "bloom_decontamination_check",
     "exact_substring_excision",
     "minhash_lsh_candidates",
     "simhash_fingerprints",

@@ -282,3 +282,82 @@ def test_histogram_window_runs_over_distinct_values_not_rows(spark):
     assert win_at >= 0
     assert "HashAggregate" in plan[win_at:], plan
     assert out.count() == 1
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k) sketch tables: set intersection / Jaccard estimation
+# --------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with under k distinct values carry the exact hashed set:
+    estimates are exact counts, pairwise overlap is exact too."""
+    from ariadne_dbt_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_pairwise_overlap,
+        kmv_sketch_table,
+    )
+
+    rows = [("a", v) for v in range(100)] + [("b", v) for v in range(50, 130)]
+    df = spark.createDataFrame(rows + rows, "g string, v long")  # dup rows too
+    table = kmv_sketch_table(df, ["g"], "v", k=1024)
+    est = {r["g"]: r for r in kmv_estimate(table, k=1024).collect()}
+    assert est["a"]["n_distinct_est"] == 100.0 and est["a"]["n_rows"] == 200
+    assert est["b"]["n_distinct_est"] == 80.0
+
+    ov = kmv_pairwise_overlap(table, ["g"], k=1024).collect()
+    assert len(ov) == 1
+    r = ov[0]
+    assert (r["a_g"], r["b_g"]) == ("a", "b")
+    # exact: union 130, intersection 50
+    assert r["union_est"] == 130.0
+    assert abs(r["intersection_est"] - 50.0) < 1e-9
+    assert abs(r["jaccard_est"] - 50.0 / 130.0) < 1e-9
+
+
+def test_kmv_estimates_within_envelope_above_k(spark):
+    from ariadne_dbt_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_pairwise_overlap,
+        kmv_sketch_table,
+    )
+
+    n, k = 30_000, 512
+    rows = [("a", v) for v in range(n)] + [("b", v) for v in range(n // 2, n + n // 2)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    table = kmv_sketch_table(df, ["g"], "v", k=k)
+    est = {r["g"]: r["n_distinct_est"] for r in kmv_estimate(table, k=k).collect()}
+    # RSE ~ 1/sqrt(512) ≈ 4.4%; 20% is a >4-sigma envelope
+    assert abs(est["a"] - n) / n < 0.20
+    r = kmv_pairwise_overlap(table, ["g"], k=k).collect()[0]
+    true_union, true_inter = 1.5 * n, 0.5 * n
+    assert abs(r["union_est"] - true_union) / true_union < 0.20
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.10
+    assert abs(r["intersection_est"] - true_inter) / true_inter < 0.30
+
+
+def test_kmv_rollup_is_bottom_k_of_union(spark):
+    """Rolling fine sketches up equals sketching the unioned data —
+    the mergeability contract."""
+    from ariadne_dbt_spark.operators.sketches import kmv_rollup, kmv_sketch_table
+
+    rows = [("g1", d, v) for d in range(4) for v in range(d * 700, d * 700 + 900)]
+    rows += [("g2", d, v) for d in range(4) for v in range(d * 100, d * 100 + 300)]
+    df = spark.createDataFrame(rows, "g string, day int, v long")
+    k = 256
+    fine = kmv_sketch_table(df, ["g", "day"], "v", k=k)
+    rolled = {r["g"]: r for r in kmv_rollup(fine, ["g"], k=k).collect()}
+    direct = {r["g"]: r for r in kmv_sketch_table(df, ["g"], "v", k=k).collect()}
+    for g in ("g1", "g2"):
+        assert rolled[g]["kmv"] == direct[g]["kmv"], g
+        assert rolled[g]["n_rows"] == direct[g]["n_rows"], g
+
+
+def test_kmv_global_group(spark):
+    from ariadne_dbt_spark.operators.sketches import kmv_estimate, kmv_sketch_table
+
+    df = spark.createDataFrame([(v % 37,) for v in range(500)], "v long")
+    table = kmv_sketch_table(df, [], "v", k=64)
+    row = kmv_estimate(table, k=64).collect()
+    assert len(row) == 1
+    assert row[0]["n_distinct_est"] == 37.0 and row[0]["n_rows"] == 500

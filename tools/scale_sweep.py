@@ -297,9 +297,26 @@ def _ops() -> dict:
             .count()
         )
 
+    def run_bloom_decon(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        # BFF-style pruning: bench = every 10th doc -> Bloom bitmap ->
+        # map-only corpus probe -> candidate-sized exact verify join.
+        # Shingle build is linear, probe is map-only, verify shuffles
+        # only candidates (constant fraction by construction here) —
+        # expected ~1.
+        from ariadne_dbt_spark.operators.bloom import bloom_decontaminate
+
+        bench = docs.where(F.col("doc_id") % 10 == 0)
+        train = docs.where(F.col("doc_id") % 10 != 0)
+        return (
+            bloom_decontaminate(train, bench, "doc_id", "text", n=3, min_hits=5)
+            .where(F.col("contaminated"))
+            .count()
+        )
+
     return {
         "exact_dedup": run_exact,
         "ngram_jaccard": run_ngram,
+        "bloom_decontaminate": run_bloom_decon,
         "substring_excision": run_excision,
         "block_pack": run_block_pack,
         "minhash_lsh": run_minhash,
