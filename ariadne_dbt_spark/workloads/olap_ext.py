@@ -500,3 +500,84 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "stream_sketch_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="sketch-tables,streaming-§2.11,approx-distinct",
+    doc="Streaming statistics store: a REAL 3-micro-batch stream over "
+    "the events table reduces each batch to per-(type, day) HLL sketch "
+    "rows appended to a managed table (auto-folded past the file-count "
+    "threshold); the merged read-out must report EXACT row counts and "
+    "distinct estimates within 5% of exact — the same contract as the "
+    "batch sketch_partitioned_distinct row, proven through the "
+    "streaming ingest + fold path (HLL union losslessness end to end).",
+)
+def stream_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.streaming.stats_stream import (
+        read_sketch_stats,
+        sketch_stats_ingest_stream,
+    )
+
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    ev = events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    work = tempfile.mkdtemp(prefix="ariadne_stats_stream_")
+    try:
+        src = os.path.join(work, "src")
+        tdir = os.path.join(work, "stats")
+        ev.repartition(3).write.parquet(src)
+        sketch_stats_ingest_stream(spark, src, tdir, fold_max_files=2)
+        stats = (
+            read_sketch_stats(spark, tdir, ["event_type", "day"])
+            .groupBy("event_type")
+            .agg(F.sum("n_rows").alias("n_rows"))
+        )
+        # distinct needs a type-level union, not a sum of day estimates:
+        # roll the persisted sketch table up to event_type directly
+        from ariadne_dbt_spark.operators.sketches import hll_rollup
+        from ariadne_dbt_spark.streaming.stats_stream import _live_dir
+
+        raw = spark.read.parquet(_live_dir(tdir)).dropDuplicates(
+            ["event_type", "day", "_batch"]
+        )
+        rolled = hll_rollup(raw, ["event_type"]).withColumnRenamed(
+            "n_rows", "n_rows_rolled"
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact_distinct")
+        )
+        out = (
+            stats.join(rolled, "event_type")
+            .join(exact, "event_type")
+            .select(
+                "event_type",
+                "n_rows",
+                "n_exact_distinct",
+                (
+                    F.abs(F.col("n_distinct_est") - F.col("n_exact_distinct"))
+                    <= 0.05 * F.col("n_exact_distinct")
+                ).alias("hll_within_5pct"),
+            )
+            .orderBy("event_type")
+        )
+        # LocalRelation: the temp table dir is deleted below
+        return spark.createDataFrame(
+            out.toPandas(),
+            "event_type string, n_rows bigint, n_exact_distinct bigint, "
+            "hll_within_5pct boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
