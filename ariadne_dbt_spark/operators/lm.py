@@ -158,18 +158,21 @@ def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     scores), so the probability joins shuffle on token keys; scale
     users pretrain + prune and call :func:`score_with_lm` broadcast.
 
-    The bigram set is materialized ONCE (eager localCheckpoint — the
-    dedup candidate-set precedent, operators/dedup.py): training counts
-    and the scoring join otherwise each re-run the posexplode+window
-    tokenizer subtree, and under projection collapse the inlined
-    tokenizer HOFs can re-evaluate per element — the measured
-    intermittent 10x on `corpus_build_pipeline` (3-45 s at sf0.1 across
-    otherwise-identical sessions). Self-scoring already touches every
-    bigram by definition, so the checkpoint adds no asymptotic storage
-    the operator wasn't going to shuffle anyway; the TRUE 100 TB path
-    remains pretrain+prune+broadcast via :func:`score_with_lm`.
+    Both the training counts and the scoring join hang off ONE
+    ``repartition(w1, w2)`` boundary over the bigram build: without it
+    each branch re-ran the posexplode+window tokenizer subtree, and
+    under projection collapse the inlined tokenizer HOFs can
+    re-evaluate per element — the measured intermittent 10x on
+    `corpus_build_pipeline` (3-45 s warm at sf0.1 across
+    otherwise-identical sessions, 12 document scans in the plan). The
+    explicit exchange pins a collapse-proof boundary the optimizer
+    cannot inline through (and gives identical branches for exchange
+    reuse) with ZERO persisted storage — an eager checkpoint here
+    would park corpus-sized bigram blocks in the block manager for the
+    plan's lifetime. The TRUE 100 TB path remains
+    pretrain+prune+broadcast via :func:`score_with_lm`.
     """
-    bg = doc_bigrams(df, id_col, text_col).localCheckpoint(eager=True)
+    bg = doc_bigrams(df, id_col, text_col).repartition("w1", "w2")
     lm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     lm = lm.join(lm.groupBy("w1").agg(F.sum("c12").alias("c1")), "w1")
     vocab = vocab_size(df, text_col)
