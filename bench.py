@@ -318,22 +318,27 @@ def main() -> None:
     # first measured number isn't dominated by one-time session costs
     registry["point_lookup_and_like"].fn(spark, sf_dir).count()
 
-    # two measured runs per query: COLD (first execution — includes plan
-    # compilation, shuffle-file creation, JIT) and WARM (identical fresh
-    # plan, steady-state JVM). This sandbox shows ±25%+ cold-run
-    # variance; the warm number is the round-over-round comparison
-    # signal, the cold total stays the headline for continuity with
-    # BENCH_r01-r04 (see README).
+    # measured runs per query: COLD (first execution — includes plan
+    # compilation, shuffle-file creation, JIT) and WARM = min of two
+    # steady-state executions. This sandbox shows ±25%+ variance PLUS
+    # intermittent 10-20x multi-second stalls that strike one random
+    # query per session (round 8's A/B pinned them as environmental:
+    # same commit, 1.4-6x spread; round 9 GC-logged a full run — max
+    # pause 118 ms, so the stalls are host-level, not JVM-level). A
+    # single warm sample makes the suite total hostage to whichever
+    # query catches the stall; min-of-2 is the same de-noising the
+    # scale sweep has always used. The cold number stays single-sample
+    # for continuity with BENCH_r01-r08.
     times: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         spec = registry[name]
         per_run = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.count()
             per_run.append(round(time.perf_counter() - t0, 3))
-        times[name] = {"cold": per_run[0], "warm": per_run[1]}
+        times[name] = {"cold": per_run[0], "warm": min(per_run[1:])}
 
     latency = latency_section(spark)
 
