@@ -58,6 +58,10 @@ __all__ = [
     "bloom_build",
     "bloom_maybe_contains",
     "bloom_decontaminate",
+    "save_bloom",
+    "load_bloom",
+    "build_decontamination_index",
+    "decontaminate_against_index",
 ]
 
 #: refuse degenerate shapes loudly: k beyond 32 never helps (optimal k
@@ -232,6 +236,148 @@ def bloom_maybe_contains(
 
     return df.withColumn(
         out_col, _probe(_positions(F.col(col), bloom.m_bits, bloom.k, bloom.seed))
+    )
+
+
+def save_bloom(bloom: BloomFilter, path: str) -> None:
+    """Persist a filter as ``<path>.bin`` + ``<path>.json`` (params),
+    each written tmp+replace so a concurrent loader never sees a
+    half-written bitmap. The json is the commit point — ``load_bloom``
+    refuses a bin whose byte length disagrees with it."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".bin.tmp"
+    with open(tmp, "wb") as f:
+        f.write(bloom.bits)
+    os.replace(tmp, path + ".bin")
+    tmp = path + ".json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"m_bits": bloom.m_bits, "k": bloom.k, "seed": bloom.seed}, f
+        )
+    os.replace(tmp, path + ".json")
+
+
+def load_bloom(path: str) -> BloomFilter:
+    """Inverse of :func:`save_bloom`; raises on a params/bitmap size
+    mismatch (a crash between the two writes)."""
+    import json
+
+    with open(path + ".json") as f:
+        cfg = json.load(f)
+    with open(path + ".bin", "rb") as f:
+        bits = f.read()
+    if len(bits) != (int(cfg["m_bits"]) + 7) // 8:
+        raise ValueError(
+            f"bloom bitmap at {path}.bin is {len(bits)} bytes; params "
+            f"file says m_bits={cfg['m_bits']} — torn write, rebuild it"
+        )
+    return BloomFilter(int(cfg["m_bits"]), int(cfg["k"]), int(cfg["seed"]), bits)
+
+
+def build_decontamination_index(
+    bench: DataFrame,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    fpp: float = 0.001,
+    seed: int = 11,
+) -> dict:
+    """Persist the BENCHMARK side of decontamination once, so every
+    future training batch decontaminates in O(batch): the benchmark's
+    distinct shingles as parquet (the exact-verify side) plus their
+    sized Bloom bitmap (the map-only prefilter) plus a meta commit
+    point pinning ``n``. Benchmark suites are small and change by
+    release, not by stream — rebuild wholesale on change (no append
+    path, deliberately; contrast the gen-logged shingle index whose
+    corpus side DOES grow per batch).
+
+    Layout: ``shingles/`` parquet, ``bloom.{bin,json}``, ``meta.json``
+    (written LAST — a directory without it is an aborted build and
+    :func:`decontaminate_against_index` refuses it).
+    """
+    import json
+    import os
+
+    from ariadne_dbt_spark.operators.dedup import shingle_sets
+
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)  # invalidate readers before any rewrite
+    bsh = shingle_sets(bench, id_col, text_col, n).select("shingle").distinct()
+    bsh.write.mode("overwrite").parquet(os.path.join(out_dir, "shingles"))
+    written = bench.sparkSession.read.parquet(os.path.join(out_dir, "shingles"))
+    n_grams = written.count()
+    bloom = bloom_build(
+        written, "shingle", n_items=max(n_grams, 1), fpp=fpp, seed=seed
+    )
+    save_bloom(bloom, os.path.join(out_dir, "bloom"))
+    meta = {
+        "n": n,
+        "fpp": fpp,
+        "seed": seed,
+        "n_grams": n_grams,
+        "m_bits": bloom.m_bits,
+        "k": bloom.k,
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def decontaminate_against_index(
+    train: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    *,
+    min_hits: int = 1,
+) -> DataFrame:
+    """O(batch) decontamination against a persisted
+    :func:`build_decontamination_index`: same ``(id, n_hits,
+    contaminated)`` contract as :func:`bloom_decontaminate`, but the
+    benchmark is never re-shingled — the bitmap loads from disk
+    (driver-side bytes, one broadcast) and the verify join reads the
+    stored shingle parquet. The probe is map-only over the batch scan;
+    only candidates (true overlaps + the fpp sliver) shuffle.
+
+    At 100 TB this is the decontamination twin of
+    ``incremental_near_dup_flags(index_dir=)``: continuous ingest pays
+    per-batch cost only, with the benchmark artifact built once per
+    eval-suite release.
+    """
+    import json
+    import os
+
+    from ariadne_dbt_spark.operators.dedup import shingle_sets
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    bloom = load_bloom(os.path.join(index_dir, "bloom"))
+    bsh = train.sparkSession.read.parquet(os.path.join(index_dir, "shingles"))
+    tsh = shingle_sets(train, id_col, text_col, int(meta["n"]))
+    cand = (
+        bloom_maybe_contains(tsh, "shingle", bloom)
+        .where(F.col("bloom_maybe"))
+        .drop("bloom_maybe")
+    )
+    hits = (
+        cand.join(bsh, "shingle")
+        .groupBy("id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+    ids = train.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
     )
 
 

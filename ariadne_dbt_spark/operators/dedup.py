@@ -631,8 +631,107 @@ def build_shingle_index(
         epoch_store.data_dir(out_dir, "postings", 0)
     )
     meta = {"n": n, "n_buckets": n_buckets, "gen": 0, "orphans": []}
+    # bloom sidecar: membership prefilter for the incremental flags path
+    # (batch shingles provably absent from the index skip the postings
+    # join AND shrink the bucket IN-list). Built from the just-written
+    # postings — a column-pruned single-column scan, not a re-shingle.
+    written = df.sparkSession.read.parquet(
+        epoch_store.data_dir(out_dir, "postings", 0)
+    ).select("shingle").distinct()
+    meta = _write_shingle_bloom_fold(out_dir, written, meta, 0)
     _write_shingle_meta(out_dir, meta)
     return meta
+
+
+#: bloom sidecar defaults: fpp for the index-membership prefilter —
+#: false positives only cost join work, so this is a size/effect knob,
+#: not a correctness one
+SHINGLE_BLOOM_FPP = 0.005
+_BLOOM_FOLD_FILE = "_bloom_fold.bin"
+
+
+def _bloom_partial_path(index_dir: str, gen: int) -> str:
+    import os
+
+    return os.path.join(index_dir, f"_bloom_gen{gen}.bin")
+
+
+def _write_bloom_file(path: str, bloom) -> None:
+    """Atomic write of a bloom bitmap (tmp + replace — partial files
+    must never be read half-written by a concurrent flags query)."""
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(bloom.bits)
+    os.replace(tmp, path)
+
+
+def _write_shingle_bloom_fold(
+    index_dir: str, shingles: DataFrame, meta: dict, fold_gen: int
+) -> dict:
+    """(Re)build the folded bloom over ``shingles`` (distinct), size it
+    for the CURRENT corpus, stamp params + fold_gen into ``meta`` (NOT
+    yet committed — caller owns the meta write) and atomically replace
+    the fold file. Partials at or below ``fold_gen`` become dead and
+    are removed best-effort."""
+    import glob
+    import os
+
+    from ariadne_dbt_spark.operators.bloom import bloom_build, optimal_params
+
+    n = shingles.count()
+    m, k = optimal_params(max(n, 1), SHINGLE_BLOOM_FPP)
+    bloom = bloom_build(shingles, "shingle", m_bits=m, k=k, seed=11)
+    _write_bloom_file(os.path.join(index_dir, _BLOOM_FOLD_FILE), bloom)
+    meta["bloom"] = {"m": m, "k": k, "seed": 11, "fold_gen": int(fold_gen)}
+    for p in glob.glob(os.path.join(index_dir, "_bloom_gen*.bin")):
+        g = int(os.path.basename(p)[len("_bloom_gen"):-len(".bin")])
+        if g <= fold_gen:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return meta
+
+
+def load_shingle_bloom(index_dir: str, meta: dict):
+    """Assemble the index's membership bloom: fold file OR'd with the
+    partial of every COMMITTED gen above ``fold_gen``. Returns None —
+    prefilter disabled, flags stay correct via the full join — when the
+    sidecar is absent (legacy index) or any required partial is missing
+    (a crash between gen reservation and the bloom write; the next
+    compaction's fold rebuild restores the prefilter)."""
+    import os
+
+    import numpy as np
+
+    from ariadne_dbt_spark.operators.bloom import BloomFilter
+
+    cfg = meta.get("bloom")
+    if not cfg:
+        return None
+    fold_path = os.path.join(index_dir, _BLOOM_FOLD_FILE)
+    if not os.path.exists(fold_path):
+        return None
+    with open(fold_path, "rb") as f:
+        bits = np.frombuffer(f.read(), dtype=np.uint8).copy()
+    if len(bits) != (cfg["m"] + 7) // 8:
+        return None
+    hi, orphans = epoch_store.gen_state(meta)
+    dead = set(orphans)
+    for g in range(int(cfg["fold_gen"]) + 1, hi + 1):
+        if g in dead:
+            continue
+        p = _bloom_partial_path(index_dir, g)
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            part = np.frombuffer(f.read(), dtype=np.uint8)
+        if len(part) != len(bits):
+            return None
+        bits |= part
+    return BloomFilter(int(cfg["m"]), int(cfg["k"]), int(cfg["seed"]), bits.tobytes())
 
 
 def _write_shingle_meta(index_dir: str, meta: dict) -> None:
@@ -685,6 +784,25 @@ def append_to_shingle_index(
     ).write.mode("append").partitionBy("bucket").parquet(
         epoch_store.data_dir(index_dir, "postings")
     )
+    # bloom partial for this gen, written BEFORE the meta commit so a
+    # committed gen always has its partial on disk (load_shingle_bloom
+    # refuses a bloom missing any committed gen's bits — a false
+    # NEGATIVE would drop true duplicates; a crash AFTER this write but
+    # before the commit merely leaves an orphan-gen partial whose extra
+    # bits are harmless false positives). Same (m, k, seed) as the fold
+    # — saturation drifts up until compaction resizes, never wrong.
+    cfg = meta.get("bloom")
+    if cfg:
+        from ariadne_dbt_spark.operators.bloom import bloom_build
+
+        part = bloom_build(
+            sh.select("shingle").distinct(),
+            "shingle",
+            m_bits=int(cfg["m"]),
+            k=int(cfg["k"]),
+            seed=int(cfg["seed"]),
+        )
+        _write_bloom_file(_bloom_partial_path(index_dir, gen), part)
     # CAS under the commit lock: refuse the commit if another writer
     # slipped in (last-writer-wins would drop its gen — silently); the
     # lock makes the check→replace window atomic, not just best-effort
@@ -783,6 +901,24 @@ def incremental_near_dup_flags(
         if meta["n"] != n:
             raise ValueError(
                 f"index built with n={meta['n']}, queried with n={n}"
+            )
+        # bloom membership prefilter: drop batch shingles PROVABLY absent
+        # from the index before anything else. Exact — a dropped shingle
+        # has zero stored postings, so it cannot contribute to any
+        # intersection count, and each row's ``sz`` (the Jaccard
+        # denominator) was stamped at shingle time. Mostly-novel batches
+        # (the common ingest case) shrink BOTH the bucket IN-list below
+        # and the postings join's probe side; None (legacy index or
+        # crash-degraded sidecar) falls back to the full join, same
+        # results.
+        bloom = load_shingle_bloom(index_dir, meta)
+        if bloom is not None:
+            from ariadne_dbt_spark.operators.bloom import bloom_maybe_contains
+
+            sh_b = (
+                bloom_maybe_contains(sh_b, "shingle", bloom)
+                .where(F.col("bloom_maybe"))
+                .drop("bloom_maybe")
             )
         # the probe runs the batch shingle build once to learn which
         # index partitions to read (≤ n_buckets values collected, never
@@ -1298,12 +1434,62 @@ def containment_pairs(
 # deletion request is O(corpus).
 
 
+#: refold trigger: appends grow the fold's implied fpp (same bitmap,
+#: more bits set); past this multiple of the build-time target the
+#: prefilter is passing too many non-members to pay for itself
+SHINGLE_BLOOM_FPP_DEGRADE = 8.0
+
+
 def shingle_maintenance_report(index_dir: str, **kw) -> dict:
     """Compaction-cadence signal for the shingle-postings index
-    (metadata-only — parquet footers + meta.json): dead/tombstone row
-    fractions, live file count, ``should_compact`` + reasons. Run
-    :func:`compact_shingle_index` when it fires."""
-    return epoch_store.maintenance_report(index_dir, "postings", "meta.json", **kw)
+    (metadata-only — parquet footers + meta.json + the bloom sidecar's
+    local byte files; no Spark job): dead/tombstone row fractions, live
+    file count, bloom-prefilter health, ``should_compact`` + reasons.
+    Run :func:`compact_shingle_index` when it fires.
+
+    Bloom signals: ``fpp_estimate`` (saturation^k of the assembled
+    filter) drifts up as appends outgrow the build-time sizing —
+    compaction refolds at the current corpus size; ``prefilter_active``
+    False means a sidecar hole (crash-degraded) has the flags path
+    running full joins — also fixed by the refold."""
+    import glob
+    import json
+    import os
+
+    rep = epoch_store.maintenance_report(index_dir, "postings", "meta.json", **kw)
+    try:
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+    except OSError:
+        return rep
+    if not meta.get("bloom"):
+        return rep
+    n_partials = len(glob.glob(os.path.join(index_dir, "_bloom_gen*.bin")))
+    bloom = load_shingle_bloom(index_dir, meta)
+    if bloom is None:
+        rep["bloom"] = {"prefilter_active": False, "n_partials": n_partials}
+        rep["reasons"].append(
+            "bloom prefilter inactive (missing or size-mismatched sidecar "
+            "file) — compaction refolds it"
+        )
+        rep["should_compact"] = True
+        return rep
+    fpp = bloom.fpp_estimate
+    rep["bloom"] = {
+        "prefilter_active": True,
+        "saturation": round(bloom.saturation, 4),
+        "fpp_estimate": round(fpp, 6),
+        "target_fpp": SHINGLE_BLOOM_FPP,
+        "n_partials": n_partials,
+    }
+    if fpp > SHINGLE_BLOOM_FPP_DEGRADE * SHINGLE_BLOOM_FPP:
+        rep["reasons"].append(
+            f"bloom fpp_estimate {fpp:.4f} > "
+            f"{SHINGLE_BLOOM_FPP_DEGRADE:g}x target {SHINGLE_BLOOM_FPP} — "
+            "appends outgrew the fold; compaction resizes it"
+        )
+        rep["should_compact"] = True
+    return rep
 
 
 def _read_shingle_tombstones(spark, index_dir: str):
@@ -1373,7 +1559,21 @@ def compact_shingle_index(
     # the flip is safe (a crash in between leaves harmless stale ones)
     if "orphans" in meta and meta["orphans"]:
         meta["orphans"] = []
-        _write_shingle_meta(index_dir, meta)
+    # refold the bloom sidecar from the compacted postings: resizes for
+    # the current corpus, drops tombstoned docs' bits (they were only
+    # false positives until now), and retires every per-gen partial.
+    # Crash windows are all safe: before the fold write, readers keep
+    # the old fold+partials (stale bits = false positives); between the
+    # fold write and the meta write, the size check in
+    # load_shingle_bloom disables the prefilter until the next fold.
+    if meta.get("bloom"):
+        survivors = spark.read.parquet(
+            epoch_store.data_dir(index_dir, "postings", new_epoch)
+        ).select("shingle").distinct()
+        meta = _write_shingle_bloom_fold(
+            index_dir, survivors, meta, meta.get("gen", 0)
+        )
+    _write_shingle_meta(index_dir, meta)
     epoch_store.sweep_stale_epochs(
         index_dir, ["postings"], new_epoch, retention_sec=retention_sec
     )

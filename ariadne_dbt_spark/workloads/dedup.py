@@ -1622,3 +1622,67 @@ def bloom_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(
         train, bench, "doc_id", "text", n=3, min_hits=3, fpp=0.001
     ).select(F.col("id").alias("doc_id"), "n_hits", "contaminated")
+
+
+@query(
+    "decontamination_index_check",
+    oracle=r"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+                   t -> length(t) >= 1) AS toks
+        FROM documents
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3 + 2),
+                                           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+              FROM toked)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 10 = 0),
+    train AS (SELECT * FROM shingled WHERE doc_id % 10 <> 0),
+    hits AS (
+        SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_hits
+        FROM train t JOIN bench b ON t.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    survey="decontamination,bloom-filter-pruning,persisted-index",
+    doc="Decontamination against a PERSISTED benchmark artifact "
+    "(build_decontamination_index: distinct bench shingles parquet + "
+    "sized Bloom bitmap, built once per eval-suite release): each "
+    "training batch pays a map-only bitmap probe loaded from disk + a "
+    "candidate-sized verify join against the stored shingles — the "
+    "benchmark is never re-shingled. Same join-based oracle as the "
+    "one-shot bloom row (min_hits=2 here): the persisted route must "
+    "hash-match it value-for-value.",
+)
+def decontamination_index_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ariadne_dbt_spark.operators.bloom import (
+        build_decontamination_index,
+        decontaminate_against_index,
+    )
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"ariadne_decon_idx_{tag}_{os.getpid()}"
+    )
+    build_decontamination_index(
+        bench, index_dir, "doc_id", "text", n=3, fpp=0.001
+    )
+    return decontaminate_against_index(
+        train, index_dir, "doc_id", "text", min_hits=2
+    ).select(F.col("id").alias("doc_id"), "n_hits", "contaminated")

@@ -254,6 +254,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"doc_id": "bigint", "n_hits": "bigint", "contaminated": "boolean"},
         ),
         (
+            "decon_index",
+            "decontamination_index_check",
+            {"doc_id": "bigint", "n_hits": "bigint", "contaminated": "boolean"},
+        ),
+        (
             "rejection_audit",
             "corpus_rejection_audit",
             {"doc_id": "bigint", "verdict": "string"},

@@ -159,3 +159,99 @@ def test_bloom_decontaminate_matches_join_based_flags(spark):
         )
     )
     assert got_sat == want
+
+
+def test_save_load_roundtrip_and_torn_write_refusal(spark, tmp_path):
+    from ariadne_dbt_spark.operators.bloom import load_bloom, save_bloom
+
+    df = spark.createDataFrame([(f"w{i}",) for i in range(100)], "w string")
+    bloom = bloom_build(df, "w", n_items=100, fpp=0.01)
+    path = str(tmp_path / "idx" / "bloom")
+    save_bloom(bloom, path)
+    back = load_bloom(path)
+    assert back == bloom
+    # torn write: bin replaced for a resize, json never updated
+    with open(path + ".bin", "wb") as f:
+        f.write(b"\x00" * 3)
+    with pytest.raises(ValueError, match="torn write"):
+        load_bloom(path)
+
+
+def test_persisted_decontamination_index_matches_one_shot(spark, tmp_path):
+    """build-once / query-per-batch must equal the one-shot operator
+    (and therefore the join-based flags) value-for-value; a second
+    batch reuses the artifact without rebuilding it."""
+    import os
+
+    from ariadne_dbt_spark.operators.bloom import (
+        build_decontamination_index,
+        decontaminate_against_index,
+    )
+    from ariadne_dbt_spark.operators.dedup import decontamination_flags
+
+    rng = random.Random(13)
+    vocab = [f"tok{i}" for i in range(200)]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 40)))
+
+    rows = [(i, doc()) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+
+    idx = str(tmp_path / "decon_idx")
+    meta = build_decontamination_index(
+        bench, idx, "doc_id", "text", n=3, fpp=0.001
+    )
+    assert meta["n_grams"] > 0
+
+    want = sorted(
+        map(
+            tuple,
+            decontamination_flags(
+                train, bench, "doc_id", "text", n=3, min_hits=2
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            decontaminate_against_index(
+                train, idx, "doc_id", "text", min_hits=2
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # second batch: artifact reused as-is (no bench re-shingle — the
+    # stored mtimes must not change across queries)
+    stamp = os.path.getmtime(os.path.join(idx, "meta.json"))
+    batch2 = spark.createDataFrame(
+        [(1000 + i, doc()) for i in range(50)], "doc_id long, text string"
+    )
+    want2 = sorted(
+        map(
+            tuple,
+            decontamination_flags(
+                batch2, bench, "doc_id", "text", n=3, min_hits=1
+            ).collect(),
+        )
+    )
+    got2 = sorted(
+        map(
+            tuple,
+            decontaminate_against_index(
+                batch2, idx, "doc_id", "text", min_hits=1
+            ).collect(),
+        )
+    )
+    assert got2 == want2
+    assert os.path.getmtime(os.path.join(idx, "meta.json")) == stamp
+
+    # aborted build (no meta commit) is refused, not half-read
+    half = str(tmp_path / "aborted_idx")
+    build_decontamination_index(bench, half, "doc_id", "text", n=3)
+    os.remove(os.path.join(half, "meta.json"))
+    with pytest.raises(FileNotFoundError):
+        decontaminate_against_index(train, half, "doc_id", "text").collect()
