@@ -392,7 +392,11 @@ def cmd_maintain(args):
 
             spark = get_spark("ariadne-maintain")
             table_store.optimize_table(
-                spark, args.index, retention_sec=args.retention_sec
+                spark,
+                args.index,
+                retention_sec=args.retention_sec,
+                cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+                zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             )
             compacted = True
             report = table_store.table_report(args.index, **kw)
@@ -606,6 +610,18 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.0,
         help="keep retired epoch dirs younger than this (cross-process readers)",
+    )
+    sp.add_argument(
+        "--cluster-by",
+        dest="cluster_by",
+        default=None,
+        help="(--kind table) comma-separated keys to range-cluster the rewrite on",
+    )
+    sp.add_argument(
+        "--zorder-by",
+        dest="zorder_by",
+        default=None,
+        help="(--kind table) comma-separated NUMERIC keys to Z-order the rewrite on",
     )
     sp.set_defaults(fn=cmd_maintain)
 

@@ -151,11 +151,14 @@ def optimize_table(
     *,
     target_file_mb: int = DEFAULT_TARGET_FILE_MB,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
     retention_sec: float = 0.0,
 ) -> dict:
     """Compact the table into ~``target_file_mb`` files (optionally
-    range-clustered on ``cluster_by``), committed as an atomic epoch
-    flip. Returns the pre-rewrite report plus the new epoch.
+    range-clustered on ``cluster_by``, or Z-ORDERED on ``zorder_by``),
+    committed as an atomic epoch flip. Returns the pre-rewrite report
+    plus the new epoch.
 
     Steps — every one crash-safe:
 
@@ -172,7 +175,18 @@ def optimize_table(
        resurrect overwritten data);
     4. sweep retired epochs, honoring ``retention_sec`` for
        cross-process readers.
+
+    ``zorder_by`` (mutually exclusive with ``cluster_by``) is Delta's
+    ``OPTIMIZE ... ZORDER BY``: quantile-bucketize each key to
+    ``zorder_bits`` bits (one ``approxQuantile`` pass — NUMERIC keys
+    only, like ``layout.zorder_write`` it delegates to), Morton-
+    interleave JVM-side, range-partition + sort on the z-value — so
+    min/max footer stats stay tight on EVERY listed column and a
+    filter on any one of them skips files, where lexicographic
+    ``cluster_by`` prunes only its leading key.
     """
+    if cluster_by and zorder_by:
+        raise ValueError("pass cluster_by OR zorder_by, not both")
     report = table_report(table_dir, target_file_mb=target_file_mb)
     epoch = report["epoch"]
     live = data_dir(table_dir, DATA_NAME, epoch)
@@ -181,7 +195,22 @@ def optimize_table(
     n_out = report["target_files"]
 
     df = spark.read.parquet(live)
-    if cluster_by:
+    if zorder_by:
+        from ariadne_dbt_spark.operators.layout import _bucketize, z_value
+
+        n_buckets = 1 << zorder_bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.stat.approxQuantile(list(zorder_by), probs, 0.001)
+        buckets = [
+            _bucketize(c, b, zorder_bits) for c, b in zip(zorder_by, bounds)
+        ]
+        out = (
+            df.withColumn("_z", z_value(buckets, zorder_bits))
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif cluster_by:
         out = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
@@ -203,4 +232,9 @@ def optimize_table(
     sweep_stale_epochs(
         table_dir, [DATA_NAME], epoch + 1, retention_sec=retention_sec
     )
-    return {**report, "new_epoch": epoch + 1, "clustered_by": cluster_by or []}
+    return {
+        **report,
+        "new_epoch": epoch + 1,
+        "clustered_by": cluster_by or [],
+        "zordered_by": list(zorder_by) if zorder_by else [],
+    }

@@ -84,6 +84,53 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
         assert hi1 < lo2, ranges  # disjoint → min/max footers prune files
 
 
+def test_zorder_by_keeps_every_dimension_prunable(spark, tmp_path):
+    """OPTIMIZE ZORDER: every output file's min/max footer range must be
+    NARROW on BOTH keys — lexicographic cluster_by on (x, y) gives each
+    file a narrow x range but the FULL y range, so a y-filter prunes
+    nothing; the Morton interleave is exactly what fixes that."""
+    import pyarrow.parquet as pq
+
+    from ariadne_dbt_spark.operators.epoch_store import _walk_parquet, data_dir
+
+    tdir = str(tmp_path / "ztbl")
+    # 256x256 uniform grid x4 (~16 MB with the pad → ~16 1 MB files;
+    # with only 2-3 files the curve can't show per-dimension locality)
+    df = spark.range(262_144).select(
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") / 256).cast("long") % 256).alias("y"),
+        F.sha1(F.col("id").cast("string")).alias("pad"),
+    )
+    write_table(spark, df.repartition(20), tdir)
+
+    with pytest.raises(ValueError, match="not both"):
+        optimize_table(spark, tdir, cluster_by=["x"], zorder_by=["y"])
+
+    before = read_table(spark, tdir).count()
+    out = optimize_table(spark, tdir, target_file_mb=1, zorder_by=["x", "y"])
+    assert out["zordered_by"] == ["x", "y"]
+    assert read_table(spark, tdir).count() == before
+
+    from ariadne_dbt_spark.operators.layout import rowgroup_overlap_fraction
+
+    live = data_dir(tdir, DATA_NAME, read_epoch(tdir))
+    # a 1/8-domain band on EITHER key must prune most row groups —
+    # the multi-dimensional property lexicographic clustering lacks
+    zx = rowgroup_overlap_fraction(live, "x", 0, 31)
+    zy = rowgroup_overlap_fraction(live, "y", 0, 31)
+    assert zx <= 0.7 and zy <= 0.7, (zx, zy)
+
+    # the discriminating comparison: lexicographic (x, y) clustering on
+    # the same data leaves the TRAILING key unprunable
+    ldir = str(tmp_path / "ltbl")
+    write_table(spark, df.repartition(20), ldir)
+    optimize_table(spark, ldir, target_file_mb=1, cluster_by=["x", "y"])
+    llive = data_dir(ldir, DATA_NAME, read_epoch(ldir))
+    ly = rowgroup_overlap_fraction(llive, "y", 0, 31)
+    assert zy < ly, (zy, ly)
+    assert ly >= 0.9, ly  # every lex file spans the full y range
+
+
 def test_crashed_attempt_is_overwritten(spark, tmp_path):
     tdir = _make_fragmented(spark, tmp_path, n_rows=500, n_files=8)
     # simulate a crashed optimize: garbage parquet-less staging dir for
