@@ -77,6 +77,7 @@ __all__ = [
     "read_table",
     "write_table",
     "table_report",
+    "table_history",
     "optimize_table",
 ]
 
@@ -94,9 +95,69 @@ def _resolve(table_dir: str) -> str:
     return data_dir(table_dir, DATA_NAME, read_epoch(table_dir))
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the table through the epoch pointer."""
-    return spark.read.parquet(_resolve(table_dir))
+def read_table(
+    spark: SparkSession, table_dir: str, *, epoch: int | None = None
+) -> DataFrame:
+    """Read the table through the epoch pointer; ``epoch=`` pins a
+    specific version instead (time travel) — readable for as long as
+    OPTIMIZE's ``retention_sec`` keeps the retired dir (see
+    :func:`table_history` for what is on disk). A swept epoch raises
+    ``FileNotFoundError`` rather than silently reading the current
+    one."""
+    if epoch is None:
+        return spark.read.parquet(_resolve(table_dir))
+    path = data_dir(table_dir, DATA_NAME, epoch)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"epoch {epoch} of {table_dir} is not on disk (swept, or never "
+            f"existed); retained epochs: "
+            f"{[h['epoch'] for h in table_history(table_dir)]}"
+        )
+    return spark.read.parquet(path)
+
+
+def table_history(table_dir: str) -> list[dict]:
+    """Epochs still on disk, oldest first — metadata only: per epoch
+    the file count, byte size, whether it is the pointer's CURRENT
+    version, and the retirement timestamp (from the ``_retired.json``
+    stamp vacuum retention ages by; None while current or when the
+    sweeper hasn't visited yet). The managed-table face of the epoch
+    machinery's retention contract: what ``read_table(epoch=)`` can
+    still time-travel to, and when each version will become sweepable.
+    """
+    from ariadne_dbt_spark.operators.epoch_store import _read_retired_at
+
+    current = read_epoch(table_dir)
+    out = []
+    if not os.path.isdir(table_dir):
+        return out
+    for entry in sorted(os.listdir(table_dir)):
+        if entry == DATA_NAME:
+            ep = 0
+        elif entry.startswith(f"{DATA_NAME}_ep"):
+            suffix = entry[len(DATA_NAME) + 3 :]
+            if not suffix.isdigit():
+                continue
+            ep = int(suffix)
+        else:
+            continue
+        path = os.path.join(table_dir, entry)
+        if not os.path.isdir(path):
+            continue
+        files = _walk_parquet(path)
+        out.append(
+            {
+                "epoch": ep,
+                "n_files": len(files),
+                "total_bytes": sum(os.path.getsize(p) for p in files),
+                "is_current": ep == current,
+                "retired_at": None
+                if ep == current
+                else _read_retired_at(os.path.join(path, "_retired.json")),
+            }
+        )
+    out.sort(key=lambda h: h["epoch"])
+    return out
 
 
 def write_table(spark: SparkSession, df: DataFrame, table_dir: str) -> str:

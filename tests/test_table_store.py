@@ -159,6 +159,29 @@ def test_concurrent_optimize_raises_and_table_stays_readable(spark, tmp_path):
     assert read_table(spark, tdir).count() == 500
 
 
+def test_time_travel_read_and_history(spark, tmp_path):
+    from ariadne_dbt_spark.operators.table_store import table_history
+
+    tdir = _make_fragmented(spark, tmp_path, n_rows=500, n_files=8)
+    before = sorted(r["id"] for r in read_table(spark, tdir).collect())
+    # retention keeps epoch 0 on disk after the flip → pinnable
+    optimize_table(spark, tdir, retention_sec=3600)
+
+    hist = table_history(tdir)
+    assert [h["epoch"] for h in hist] == [0, 1]
+    assert [h["is_current"] for h in hist] == [False, True]
+    assert hist[0]["retired_at"] is not None  # stamped by the sweep
+    assert hist[1]["retired_at"] is None
+
+    pinned = sorted(r["id"] for r in read_table(spark, tdir, epoch=0).collect())
+    assert pinned == before
+    assert read_table(spark, tdir, epoch=1).count() == len(before)
+
+    # swept (or never-written) epochs refuse loudly
+    with pytest.raises(FileNotFoundError, match="retained epochs"):
+        read_table(spark, tdir, epoch=7)
+
+
 def test_retention_keeps_retired_epoch_then_sweeps(spark, tmp_path):
     from ariadne_dbt_spark.operators.epoch_store import data_dir, sweep_stale_epochs
 
