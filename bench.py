@@ -41,6 +41,10 @@ HEADLINE = [
     # shuffle) is a PERFORMANCE contract; the oracle row only proves
     # semantics
     "bloom_decontamination_check",
+    # round 9: the persisted-artifact twin — its warm number is the
+    # per-batch serving cost (bitmap load + map-only probe + verify),
+    # with the benchmark-side build inside the row like the one-shot
+    "decontamination_index_check",
     "exact_substring_excision",
     "minhash_lsh_candidates",
     "simhash_fingerprints",
