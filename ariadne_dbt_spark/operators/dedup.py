@@ -638,6 +638,17 @@ def build_shingle_index(
     written = df.sparkSession.read.parquet(
         epoch_store.data_dir(out_dir, "postings", 0)
     ).select("shingle").distinct()
+    # a rebuild starts the gen log over, so EVERY partial from the
+    # previous index life is stale (clear_index only knows the data
+    # dirs). Never read — a committed gen always rewrites its partial
+    # first — but junk bytes a refold's <=fold_gen cut wouldn't remove.
+    import glob
+
+    for p in glob.glob(os.path.join(out_dir, "_bloom_gen*.bin")):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
     meta = _write_shingle_bloom_fold(out_dir, written, meta, 0)
     _write_shingle_meta(out_dir, meta)
     return meta
