@@ -387,7 +387,11 @@ def cmd_maintain(args):
             kw["max_files"] = args.max_files
         report = table_store.table_report(args.index, **kw)
         compacted = False
-        if args.compact and report["should_optimize"]:
+        # an explicit layout request (--cluster-by/--zorder-by) is a
+        # re-layout command, not a small-file question — run it even
+        # when the fragmentation heuristic says the table is healthy
+        explicit_layout = bool(args.cluster_by or args.zorder_by)
+        if args.compact and (report["should_optimize"] or explicit_layout):
             from ariadne_dbt_spark.session import get_spark
 
             spark = get_spark("ariadne-maintain")

@@ -84,11 +84,16 @@ class BloomFilter:
 
     @property
     def saturation(self) -> float:
-        """Fraction of bits set — the filter's health gauge."""
+        """Fraction of bits set — the filter's health gauge. Popcount
+        via a 256-entry LUT: the temp allocation stays O(bitmap), where
+        ``np.unpackbits`` would materialize 8x the bitmap (at the
+        ~1.8 GB-bitmap scale the shingle sidecar advertises, that is a
+        14 GB driver spike inside a 'metadata-only' maintenance call)."""
         import numpy as np
 
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
         arr = np.frombuffer(self.bits, dtype=np.uint8)
-        return float(np.unpackbits(arr).sum()) / self.m_bits
+        return float(lut[arr].sum(dtype=np.int64)) / self.m_bits
 
     @property
     def fpp_estimate(self) -> float:

@@ -785,6 +785,10 @@ def append_to_shingle_index(
     epoch = epoch_store.read_epoch(index_dir)
     gen = epoch_store.next_attempt_gen(index_dir, epoch, meta.get("gen", 0))
     sh = shingle_sets(df, id_col, text_col, meta["n"])
+    if meta.get("bloom"):
+        # the bloom partial below re-consumes the batch shingles;
+        # materialize once instead of re-running the shingle lineage
+        sh = sh.localCheckpoint(eager=True)
     # one file per touched bucket per append (see ivf_append): without
     # the cluster-by-key, each append writes one file per (shuffle
     # partition, bucket) and MOR planning cost balloons
@@ -816,8 +820,19 @@ def append_to_shingle_index(
         _write_bloom_file(_bloom_partial_path(index_dir, gen), part)
     # CAS under the commit lock: refuse the commit if another writer
     # slipped in (last-writer-wins would drop its gen — silently); the
-    # lock makes the check→replace window atomic, not just best-effort
+    # lock makes the check→replace window atomic, not just best-effort.
+    # The epoch check closes the append∥compact race: a compaction that
+    # flipped the pointer mid-append rewrote the OLD epoch's dirs, so
+    # this append's rows are not in the new epoch — committing the gen
+    # anyway would record rows that no reader can see. Retry re-appends
+    # into the new epoch.
     with epoch_store.commit_lock(index_dir):
+        if epoch_store.read_epoch(index_dir) != epoch:
+            raise epoch_store.ConcurrentWriteError(
+                f"shingle index {index_dir} was compacted (epoch moved "
+                f"past {epoch}) during this append; retry the append "
+                "against the new epoch"
+            )
         with open(os.path.join(index_dir, "meta.json")) as f:
             epoch_store.check_gen_unchanged(json.load(f), expect)
         _write_shingle_meta(index_dir, epoch_store.advance_gen(meta, gen))
@@ -1547,6 +1562,7 @@ def compact_shingle_index(
     epoch = epoch_store.read_epoch(index_dir)
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
+    snapshot = epoch_store.gen_state(meta)
     postings = epoch_store.apply_gen_filter(
         epoch_store.read_gen_data(spark, index_dir, "postings", epoch),
         meta,
@@ -1564,19 +1580,18 @@ def compact_shingle_index(
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         epoch_store.data_dir(index_dir, "postings", new_epoch)
     )
-    epoch_store.commit_epoch(index_dir, new_epoch)
     # every surviving row passed the committed filter, so the orphan
-    # exclusions are dead weight in the new epoch; clearing them after
-    # the flip is safe (a crash in between leaves harmless stale ones)
+    # exclusions are dead weight in the new epoch; clearing them in the
+    # meta committed WITH the flip is safe
     if "orphans" in meta and meta["orphans"]:
         meta["orphans"] = []
-    # refold the bloom sidecar from the compacted postings: resizes for
-    # the current corpus, drops tombstoned docs' bits (they were only
-    # false positives until now), and retires every per-gen partial.
-    # Crash windows are all safe: before the fold write, readers keep
-    # the old fold+partials (stale bits = false positives); between the
-    # fold write and the meta write, the size check in
-    # load_shingle_bloom disables the prefilter until the next fold.
+    # refold the bloom sidecar from the STAGED postings before taking
+    # the lock (two Spark jobs — the commit lock's contract is
+    # milliseconds of metadata work): resizes for the current corpus,
+    # drops tombstoned docs' bits (false positives until now), retires
+    # every per-gen partial. If the CAS below then aborts, the deleted
+    # partials leave load_shingle_bloom returning None — prefilter off,
+    # results still exact, maintenance report asks for the re-run.
     if meta.get("bloom"):
         survivors = spark.read.parquet(
             epoch_store.data_dir(index_dir, "postings", new_epoch)
@@ -1584,7 +1599,23 @@ def compact_shingle_index(
         meta = _write_shingle_bloom_fold(
             index_dir, survivors, meta, meta.get("gen", 0)
         )
-    _write_shingle_meta(index_dir, meta)
+    # flip + meta write are one guarded commit: an append that landed
+    # between this compaction's snapshot and its flip wrote postings
+    # into the OLD epoch's dirs — flipping anyway would orphan its
+    # committed rows (and the unguarded meta write would revert its gen
+    # advance). CAS on (gen, orphans) + the epoch pointer turns that
+    # lost update into a loud retry; append_to_shingle_index holds the
+    # same lock for its commit.
+    with epoch_store.commit_lock(index_dir):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            epoch_store.check_gen_unchanged(json.load(f), snapshot)
+        if epoch_store.read_epoch(index_dir) != epoch:
+            raise epoch_store.ConcurrentWriteError(
+                f"shingle index {index_dir} epoch moved past {epoch} "
+                "during compaction; re-run against the new epoch"
+            )
+        epoch_store.commit_epoch(index_dir, new_epoch)
+        _write_shingle_meta(index_dir, meta)
     epoch_store.sweep_stale_epochs(
         index_dir, ["postings"], new_epoch, retention_sec=retention_sec
     )

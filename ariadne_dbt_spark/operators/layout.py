@@ -55,22 +55,22 @@ def z_value(bucket_cols: list[F.Column], bits: int) -> F.Column:
     return z
 
 
-def zorder_write(
-    df: DataFrame,
-    out_dir: str,
-    cols: list[str],
-    *,
-    bits: int = 8,
-    n_files: int = 32,
-) -> dict:
-    """Write ``df`` as parquet clustered on the Z-order curve of
-    ``cols``: quantile-bucketize each key to ``bits`` bits (one
-    ``approxQuantile`` pass), Morton-interleave, ``repartitionByRange``
-    on the z-value (range partitioning keeps curve neighborhoods in the
-    same file) and sort within partitions so row-group min/max stats
-    are tight on every key. Returns the boundary metadata (persist it
-    to bucketize query literals the same way if needed).
-    """
+def zorder_frame(
+    df: DataFrame, cols: list[str], *, bits: int = 8, n_files: int = 32
+) -> tuple[DataFrame, dict]:
+    """The reusable curve pipeline behind :func:`zorder_write` and
+    ``table_store.optimize_table(zorder_by=)``: quantile-bucketize each
+    NUMERIC key to ``bits`` bits (one ``approxQuantile`` pass),
+    Morton-interleave, ``repartitionByRange`` + sort on the z-value.
+    Returns (clustered frame with the original schema, boundary
+    metadata). Refuses a frame that already has a ``_z`` column —
+    silently replacing-then-dropping it would commit a rewrite MISSING
+    the user's column."""
+    if "_z" in df.columns:
+        raise ValueError(
+            "frame already has a column named '_z' (the z-order scratch "
+            "name); rename it before z-ordering"
+        )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = {
@@ -89,8 +89,25 @@ def zorder_write(
     )
     # note: _z must be dropped AFTER the exchange+sort or the range
     # partitioning has nothing to key on; Catalyst keeps the ordering
+    return out, {"cols": list(cols), "bits": bits, "boundaries": bounds}
+
+
+def zorder_write(
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 32,
+) -> dict:
+    """Write ``df`` as parquet clustered on the Z-order curve of
+    ``cols`` (see :func:`zorder_frame`) so row-group min/max stats are
+    tight on every key. Returns the boundary metadata (persist it to
+    bucketize query literals the same way if needed).
+    """
+    out, meta = zorder_frame(df, cols, bits=bits, n_files=n_files)
     out.write.mode("overwrite").parquet(out_dir)
-    return {"cols": cols, "bits": bits, "boundaries": bounds}
+    return meta
 
 
 def rowgroup_overlap_fraction(path: str, col: str, lo: float, hi: float) -> float:

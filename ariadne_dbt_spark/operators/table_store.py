@@ -107,10 +107,14 @@ def read_table(
     if epoch is None:
         return spark.read.parquet(_resolve(table_dir))
     path = data_dir(table_dir, DATA_NAME, epoch)
-    if not os.path.isdir(path):
+    # the > current guard matters as much as the isdir one: a crashed
+    # or in-flight optimize leaves a STAGED t_ep<current+1> dir whose
+    # partial part-files would otherwise read as a "version"
+    if epoch > read_epoch(table_dir) or not os.path.isdir(path):
         raise FileNotFoundError(
-            f"epoch {epoch} of {table_dir} is not on disk (swept, or never "
-            f"existed); retained epochs: "
+            f"epoch {epoch} of {table_dir} is not a committed version "
+            f"on disk (swept, never committed, or an in-flight staging "
+            f"dir); retained epochs: "
             f"{[h['epoch'] for h in table_history(table_dir)]}"
         )
     return spark.read.parquet(path)
@@ -142,7 +146,9 @@ def table_history(table_dir: str) -> list[dict]:
         else:
             continue
         path = os.path.join(table_dir, entry)
-        if not os.path.isdir(path):
+        if not os.path.isdir(path) or ep > current:
+            # > current is a crashed/in-flight optimize's staging dir,
+            # not a version
             continue
         files = _walk_parquet(path)
         out.append(
@@ -257,19 +263,10 @@ def optimize_table(
 
     df = spark.read.parquet(live)
     if zorder_by:
-        from ariadne_dbt_spark.operators.layout import _bucketize, z_value
+        from ariadne_dbt_spark.operators.layout import zorder_frame
 
-        n_buckets = 1 << zorder_bits
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = df.stat.approxQuantile(list(zorder_by), probs, 0.001)
-        buckets = [
-            _bucketize(c, b, zorder_bits) for c, b in zip(zorder_by, bounds)
-        ]
-        out = (
-            df.withColumn("_z", z_value(buckets, zorder_bits))
-            .repartitionByRange(n_out, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z")
+        out, _zmeta = zorder_frame(
+            df, list(zorder_by), bits=zorder_bits, n_files=n_out
         )
     elif cluster_by:
         out = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(

@@ -96,6 +96,90 @@ def test_shingle_append_crash_retry_no_double_count(spark, tmp_path):
     assert {r["gen"] for r in live.select("gen").distinct().collect()} == {0, 2}
 
 
+def test_shingle_compaction_aborts_on_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """An append that commits between a compaction's meta snapshot and
+    its epoch flip wrote postings into the OLD epoch's dirs — the flip
+    would orphan its committed rows, and the compaction's meta write
+    would revert its gen advance (lost update). The CAS at the flip
+    must turn that into a loud retry, leaving the append fully
+    visible."""
+    from ariadne_dbt_spark.operators import dedup as dedup_mod
+
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+
+    sneak = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    original = dedup_mod._write_shingle_bloom_fold
+
+    def inject_append_then_fold(*a, **kw):
+        # runs inside compact_shingle_index, after its snapshot and
+        # staged write, before its guarded flip — a real concurrent
+        # committer
+        append_to_shingle_index(sneak, idx, "doc_id", "text")
+        return original(*a, **kw)
+
+    monkeypatch.setattr(
+        dedup_mod, "_write_shingle_bloom_fold", inject_append_then_fold
+    )
+    import pytest
+
+    with pytest.raises(epoch_store.ConcurrentWriteError):
+        compact_shingle_index(spark, idx)
+    monkeypatch.undo()
+
+    # nothing flipped, the sneaked append's gen survived, and its doc
+    # is visible (prefilter may be degraded by the aborted refold —
+    # results must be exact regardless)
+    assert epoch_store.read_epoch(idx) == 0
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["gen"] == 1
+    assert _flags(spark, idx, [(99, BATCH[0][1])]) == {99: True}
+
+    # the re-run compacts cleanly and keeps the appended rows
+    compact_shingle_index(spark, idx)
+    assert epoch_store.read_epoch(idx) == 1
+    assert _flags(spark, idx, [(99, BATCH[0][1])]) == {99: True}
+
+
+def test_shingle_append_aborts_when_compaction_flips_mid_append(
+    spark, tmp_path, monkeypatch
+):
+    """The mirror race: a compaction that flips while an append is in
+    flight rewrote the OLD epoch's dirs, so the append's already-written
+    rows are not part of the new epoch — committing its gen anyway would
+    record rows no reader can see. The epoch check in the append's
+    commit must refuse; a retry lands in the new epoch."""
+    from ariadne_dbt_spark.operators import bloom as bloom_mod
+
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+
+    batch = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    original = bloom_mod.bloom_build
+
+    def inject_compact_then_build(*a, **kw):
+        # append calls bloom_build after its postings write and before
+        # its commit — flip the epoch right in that window
+        monkeypatch.undo()
+        compact_shingle_index(spark, idx)
+        return original(*a, **kw)
+
+    monkeypatch.setattr(bloom_mod, "bloom_build", inject_compact_then_build)
+    import pytest
+
+    with pytest.raises(epoch_store.ConcurrentWriteError, match="compacted"):
+        append_to_shingle_index(batch, idx, "doc_id", "text")
+
+    # the refused append is invisible; the retry (clean) is visible
+    assert _flags(spark, idx, [(99, BATCH[0][1])]) == {99: False}
+    append_to_shingle_index(batch, idx, "doc_id", "text")
+    assert _flags(spark, idx, [(99, BATCH[0][1])]) == {99: True}
+
+
 def test_shingle_compaction_drops_orphans_and_clears_exclusions(spark, tmp_path):
     idx = str(tmp_path / "shidx")
     docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
