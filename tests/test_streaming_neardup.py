@@ -63,10 +63,15 @@ def test_near_dup_ingest_stream_cross_batch(spark, tmp_path):
     }
     assert kept == {11, 12, 22}, kept
     assert n == 3
-    # the index grew by exactly the accepted docs' postings
+    # the index grew by exactly the accepted docs' postings — read
+    # through the epoch pointer: the maintainer may have auto-compacted
+    # mid-stream (round 9's bloom fpp signal fires on the tiny fold),
+    # retiring the flat epoch-0 dir this test used to read directly
+    from ariadne_dbt_spark.operators import epoch_store
+
     post_ids = {
         r.id
-        for r in spark.read.parquet(os.path.join(idx, "postings"))
+        for r in epoch_store.read_gen_data(spark, idx, "postings")
         .select("id").distinct().collect()
     }
     assert post_ids == {1, 2, 3, 11, 12, 22}, post_ids
