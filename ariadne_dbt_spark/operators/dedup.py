@@ -827,7 +827,14 @@ def append_to_shingle_index(
     # anyway would record rows that no reader can see. Retry re-appends
     # into the new epoch.
     with epoch_store.commit_lock(index_dir):
-        if epoch_store.read_epoch(index_dir) != epoch:
+        live_epoch = epoch_store.read_epoch(index_dir)
+        if live_epoch != epoch:
+            # burn this attempt's gen in the NEW epoch's marker before
+            # refusing: if the flip landed between the reservation and
+            # the data write, the rows sit in the new epoch's dirs —
+            # a retry reusing the gen would double-count them; burned,
+            # they become a permanent orphan instead
+            epoch_store.next_attempt_gen(index_dir, live_epoch, gen)
             raise epoch_store.ConcurrentWriteError(
                 f"shingle index {index_dir} was compacted (epoch moved "
                 f"past {epoch}) during this append; retry the append "

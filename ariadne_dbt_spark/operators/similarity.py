@@ -844,8 +844,22 @@ def ivf_append(
         stats["stream_epochs"] = se
     # CAS under the commit lock: a concurrent writer's committed
     # gen/stats must not be dropped, and the lock makes the
-    # check→replace window atomic (not merely best-effort)
+    # check→replace window atomic (not merely best-effort). The epoch
+    # check closes the append∥compact/retrain race: a flip that landed
+    # mid-append rewrote the OLD epoch's cell dirs, so this append's
+    # rows are invisible in the new epoch — committing the gen anyway
+    # would record rows no reader can see
     with epoch_store.commit_lock(index_dir):
+        live_epoch = epoch_store.read_epoch(index_dir)
+        if live_epoch != epoch:
+            # burn the gen in the new epoch's marker first: rows that
+            # landed post-flip sit in the NEW dirs, and a retry reusing
+            # this gen would double-count them (see shingle twin)
+            epoch_store.next_attempt_gen(index_dir, live_epoch, gen)
+            raise epoch_store.ConcurrentWriteError(
+                f"IVF index {index_dir} epoch moved past {epoch} during "
+                "this append; retry against the new epoch"
+            )
         with open(os.path.join(index_dir, "stats.json")) as f:
             epoch_store.check_gen_unchanged(json.load(f), expect)
         _write_index_json(
@@ -1109,11 +1123,28 @@ def ivf_compact(spark, index_dir: str, *, retention_sec: float = 0.0) -> None:
     live.write.mode("overwrite").partitionBy("cell").parquet(
         epoch_store.data_dir(index_dir, "vectors", new_epoch)
     )
-    epoch_store.commit_epoch(index_dir, new_epoch)
-    # orphaned gens were physically dropped by the filter above
-    if stats.get("orphans"):
-        stats["orphans"] = []
-        _write_index_json(stats_path, stats)
+    # guarded flip (see compact_shingle_index): an append that committed
+    # after this compaction's stats snapshot wrote vectors into the OLD
+    # epoch's dirs — flipping anyway would orphan its committed rows,
+    # and the orphan-clearing stats write would revert its gen advance.
+    # CAS turns the lost update into a loud retry; appends hold the same
+    # lock (and refuse when the epoch moved under THEM).
+    with epoch_store.commit_lock(index_dir):
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                epoch_store.check_gen_unchanged(
+                    json.load(f), epoch_store.gen_state(stats)
+                )
+        if epoch_store.read_epoch(index_dir) != epoch:
+            raise epoch_store.ConcurrentWriteError(
+                f"IVF index {index_dir} epoch moved past {epoch} during "
+                "compaction; re-run against the new epoch"
+            )
+        epoch_store.commit_epoch(index_dir, new_epoch)
+        # orphaned gens were physically dropped by the filter above
+        if stats.get("orphans"):
+            stats["orphans"] = []
+            _write_index_json(stats_path, stats)
     epoch_store.sweep_stale_epochs(
         index_dir, ["vectors"], new_epoch, retention_sec=retention_sec
     )
@@ -1565,8 +1596,19 @@ def ivf_pq_append(
         "append"
     ).partitionBy("cell").parquet(epoch_store.data_dir(index_dir, "codes"))
     # CAS under the commit lock: a concurrent writer's committed gen
-    # must not be dropped, and the lock makes check→replace atomic
+    # must not be dropped, and the lock makes check→replace atomic.
+    # Epoch check: see ivf_append — a mid-append flip strands this
+    # batch's rows in the old epoch's dirs
     with epoch_store.commit_lock(index_dir):
+        live_epoch = epoch_store.read_epoch(index_dir)
+        if live_epoch != epoch:
+            # burn the gen in the new epoch's marker first (see
+            # ivf_append / shingle twin)
+            epoch_store.next_attempt_gen(index_dir, live_epoch, gen)
+            raise epoch_store.ConcurrentWriteError(
+                f"IVF-PQ index {index_dir} epoch moved past {epoch} "
+                "during this append; retry against the new epoch"
+            )
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 epoch_store.check_gen_unchanged(json.load(f), expect)
@@ -1805,11 +1847,23 @@ def ivf_pq_compact(spark, index_dir: str, *, retention_sec: float = 0.0) -> None
     live.write.mode("overwrite").partitionBy("cell").parquet(
         epoch_store.data_dir(index_dir, "codes", new_epoch)
     )
-    epoch_store.commit_epoch(index_dir, new_epoch)
-    # orphaned gens were physically dropped by the filter above
-    if index_meta.get("orphans"):
-        index_meta["orphans"] = []
-        _write_index_json(meta_path, index_meta)
+    # guarded flip — same append∥compact race as ivf_compact
+    with epoch_store.commit_lock(index_dir):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                epoch_store.check_gen_unchanged(
+                    json.load(f), epoch_store.gen_state(index_meta)
+                )
+        if epoch_store.read_epoch(index_dir) != epoch:
+            raise epoch_store.ConcurrentWriteError(
+                f"IVF-PQ index {index_dir} epoch moved past {epoch} "
+                "during compaction; re-run against the new epoch"
+            )
+        epoch_store.commit_epoch(index_dir, new_epoch)
+        # orphaned gens were physically dropped by the filter above
+        if index_meta.get("orphans"):
+            index_meta["orphans"] = []
+            _write_index_json(meta_path, index_meta)
     epoch_store.sweep_stale_epochs(
         index_dir, ["codes"], new_epoch, retention_sec=retention_sec
     )

@@ -304,6 +304,107 @@ def test_ivf_pq_append_crash_retry_no_double_count(spark, tmp_path):
     assert live.count() == 45 and codes.count() == 50
 
 
+def test_ivf_append_aborts_when_compaction_flips_mid_append(
+    spark, tmp_path, monkeypatch
+):
+    """ivf_append twin of the shingle race tests: a compaction that
+    flips while an append is between its data write and its commit must
+    make the append refuse (rows may sit in the retired epoch's dirs) —
+    and the retry must serve every id exactly once (the refusal burns
+    the reserved gen in the new epoch's marker, so a post-flip stranded
+    copy can never be resurrected by gen reuse)."""
+    import pytest
+
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_compact,
+        ivf_query_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(_embeddings(spark, range(40)), idx, n_centroids=4, iters=2)
+
+    state = {"fired": False}
+    original_lock = epoch_store.commit_lock
+
+    def lock_after_flip(target_dir):
+        if not state["fired"]:
+            state["fired"] = True
+            monkeypatch.undo()
+            ivf_compact(spark, idx)  # the concurrent maintainer
+        return original_lock(target_dir)
+
+    monkeypatch.setattr(epoch_store, "commit_lock", lock_after_flip)
+    batch = _embeddings(spark, range(100, 105))
+    with pytest.raises(epoch_store.ConcurrentWriteError, match="epoch moved"):
+        ivf_append(batch, idx)
+
+    # refused rows invisible; retry serves each id exactly once
+    q = [float(((101 * 7 + j * 3) % 10)) for j in range(8)]
+    got = {
+        r["vec_id"] for r in ivf_query_index(spark, idx, q, k=50, nprobe=4).collect()
+    }
+    assert got.isdisjoint(set(range(100, 105)))
+    ivf_append(batch, idx)
+    res = ivf_query_index(spark, idx, q, k=100, nprobe=4).collect()
+    ids = [r["vec_id"] for r in res]
+    assert set(range(100, 105)) <= set(ids)
+    assert len(ids) == len(set(ids))
+    with open(os.path.join(idx, "stats.json")) as f:
+        stats = json.load(f)
+    live = epoch_store.apply_gen_filter(
+        spark.read.parquet(epoch_store.data_dir(idx, "vectors")), stats
+    )
+    assert live.count() == 45
+
+
+def test_ivf_compaction_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """Mirror direction: an append that commits between ivf_compact's
+    stats snapshot and its flip must abort the compaction (its rows live
+    in the epoch the flip would retire); the re-run folds everything."""
+    import pytest
+
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_compact,
+        ivf_query_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(_embeddings(spark, range(40)), idx, n_centroids=4, iters=2)
+
+    state = {"fired": False}
+    original_lock = epoch_store.commit_lock
+    batch = _embeddings(spark, range(100, 105))
+
+    def lock_after_append(target_dir):
+        if not state["fired"]:
+            state["fired"] = True
+            monkeypatch.undo()
+            ivf_append(batch, idx)  # the concurrent committer
+        return original_lock(target_dir)
+
+    monkeypatch.setattr(epoch_store, "commit_lock", lock_after_append)
+    with pytest.raises(epoch_store.ConcurrentWriteError):
+        ivf_compact(spark, idx)
+
+    # nothing flipped; the append stayed fully committed and visible
+    assert epoch_store.read_epoch(idx) == 0
+    q = [float(((101 * 7 + j * 3) % 10)) for j in range(8)]
+    res = ivf_query_index(spark, idx, q, k=100, nprobe=4).collect()
+    assert set(range(100, 105)) <= {r["vec_id"] for r in res}
+
+    # the re-run compacts cleanly, keeping the appended vectors
+    ivf_compact(spark, idx)
+    assert epoch_store.read_epoch(idx) == 1
+    res = ivf_query_index(spark, idx, q, k=100, nprobe=4).collect()
+    ids = [r["vec_id"] for r in res]
+    assert set(range(100, 105)) <= set(ids)
+    assert len(ids) == len(set(ids))
+
+
 def test_shingle_append_concurrent_commit_refused(spark, tmp_path):
     """Two writers racing on one shingle index: the second commit must
     refuse (ConcurrentWriteError) instead of silently dropping the
