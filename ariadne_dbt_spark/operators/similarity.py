@@ -995,13 +995,15 @@ def ivf_retrain(
     with open(tmp, "w") as f:
         json.dump(centroids, f)
     os.replace(tmp, _epoch_json_path(index_dir, "centroids", new_epoch))
-    # THE commit: pointer flip makes new vectors + new centroids + (via
-    # the stats write below) the reset drift baseline visible together.
-    # stats.json after the flip: a crash between flip and stats write
-    # serves the NEW epoch under the OLD stats — gens there are all 0,
-    # and apply_gen_filter keeps gen<=hi, so rows still serve correctly;
-    # only the drift baseline is stale until the write lands.
-    epoch_store.commit_epoch(index_dir, new_epoch)
+    # THE commit: pointer flip makes new vectors + new centroids + the
+    # reset drift baseline visible together, guarded like the compaction
+    # flip — this retrain trained on the index's OWN live vectors, so an
+    # append that committed after the training snapshot holds rows the
+    # flip would silently drop; CAS turns that into a loud retry. (A
+    # crash between flip and stats write serves the NEW epoch under the
+    # OLD stats — gens there are all 0, and apply_gen_filter keeps
+    # gen<=hi, so rows still serve correctly; only the drift baseline is
+    # stale until the write lands.)
     new_stats = {
         "build_mean_dist": float(fit["m"] or 0.0),
         "mean_dist": float(fit["m"] or 0.0),
@@ -1011,7 +1013,18 @@ def ivf_retrain(
     }
     if stats.get("stream_epochs"):
         new_stats["stream_epochs"] = stats["stream_epochs"]
-    _write_index_json(os.path.join(index_dir, "stats.json"), new_stats)
+    with epoch_store.commit_lock(index_dir):
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            epoch_store.check_gen_unchanged(
+                json.load(f), epoch_store.gen_state(stats)
+            )
+        if epoch_store.read_epoch(index_dir) != epoch:
+            raise epoch_store.ConcurrentWriteError(
+                f"IVF index {index_dir} epoch moved past {epoch} during "
+                "retrain; re-run against the new epoch"
+            )
+        epoch_store.commit_epoch(index_dir, new_epoch)
+        _write_index_json(os.path.join(index_dir, "stats.json"), new_stats)
     epoch_store.sweep_stale_epochs(
         index_dir, ["vectors"], new_epoch, retention_sec=retention_sec
     )
@@ -1955,13 +1968,24 @@ def ivf_pq_retrain(
             json.dump(payload, f)
         os.replace(tmp, _epoch_json_path(index_dir, base, new_epoch))
     # THE commit: flip the pointer — codes + centroids + codebooks
-    # become visible together; stats below are bookkeeping
-    epoch_store.commit_epoch(index_dir, new_epoch)
+    # become visible together. Guarded against a concurrent flip only:
+    # unlike ivf_retrain_index this rebuilds from the EXTERNAL source
+    # table, so resetting gen 0 over mid-retrain appends is the
+    # documented rebuild-replaces contract (their rows are expected in
+    # the source); a concurrent compaction's flip, however, must not be
+    # silently double-advanced.
     index_meta.update(
         residual=residual, m=len(codebooks), d_sub=len(codebooks[0][0]),
         gen=0, orphans=[],
     )
-    _write_index_json(meta_path, index_meta)
+    with epoch_store.commit_lock(index_dir):
+        if epoch_store.read_epoch(index_dir) != epoch:
+            raise epoch_store.ConcurrentWriteError(
+                f"IVF-PQ index {index_dir} epoch moved past {epoch} "
+                "during retrain; re-run against the new epoch"
+            )
+        epoch_store.commit_epoch(index_dir, new_epoch)
+        _write_index_json(meta_path, index_meta)
     epoch_store.sweep_stale_epochs(
         index_dir, ["codes"], new_epoch, retention_sec=retention_sec
     )

@@ -405,6 +405,54 @@ def test_ivf_compaction_aborts_on_concurrent_append(spark, tmp_path, monkeypatch
     assert len(ids) == len(set(ids))
 
 
+def test_ivf_retrain_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """ivf_retrain trains on the index's OWN live vectors, so an append
+    that commits after the training snapshot holds rows the flip would
+    silently drop — the guarded flip must abort instead, and the re-run
+    must carry the appended vectors into the new layout."""
+    import pytest
+
+    from ariadne_dbt_spark.operators.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_query_index,
+        ivf_retrain,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(_embeddings(spark, range(40)), idx, n_centroids=4, iters=2)
+
+    state = {"fired": False}
+    original_lock = epoch_store.commit_lock
+    batch = _embeddings(spark, range(100, 105))
+
+    def lock_after_append(target_dir):
+        if not state["fired"]:
+            state["fired"] = True
+            monkeypatch.undo()
+            ivf_append(batch, idx)
+        return original_lock(target_dir)
+
+    monkeypatch.setattr(epoch_store, "commit_lock", lock_after_append)
+    with pytest.raises(epoch_store.ConcurrentWriteError):
+        ivf_retrain(spark, idx, n_centroids=4, iters=2)
+
+    assert epoch_store.read_epoch(idx) == 0
+    q = [float(((101 * 7 + j * 3) % 10)) for j in range(8)]
+    got = {
+        r["vec_id"]
+        for r in ivf_query_index(spark, idx, q, k=100, nprobe=4).collect()
+    }
+    assert set(range(100, 105)) <= got
+
+    ivf_retrain(spark, idx, n_centroids=4, iters=2)
+    assert epoch_store.read_epoch(idx) == 1
+    res = ivf_query_index(spark, idx, q, k=100, nprobe=4).collect()
+    ids = [r["vec_id"] for r in res]
+    assert set(range(100, 105)) <= set(ids)
+    assert len(ids) == len(set(ids))
+
+
 def test_shingle_append_concurrent_commit_refused(spark, tmp_path):
     """Two writers racing on one shingle index: the second commit must
     refuse (ConcurrentWriteError) instead of silently dropping the
