@@ -658,6 +658,14 @@ def build_shingle_index(
 #: false positives only cost join work, so this is a size/effect knob,
 #: not a correctness one
 SHINGLE_BLOOM_FPP = 0.005
+#: bitmap ceiling: above this the sidecar is NOT built (and never
+#: loaded) — the prefilter's whole premise is a broadcast-cheap bitmap,
+#: and a corpus whose distinct-shingle count needs a multi-GB filter
+#: (≳2×10⁹ grams at the default fpp) is past the regime where
+#: broadcasting it per flags query beats the bucket-pruned join it
+#: would save. The flags path silently runs the (always-correct) full
+#: join instead.
+SHINGLE_BLOOM_MAX_BYTES = 256 * (1 << 20)
 _BLOOM_FOLD_FILE = "_bloom_fold.bin"
 
 
@@ -685,7 +693,10 @@ def _write_shingle_bloom_fold(
     for the CURRENT corpus, stamp params + fold_gen into ``meta`` (NOT
     yet committed — caller owns the meta write) and atomically replace
     the fold file. Partials at or below ``fold_gen`` become dead and
-    are removed best-effort."""
+    are removed best-effort. Corpora whose sized bitmap would exceed
+    ``SHINGLE_BLOOM_MAX_BYTES`` get NO sidecar (cfg dropped, fold file
+    removed) — past the broadcastable regime the prefilter stops paying
+    for itself, and the flags path's full join is always correct."""
     import glob
     import os
 
@@ -693,6 +704,16 @@ def _write_shingle_bloom_fold(
 
     n = shingles.count()
     m, k = optimal_params(max(n, 1), SHINGLE_BLOOM_FPP)
+    if (m + 7) // 8 > SHINGLE_BLOOM_MAX_BYTES:
+        meta.pop("bloom", None)
+        for p in [os.path.join(index_dir, _BLOOM_FOLD_FILE)] + glob.glob(
+            os.path.join(index_dir, "_bloom_gen*.bin")
+        ):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return meta
     bloom = bloom_build(shingles, "shingle", m_bits=m, k=k, seed=11)
     _write_bloom_file(os.path.join(index_dir, _BLOOM_FOLD_FILE), bloom)
     meta["bloom"] = {"m": m, "k": k, "seed": 11, "fold_gen": int(fold_gen)}
@@ -721,6 +742,10 @@ def load_shingle_bloom(index_dir: str, meta: dict):
 
     cfg = meta.get("bloom")
     if not cfg:
+        return None
+    if (int(cfg["m"]) + 7) // 8 > SHINGLE_BLOOM_MAX_BYTES:
+        # written under a larger cap (or hand-edited): refuse to drag a
+        # beyond-broadcast bitmap through every flags query
         return None
     fold_path = os.path.join(index_dir, _BLOOM_FOLD_FILE)
     if not os.path.exists(fold_path):
@@ -953,6 +978,14 @@ def incremental_near_dup_flags(
                 .where(F.col("bloom_maybe"))
                 .drop("bloom_maybe")
             )
+            # materialize the filtered shingles ONCE: the bucket probe
+            # below and the final join both consume them, and without
+            # this each runs its own shingle build + Arrow probe pass —
+            # measured ~2x the prefilter's cost on all-dup batches (the
+            # prefilter's worst case). Batch-bounded memory; the block
+            # dies with this frame's GC like the other ingest-path
+            # checkpoints.
+            sh_b = sh_b.localCheckpoint(eager=True)
         # the probe runs the batch shingle build once to learn which
         # index partitions to read (≤ n_buckets values collected, never
         # data-bounded); the final lazy plan recomputes the batch

@@ -245,6 +245,47 @@ def test_maintenance_report_fires_on_fpp_degradation(spark, tmp_path):
     assert rep["bloom"]["prefilter_active"] is True
 
 
+def test_bitmap_cap_disables_sidecar_past_broadcast_regime(
+    spark, tmp_path, monkeypatch
+):
+    """Corpora whose sized bitmap exceeds the broadcast cap get no
+    sidecar at build, and a compaction retires an existing one when the
+    corpus outgrows the cap — flags stay correct either way."""
+    from ariadne_dbt_spark.operators import dedup as dedup_mod
+
+    idx = str(tmp_path / "shidx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+
+    monkeypatch.setattr(dedup_mod, "SHINGLE_BLOOM_MAX_BYTES", 8)
+    build_shingle_index(docs, idx, "doc_id", "text", n=3)
+    assert "bloom" not in _meta(idx)
+    assert not os.path.exists(os.path.join(idx, _BLOOM_FOLD_FILE))
+    batch = spark.createDataFrame(BATCH, "doc_id bigint, text string")
+    flags = _flags_map(
+        incremental_near_dup_flags(
+            None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=idx
+        )
+    )
+    assert flags[101][0] and flags[102][0] and not flags[103][0]
+    monkeypatch.undo()
+
+    # build under the normal cap, then lower it and compact: the refold
+    # retires the now-over-cap sidecar instead of rebuilding it
+    idx2 = str(tmp_path / "shidx2")
+    build_shingle_index(docs, idx2, "doc_id", "text", n=3)
+    assert "bloom" in _meta(idx2)
+    monkeypatch.setattr(dedup_mod, "SHINGLE_BLOOM_MAX_BYTES", 8)
+    compact_shingle_index(spark, idx2)
+    assert "bloom" not in _meta(idx2)
+    assert not os.path.exists(os.path.join(idx2, _BLOOM_FOLD_FILE))
+    flags = _flags_map(
+        incremental_near_dup_flags(
+            None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=idx2
+        )
+    )
+    assert flags[101][0] and flags[102][0] and not flags[103][0]
+
+
 def test_fully_novel_batch_reads_zero_buckets(spark, tmp_path):
     """A batch with no shingle in the index must prune the bucket
     IN-list to empty — the plan's stored side collapses to

@@ -333,6 +333,58 @@ def _ops() -> dict:
     }
 
 
+def _needs_shingle_rebuild(idx: str) -> bool:
+    """True when the per-corpus index is absent OR predates the bloom
+    sidecar (a stale .tmp index from an earlier round would silently
+    measure the prefilter-disabled path)."""
+    import json
+    import os
+
+    meta_path = os.path.join(idx, "meta.json")
+    if not os.path.exists(meta_path):
+        return True
+    with open(meta_path) as f:
+        return "bloom" not in json.load(f)
+
+
+def _incremental_indexed_novel_op(out_dir: str):
+    """Fixed 1000-doc FULLY-NOVEL batch against the persisted shingle
+    index — the bloom sidecar's headline path: every batch shingle is
+    provably absent, so the postings join and the bucket scan are both
+    skipped (the stored side folds to an empty relation; plan-pinned in
+    tests/test_shingle_bloom.py). Expected: flat AND cheaper than the
+    all-dup `incremental_indexed_1k_batch` twin at every size — the
+    residual cost is the batch shingle pass + the broadcast bitmap
+    probe."""
+    import os
+
+    from ariadne_dbt_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_near_dup_flags,
+    )
+
+    def run(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        idx = os.path.join(out_dir, "shingle_index")
+        if _needs_shingle_rebuild(idx):
+            build_shingle_index(docs, idx, "doc_id", "text", n=3)
+        batch = docs.where(F.col("doc_id") < 1000).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            # novel vocabulary: no shingle can exist in the index
+            F.concat(
+                F.lit("zq"), F.col("doc_id").cast("string"),
+                F.lit(" xv"), (F.col("doc_id") * 7).cast("string"),
+                F.lit(" wk"), (F.col("doc_id") * 13).cast("string"),
+                F.lit(" jn"), (F.col("doc_id") * 17).cast("string"),
+                F.lit(" qb"), (F.col("doc_id") * 19).cast("string"),
+            ).alias("text"),
+        )
+        return incremental_near_dup_flags(
+            None, batch, "doc_id", "text", n=3, threshold=0.8, index_dir=idx
+        ).count()
+
+    return run
+
+
 def _incremental_indexed_op(out_dir: str):
     """Fixed 1000-doc batch flagged against a PERSISTED shingle index of
     the whole corpus — the continuously-ingested-corpus serving shape.
@@ -351,7 +403,7 @@ def _incremental_indexed_op(out_dir: str):
 
     def run(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
         idx = os.path.join(out_dir, "shingle_index")
-        if not os.path.exists(os.path.join(idx, "meta.json")):
+        if _needs_shingle_rebuild(idx):
             build_shingle_index(docs, idx, "doc_id", "text", n=3)
         batch = docs.where(F.col("doc_id") < 1000).select(
             (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
@@ -639,7 +691,15 @@ def _fit_slope(xs: list[float], ys: list[float]) -> float:
     return round(num / den, 3)
 
 
-def run_sweep(spark: SparkSession, base_dir: str, sizes=SWEEP_SIZES) -> dict:
+def run_sweep(
+    spark: SparkSession,
+    base_dir: str,
+    sizes=SWEEP_SIZES,
+    only: set[str] | None = None,
+) -> dict:
+    """``only=`` restricts the sweep to the named ops (targeted
+    re-measure after a change; CLI: ``tools/scale_sweep.py op1 op2``).
+    Unknown names raise rather than silently measuring nothing."""
     try:
         load_1m = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover - non-unix
@@ -659,6 +719,7 @@ def run_sweep(spark: SparkSession, base_dir: str, sizes=SWEEP_SIZES) -> dict:
     ops["ccnet_perplexity_buckets"] = _ccnet_buckets_op()
     per_corpus = {
         "incremental_indexed_1k_batch": _incremental_indexed_op,
+        "incremental_indexed_novel_1k": _incremental_indexed_novel_op,
         "ivf_pq_query": _ivf_pq_query_op,
         "scd2_merge_2k_batch": _scd2_merge_op,
         "neardup_ingest_gated_1k": _neardup_ingest_gated_op,
@@ -667,6 +728,11 @@ def run_sweep(spark: SparkSession, base_dir: str, sizes=SWEEP_SIZES) -> dict:
     }
     for name in per_corpus:
         ops[name] = None
+    if only:
+        unknown = set(only) - set(ops)
+        if unknown:
+            raise ValueError(f"unknown sweep ops: {sorted(unknown)}")
+        ops = {k: v for k, v in ops.items() if k in only}
     for op_name, base_fn in ops.items():
         pts = {}
         for n, d in corpora:
@@ -711,7 +777,8 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp"
     )
     os.makedirs(base, exist_ok=True)
-    print(json.dumps(run_sweep(spark, base)))
+    only = set(sys.argv[1:]) or None
+    print(json.dumps(run_sweep(spark, base, only=only)))
 
 
 if __name__ == "__main__":
