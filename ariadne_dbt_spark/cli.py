@@ -409,6 +409,9 @@ def cmd_maintain(args):
                 "index_dir": args.index,
                 "kind": "table",
                 "compacted": compacted,
+                # retained versions: what read_table(epoch=) can still
+                # pin, and the retirement stamps vacuum ages by
+                "history": table_store.table_history(args.index),
                 **report,
             }
         )
