@@ -79,6 +79,9 @@ __all__ = [
     "table_report",
     "table_history",
     "optimize_table",
+    "merge_table",
+    "delete_keys",
+    "table_changes",
 ]
 
 #: the single logical data-dir name a managed table owns
@@ -105,7 +108,11 @@ def read_table(
     ``FileNotFoundError`` rather than silently reading the current
     one."""
     if epoch is None:
-        return spark.read.parquet(_resolve(table_dir))
+        # mergeSchema: schema evolution is metadata-only — a merge that
+        # added a column leaves carried (hard-linked) files without it,
+        # and the union read null-fills them (same round-7 pattern as
+        # epoch_store.read_gen_data)
+        return spark.read.option("mergeSchema", "true").parquet(_resolve(table_dir))
     path = data_dir(table_dir, DATA_NAME, epoch)
     # the > current guard matters as much as the isdir one: a crashed
     # or in-flight optimize leaves a STAGED t_ep<current+1> dir whose
@@ -117,7 +124,7 @@ def read_table(
             f"dir); retained epochs: "
             f"{[h['epoch'] for h in table_history(table_dir)]}"
         )
-    return spark.read.parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def table_history(table_dir: str) -> list[dict]:
@@ -261,7 +268,10 @@ def optimize_table(
         raise FileNotFoundError(f"no table data at {live}")
     n_out = report["target_files"]
 
-    df = spark.read.parquet(live)
+    # mergeSchema: after a schema-evolving merge the live dir holds
+    # mixed-schema files; a single-footer read would DROP the newer
+    # columns from the whole rewrite
+    df = spark.read.option("mergeSchema", "true").parquet(live)
     if zorder_by:
         from ariadne_dbt_spark.operators.layout import zorder_frame
 
@@ -296,3 +306,403 @@ def optimize_table(
         "clustered_by": cluster_by or [],
         "zordered_by": list(zorder_by) if zorder_by else [],
     }
+
+
+# ---------------------------------------------------------------------------
+# Row-level MERGE (Delta's MERGE INTO, copy-on-write with file pruning)
+# ---------------------------------------------------------------------------
+
+#: above this many distinct source keys the per-key footer prune falls
+#: back to a single [min,max] range overlap (still conservative)
+MERGE_PRUNE_MAX_KEYS = 100_000
+
+
+def _file_key_bounds(path: str, key: str):
+    """``(min, max)`` of ``key`` across one parquet file, from the
+    FOOTER only (no data pages). None when the column is absent, any
+    row group lacks min/max stats, or the stats aren't comparable —
+    callers must treat None as "could contain anything"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(len(md.schema))]
+    if key not in names:
+        return None
+    ki = names.index(key)
+    lo = hi = None
+    for r in range(md.num_row_groups):
+        st = md.row_group(r).column(ki).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mn, mx = st.min, st.max
+        if isinstance(mn, bytes):
+            try:
+                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        try:
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        except TypeError:
+            return None
+    return None if lo is None else (lo, hi)
+
+
+def _prune_touched(files: list[str], key: str, src_keys, src_lo, src_hi):
+    """Split ``files`` into (touched, carried) by footer min/max on
+    ``key``: a carried file PROVABLY contains no source key (its
+    [min,max] excludes every one), so the merge never reads or rewrites
+    it. ``src_keys`` is the sorted distinct source-key list when small
+    enough to test per-key (exact within the stats' resolution), else
+    None → conservative [src_lo, src_hi] range overlap. Files without
+    usable stats are always touched — correctness never depends on a
+    footer being present."""
+    import bisect
+
+    touched, carried = [], []
+    for f in files:
+        b = _file_key_bounds(f, key)
+        hit = True
+        if b is not None:
+            lo, hi = b
+            try:
+                if src_keys is not None:
+                    i = bisect.bisect_left(src_keys, lo)
+                    hit = i < len(src_keys) and src_keys[i] <= hi
+                else:
+                    hit = not (src_hi < lo or src_lo > hi)
+            except TypeError:
+                hit = True  # incomparable types: stay conservative
+        (touched if hit else carried).append(f)
+    return touched, carried
+
+
+def _carry_files(carried: list[str], live: str, staged: str) -> None:
+    """Hard-link every untouched live file into the staged epoch dir —
+    O(metadata) per file, never a data copy (``copy2`` fallback only if
+    the filesystem refuses links). Relative paths are preserved and
+    basenames prefixed so a carried file can never collide with the
+    merge output Spark just wrote."""
+    import shutil as _sh
+
+    for f in carried:
+        rel = os.path.relpath(f, live)
+        dest = os.path.join(staged, os.path.dirname(rel), f"carry-{os.path.basename(rel)}")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        try:
+            os.link(f, dest)
+        except OSError:
+            _sh.copy2(f, dest)
+
+
+def merge_table(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    when_matched_condition=None,
+    merge_schema: bool = False,
+    retention_sec: float = 0.0,
+    prune_max_keys: int = MERGE_PRUNE_MAX_KEYS,
+) -> dict:
+    """Row-level MERGE INTO the managed table — Delta's upsert/delete
+    primitive, as a copy-on-write epoch flip whose cost is
+    **O(source + touched files)**, never O(table).
+
+    ``when_matched``: ``"update"`` (source row replaces the matched
+    target row), ``"delete"`` (matched target row is removed), or None
+    (matched target rows are left untouched and the matching source
+    rows are ignored). ``when_not_matched``: ``"insert"`` or None.
+
+    ``when_matched_condition`` (Delta's conditional clause): a boolean
+    SQL expression (or Column) over the aliases ``s`` (source) and
+    ``t`` (target), e.g. ``"s.ts >= t.ts"`` — the matched action
+    applies only to pairs where it holds; pairs where it is false or
+    NULL keep the target row untouched (and for ``"update"`` drop the
+    source row). This is what makes an upsert MONOTONIC by an ordering
+    column: replaying an old batch can never overwrite newer data, so
+    a foreachBatch upsert stream becomes exactly-once by idempotence
+    (see ``streaming/table_stream.py``). Unmatched-source inserts are
+    unaffected by the condition.
+
+    Why this scales to 100 TB while "read table, join, rewrite" does
+    not: the table's live files are split by their parquet footer
+    min/max on ``keys[0]`` against the source's distinct keys
+    (:func:`_prune_touched`). A daily upsert whose keys land in
+    recently-written files rewrites only those files; every other file
+    is hard-linked into the new epoch unchanged (O(metadata), the moral
+    equivalent of Delta re-listing an unchanged file in the new commit).
+    Keep the table clustered on the merge key (``optimize_table
+    cluster_by=keys``) and the touched set stays proportional to the
+    source, not the table. Pruning is CONSERVATIVE by construction —
+    missing/incomparable stats mark the file touched — so results never
+    depend on footer quality, only cost does.
+
+    The matched/not-matched split never needs the carried files: a
+    carried file provably contains no source key, so every match lives
+    in the touched set. Joins against the (typically batch-sized)
+    source are left to AQE to broadcast.
+
+    Commit protocol is :func:`optimize_table`'s: staged rewrite into
+    ``t_ep<k+1>`` (a crashed attempt's leftovers are removed on retry),
+    pointer flip under ``commit_lock`` with an epoch re-check
+    (concurrent writer → ``ConcurrentWriteError``), vacuum with
+    ``retention_sec`` for cross-process readers — so MERGE, OPTIMIZE,
+    and time travel share one linear version history.
+
+    Source contract: columns must cover the target's (they are
+    cast/reordered to the target schema) and ``keys`` must be unique in
+    the source — two source rows for one key is ambiguous (which one
+    wins?), so it raises, exactly like Delta's
+    ``MultipleMatchesException``. The source is persisted for the
+    duration (it is traversed several times) and unpersisted before
+    returning.
+
+    ``merge_schema=True`` (Delta's ``mergeSchema``) lets the source ADD
+    columns: the table schema widens, touched files are rewritten with
+    the new column, and CARRIED files stay hard-linked untouched —
+    ``read_table`` reads with parquet ``mergeSchema`` so pre-evolution
+    files null-fill. Add-column is therefore metadata-only for
+    untouched data, like Delta's. Without the flag, extra source
+    columns raise.
+
+    Returns a report: epoch movement, files touched/carried, and
+    rows_updated / rows_deleted / rows_inserted counts.
+
+    Reference parity: none — the reference rebuilds wholesale
+    (``src/ariadne_dbt/indexer.py:472-485``); §8 scale extension.
+    """
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update|delete|None, got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("merge with no matched and no not-matched clause is a no-op")
+    if not keys:
+        raise ValueError("merge needs at least one key column")
+
+    epoch = read_epoch(table_dir)
+    live = data_dir(table_dir, DATA_NAME, epoch)
+    if not os.path.isdir(live):
+        raise FileNotFoundError(f"no table data at {live}")
+    files = _walk_parquet(live)
+    target_schema = spark.read.option("mergeSchema", "true").parquet(live).schema
+    missing = [f.name for f in target_schema.fields if f.name not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing target columns: {missing}")
+    target_names = {f.name for f in target_schema.fields}
+    extra = [c for c in source.columns if c not in target_names]
+    if extra and not merge_schema:
+        raise ValueError(
+            f"source carries columns the table lacks: {extra} — pass "
+            f"merge_schema=True to evolve the table schema (metadata-"
+            f"only: carried files are null-filled on read)"
+        )
+    sel = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields]
+    if merge_schema:
+        sel += [F.col(c) for c in extra]
+    src = source.select(sel).persist()
+    # the (possibly widened) schema this merge writes; reading touched
+    # files through it null-fills columns they predate
+    target_schema = src.schema
+    try:
+        key0 = keys[0]
+        kdf = src.select(*keys).distinct()
+        # one action for row count, key-tuple count (struct: null keys
+        # still counted, matching distinct()), and the key0 range
+        stats = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*keys)).alias("k"),
+            F.min(key0).alias("lo"),
+            F.max(key0).alias("hi"),
+        ).collect()[0]
+        n_src, n_keys = stats["n"], stats["k"]
+        src_lo, src_hi = stats["lo"], stats["hi"]
+        if n_keys != n_src:
+            raise ValueError(
+                f"source keys are not unique: {n_src} rows, {n_keys} distinct "
+                f"{keys} — pre-aggregate the source (last-wins etc.) first"
+            )
+        if n_keys <= prune_max_keys:
+            src_keys = sorted(r[0] for r in src.select(key0).distinct().collect() if r[0] is not None)
+        else:
+            src_keys = None
+        touched, carried = _prune_touched(files, key0, src_keys, src_lo, src_hi)
+
+        if touched:
+            tdf = spark.read.schema(target_schema).parquet(*touched)
+        else:
+            tdf = spark.createDataFrame([], target_schema)
+        tkeys = tdf.select(*keys)
+        n_matched = src.join(tkeys, keys, "left_semi").count()
+
+        if when_matched_condition is not None and when_matched is not None:
+            # conditional matched clause: evaluate per (target, source)
+            # pair; the action applies only where the condition holds,
+            # a false/NULL pair keeps the target row
+            cond = (
+                F.expr(when_matched_condition)
+                if isinstance(when_matched_condition, str)
+                else when_matched_condition
+            )
+            on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+            pairs = tdf.alias("t").join(src.alias("s"), on, "inner")
+            won = F.coalesce(cond, F.lit(False))
+            t_keep = tdf.join(kdf, keys, "left_anti").unionByName(
+                pairs.where(~won).select("t.*")
+            )
+            n_applied = pairs.where(won).count()
+            if when_matched == "update":
+                s_add = pairs.where(won).select("s.*")
+                if when_not_matched == "insert":
+                    s_add = s_add.unionByName(src.join(tkeys, keys, "left_anti"))
+            elif when_not_matched == "insert":
+                s_add = src.join(tkeys, keys, "left_anti")
+            else:
+                s_add = None
+        else:
+            n_applied = n_matched
+            t_keep = tdf if when_matched is None else tdf.join(kdf, keys, "left_anti")
+            if when_matched == "update":
+                s_add = src if when_not_matched == "insert" else src.join(tkeys, keys, "left_semi")
+            elif when_not_matched == "insert":
+                s_add = src.join(tkeys, keys, "left_anti")
+            else:
+                s_add = None
+        merged = t_keep if s_add is None else t_keep.unionByName(s_add)
+
+        staged = data_dir(table_dir, DATA_NAME, epoch + 1)
+        if os.path.isdir(staged):
+            _sh.rmtree(staged)  # crashed prior attempt: clean slate so
+            # its part files can't survive next to this attempt's
+        merged.write.mode("overwrite").parquet(staged)
+        _carry_files(carried, live, staged)
+
+        with commit_lock(table_dir):
+            from ariadne_dbt_spark.operators.epoch_store import ConcurrentWriteError
+
+            now = read_epoch(table_dir)
+            if now != epoch:
+                raise ConcurrentWriteError(
+                    f"table {table_dir} moved to epoch {now} during merge "
+                    f"(started at {epoch}); re-run against the new epoch"
+                )
+            commit_epoch(table_dir, epoch + 1)
+        sweep_stale_epochs(table_dir, [DATA_NAME], epoch + 1, retention_sec=retention_sec)
+        return {
+            "epoch": epoch,
+            "new_epoch": epoch + 1,
+            "n_files": len(files),
+            "n_files_touched": len(touched),
+            "n_files_carried": len(carried),
+            "rows_source": n_src,
+            "rows_updated": n_applied if when_matched == "update" else 0,
+            "rows_deleted": n_applied if when_matched == "delete" else 0,
+            "rows_inserted": (n_src - n_matched) if when_not_matched == "insert" else 0,
+            "schema_evolved": extra if merge_schema else [],
+        }
+    finally:
+        src.unpersist()
+
+
+def delete_keys(
+    spark: SparkSession,
+    table_dir: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    *,
+    retention_sec: float = 0.0,
+) -> dict:
+    """Row-level DELETE by key — :func:`merge_table` with a
+    delete-matched / ignore-unmatched source, so it inherits the footer
+    prune (only files that can contain a doomed key are rewritten), the
+    crash-safe flip, and the version history. The right-to-be-forgotten
+    path for managed TABLES, complementing the serving indexes'
+    ``forget_documents``."""
+    return merge_table(
+        spark,
+        table_dir,
+        # merge casts the source to the full target schema: pad the
+        # key-only frame with NULLs for the non-key columns (they are
+        # never written — every source row is a delete)
+        _pad_to_table_schema(spark, table_dir, keys_df, keys),
+        keys,
+        when_matched="delete",
+        when_not_matched=None,
+        retention_sec=retention_sec,
+    )
+
+
+def _pad_to_table_schema(
+    spark: SparkSession, table_dir: str, keys_df: DataFrame, keys: list[str]
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    schema = spark.read.option("mergeSchema", "true").parquet(_resolve(table_dir)).schema
+    cols = [
+        F.col(f.name) if f.name in keys else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return keys_df.select(cols)
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list[str],
+    *,
+    from_epoch: int,
+    to_epoch: int | None = None,
+) -> DataFrame:
+    """Change-data-feed between two RETAINED versions: per key, did the
+    row appear (``insert``), disappear (``delete``), or change
+    (``update_postimage``)? Emits the post-image columns (pre-image for
+    deletes) plus ``_change_type`` — the downstream-sync contract
+    Delta's CDF serves, derived here by diffing epochs that vacuum
+    retention kept on disk, so it needs no per-write change log.
+
+    Unchanged rows are detected by a null-safe ``xxhash64`` over the
+    non-key columns (a 64-bit fingerprint collision would suppress one
+    update — negligible and disclosed). Cost is one shuffle join of the
+    two versions: this is the AUDIT path between retained versions;
+    high-frequency CDC should tail the per-merge reports instead."""
+    from pyspark.sql import functions as F
+
+    old = read_table(spark, table_dir, epoch=from_epoch)
+    new = read_table(
+        spark,
+        table_dir,
+        epoch=read_epoch(table_dir) if to_epoch is None else to_epoch,
+    )
+    value_cols = [c for c in new.columns if c not in keys]
+    # keys-only table: no value fingerprint (only insert/delete possible)
+    fp_cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\0null")) for c in value_cols
+    ] or [F.lit("")]
+    struct_cols = value_cols or keys[:1]
+    fp = lambda df: df.select(  # noqa: E731
+        *keys,
+        F.xxhash64(*fp_cols).alias("_fp"),
+        F.struct(*struct_cols).alias("_row"),
+    )
+    o, n = fp(old).alias("o"), fp(new).alias("n")
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("o._fp").isNull(), F.lit("insert"))
+        .when(F.col("n._fp").isNull(), F.lit("delete"))
+        .when(F.col("o._fp") != F.col("n._fp"), F.lit("update_postimage"))
+    )
+    image = F.coalesce(F.col("n._row"), F.col("o._row"))
+    out = j.select(*keys, change.alias("_change_type"), image.alias("_row")).where(
+        F.col("_change_type").isNotNull()
+    )
+    if not value_cols:
+        return out.select(*keys, "_change_type")
+    return out.select(*keys, "_change_type", "_row.*")

@@ -581,3 +581,164 @@ def stream_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- managed-table lifecycle (round 9): MERGE INTO + DELETE + change feed ---
+
+_MERGE_CTE = """
+    target AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 4 < 3
+    ),
+    src AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS price
+        FROM orders WHERE o_orderkey % 8 IN (0, 3)
+    ),
+    merged AS (
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL SELECT * FROM src
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 100 <> 1)
+"""
+
+
+def _merged_orders_table(spark: SparkSession, sf_dir: str, work: str, *, cluster: bool) -> str:
+    """Build the managed orders table the two lifecycle workloads share:
+    write 3/4 of orders, (optionally) OPTIMIZE clustered on the merge
+    key so footer pruning has ranges to work with, MERGE an
+    update+insert source (keys %8 in {0,3}: 0 matches → update, 3 was
+    excluded from the target → insert), then DELETE keys %100 == 1.
+    Retention keeps every epoch readable for the change feed."""
+    import os
+
+    from ariadne_dbt_spark.operators.table_store import (
+        delete_keys,
+        merge_table,
+        optimize_table,
+        write_table,
+    )
+    from ariadne_dbt_spark.workloads.relational import T, dec
+
+    tdir = os.path.join(work, "orders_t")
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", dec("o_totalprice").alias("price")
+    )
+    write_table(spark, base.where(F.col("o_orderkey") % 4 < 3), tdir)
+    if cluster:
+        optimize_table(
+            spark, tdir, target_file_mb=1, cluster_by=["o_orderkey"], retention_sec=3600
+        )
+    src = base.where((F.col("o_orderkey") % 8).isin(0, 3)).withColumn(
+        "price", (F.col("price") + F.lit(1000)).cast("decimal(18,2)")
+    )
+    merge_table(spark, tdir, src, ["o_orderkey"], retention_sec=3600)
+    delete_keys(
+        spark,
+        tdir,
+        base.select("o_orderkey").where(F.col("o_orderkey") % 100 == 1),
+        ["o_orderkey"],
+        retention_sec=3600,
+    )
+    return tdir
+
+
+@query(
+    "table_merge_upsert",
+    oracle=f"""
+    WITH {_MERGE_CTE}
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS total_price
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+    survey="managed-table-merge,lakehouse-maintenance",
+    doc="Row-level MERGE INTO a managed parquet table (Delta-style "
+    "upsert as a copy-on-write epoch flip; operators/table_store.py "
+    "merge_table): write 3/4 of orders, OPTIMIZE clustered on the key, "
+    "merge an update+insert batch, DELETE a key slice, and aggregate "
+    "the final table. The oracle replays the same merge relationally — "
+    "anti-join + union + filter — so upsert/delete semantics, not just "
+    "plumbing, are value-checked. Footer pruning carries files the "
+    "source provably misses; exactness never depends on it.",
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.operators.table_store import read_table
+
+    work = tempfile.mkdtemp(prefix="ariadne_tbl_merge_")
+    try:
+        tdir = _merged_orders_table(spark, sf_dir, work, cluster=True)
+        out = (
+            read_table(spark, tdir)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price").cast("double").alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # LocalRelation: the temp table dir is deleted below
+        return spark.createDataFrame(
+            out.toPandas(),
+            "o_orderstatus string, n_orders bigint, total_price double",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "table_change_feed",
+    oracle=f"""
+    WITH {_MERGE_CTE},
+    diff AS (
+        SELECT COALESCE(f.o_orderkey, t.o_orderkey) AS o_orderkey,
+               CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                    WHEN f.o_orderkey IS NULL THEN 'delete'
+                    WHEN f.price <> t.price
+                         OR f.o_orderstatus <> t.o_orderstatus
+                         THEN 'update_postimage'
+               END AS _change_type,
+               CAST(COALESCE(f.price, t.price) AS DOUBLE) AS price
+        FROM target t FULL OUTER JOIN final f ON t.o_orderkey = f.o_orderkey
+    )
+    SELECT o_orderkey, _change_type, price FROM diff
+    WHERE _change_type IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+    survey="managed-table-cdf,time-travel",
+    doc="Change-data-feed between two retained table versions "
+    "(operators/table_store.py table_changes): the same "
+    "merge-then-delete history as table_merge_upsert, diffed from "
+    "epoch 0 to the current pointer — inserts, deletes (pre-image), "
+    "and updates (post-image) — against a full-outer-join SQL oracle. "
+    "Vacuum retention is what makes the old version diffable; no "
+    "per-write change log is kept.",
+)
+def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.operators.table_store import table_changes
+
+    work = tempfile.mkdtemp(prefix="ariadne_tbl_cdf_")
+    try:
+        tdir = _merged_orders_table(spark, sf_dir, work, cluster=False)
+        out = (
+            table_changes(spark, tdir, ["o_orderkey"], from_epoch=0)
+            .select(
+                "o_orderkey",
+                "_change_type",
+                F.col("price").cast("double").alias("price"),
+            )
+            .orderBy("o_orderkey")
+        )
+        return spark.createDataFrame(
+            out.toPandas(),
+            "o_orderkey bigint, _change_type string, price double",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

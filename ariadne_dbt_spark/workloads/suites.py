@@ -513,6 +513,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
             {"user_id": "bigint", "n_pairs": "bigint", "total_gap_seconds": "bigint"},
         ),
         (
+            "stream_upsert",
+            "stream_table_upsert",
+            {
+                "user_id": "bigint",
+                "last_event_type": "string",
+                "last_ts_us": "bigint",
+                "last_event_id": "bigint",
+            },
+        ),
+        (
             "hopping",
             "hopping_window_counts",
             {"window_start_epoch": "bigint", "event_type": "string", "n_events": "bigint"},
@@ -794,6 +804,24 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
                 "union_within_10pct": "boolean",
                 "jaccard_within_abs_10": "boolean",
                 "inter_within_25pct": "boolean",
+            },
+        ),
+        (
+            "merge_upsert",
+            "table_merge_upsert",
+            {
+                "o_orderstatus": "string",
+                "n_orders": "bigint",
+                "total_price": "double",
+            },
+        ),
+        (
+            "change_feed",
+            "table_change_feed",
+            {
+                "o_orderkey": "bigint",
+                "_change_type": "string",
+                "price": "double",
             },
         ),
     ],

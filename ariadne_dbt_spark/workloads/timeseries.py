@@ -868,3 +868,68 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         F.col("n_events").cast("bigint").alias("n_events"),
     ).orderBy("user_id", "version")
+
+
+@query(
+    "stream_table_upsert",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           epoch_us(ts) AS last_ts_us,
+           event_id AS last_event_id
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    survey="streaming-upsert,managed-table-merge,cdc,§2.11",
+    doc="Streaming CDC upsert: a REAL multi-micro-batch AvailableNow "
+    "stream over the events table foreachBatch-MERGEs a latest-state "
+    "row per user into a managed table, guarded monotonically by "
+    "(ts, event_id) so replayed or reordered batches can never revert "
+    "newer state (streaming/table_stream.py). The final table must "
+    "equal the batch latest-event-per-user — upsert semantics through "
+    "the streaming path, hash-checked, independent of the file order "
+    "the source listed.",
+)
+def stream_table_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.operators.table_store import read_table, write_table
+    from ariadne_dbt_spark.streaming.table_stream import table_upsert_stream
+
+    spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    ev = events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    work = tempfile.mkdtemp(prefix="ariadne_upsert_stream_")
+    try:
+        src = os.path.join(work, "src")
+        tdir = os.path.join(work, "state")
+        ev.repartition(3).write.parquet(src)
+        write_table(spark, spark.createDataFrame([], schema), tdir)
+        table_upsert_stream(
+            spark, src, tdir, ["user_id"], ["ts", "event_id"], schema=schema
+        )
+        out = (
+            read_table(spark, tdir)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.unix_micros("ts").alias("last_ts_us"),
+                F.col("event_id").alias("last_event_id"),
+            )
+            .orderBy("user_id")
+        )
+        # LocalRelation: the temp table dir is deleted below
+        return spark.createDataFrame(
+            out.toPandas(),
+            "user_id bigint, last_event_type string, last_ts_us bigint, "
+            "last_event_id bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -45,6 +45,11 @@ HEADLINE = [
     # per-batch serving cost (bitmap load + map-only probe + verify),
     # with the benchmark-side build inside the row like the one-shot
     "decontamination_index_check",
+    # round 9: row-level MERGE on the managed table store — tracked
+    # because its contract is a COST shape (O(source + touched files)
+    # via footer pruning + hard-link carry), and the row includes the
+    # full lifecycle (write, cluster, merge, delete, read back)
+    "table_merge_upsert",
     "exact_substring_excision",
     "minhash_lsh_candidates",
     "simhash_fingerprints",
