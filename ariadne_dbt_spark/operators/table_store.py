@@ -173,12 +173,57 @@ def table_history(table_dir: str) -> list[dict]:
     return out
 
 
-def write_table(spark: SparkSession, df: DataFrame, table_dir: str) -> str:
+def write_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    *,
+    partition_by: list[str] | None = None,
+) -> str:
     """(Re)write the table's CURRENT epoch dir wholesale — the initial
-    load path. Returns the data dir written."""
+    load path. ``partition_by`` lays the table out hive-partitioned
+    (``col=value`` dirs); OPTIMIZE and MERGE detect and preserve the
+    layout from the paths, so it never needs restating. Returns the
+    data dir written."""
     dest = _resolve(table_dir)
-    df.write.mode("overwrite").parquet(dest)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dest)
     return dest
+
+
+def _partition_cols(live: str, files: list[str]) -> list[str]:
+    """Hive partition columns of the layout, in nesting order, parsed
+    from the ``col=value`` path segments — [] for a flat table. Mixed
+    layouts (some files partitioned, some not, or inconsistent orders)
+    raise: Spark itself cannot read such a directory coherently."""
+    layouts = set()
+    for f in files:
+        rel = os.path.relpath(f, live)
+        cols = tuple(
+            seg.split("=", 1)[0] for seg in rel.split(os.sep)[:-1] if "=" in seg
+        )
+        layouts.add(cols)
+    if not layouts:
+        return []
+    if len(layouts) > 1:
+        raise ValueError(
+            f"inconsistent hive partition layouts under {live}: {sorted(layouts)}"
+        )
+    return list(layouts.pop())
+
+
+def _path_key_value(path: str, live: str, key: str):
+    """The ``key=<value>`` segment of a partitioned file's path, or
+    None — for merge-key pruning when the merge key IS a partition
+    column (partition values never appear in footers)."""
+    from urllib.parse import unquote
+
+    for seg in os.path.relpath(path, live).split(os.sep)[:-1]:
+        if seg.startswith(f"{key}="):
+            return unquote(seg.split("=", 1)[1])
+    return None
 
 
 def table_report(
@@ -267,6 +312,14 @@ def optimize_table(
     if not os.path.isdir(live):
         raise FileNotFoundError(f"no table data at {live}")
     n_out = report["target_files"]
+    pcols = _partition_cols(live, _walk_parquet(live))
+    if pcols and (cluster_by or zorder_by):
+        # per-partition clustering needs a partition-local rewrite plan;
+        # disclosed gap — compaction below still preserves the layout
+        raise ValueError(
+            f"cluster_by/zorder_by on a hive-partitioned table ({pcols}) "
+            f"is not supported; OPTIMIZE without them preserves the layout"
+        )
 
     # mergeSchema: after a schema-evolving merge the live dir holds
     # mixed-schema files; a single-footer read would DROP the newer
@@ -282,10 +335,17 @@ def optimize_table(
         out = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
+    elif pcols:
+        # co-locate each hive partition's rows in one task so the
+        # dynamic-partition write emits ~one compacted file per value
+        out = df.repartition(n_out, *pcols)
     else:
         out = df.coalesce(n_out)
     staged = data_dir(table_dir, DATA_NAME, epoch + 1)
-    out.write.mode("overwrite").parquet(staged)
+    writer = out.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staged)
 
     with commit_lock(table_dir):
         from ariadne_dbt_spark.operators.epoch_store import ConcurrentWriteError
@@ -348,7 +408,7 @@ def _file_key_bounds(path: str, key: str):
     return None if lo is None else (lo, hi)
 
 
-def _prune_touched(files: list[str], key: str, src_keys, src_lo, src_hi):
+def _prune_touched(files: list[str], key: str, src_keys, src_lo, src_hi, bounds_fn=None):
     """Split ``files`` into (touched, carried) by footer min/max on
     ``key``: a carried file PROVABLY contains no source key (its
     [min,max] excludes every one), so the merge never reads or rewrites
@@ -356,12 +416,15 @@ def _prune_touched(files: list[str], key: str, src_keys, src_lo, src_hi):
     enough to test per-key (exact within the stats' resolution), else
     None → conservative [src_lo, src_hi] range overlap. Files without
     usable stats are always touched — correctness never depends on a
-    footer being present."""
+    footer being present. ``bounds_fn`` overrides the footer reader
+    (partition-column keys bound by their path value instead)."""
     import bisect
 
+    if bounds_fn is None:
+        bounds_fn = lambda f: _file_key_bounds(f, key)  # noqa: E731
     touched, carried = [], []
     for f in files:
-        b = _file_key_bounds(f, key)
+        b = bounds_fn(f)
         hit = True
         if b is not None:
             lo, hi = b
@@ -375,6 +438,22 @@ def _prune_touched(files: list[str], key: str, src_keys, src_lo, src_hi):
                 hit = True  # incomparable types: stay conservative
         (touched if hit else carried).append(f)
     return touched, carried
+
+
+def _coerce_partition_value(raw, sample):
+    """Coerce a hive path value (always a string) to the python type of
+    ``sample`` (a collected source-key value) so it is comparable.
+    Returns None — "could be anything" — when coercion fails (e.g.
+    ``__HIVE_DEFAULT_PARTITION__`` null dirs)."""
+    if raw is None or sample is None:
+        return None
+    ty = type(sample)
+    try:
+        if ty is bool:
+            return raw.lower() == "true"
+        return ty(raw)
+    except (ValueError, TypeError):
+        return None
 
 
 def _carry_files(carried: list[str], live: str, staged: str) -> None:
@@ -534,10 +613,31 @@ def merge_table(
             src_keys = sorted(r[0] for r in src.select(key0).distinct().collect() if r[0] is not None)
         else:
             src_keys = None
-        touched, carried = _prune_touched(files, key0, src_keys, src_lo, src_hi)
+        pcols = _partition_cols(live, files)
+        bounds_fn = None
+        if key0 in pcols:
+            # partition-column merge key: the value lives in the PATH,
+            # not the footers — a point bound per file, coerced to the
+            # source key's python type (coercion failure → touched)
+            sample = src_keys[0] if src_keys else src_lo
+
+            def bounds_fn(f, _s=sample):  # noqa: E306
+                raw = _path_key_value(f, live, key0)
+                v = _coerce_partition_value(raw, _s)
+                return None if v is None else (v, v)
+
+        touched, carried = _prune_touched(
+            files, key0, src_keys, src_lo, src_hi, bounds_fn
+        )
 
         if touched:
-            tdf = spark.read.schema(target_schema).parquet(*touched)
+            reader = spark.read.schema(target_schema)
+            if pcols:
+                # basePath keeps the path-derived partition columns —
+                # without it an explicit file-list read silently drops
+                # (here: null-fills) them
+                reader = reader.option("basePath", live)
+            tdf = reader.parquet(*touched)
         else:
             tdf = spark.createDataFrame([], target_schema)
         tkeys = tdf.select(*keys)
@@ -582,7 +682,10 @@ def merge_table(
         if os.path.isdir(staged):
             _sh.rmtree(staged)  # crashed prior attempt: clean slate so
             # its part files can't survive next to this attempt's
-        merged.write.mode("overwrite").parquet(staged)
+        writer = merged.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staged)
         _carry_files(carried, live, staged)
 
         with commit_lock(table_dir):

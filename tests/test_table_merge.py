@@ -328,3 +328,72 @@ def test_schema_evolution_missing_target_column_still_raises(spark, tmp_path):
     src = spark.createDataFrame([Row(id=1, grp=1, extra="x")])  # no val
     with pytest.raises(ValueError, match="missing target columns"):
         merge_table(spark, tdir, src, ["id"], merge_schema=True)
+
+
+def test_partitioned_table_merge_prunes_by_path_and_keeps_partition_col(spark, tmp_path):
+    """Hive-partitioned layout: MERGE keyed on (day, id) with day as the
+    partition column must (a) prune untouched days from their PATH
+    value (partition columns never appear in footers), (b) read touched
+    files through basePath so the partition column survives (a naive
+    file-list read null-fills it), and (c) write the new epoch back
+    partitioned."""
+    tdir = str(tmp_path / "ptbl")
+    df = spark.range(4000).select(
+        (F.col("id") % 4).alias("day"),
+        F.col("id"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("val"),
+    )
+    write_table(spark, df, tdir, partition_by=["day"])
+    live0 = data_dir(tdir, DATA_NAME, read_epoch(tdir))
+    assert any("day=" in p for p in _walk_parquet(live0))
+    inodes0 = {os.stat(p).st_ino for p in _walk_parquet(live0)}
+    n_files0 = len(_walk_parquet(live0))
+
+    src = spark.createDataFrame(
+        [Row(day=2, id=i, val=f"new{i}") for i in (2, 6, 10)]
+        + [Row(day=2, id=999_999, val="ins")]
+    )
+    rep = merge_table(spark, tdir, src, ["day", "id"])
+    assert rep["rows_updated"] == 3 and rep["rows_inserted"] == 1
+    # only day=2's files were touched; all other days carried as links
+    assert rep["n_files_carried"] >= 1
+    live1 = data_dir(tdir, DATA_NAME, read_epoch(tdir))
+    carried = [p for p in _walk_parquet(live1) if os.path.basename(p).startswith("carry-")]
+    assert carried and all(os.stat(p).st_ino in inodes0 for p in carried)
+    assert all("day=2" not in p for p in carried), carried
+    assert all("day=" in p for p in _walk_parquet(live1))  # layout preserved
+
+    out = read_table(spark, tdir)
+    # the partition column survived the rewrite — NO null-fill
+    assert out.where(F.col("day").isNull()).count() == 0
+    assert out.count() == 4001
+    got = {r["id"]: r["val"] for r in out.where(F.col("day") == 2).collect()}
+    assert got[2] == "new2" and got[6] == "new6" and got[999_999] == "ins"
+    assert got[14] == "v14"  # untouched row in the touched partition
+    # untouched partition intact
+    assert read_table(spark, tdir).where(F.col("day") == 1).count() == 1000
+    _ = n_files0  # (kept for debugging repr on failure)
+
+
+def test_partitioned_optimize_preserves_layout_and_refuses_clustering(spark, tmp_path):
+    tdir = str(tmp_path / "popt")
+    df = spark.range(8000).select(
+        (F.col("id") % 3).alias("day"),
+        F.col("id"),
+        F.sha1(F.col("id").cast("string")).alias("pad"),
+    )
+    write_table(spark, df.repartition(10), tdir, partition_by=["day"])
+    live0 = data_dir(tdir, DATA_NAME, read_epoch(tdir))
+    assert len(_walk_parquet(live0)) >= 9  # ~10 files per day
+
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        optimize_table(spark, tdir, cluster_by=["id"])
+
+    before = read_table(spark, tdir).groupBy("day").count().collect()
+    optimize_table(spark, tdir, target_file_mb=128)
+    live1 = data_dir(tdir, DATA_NAME, read_epoch(tdir))
+    files1 = _walk_parquet(live1)
+    assert all("day=" in p for p in files1)  # layout preserved
+    assert len(files1) <= 3  # ~one compacted file per partition
+    after = read_table(spark, tdir).groupBy("day").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
