@@ -313,12 +313,12 @@ def optimize_table(
         raise FileNotFoundError(f"no table data at {live}")
     n_out = report["target_files"]
     pcols = _partition_cols(live, _walk_parquet(live))
-    if pcols and (cluster_by or zorder_by):
-        # per-partition clustering needs a partition-local rewrite plan;
-        # disclosed gap — compaction below still preserves the layout
+    if pcols and zorder_by:
+        # the Morton curve would have to be fit per partition value;
+        # disclosed gap — cluster_by composes (below), zorder does not
         raise ValueError(
-            f"cluster_by/zorder_by on a hive-partitioned table ({pcols}) "
-            f"is not supported; OPTIMIZE without them preserves the layout"
+            f"zorder_by on a hive-partitioned table ({pcols}) is not "
+            f"supported; use cluster_by (clusters WITHIN each partition)"
         )
 
     # mergeSchema: after a schema-evolving merge the live dir holds
@@ -332,9 +332,12 @@ def optimize_table(
             df, list(zorder_by), bits=zorder_bits, n_files=n_out
         )
     elif cluster_by:
-        out = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(
-            *cluster_by
-        )
+        # with a hive layout, range-partition on (partition cols,
+        # cluster keys): each task holds a contiguous slice WITHIN a
+        # partition value, so after the partitionBy write every file's
+        # footer range on the cluster key is tight inside its dir
+        order = [*pcols, *cluster_by]
+        out = df.repartitionByRange(n_out, *order).sortWithinPartitions(*order)
     elif pcols:
         # co-locate each hive partition's rows in one task so the
         # dynamic-partition write emits ~one compacted file per value
