@@ -62,6 +62,7 @@ import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ariadne_dbt_spark.operators.epoch_store import (
     commit_epoch,
@@ -81,6 +82,8 @@ __all__ = [
     "optimize_table",
     "merge_table",
     "delete_keys",
+    "delete_where",
+    "update_where",
     "table_changes",
 ]
 
@@ -477,6 +480,70 @@ def _carry_files(carried: list[str], live: str, staged: str) -> None:
             _sh.copy2(f, dest)
 
 
+def _cow_commit(
+    spark: SparkSession,
+    table_dir: str,
+    epoch: int,
+    live: str,
+    merged: DataFrame,
+    carried: list[str],
+    pcols: list[str],
+    retention_sec: float,
+    op: str,
+) -> int:
+    """The shared copy-on-write commit tail: stage the rewritten rows
+    into ``t_ep<epoch+1>`` (a crashed prior attempt's leftovers are
+    removed first), hard-link the carried files in, flip the pointer
+    under ``commit_lock`` with an epoch re-check (concurrent committer
+    → ``ConcurrentWriteError``), sweep with retention. Returns the new
+    epoch."""
+    import shutil as _sh
+
+    staged = data_dir(table_dir, DATA_NAME, epoch + 1)
+    if os.path.isdir(staged):
+        _sh.rmtree(staged)
+    writer = merged.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staged)
+    _carry_files(carried, live, staged)
+
+    with commit_lock(table_dir):
+        from ariadne_dbt_spark.operators.epoch_store import ConcurrentWriteError
+
+        now = read_epoch(table_dir)
+        if now != epoch:
+            raise ConcurrentWriteError(
+                f"table {table_dir} moved to epoch {now} during {op} "
+                f"(started at {epoch}); re-run against the new epoch"
+            )
+        commit_epoch(table_dir, epoch + 1)
+    sweep_stale_epochs(table_dir, [DATA_NAME], epoch + 1, retention_sec=retention_sec)
+    return epoch + 1
+
+
+def _touched_by_predicate(
+    spark: SparkSession, live: str, files: list[str], pred
+) -> tuple[list[str], list[str]]:
+    """(touched, carried) for a row predicate, discovered by SCANNING:
+    ``input_file_name()`` over the predicate-filtered table names
+    exactly the files holding matching rows — and the scan itself is
+    footer/partition-pruned by Catalyst, so discovery cost tracks the
+    predicate's selectivity, not the table size. (Delta finds its
+    rewrite set the same way.)"""
+    from urllib.parse import unquote, urlparse
+
+    df = spark.read.option("mergeSchema", "true").parquet(live)
+    hit_uris = [
+        r[0]
+        for r in df.where(pred).select(F.input_file_name()).distinct().collect()
+    ]
+    hits = {os.path.abspath(unquote(urlparse(u).path)) for u in hit_uris}
+    touched = [f for f in files if os.path.abspath(f) in hits]
+    carried = [f for f in files if os.path.abspath(f) not in hits]
+    return touched, carried
+
+
 def merge_table(
     spark: SparkSession,
     table_dir: str,
@@ -557,10 +624,6 @@ def merge_table(
     Reference parity: none — the reference rebuilds wholesale
     (``src/ariadne_dbt/indexer.py:472-485``); §8 scale extension.
     """
-    import shutil as _sh
-
-    from pyspark.sql import functions as F
-
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update|delete|None, got {when_matched!r}")
     if when_not_matched not in ("insert", None):
@@ -681,30 +744,12 @@ def merge_table(
                 s_add = None
         merged = t_keep if s_add is None else t_keep.unionByName(s_add)
 
-        staged = data_dir(table_dir, DATA_NAME, epoch + 1)
-        if os.path.isdir(staged):
-            _sh.rmtree(staged)  # crashed prior attempt: clean slate so
-            # its part files can't survive next to this attempt's
-        writer = merged.write.mode("overwrite")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(staged)
-        _carry_files(carried, live, staged)
-
-        with commit_lock(table_dir):
-            from ariadne_dbt_spark.operators.epoch_store import ConcurrentWriteError
-
-            now = read_epoch(table_dir)
-            if now != epoch:
-                raise ConcurrentWriteError(
-                    f"table {table_dir} moved to epoch {now} during merge "
-                    f"(started at {epoch}); re-run against the new epoch"
-                )
-            commit_epoch(table_dir, epoch + 1)
-        sweep_stale_epochs(table_dir, [DATA_NAME], epoch + 1, retention_sec=retention_sec)
+        new_epoch = _cow_commit(
+            spark, table_dir, epoch, live, merged, carried, pcols, retention_sec, "merge"
+        )
         return {
             "epoch": epoch,
-            "new_epoch": epoch + 1,
+            "new_epoch": new_epoch,
             "n_files": len(files),
             "n_files_touched": len(touched),
             "n_files_carried": len(carried),
@@ -744,6 +789,114 @@ def delete_keys(
         when_not_matched=None,
         retention_sec=retention_sec,
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    *,
+    retention_sec: float = 0.0,
+) -> dict:
+    """DELETE FROM the managed table by row predicate (a Column or SQL
+    string) — COW: the rewrite set is discovered by an actual
+    predicate-filtered scan over ``input_file_name()``
+    (:func:`_touched_by_predicate`), so Catalyst's footer and partition
+    pruning bound the discovery cost by the predicate's selectivity;
+    files with no matching row are hard-linked into the new epoch
+    untouched. NULL predicate rows are kept (SQL semantics: only rows
+    where the predicate IS TRUE are deleted)."""
+    return _rewrite_where(
+        spark, table_dir, predicate, None, retention_sec=retention_sec, op="delete_where"
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    set_exprs: dict,
+    predicate,
+    *,
+    retention_sec: float = 0.0,
+) -> dict:
+    """UPDATE the managed table: ``set_exprs`` maps column name →
+    Column/SQL-string expression, applied to rows where ``predicate``
+    IS TRUE; all other rows (including NULL-predicate rows) keep their
+    values. Same COW shape as :func:`delete_where` — only files with a
+    matching row are rewritten; unknown SET columns raise (use
+    ``merge_table(merge_schema=True)`` to add columns)."""
+    if not set_exprs:
+        raise ValueError("update_where needs at least one SET column")
+    return _rewrite_where(
+        spark,
+        table_dir,
+        predicate,
+        set_exprs,
+        retention_sec=retention_sec,
+        op="update_where",
+    )
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    set_exprs: dict | None,
+    *,
+    retention_sec: float,
+    op: str,
+) -> dict:
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    epoch = read_epoch(table_dir)
+    live = data_dir(table_dir, DATA_NAME, epoch)
+    if not os.path.isdir(live):
+        raise FileNotFoundError(f"no table data at {live}")
+    files = _walk_parquet(live)
+    pcols = _partition_cols(live, files)
+    touched, carried = _touched_by_predicate(spark, live, files, pred)
+
+    if touched:
+        reader = spark.read.option("mergeSchema", "true")
+        if pcols:
+            reader = reader.option("basePath", live)
+        tdf = reader.parquet(*touched)
+    else:
+        tdf = spark.read.option("mergeSchema", "true").parquet(live).limit(0)
+    hit = F.coalesce(pred, F.lit(False))
+    n_hit = tdf.where(hit).count()
+    if set_exprs is None:
+        merged = tdf.where(~hit)
+        deleted, updated = n_hit, 0
+    else:
+        unknown = [c for c in set_exprs if c not in tdf.columns]
+        if unknown:
+            raise ValueError(f"SET columns not in the table: {unknown}")
+        exprs = {
+            c: F.expr(e) if isinstance(e, str) else e for c, e in set_exprs.items()
+        }
+        merged = tdf.select(
+            *[
+                (
+                    F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
+                    if c in exprs
+                    else F.col(c)
+                )
+                for c in tdf.columns
+            ]
+        )
+        deleted, updated = 0, n_hit
+    new_epoch = _cow_commit(
+        spark, table_dir, epoch, live, merged, carried, pcols, retention_sec, op
+    )
+    return {
+        "epoch": epoch,
+        "new_epoch": new_epoch,
+        "n_files": len(files),
+        "n_files_touched": len(touched),
+        "n_files_carried": len(carried),
+        "rows_deleted": deleted,
+        "rows_updated": updated,
+    }
 
 
 def _pad_to_table_schema(

@@ -601,7 +601,13 @@ _MERGE_CTE = """
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
         UNION ALL SELECT * FROM src
     ),
-    final AS (SELECT * FROM merged WHERE o_orderkey % 100 <> 1)
+    updated AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CASE WHEN o_orderstatus = 'P' THEN price + 50
+                         ELSE price END AS DECIMAL(18,2)) AS price
+        FROM merged
+    ),
+    final AS (SELECT * FROM updated WHERE o_orderkey % 100 <> 1)
 """
 
 
@@ -610,7 +616,8 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str, work: str, *, cluster
     write 3/4 of orders, (optionally) OPTIMIZE clustered on the merge
     key so footer pruning has ranges to work with, MERGE an
     update+insert source (keys %8 in {0,3}: 0 matches → update, 3 was
-    excluded from the target → insert), then DELETE keys %100 == 1.
+    excluded from the target → insert), UPDATE WHERE status 'P' (price
+    bump via the predicate-scan COW path), then DELETE keys %100 == 1.
     Retention keeps every epoch readable for the change feed."""
     import os
 
@@ -618,6 +625,7 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str, work: str, *, cluster
         delete_keys,
         merge_table,
         optimize_table,
+        update_where,
         write_table,
     )
     from ariadne_dbt_spark.workloads.relational import T, dec
@@ -635,6 +643,13 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str, work: str, *, cluster
         "price", (F.col("price") + F.lit(1000)).cast("decimal(18,2)")
     )
     merge_table(spark, tdir, src, ["o_orderkey"], retention_sec=3600)
+    update_where(
+        spark,
+        tdir,
+        {"price": "CAST(price + 50 AS DECIMAL(18,2))"},
+        "o_orderstatus = 'P'",
+        retention_sec=3600,
+    )
     delete_keys(
         spark,
         tdir,
@@ -657,11 +672,13 @@ def _merged_orders_table(spark: SparkSession, sf_dir: str, work: str, *, cluster
     doc="Row-level MERGE INTO a managed parquet table (Delta-style "
     "upsert as a copy-on-write epoch flip; operators/table_store.py "
     "merge_table): write 3/4 of orders, OPTIMIZE clustered on the key, "
-    "merge an update+insert batch, DELETE a key slice, and aggregate "
-    "the final table. The oracle replays the same merge relationally — "
-    "anti-join + union + filter — so upsert/delete semantics, not just "
-    "plumbing, are value-checked. Footer pruning carries files the "
-    "source provably misses; exactness never depends on it.",
+    "merge an update+insert batch, UPDATE WHERE a status predicate "
+    "(predicate-scan COW), DELETE a key slice, and aggregate the final "
+    "table. The oracle replays the whole lifecycle relationally — "
+    "anti-join + union + CASE + filter — so upsert/update/delete "
+    "semantics, not just plumbing, are value-checked. Footer pruning "
+    "carries files the source provably misses; exactness never "
+    "depends on it.",
 )
 def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

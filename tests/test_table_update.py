@@ -1,0 +1,116 @@
+"""Predicate-level DELETE / UPDATE on managed tables
+(operators/table_store.py delete_where / update_where).
+
+Contracts under test:
+
+* semantics match a Python oracle (delete removes IS-TRUE rows only;
+  update rewrites only matching rows' SET columns);
+* NULL-predicate rows are kept / left unmodified (SQL three-valued
+  semantics);
+* the rewrite set comes from a predicate-filtered input_file_name scan:
+  on a key-clustered table a narrow-band predicate carries every other
+  file as a hard link;
+* unknown SET columns raise;
+* both ops share the version history (time travel + change feed see
+  them).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ariadne_dbt_spark.operators.epoch_store import _walk_parquet, data_dir, read_epoch
+from ariadne_dbt_spark.operators.table_store import (
+    DATA_NAME,
+    delete_where,
+    optimize_table,
+    read_table,
+    table_changes,
+    update_where,
+    write_table,
+)
+
+
+def _mk(spark, tmp_path, rows, name="tbl"):
+    tdir = str(tmp_path / name)
+    write_table(spark, spark.createDataFrame(rows), tdir)
+    return tdir
+
+
+def test_delete_where_matches_sql_semantics_incl_nulls(spark, tmp_path):
+    rows = [Row(id=i, v=(None if i % 5 == 0 else i * 10)) for i in range(20)]
+    tdir = _mk(spark, tmp_path, rows)
+    rep = delete_where(spark, tdir, F.col("v") > 100)
+    # v>100: ids 11..19 except multiples of 5 → 11,12,13,14,16,17,18,19
+    assert rep["rows_deleted"] == 8 and rep["rows_updated"] == 0
+    kept = sorted(r["id"] for r in read_table(spark, tdir).collect())
+    # NULL-predicate rows (v null) are KEPT
+    assert kept == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 15]
+
+
+def test_update_where_rewrites_only_matching_rows(spark, tmp_path):
+    rows = [Row(id=i, grp=i % 3, v=i * 10) for i in range(30)]
+    tdir = _mk(spark, tmp_path, rows)
+    rep = update_where(
+        spark, tdir, {"v": "v + 1000", "grp": F.lit(9)}, "id >= 25"
+    )
+    assert rep["rows_updated"] == 5 and rep["rows_deleted"] == 0
+    got = {r["id"]: (r["grp"], r["v"]) for r in read_table(spark, tdir).collect()}
+    assert got[27] == (9, 1270) and got[24] == (24 % 3, 240)
+    assert len(got) == 30  # update never changes cardinality
+
+
+def test_update_where_unknown_set_column_raises(spark, tmp_path):
+    tdir = _mk(spark, tmp_path, [Row(id=1, v=1)])
+    with pytest.raises(ValueError, match="SET columns not in the table"):
+        update_where(spark, tdir, {"nope": F.lit(1)}, "id = 1")
+    with pytest.raises(ValueError, match="at least one SET column"):
+        update_where(spark, tdir, {}, "id = 1")
+
+
+def test_predicate_scan_carries_unmatched_files_as_hardlinks(spark, tmp_path):
+    tdir = str(tmp_path / "big")
+    df = spark.range(60_000).select(
+        F.col("id"),
+        F.sha1(F.col("id").cast("string")).alias("pad"),
+    )
+    write_table(spark, df.repartition(20), tdir)
+    optimize_table(spark, tdir, target_file_mb=1, cluster_by=["id"])
+    live0 = data_dir(tdir, DATA_NAME, read_epoch(tdir))
+    n_files = len(_walk_parquet(live0))
+    assert n_files >= 3
+    inodes0 = {os.stat(p).st_ino for p in _walk_parquet(live0)}
+
+    rep = delete_where(spark, tdir, "id < 100")
+    assert rep["rows_deleted"] == 100
+    assert rep["n_files_carried"] >= n_files - 2, rep
+    live1 = data_dir(tdir, DATA_NAME, read_epoch(tdir))
+    carried = [
+        p for p in _walk_parquet(live1) if os.path.basename(p).startswith("carry-")
+    ]
+    assert len(carried) == rep["n_files_carried"]
+    assert all(os.stat(p).st_ino in inodes0 for p in carried)
+    assert read_table(spark, tdir).count() == 59_900
+
+    # and an UPDATE through the same path
+    rep2 = update_where(spark, tdir, {"pad": F.lit("X")}, "id >= 59990")
+    assert rep2["rows_updated"] == 10
+    assert rep2["n_files_carried"] >= rep2["n_files"] - 2, rep2
+    assert read_table(spark, tdir).where(F.col("pad") == "X").count() == 10
+
+
+def test_where_ops_share_history_and_change_feed(spark, tmp_path):
+    rows = [Row(id=i, v=i) for i in range(10)]
+    tdir = _mk(spark, tmp_path, rows)
+    update_where(spark, tdir, {"v": "v + 100"}, "id = 3", retention_sec=3600)
+    delete_where(spark, tdir, "id = 7", retention_sec=3600)
+
+    assert read_table(spark, tdir, epoch=0).count() == 10  # time travel
+    ch = {
+        (r["id"], r["_change_type"])
+        for r in table_changes(spark, tdir, ["id"], from_epoch=0).collect()
+    }
+    assert ch == {(3, "update_postimage"), (7, "delete")}
