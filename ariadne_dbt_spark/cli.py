@@ -460,6 +460,71 @@ def cmd_maintain(args):
     )
 
 
+def cmd_table(args):
+    """Ad-hoc DML + inspection for a managed parquet table
+    (operators/table_store.py): ``history`` is metadata-only;
+    ``changes`` prints the change feed between two retained epochs;
+    ``merge`` / ``delete-where`` / ``update-where`` run the COW epoch
+    flips and print their reports. The maintenance face (report /
+    OPTIMIZE) lives under ``maintain --kind table``."""
+    from ariadne_dbt_spark.operators import table_store
+
+    if args.action == "history":
+        _emit({"table_dir": args.dir, "history": table_store.table_history(args.dir)})
+        return
+
+    from ariadne_dbt_spark.session import get_spark
+
+    spark = get_spark("ariadne-table")
+    if args.action == "changes":
+        if args.from_epoch is None or not args.keys:
+            raise SystemExit("changes needs --keys and --from-epoch")
+        df = table_store.table_changes(
+            spark,
+            args.dir,
+            args.keys.split(","),
+            from_epoch=args.from_epoch,
+            to_epoch=args.to_epoch,
+        )
+        _emit({"table_dir": args.dir, "changes": [r.asDict() for r in df.collect()]})
+    elif args.action == "merge":
+        if not args.source or not args.keys:
+            raise SystemExit("merge needs --source and --keys")
+        none_if = lambda v: None if v == "none" else v  # noqa: E731
+        report = table_store.merge_table(
+            spark,
+            args.dir,
+            spark.read.option("mergeSchema", "true").parquet(args.source),
+            args.keys.split(","),
+            when_matched=none_if(args.when_matched),
+            when_not_matched=none_if(args.when_not_matched),
+            when_matched_condition=args.condition,
+            merge_schema=args.merge_schema,
+            retention_sec=args.retention_sec,
+        )
+        _emit({"table_dir": args.dir, **report})
+    elif args.action == "delete-where":
+        if not args.predicate:
+            raise SystemExit("delete-where needs --predicate")
+        report = table_store.delete_where(
+            spark, args.dir, args.predicate, retention_sec=args.retention_sec
+        )
+        _emit({"table_dir": args.dir, **report})
+    else:  # update-where
+        if not args.predicate or not args.set:
+            raise SystemExit("update-where needs --predicate and --set col=expr")
+        set_exprs = {}
+        for item in args.set:
+            col, _, expr = item.partition("=")
+            if not expr:
+                raise SystemExit(f"--set wants col=expr, got {item!r}")
+            set_exprs[col.strip()] = expr
+        report = table_store.update_where(
+            spark, args.dir, set_exprs, args.predicate, retention_sec=args.retention_sec
+        )
+        _emit({"table_dir": args.dir, **report})
+
+
 def cmd_serve(args):
     """Serve the tool surface: MCP when --transport is given (reference:
     cli.py:131-161) — fastmcp for any transport when installed, the
@@ -631,6 +696,46 @@ def build_parser() -> argparse.ArgumentParser:
         help="(--kind table) comma-separated NUMERIC keys to Z-order the rewrite on",
     )
     sp.set_defaults(fn=cmd_maintain)
+
+    sp = sub.add_parser(
+        "table",
+        help="managed-table DML: merge / delete-where / update-where / history / changes",
+    )
+    sp.add_argument(
+        "action",
+        choices=("history", "changes", "merge", "delete-where", "update-where"),
+    )
+    sp.add_argument("--dir", required=True, help="managed table directory")
+    sp.add_argument("--keys", default=None, help="comma-separated merge/diff key columns")
+    sp.add_argument("--source", default=None, help="(merge) parquet path of the source batch")
+    sp.add_argument(
+        "--when-matched", dest="when_matched", default="update",
+        choices=("update", "delete", "none"),
+    )
+    sp.add_argument(
+        "--when-not-matched", dest="when_not_matched", default="insert",
+        choices=("insert", "none"),
+    )
+    sp.add_argument(
+        "--condition", default=None,
+        help="(merge) guarded matched clause over aliases s/t, e.g. 's.ts >= t.ts'",
+    )
+    sp.add_argument(
+        "--merge-schema", dest="merge_schema", action="store_true",
+        help="(merge) allow the source to add columns (metadata-only evolution)",
+    )
+    sp.add_argument("--predicate", default=None, help="(delete-/update-where) SQL predicate")
+    sp.add_argument(
+        "--set", action="append", default=None,
+        help="(update-where) col=expr, repeatable",
+    )
+    sp.add_argument("--from-epoch", dest="from_epoch", type=int, default=None)
+    sp.add_argument("--to-epoch", dest="to_epoch", type=int, default=None)
+    sp.add_argument(
+        "--retention-sec", dest="retention_sec", type=float, default=0.0,
+        help="keep retired epoch dirs younger than this (cross-process readers)",
+    )
+    sp.set_defaults(fn=cmd_table)
 
     sp = sub.add_parser(
         "serve", help="tool server: JSON-lines on stdio, or MCP via --transport"

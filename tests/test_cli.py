@@ -185,3 +185,61 @@ def test_cli_maintain_table_kind_reports_and_optimizes(tmp_path, capsys, spark):
     assert out["compacted"] and out["epoch"] == 1 and out["n_files"] <= 4
     assert read_epoch(tdir) == 1
     assert read_table(spark, tdir).count() == 2000
+
+
+def test_cli_table_dml_roundtrip(tmp_path, capsys, spark):
+    """Round 9: `table` runs the managed-table DML surface end to end —
+    merge a parquet source batch, update-where, delete-where, then read
+    the history and the change feed — each printing its JSON report."""
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.table_store import read_table, write_table
+
+    tdir = str(tmp_path / "tbl")
+    write_table(
+        spark,
+        spark.range(100).select(
+            F.col("id"), (F.col("id") % 5).alias("grp"), F.lit(10).alias("v")
+        ),
+        tdir,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(5, 0, 99), (200, 0, 99)], "id bigint, grp bigint, v int"
+    ).write.parquet(src)
+
+    out = _run(
+        capsys, "table", "merge", "--dir", tdir, "--source", src,
+        "--keys", "id", "--retention-sec", "3600",
+    )
+    assert out["rows_updated"] == 1 and out["rows_inserted"] == 1
+
+    out = _run(
+        capsys, "table", "update-where", "--dir", tdir,
+        "--predicate", "id = 7", "--set", "v=v + 5", "--retention-sec", "3600",
+    )
+    assert out["rows_updated"] == 1
+
+    out = _run(
+        capsys, "table", "delete-where", "--dir", tdir,
+        "--predicate", "id = 9", "--retention-sec", "3600",
+    )
+    assert out["rows_deleted"] == 1
+
+    got = {r["id"]: r["v"] for r in read_table(spark, tdir).collect()}
+    assert got[5] == 99 and got[7] == 15 and got[200] == 99 and 9 not in got
+
+    out = _run(capsys, "table", "history", "--dir", tdir)
+    assert [h["epoch"] for h in out["history"]] == [0, 1, 2, 3]
+
+    out = _run(
+        capsys, "table", "changes", "--dir", tdir,
+        "--keys", "id", "--from-epoch", "0",
+    )
+    ch = {(c["id"], c["_change_type"]) for c in out["changes"]}
+    assert ch == {
+        (5, "update_postimage"),
+        (7, "update_postimage"),
+        (200, "insert"),
+        (9, "delete"),
+    }

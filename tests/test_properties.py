@@ -353,3 +353,78 @@ def test_excision_matches_python_oracle(spark, texts, L):
             ).collect()
         }
         assert got == expected, f"hash_grams={hashed}"
+
+
+_ids = st.integers(min_value=0, max_value=25)
+_vals = st.integers(min_value=-5, max_value=5)
+_kv = st.dictionaries(_ids, _vals, max_size=12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    target=_kv,
+    source=st.dictionaries(_ids, _vals, min_size=1, max_size=8),
+    wm=st.sampled_from(["update", "delete", None]),
+    wnm=st.sampled_from(["insert", None]),
+    cond=st.booleans(),
+)
+def test_merge_table_matches_python_oracle(spark, target, source, wm, wnm, cond):
+    """merge_table semantics == a direct python replay, across random
+    tables, sources, clause combos, and the guarded-update condition
+    (s.v > t.v). Small key domain forces key collisions; unionByName /
+    prune / condition handling all sit under this one property."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.table_store import merge_table, read_table, write_table
+
+    if wm is None and wnm is None:
+        wnm = "insert"  # the no-op combo raises by contract; not under test
+
+    def oracle():
+        out = {}
+        for k, tv in target.items():
+            if k in source:
+                sv = source[k]
+                won = (not cond) or (sv > tv)
+                if wm == "update":
+                    out[k] = sv if won else tv
+                elif wm == "delete":
+                    if not won:
+                        out[k] = tv
+                else:
+                    out[k] = tv
+            else:
+                out[k] = tv
+        if wnm == "insert":
+            for k, sv in source.items():
+                if k not in target:
+                    out[k] = sv
+        return out
+
+    work = tempfile.mkdtemp(prefix="merge_prop_")
+    try:
+        tdir = f"{work}/t"
+        write_table(
+            spark,
+            spark.createDataFrame(
+                [(k, v) for k, v in target.items()] or [(None, None)], "k int, v int"
+            ).where(F.col("k").isNotNull()),
+            tdir,
+        )
+        src = spark.createDataFrame([(k, v) for k, v in source.items()], "k int, v int")
+        merge_table(
+            spark,
+            tdir,
+            src,
+            ["k"],
+            when_matched=wm,
+            when_not_matched=wnm,
+            when_matched_condition="s.v > t.v" if cond else None,
+        )
+        got = {r["k"]: r["v"] for r in read_table(spark, tdir).collect()}
+        assert got == oracle()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
