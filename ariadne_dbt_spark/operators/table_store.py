@@ -85,6 +85,10 @@ __all__ = [
     "delete_where",
     "update_where",
     "table_changes",
+    "clone_table",
+    "set_constraints",
+    "get_constraints",
+    "ConstraintViolation",
 ]
 
 #: the single logical data-dir name a managed table owns
@@ -188,6 +192,7 @@ def write_table(
     (``col=value`` dirs); OPTIMIZE and MERGE detect and preserve the
     layout from the paths, so it never needs restating. Returns the
     data dir written."""
+    _check_constraints(df, table_dir, scope="write_table")
     dest = _resolve(table_dir)
     w = df.write.mode("overwrite")
     if partition_by:
@@ -744,6 +749,10 @@ def merge_table(
                 s_add = None
         merged = t_keep if s_add is None else t_keep.unionByName(s_add)
 
+        # CHECK constraints on the rewrite set only (carried files
+        # committed under them already; adding a constraint does not
+        # retro-validate existing data — disclosed)
+        _check_constraints(merged, table_dir, scope="merge")
         new_epoch = _cow_commit(
             spark, table_dir, epoch, live, merged, carried, pcols, retention_sec, "merge"
         )
@@ -885,6 +894,8 @@ def _rewrite_where(
             ]
         )
         deleted, updated = 0, n_hit
+        # deletes only remove rows; updates can introduce violations
+        _check_constraints(merged, table_dir, scope="update_where")
     new_epoch = _cow_commit(
         spark, table_dir, epoch, live, merged, carried, pcols, retention_sec, op
     )
@@ -910,6 +921,93 @@ def _pad_to_table_schema(
         for f in schema.fields
     ]
     return keys_df.select(cols)
+
+
+def clone_table(table_dir: str, dest_dir: str, *, epoch: int | None = None) -> dict:
+    """Zero-copy SHALLOW CLONE (Delta's ``CLONE``): hard-link the
+    chosen (default current) epoch's files into ``dest_dir`` as a fresh
+    managed table at epoch 0 — O(metadata), no bytes moved. The clone
+    then evolves independently: every mutation on either side is a
+    whole-file COW rewrite into a NEW epoch dir, so linked bytes are
+    never modified in place and divergence is automatic. The dev/test-
+    against-prod snapshot pattern, without a second copy of the data."""
+    src_epoch = read_epoch(table_dir) if epoch is None else epoch
+    live = data_dir(table_dir, DATA_NAME, src_epoch)
+    if epoch is not None and (epoch > read_epoch(table_dir) or not os.path.isdir(live)):
+        raise FileNotFoundError(
+            f"epoch {epoch} of {table_dir} is not a committed version on disk"
+        )
+    if not os.path.isdir(live):
+        raise FileNotFoundError(f"no table data at {live}")
+    if os.path.isdir(dest_dir) and _walk_parquet(dest_dir):
+        raise ValueError(f"clone destination {dest_dir} already holds data")
+    dest_live = data_dir(dest_dir, DATA_NAME, 0)
+    files = _walk_parquet(live)
+    _carry_files(files, live, dest_live)
+    return {
+        "source": table_dir,
+        "source_epoch": src_epoch,
+        "dest": dest_dir,
+        "n_files_linked": len(files),
+    }
+
+
+#: per-table CHECK constraints live here, beside epoch.json
+_CONSTRAINTS_FILE = "constraints.json"
+
+
+class ConstraintViolation(ValueError):
+    """A write would commit rows failing a table CHECK constraint; the
+    committed epoch is untouched."""
+
+
+def set_constraints(table_dir: str, constraints: dict[str, str]) -> None:
+    """Persist named CHECK constraints (name → boolean SQL expression
+    over the row, e.g. ``{"price_pos": "price > 0"}``). Every
+    subsequent ``write_table`` / ``merge_table`` / ``update_where``
+    verifies the rows it is about to commit and raises
+    ``ConstraintViolation`` (old epoch intact) on any failure — NULL
+    evaluations count as violations, like Delta's CHECK. Pass ``{}`` to
+    drop enforcement."""
+    from ariadne_dbt_spark.operators.epoch_store import _atomic_write_json
+
+    os.makedirs(table_dir, exist_ok=True)
+    _atomic_write_json(os.path.join(table_dir, _CONSTRAINTS_FILE), constraints)
+
+
+def get_constraints(table_dir: str) -> dict[str, str]:
+    import json
+
+    path = os.path.join(table_dir, _CONSTRAINTS_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _check_constraints(df: DataFrame, table_dir: str, *, scope: str) -> None:
+    """One pass over the rows about to be committed: count failures of
+    every constraint (NULL → failure) and raise naming the worst. Cost
+    is bounded by the rewrite set (``scope`` says which), never the
+    table."""
+    cons = get_constraints(table_dir)
+    if not cons:
+        return
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
+            ).alias(name)
+            for name, expr in cons.items()
+        ]
+    ).collect()[0]
+    bad = {name: counts[name] for name in cons if (counts[name] or 0) > 0}
+    if bad:
+        raise ConstraintViolation(
+            f"{scope} would commit rows violating CHECK constraints "
+            f"{ {n: f'{c} rows' for n, c in bad.items()} } on {table_dir}; "
+            f"epoch unchanged"
+        )
 
 
 def table_changes(

@@ -114,3 +114,80 @@ def test_where_ops_share_history_and_change_feed(spark, tmp_path):
         for r in table_changes(spark, tdir, ["id"], from_epoch=0).collect()
     }
     assert ch == {(3, "update_postimage"), (7, "delete")}
+
+
+def test_shallow_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    from ariadne_dbt_spark.operators.table_store import clone_table, merge_table
+
+    src = _mk(spark, tmp_path, [Row(id=i, v=i) for i in range(50)], "src")
+    dest = str(tmp_path / "clone")
+    rep = clone_table(src, dest)
+    assert rep["n_files_linked"] >= 1
+
+    # zero-copy: every clone file shares an inode with a source file
+    s_live = data_dir(src, DATA_NAME, read_epoch(src))
+    d_live = data_dir(dest, DATA_NAME, read_epoch(dest))
+    s_inodes = {os.stat(p).st_ino for p in _walk_parquet(s_live)}
+    assert all(os.stat(p).st_ino in s_inodes for p in _walk_parquet(d_live))
+    assert read_table(spark, dest).count() == 50
+
+    # divergence: mutate the clone → source untouched, and vice versa
+    merge_table(
+        spark, dest, spark.createDataFrame([Row(id=1, v=999)]), ["id"]
+    )
+    assert {r["v"] for r in read_table(spark, src).where(F.col("id") == 1).collect()} == {1}
+    delete_where(spark, src, "id = 2")
+    assert read_table(spark, dest).where(F.col("id") == 2).count() == 1
+
+    # occupied destination refuses
+    with pytest.raises(ValueError, match="already holds data"):
+        clone_table(src, dest)
+
+
+def test_check_constraints_guard_every_write_path(spark, tmp_path):
+    from ariadne_dbt_spark.operators.table_store import (
+        ConstraintViolation,
+        get_constraints,
+        merge_table,
+        set_constraints,
+    )
+
+    tdir = _mk(spark, tmp_path, [Row(id=i, v=i + 1) for i in range(10)])
+    set_constraints(tdir, {"v_pos": "v > 0"})
+    assert get_constraints(tdir) == {"v_pos": "v > 0"}
+
+    # merge introducing a violation refuses, epoch unchanged
+    ep = read_epoch(tdir)
+    with pytest.raises(ConstraintViolation, match="v_pos"):
+        merge_table(spark, tdir, spark.createDataFrame([Row(id=3, v=-1)]), ["id"])
+    assert read_epoch(tdir) == ep
+    assert read_table(spark, tdir).where(F.col("v") <= 0).count() == 0
+
+    # NULL evaluations violate (Delta CHECK semantics)
+    with pytest.raises(ConstraintViolation, match="v_pos"):
+        merge_table(
+            spark,
+            tdir,
+            spark.createDataFrame([(99, None)], "id bigint, v bigint"),
+            ["id"],
+        )
+
+    # update_where introducing a violation refuses
+    with pytest.raises(ConstraintViolation, match="update_where"):
+        update_where(spark, tdir, {"v": "v - 100"}, "id = 5")
+
+    # a clean merge still lands
+    rep = merge_table(spark, tdir, spark.createDataFrame([Row(id=3, v=7)]), ["id"])
+    assert rep["rows_updated"] == 1
+
+    # deletes never trip constraints (they only remove rows)
+    delete_where(spark, tdir, "id = 4")
+    assert read_table(spark, tdir).count() == 9
+
+    # write_table is guarded too
+    with pytest.raises(ConstraintViolation, match="write_table"):
+        write_table(spark, spark.createDataFrame([Row(id=1, v=0)]), tdir)
+
+    # dropping constraints lifts enforcement
+    set_constraints(tdir, {})
+    merge_table(spark, tdir, spark.createDataFrame([Row(id=8, v=-5)]), ["id"])
