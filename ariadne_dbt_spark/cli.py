@@ -482,7 +482,7 @@ def cmd_table(args):
         df = table_store.table_changes(
             spark,
             args.dir,
-            args.keys.split(","),
+            [k.strip() for k in args.keys.split(",")],
             from_epoch=args.from_epoch,
             to_epoch=args.to_epoch,
         )
@@ -495,7 +495,7 @@ def cmd_table(args):
             spark,
             args.dir,
             spark.read.option("mergeSchema", "true").parquet(args.source),
-            args.keys.split(","),
+            [k.strip() for k in args.keys.split(",")],
             when_matched=none_if(args.when_matched),
             when_not_matched=none_if(args.when_not_matched),
             when_matched_condition=args.condition,

@@ -290,16 +290,16 @@ def optimize_table(
     Steps — every one crash-safe:
 
     1. measure (``table_report``) → target output file count;
-    2. rewrite the live data into ``t_ep<epoch+1>`` with
-       ``mode="overwrite"`` (a crashed prior attempt is overwritten);
-       plain ``coalesce`` when unclustered — a narrowing, shuffle-free
-       plan — or ``repartitionByRange + sortWithinPartitions`` when
-       clustering (one range exchange; sampled bounds keep outputs
-       even-sized even on skewed keys);
-    3. flip the pointer under ``commit_lock`` (re-reading the epoch
-       inside the lock: a concurrent optimizer that committed first
-       makes this attempt raise ``ConcurrentWriteError`` rather than
-       resurrect overwritten data);
+    2. rewrite the live data into an ATTEMPT-UNIQUE staging dir
+       (``_cow_commit``): plain ``coalesce`` when unclustered — a
+       narrowing, shuffle-free plan — or ``repartitionByRange +
+       sortWithinPartitions`` when clustering (one range exchange;
+       sampled bounds keep outputs even-sized even on skewed keys);
+    3. under ``commit_lock``: re-read the epoch (a concurrent optimizer
+       that committed first makes this attempt raise
+       ``ConcurrentWriteError`` — and, because staging was private, the
+       loser can never have touched the winner's committed data), then
+       rename the attempt dir to ``t_ep<epoch+1>`` and flip the pointer;
     4. sweep retired epochs, honoring ``retention_sec`` for
        cross-process readers.
 
@@ -352,28 +352,15 @@ def optimize_table(
         out = df.repartition(n_out, *pcols)
     else:
         out = df.coalesce(n_out)
-    staged = data_dir(table_dir, DATA_NAME, epoch + 1)
-    writer = out.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(staged)
-
-    with commit_lock(table_dir):
-        from ariadne_dbt_spark.operators.epoch_store import ConcurrentWriteError
-
-        now = read_epoch(table_dir)
-        if now != epoch:
-            raise ConcurrentWriteError(
-                f"table {table_dir} moved to epoch {now} during optimize "
-                f"(started at {epoch}); re-run against the new epoch"
-            )
-        commit_epoch(table_dir, epoch + 1)
-    sweep_stale_epochs(
-        table_dir, [DATA_NAME], epoch + 1, retention_sec=retention_sec
+    # shared attempt-staged commit: rename into t_ep<epoch+1> happens
+    # under the lock AFTER the epoch re-check, so a losing concurrent
+    # optimizer can never destroy a committed epoch's data
+    new_epoch = _cow_commit(
+        spark, table_dir, epoch, live, out, [], pcols, retention_sec, "optimize"
     )
     return {
         **report,
-        "new_epoch": epoch + 1,
+        "new_epoch": new_epoch,
         "clustered_by": cluster_by or [],
         "zordered_by": list(zorder_by) if zorder_by else [],
     }
@@ -411,6 +398,14 @@ def _file_key_bounds(path: str, key: str):
                 mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
             except UnicodeDecodeError:
                 return None
+        import datetime as _dt
+
+        if isinstance(mn, (_dt.datetime, _dt.date)):
+            # timestamp footer stats are UTC instants while collected
+            # source keys are session-local naive datetimes — a silent
+            # skew if the session isn't UTC. Conservative: no prune on
+            # temporal keys (round-9 review).
+            return None
         try:
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
@@ -497,32 +492,61 @@ def _cow_commit(
     op: str,
 ) -> int:
     """The shared copy-on-write commit tail: stage the rewritten rows
-    into ``t_ep<epoch+1>`` (a crashed prior attempt's leftovers are
-    removed first), hard-link the carried files in, flip the pointer
-    under ``commit_lock`` with an epoch re-check (concurrent committer
-    → ``ConcurrentWriteError``), sweep with retention. Returns the new
-    epoch."""
+    into an ATTEMPT-UNIQUE dir, then — under ``commit_lock``, after the
+    epoch re-check — rename it to ``t_ep<epoch+1>`` and flip the
+    pointer; sweep with retention. Returns the new epoch.
+
+    Why attempt-unique staging (round-9 review): staging straight into
+    ``t_ep<epoch+1>`` let a LOSING racer rmtree that path after the
+    winner had already committed it — destroying live data before the
+    loser's own re-check raised. Now each writer stages privately;
+    ``t_ep<epoch+1>`` is only ever created inside the lock by the
+    writer that passes the re-check (anything already there belongs to
+    a CRASHED attempt — no committed pointer can reference it — and is
+    removed under the same lock). A losing racer's attempt dir is
+    cleaned up here on the spot; a crashed writer's is swept by later
+    commits once it is stale."""
     import shutil as _sh
+    import time as _time
+    import uuid as _uuid
+
+    from ariadne_dbt_spark.operators.epoch_store import ConcurrentWriteError
 
     staged = data_dir(table_dir, DATA_NAME, epoch + 1)
-    if os.path.isdir(staged):
-        _sh.rmtree(staged)
-    writer = merged.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(staged)
-    _carry_files(carried, live, staged)
+    attempt = f"{staged}.attempt-{_uuid.uuid4().hex[:12]}"
+    # GC attempt dirs from CRASHED writers (stale by mtime) — never a
+    # live concurrent writer's (it would fail confusingly mid-write)
+    for entry in os.listdir(table_dir) if os.path.isdir(table_dir) else []:
+        if ".attempt-" in entry:
+            p = os.path.join(table_dir, entry)
+            try:
+                if _time.time() - os.path.getmtime(p) > 3600:
+                    _sh.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    try:
+        writer = merged.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(attempt)
+        _carry_files(carried, live, attempt)
 
-    with commit_lock(table_dir):
-        from ariadne_dbt_spark.operators.epoch_store import ConcurrentWriteError
-
-        now = read_epoch(table_dir)
-        if now != epoch:
-            raise ConcurrentWriteError(
-                f"table {table_dir} moved to epoch {now} during {op} "
-                f"(started at {epoch}); re-run against the new epoch"
-            )
-        commit_epoch(table_dir, epoch + 1)
+        with commit_lock(table_dir):
+            now = read_epoch(table_dir)
+            if now != epoch:
+                raise ConcurrentWriteError(
+                    f"table {table_dir} moved to epoch {now} during {op} "
+                    f"(started at {epoch}); re-run against the new epoch"
+                )
+            if os.path.isdir(staged):
+                # unreachable by a committed epoch (pointer ≤ epoch):
+                # a crashed writer's leftover, safe to drop in the lock
+                _sh.rmtree(staged)
+            os.rename(attempt, staged)
+            commit_epoch(table_dir, epoch + 1)
+    except BaseException:
+        _sh.rmtree(attempt, ignore_errors=True)
+        raise
     sweep_stale_epochs(table_dir, [DATA_NAME], epoch + 1, retention_sec=retention_sec)
     return epoch + 1
 
@@ -662,6 +686,7 @@ def merge_table(
     # the (possibly widened) schema this merge writes; reading touched
     # files through it null-fills columns they predate
     target_schema = src.schema
+    cleanup = [src]
     try:
         key0 = keys[0]
         kdf = src.select(*keys).distinct()
@@ -711,6 +736,11 @@ def merge_table(
             tdf = reader.parquet(*touched)
         else:
             tdf = spark.createDataFrame([], target_schema)
+        # persisted like src: the touched read feeds the match count,
+        # the keep/winner joins, the constraint agg, and the staged
+        # write — without it each action re-reads the parquet
+        tdf = tdf.persist()
+        cleanup.append(tdf)
         tkeys = tdf.select(*keys)
         n_matched = src.join(tkeys, keys, "left_semi").count()
 
@@ -769,7 +799,8 @@ def merge_table(
             "schema_evolved": extra if merge_schema else [],
         }
     finally:
-        src.unpersist()
+        for df_ in cleanup:
+            df_.unpersist()
 
 
 def delete_keys(
@@ -791,8 +822,11 @@ def delete_keys(
         table_dir,
         # merge casts the source to the full target schema: pad the
         # key-only frame with NULLs for the non-key columns (they are
-        # never written — every source row is a delete)
-        _pad_to_table_schema(spark, table_dir, keys_df, keys),
+        # never written — every source row is a delete). distinct():
+        # a forget feed naturally repeats ids, and delete-by-key is
+        # idempotent per key, so duplicates should not trip merge's
+        # uniqueness refusal (round-9 review)
+        _pad_to_table_schema(spark, table_dir, keys_df.select(*keys).distinct(), keys),
         keys,
         when_matched="delete",
         when_not_matched=None,
@@ -871,34 +905,40 @@ def _rewrite_where(
         tdf = reader.parquet(*touched)
     else:
         tdf = spark.read.option("mergeSchema", "true").parquet(live).limit(0)
-    hit = F.coalesce(pred, F.lit(False))
-    n_hit = tdf.where(hit).count()
-    if set_exprs is None:
-        merged = tdf.where(~hit)
-        deleted, updated = n_hit, 0
-    else:
-        unknown = [c for c in set_exprs if c not in tdf.columns]
-        if unknown:
-            raise ValueError(f"SET columns not in the table: {unknown}")
-        exprs = {
-            c: F.expr(e) if isinstance(e, str) else e for c, e in set_exprs.items()
-        }
-        merged = tdf.select(
-            *[
-                (
-                    F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
-                    if c in exprs
-                    else F.col(c)
-                )
-                for c in tdf.columns
-            ]
+    # persisted: the touched read feeds the hit count, the rewrite, the
+    # constraint agg, and the staged write
+    tdf = tdf.persist()
+    try:
+        hit = F.coalesce(pred, F.lit(False))
+        n_hit = tdf.where(hit).count()
+        if set_exprs is None:
+            merged = tdf.where(~hit)
+            deleted, updated = n_hit, 0
+        else:
+            unknown = [c for c in set_exprs if c not in tdf.columns]
+            if unknown:
+                raise ValueError(f"SET columns not in the table: {unknown}")
+            exprs = {
+                c: F.expr(e) if isinstance(e, str) else e for c, e in set_exprs.items()
+            }
+            merged = tdf.select(
+                *[
+                    (
+                        F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
+                        if c in exprs
+                        else F.col(c)
+                    )
+                    for c in tdf.columns
+                ]
+            )
+            deleted, updated = 0, n_hit
+            # deletes only remove rows; updates can introduce violations
+            _check_constraints(merged, table_dir, scope="update_where")
+        new_epoch = _cow_commit(
+            spark, table_dir, epoch, live, merged, carried, pcols, retention_sec, op
         )
-        deleted, updated = 0, n_hit
-        # deletes only remove rows; updates can introduce violations
-        _check_constraints(merged, table_dir, scope="update_where")
-    new_epoch = _cow_commit(
-        spark, table_dir, epoch, live, merged, carried, pcols, retention_sec, op
-    )
+    finally:
+        tdf.unpersist()
     return {
         "epoch": epoch,
         "new_epoch": new_epoch,
@@ -939,11 +979,22 @@ def clone_table(table_dir: str, dest_dir: str, *, epoch: int | None = None) -> d
         )
     if not os.path.isdir(live):
         raise FileNotFoundError(f"no table data at {live}")
-    if os.path.isdir(dest_dir) and _walk_parquet(dest_dir):
-        raise ValueError(f"clone destination {dest_dir} already holds data")
+    if os.path.isdir(dest_dir) and (
+        _walk_parquet(dest_dir) or read_epoch(dest_dir) != 0
+    ):
+        # a stale epoch pointer would make readers resolve t_ep<k>
+        # while the clone links into t — refuse rather than produce an
+        # unreadable "successful" clone
+        raise ValueError(
+            f"clone destination {dest_dir} already holds data or an epoch pointer"
+        )
     dest_live = data_dir(dest_dir, DATA_NAME, 0)
     files = _walk_parquet(live)
     _carry_files(files, live, dest_live)
+    # CLONE carries table metadata: CHECK constraints follow the data
+    cons = get_constraints(table_dir)
+    if cons:
+        set_constraints(dest_dir, cons)
     return {
         "source": table_dir,
         "source_epoch": src_epoch,
@@ -1039,6 +1090,12 @@ def table_changes(
         epoch=read_epoch(table_dir) if to_epoch is None else to_epoch,
     )
     value_cols = [c for c in new.columns if c not in keys]
+    # schema evolution: a column added after from_epoch is missing from
+    # the old read — null-pad it (pre-evolution rows carry NULL there,
+    # which is also what the union read reports)
+    for f in new.schema.fields:
+        if f.name not in old.columns:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
     # keys-only table: no value fingerprint (only insert/delete possible)
     fp_cols = [
         F.coalesce(F.col(c).cast("string"), F.lit("\0null")) for c in value_cols

@@ -433,3 +433,42 @@ def test_partitioned_cluster_by_clusters_within_each_partition(spark, tmp_path):
         for (l1, h1), (l2, _h2) in zip(rs, rs[1:]):
             assert h1 < l2, (d, rs)
     assert read_table(spark, tdir).count() == 60_000
+
+
+def test_change_feed_spans_schema_evolution(spark, tmp_path):
+    """table_changes across a merge_schema=True epoch: the old side
+    lacks the added column and must null-pad, not crash."""
+    tdir = _make_table(spark, tmp_path, n=20)
+    src = spark.createDataFrame([Row(id=3, grp=3, val="new3", lang="en")])
+    merge_table(spark, tdir, src, ["id"], merge_schema=True, retention_sec=3600)
+
+    rows = {r["id"]: r for r in table_changes(spark, tdir, ["id"], from_epoch=0).collect()}
+    assert set(rows) == {3}
+    assert rows[3]["_change_type"] == "update_postimage"
+    assert rows[3]["lang"] == "en"
+
+
+def test_failed_merge_leaves_no_attempt_dirs(spark, tmp_path):
+    """The attempt-staged commit cleans its private staging dir on any
+    failure — a losing racer can never leave (or destroy) epoch data."""
+    from ariadne_dbt_spark.operators import table_store as ts
+
+    tdir = _make_table(spark, tmp_path, n=20)
+    before = _rows(spark, tdir)
+
+    real_read_epoch = ts.read_epoch
+    calls = {"n": 0}
+
+    def flaky_read_epoch(path):
+        ep = real_read_epoch(path)
+        calls["n"] += 1
+        return ep if calls["n"] == 1 else ep + 1
+
+    ts.read_epoch = flaky_read_epoch
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            merge_table(spark, tdir, _source(spark, [1], []), ["id"])
+    finally:
+        ts.read_epoch = real_read_epoch
+    assert not [e for e in os.listdir(tdir) if ".attempt-" in e]
+    assert _rows(spark, tdir) == before

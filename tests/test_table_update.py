@@ -191,3 +191,42 @@ def test_check_constraints_guard_every_write_path(spark, tmp_path):
     # dropping constraints lifts enforcement
     set_constraints(tdir, {})
     merge_table(spark, tdir, spark.createDataFrame([Row(id=8, v=-5)]), ["id"])
+
+
+def test_clone_carries_constraints_and_refuses_stale_pointer(spark, tmp_path):
+    from ariadne_dbt_spark.operators.table_store import (
+        ConstraintViolation,
+        clone_table,
+        get_constraints,
+        merge_table,
+        set_constraints,
+    )
+
+    src = _mk(spark, tmp_path, [Row(id=1, v=5)], "csrc")
+    set_constraints(src, {"v_pos": "v > 0"})
+    dest = str(tmp_path / "cdest")
+    clone_table(src, dest)
+    assert get_constraints(dest) == {"v_pos": "v > 0"}
+    with pytest.raises(ConstraintViolation):
+        merge_table(spark, dest, spark.createDataFrame([Row(id=1, v=-1)]), ["id"])
+
+    # a destination with a stale epoch pointer (data dirs gone) refuses
+    # rather than producing an unreadable clone
+    import json as _json
+
+    stale = str(tmp_path / "stale")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "epoch.json"), "w") as f:
+        _json.dump({"epoch": 5}, f)
+    with pytest.raises(ValueError, match="epoch pointer"):
+        clone_table(src, stale)
+
+
+def test_delete_keys_tolerates_duplicate_doomed_ids(spark, tmp_path):
+    from ariadne_dbt_spark.operators.table_store import delete_keys
+
+    tdir = _mk(spark, tmp_path, [Row(id=i, v=i) for i in range(10)], "dup")
+    feed = spark.createDataFrame([Row(id=3), Row(id=3), Row(id=4)])
+    rep = delete_keys(spark, tdir, feed, ["id"])
+    assert rep["rows_deleted"] == 2
+    assert read_table(spark, tdir).count() == 8
