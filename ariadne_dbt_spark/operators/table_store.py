@@ -581,6 +581,7 @@ def merge_table(
     *,
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
+    when_not_matched_by_source: str | None = None,
     when_matched_condition=None,
     merge_schema: bool = False,
     retention_sec: float = 0.0,
@@ -594,6 +595,15 @@ def merge_table(
     target row), ``"delete"`` (matched target row is removed), or None
     (matched target rows are left untouched and the matching source
     rows are ignored). ``when_not_matched``: ``"insert"`` or None.
+
+    ``when_not_matched_by_source="delete"`` (Delta's third clause): a
+    target row whose key appears in NO source row is deleted — the
+    full-snapshot-sync pattern (source = the complete new state; the
+    merge becomes upsert + reap-the-vanished). This clause inherently
+    disables the footer prune: EVERY target row must be checked against
+    the source, so the whole table is rewritten — the same caveat
+    Delta's documentation carries. Don't use it for incremental
+    batches; that's what plain upsert + ``delete_keys`` are for.
 
     ``when_matched_condition`` (Delta's conditional clause): a boolean
     SQL expression (or Column) over the aliases ``s`` (source) and
@@ -657,8 +667,12 @@ def merge_table(
         raise ValueError(f"when_matched must be update|delete|None, got {when_matched!r}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
-    if when_matched is None and when_not_matched is None:
-        raise ValueError("merge with no matched and no not-matched clause is a no-op")
+    if when_not_matched_by_source not in ("delete", None):
+        raise ValueError(
+            f"when_not_matched_by_source must be delete|None, got {when_not_matched_by_source!r}"
+        )
+    if when_matched is None and when_not_matched is None and when_not_matched_by_source is None:
+        raise ValueError("merge with no clause at all is a no-op")
     if not keys:
         raise ValueError("merge needs at least one key column")
 
@@ -722,9 +736,14 @@ def merge_table(
                 v = _coerce_partition_value(raw, _s)
                 return None if v is None else (v, v)
 
-        touched, carried = _prune_touched(
-            files, key0, src_keys, src_lo, src_hi, bounds_fn
-        )
+        if when_not_matched_by_source is not None:
+            # every target row must be checked against the source —
+            # pruning is structurally impossible for this clause
+            touched, carried = list(files), []
+        else:
+            touched, carried = _prune_touched(
+                files, key0, src_keys, src_lo, src_hi, bounds_fn
+            )
 
         if touched:
             reader = spark.read.schema(target_schema)
@@ -756,9 +775,10 @@ def merge_table(
             on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
             pairs = tdf.alias("t").join(src.alias("s"), on, "inner")
             won = F.coalesce(cond, F.lit(False))
-            t_keep = tdf.join(kdf, keys, "left_anti").unionByName(
-                pairs.where(~won).select("t.*")
-            )
+            unmatched_tgt = tdf.join(kdf, keys, "left_anti")
+            t_keep = pairs.where(~won).select("t.*")
+            if when_not_matched_by_source is None:
+                t_keep = unmatched_tgt.unionByName(t_keep)
             n_applied = pairs.where(won).count()
             if when_matched == "update":
                 s_add = pairs.where(won).select("s.*")
@@ -770,13 +790,25 @@ def merge_table(
                 s_add = None
         else:
             n_applied = n_matched
-            t_keep = tdf if when_matched is None else tdf.join(kdf, keys, "left_anti")
+            if when_not_matched_by_source is None:
+                t_keep = tdf if when_matched is None else tdf.join(kdf, keys, "left_anti")
+            else:
+                # unmatched-by-source target rows are deleted; what
+                # survives of the MATCHED rows depends on when_matched
+                t_keep = (
+                    tdf.join(kdf, keys, "left_semi")
+                    if when_matched is None
+                    else tdf.limit(0)
+                )
             if when_matched == "update":
                 s_add = src if when_not_matched == "insert" else src.join(tkeys, keys, "left_semi")
             elif when_not_matched == "insert":
                 s_add = src.join(tkeys, keys, "left_anti")
             else:
                 s_add = None
+        n_reaped = 0
+        if when_not_matched_by_source is not None:
+            n_reaped = tdf.count() - tdf.join(kdf, keys, "left_semi").count()
         merged = t_keep if s_add is None else t_keep.unionByName(s_add)
 
         # CHECK constraints on the rewrite set only (carried files
@@ -794,7 +826,7 @@ def merge_table(
             "n_files_carried": len(carried),
             "rows_source": n_src,
             "rows_updated": n_applied if when_matched == "update" else 0,
-            "rows_deleted": n_applied if when_matched == "delete" else 0,
+            "rows_deleted": (n_applied if when_matched == "delete" else 0) + n_reaped,
             "rows_inserted": (n_src - n_matched) if when_not_matched == "insert" else 0,
             "schema_evolved": extra if merge_schema else [],
         }

@@ -366,9 +366,10 @@ _kv = st.dictionaries(_ids, _vals, max_size=12)
     source=st.dictionaries(_ids, _vals, min_size=1, max_size=8),
     wm=st.sampled_from(["update", "delete", None]),
     wnm=st.sampled_from(["insert", None]),
+    wnbs=st.sampled_from([None, "delete"]),
     cond=st.booleans(),
 )
-def test_merge_table_matches_python_oracle(spark, target, source, wm, wnm, cond):
+def test_merge_table_matches_python_oracle(spark, target, source, wm, wnm, wnbs, cond):
     """merge_table semantics == a direct python replay, across random
     tables, sources, clause combos, and the guarded-update condition
     (s.v > t.v). Small key domain forces key collisions; unionByName /
@@ -380,7 +381,7 @@ def test_merge_table_matches_python_oracle(spark, target, source, wm, wnm, cond)
 
     from ariadne_dbt_spark.operators.table_store import merge_table, read_table, write_table
 
-    if wm is None and wnm is None:
+    if wm is None and wnm is None and wnbs is None:
         wnm = "insert"  # the no-op combo raises by contract; not under test
 
     def oracle():
@@ -396,8 +397,9 @@ def test_merge_table_matches_python_oracle(spark, target, source, wm, wnm, cond)
                         out[k] = tv
                 else:
                     out[k] = tv
-            else:
+            elif wnbs is None:
                 out[k] = tv
+            # else: not matched by source -> reaped
         if wnm == "insert":
             for k, sv in source.items():
                 if k not in target:
@@ -422,6 +424,7 @@ def test_merge_table_matches_python_oracle(spark, target, source, wm, wnm, cond)
             ["k"],
             when_matched=wm,
             when_not_matched=wnm,
+            when_not_matched_by_source=wnbs,
             when_matched_condition="s.v > t.v" if cond else None,
         )
         got = {r["k"]: r["v"] for r in read_table(spark, tdir).collect()}

@@ -472,3 +472,54 @@ def test_failed_merge_leaves_no_attempt_dirs(spark, tmp_path):
         ts.read_epoch = real_read_epoch
     assert not [e for e in os.listdir(tdir) if ".attempt-" in e]
     assert _rows(spark, tdir) == before
+
+
+def test_when_not_matched_by_source_snapshot_sync(spark, tmp_path):
+    """Delta's third clause: source = the full new snapshot; matched
+    rows update, new rows insert, vanished rows are reaped. Pruning is
+    structurally disabled (every target row must be checked)."""
+    tdir = _make_table(spark, tmp_path, n=10)  # ids 0..9
+    snapshot = spark.createDataFrame(
+        [Row(id=i, grp=i % 7, val=f"snap{i}") for i in range(5, 13)]
+    )
+    rep = merge_table(
+        spark, tdir, snapshot, ["id"], when_not_matched_by_source="delete"
+    )
+    assert rep["rows_updated"] == 5      # 5..9 replaced
+    assert rep["rows_inserted"] == 3     # 10..12 new
+    assert rep["rows_deleted"] == 5      # 0..4 reaped
+    assert rep["n_files_carried"] == 0   # prune disabled by the clause
+    got = {r["id"]: r["val"] for r in read_table(spark, tdir).collect()}
+    assert got == {i: f"snap{i}" for i in range(5, 13)}
+
+
+def test_when_not_matched_by_source_with_no_other_clause(spark, tmp_path):
+    """wnbs=delete alone: matched target rows stay AS-IS, unmatched are
+    reaped, source-only rows are NOT inserted."""
+    tdir = _make_table(spark, tmp_path, n=6)  # ids 0..5
+    keep = spark.createDataFrame([Row(id=i, grp=0, val="ignored") for i in (2, 3, 99)])
+    rep = merge_table(
+        spark, tdir, keep, ["id"],
+        when_matched=None, when_not_matched=None,
+        when_not_matched_by_source="delete",
+    )
+    assert rep["rows_deleted"] == 4 and rep["rows_inserted"] == 0
+    got = {r["id"]: r["val"] for r in read_table(spark, tdir).collect()}
+    assert got == {2: "v2", 3: "v3"}  # originals kept, 99 not inserted
+
+
+def test_when_not_matched_by_source_respects_matched_condition(spark, tmp_path):
+    """Condition-failed matched rows survive (the clause only touches
+    rows with NO source match, like Delta)."""
+    from ariadne_dbt_spark.operators.table_store import write_table as _wt
+
+    tdir = str(tmp_path / "cond")
+    _wt(spark, spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20), Row(k=3, v=30)]), tdir)
+    src = spark.createDataFrame([Row(k=1, v=99), Row(k=2, v=5)])  # 1 wins, 2 loses
+    merge_table(
+        spark, tdir, src, ["k"],
+        when_matched_condition="s.v >= t.v",
+        when_not_matched_by_source="delete",
+    )
+    got = {r["k"]: r["v"] for r in read_table(spark, tdir).collect()}
+    assert got == {1: 99, 2: 20}  # 3 reaped; 2 kept its old value
