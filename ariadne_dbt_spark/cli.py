@@ -19,6 +19,9 @@ Commands mirror the reference's tool surface:
     test      run the project's data-quality tests
     stats     index/project statistics
     usage     usage-log analytics over a trailing window
+    maintain  compaction-cadence report / fold for persisted indexes + tables
+    table     managed-table DML: merge / delete-where / update-where /
+              history / changes (COW epoch flips, change feed)
     serve     JSON-lines tool server (MCP via fastmcp when installed)
 
 Every command loads (or builds) the index, runs DataFrame queries, and
