@@ -21,7 +21,8 @@ Commands mirror the reference's tool surface:
     usage     usage-log analytics over a trailing window
     maintain  compaction-cadence report / fold for persisted indexes + tables
     table     managed-table DML: merge / delete-where / update-where /
-              history / changes (COW epoch flips, change feed)
+              restore / vacuum / history / changes (COW epoch flips,
+              change feed, time-travel undo)
     serve     JSON-lines tool server (MCP via fastmcp when installed)
 
 Every command loads (or builds) the index, runs DataFrame queries, and
@@ -475,6 +476,17 @@ def cmd_table(args):
     if args.action == "history":
         _emit({"table_dir": args.dir, "history": table_store.table_history(args.dir)})
         return
+    if args.action == "restore":
+        if args.epoch is None:
+            raise SystemExit("restore needs --epoch")
+        report = table_store.restore_table(
+            args.dir, args.epoch, retention_sec=args.retention_sec
+        )
+        _emit({"table_dir": args.dir, **report})
+        return
+    if args.action == "vacuum":
+        _emit(table_store.vacuum_table(args.dir, retention_sec=args.retention_sec))
+        return
 
     from ariadne_dbt_spark.session import get_spark
 
@@ -706,7 +718,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument(
         "action",
-        choices=("history", "changes", "merge", "delete-where", "update-where"),
+        choices=(
+            "history", "changes", "merge", "delete-where", "update-where",
+            "restore", "vacuum",
+        ),
     )
     sp.add_argument("--dir", required=True, help="managed table directory")
     sp.add_argument("--keys", default=None, help="comma-separated merge/diff key columns")
@@ -732,6 +747,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--set", action="append", default=None,
         help="(update-where) col=expr, repeatable",
     )
+    sp.add_argument("--epoch", type=int, default=None, help="(restore) epoch to restore")
     sp.add_argument("--from-epoch", dest="from_epoch", type=int, default=None)
     sp.add_argument("--to-epoch", dest="to_epoch", type=int, default=None)
     sp.add_argument(

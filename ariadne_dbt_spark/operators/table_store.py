@@ -85,6 +85,8 @@ __all__ = [
     "delete_where",
     "update_where",
     "table_changes",
+    "restore_table",
+    "vacuum_table",
     "clone_table",
     "set_constraints",
     "get_constraints",
@@ -1033,6 +1035,66 @@ def clone_table(table_dir: str, dest_dir: str, *, epoch: int | None = None) -> d
         "dest": dest_dir,
         "n_files_linked": len(files),
     }
+
+
+def restore_table(table_dir: str, epoch: int, *, retention_sec: float = 0.0) -> dict:
+    """Delta's ``RESTORE``: make a RETAINED historical epoch the
+    current version again — the undo for a bad merge/delete/optimize.
+    History stays linear: the old epoch's files are hard-linked into a
+    fresh ``t_ep<current+1>`` (O(metadata), nothing re-read) and the
+    pointer flips forward under the same attempt-staged commit protocol
+    every other mutation uses, so concurrent writers and crash-retries
+    behave identically and the restored-FROM epoch remains time-travel
+    readable under retention. Requires the target epoch to still be on
+    disk (``table_history``); a swept epoch cannot be restored —
+    retention is what makes restore possible, and :func:`vacuum_table`
+    is what takes it away."""
+    import shutil as _sh
+    import uuid as _uuid
+
+    from ariadne_dbt_spark.operators.epoch_store import ConcurrentWriteError
+
+    current = read_epoch(table_dir)
+    src = data_dir(table_dir, DATA_NAME, epoch)
+    if epoch > current or not os.path.isdir(src):
+        raise FileNotFoundError(
+            f"epoch {epoch} of {table_dir} is not a committed version on "
+            f"disk; retained: {[h['epoch'] for h in table_history(table_dir)]}"
+        )
+    if epoch == current:
+        return {"epoch": current, "new_epoch": current, "n_files_linked": 0}
+    staged = data_dir(table_dir, DATA_NAME, current + 1)
+    attempt = f"{staged}.attempt-{_uuid.uuid4().hex[:12]}"
+    try:
+        files = _walk_parquet(src)
+        _carry_files(files, src, attempt)
+        with commit_lock(table_dir):
+            now = read_epoch(table_dir)
+            if now != current:
+                raise ConcurrentWriteError(
+                    f"table {table_dir} moved to epoch {now} during restore "
+                    f"(started at {current})"
+                )
+            if os.path.isdir(staged):
+                _sh.rmtree(staged)
+            os.rename(attempt, staged)
+            commit_epoch(table_dir, current + 1)
+    except BaseException:
+        _sh.rmtree(attempt, ignore_errors=True)
+        raise
+    sweep_stale_epochs(table_dir, [DATA_NAME], current + 1, retention_sec=retention_sec)
+    return {"epoch": current, "new_epoch": current + 1, "n_files_linked": len(files)}
+
+
+def vacuum_table(table_dir: str, *, retention_sec: float = 0.0) -> dict:
+    """Explicit vacuum: sweep retired epoch dirs older than
+    ``retention_sec`` (by their retirement stamp) without performing
+    any rewrite — the standalone form of the sweep every mutation
+    already runs. Returns the retained history after the sweep."""
+    sweep_stale_epochs(
+        table_dir, [DATA_NAME], read_epoch(table_dir), retention_sec=retention_sec
+    )
+    return {"table_dir": table_dir, "history": table_history(table_dir)}
 
 
 #: per-table CHECK constraints live here, beside epoch.json

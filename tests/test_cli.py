@@ -243,3 +243,26 @@ def test_cli_table_dml_roundtrip(tmp_path, capsys, spark):
         (200, "insert"),
         (9, "delete"),
     }
+
+
+def test_cli_table_restore_and_vacuum(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.table_store import read_table, write_table
+
+    tdir = str(tmp_path / "rtbl")
+    write_table(spark, spark.range(5).select(F.col("id"), F.lit(1).alias("v")), tdir)
+    src = str(tmp_path / "rsrc")
+    spark.createDataFrame([(0, 99)], "id bigint, v int").write.parquet(src)
+    _run(
+        capsys, "table", "merge", "--dir", tdir, "--source", src,
+        "--keys", "id", "--retention-sec", "3600",
+    )
+
+    out = _run(capsys, "table", "restore", "--dir", tdir, "--epoch", "0",
+               "--retention-sec", "3600")
+    assert out["new_epoch"] == 2
+    assert read_table(spark, tdir).where(F.col("v") == 99).count() == 0
+
+    out = _run(capsys, "table", "vacuum", "--dir", tdir)
+    assert [h["epoch"] for h in out["history"]] == [2]

@@ -230,3 +230,40 @@ def test_delete_keys_tolerates_duplicate_doomed_ids(spark, tmp_path):
     rep = delete_keys(spark, tdir, feed, ["id"])
     assert rep["rows_deleted"] == 2
     assert read_table(spark, tdir).count() == 8
+
+
+def test_restore_undoes_a_bad_merge_linearly(spark, tmp_path):
+    from ariadne_dbt_spark.operators.table_store import (
+        merge_table,
+        restore_table,
+        table_history,
+        vacuum_table,
+    )
+
+    tdir = _mk(spark, tmp_path, [Row(id=i, v=i) for i in range(10)], "rst")
+    merge_table(
+        spark, tdir,
+        spark.createDataFrame([Row(id=i, v=-999) for i in range(10)]),
+        ["id"], retention_sec=3600,
+    )  # the "bad" merge → epoch 1
+    assert read_table(spark, tdir).where(F.col("v") == -999).count() == 10
+
+    rep = restore_table(tdir, 0, retention_sec=3600)
+    assert rep["new_epoch"] == 2 and rep["n_files_linked"] >= 1
+    assert read_epoch(tdir) == 2
+    got = {r["id"]: r["v"] for r in read_table(spark, tdir).collect()}
+    assert got == {i: i for i in range(10)}  # pre-merge state is back
+
+    # history stays linear and the bad epoch remains inspectable
+    assert [h["epoch"] for h in table_history(tdir)] == [0, 1, 2]
+    assert read_table(spark, tdir, epoch=1).where(F.col("v") == -999).count() == 10
+
+    # restoring the current epoch is a no-op
+    assert restore_table(tdir, 2)["new_epoch"] == 2
+
+    # a swept epoch cannot be restored: vacuum with zero retention
+    # removes retired dirs, then restore raises
+    vacuum_table(tdir, retention_sec=0.0)
+    assert [h["epoch"] for h in table_history(tdir)] == [2]
+    with pytest.raises(FileNotFoundError, match="not a committed version"):
+        restore_table(tdir, 1)
