@@ -472,7 +472,11 @@ def cmd_table(args):
     flips and print their reports. The maintenance face (report /
     OPTIMIZE) lives under ``maintain --kind table``."""
     from ariadne_dbt_spark.operators import table_store
+    from ariadne_dbt_spark.operators.table_store import DEFAULT_VACUUM_RETENTION_SEC
 
+    # DML keeps the library default (0: single-process immediate GC);
+    # only vacuum gets the guarded 7-day default below
+    dml_retention = args.retention_sec if args.retention_sec is not None else 0.0
     if args.action == "history":
         _emit({"table_dir": args.dir, "history": table_store.table_history(args.dir)})
         return
@@ -480,12 +484,26 @@ def cmd_table(args):
         if args.epoch is None:
             raise SystemExit("restore needs --epoch")
         report = table_store.restore_table(
-            args.dir, args.epoch, retention_sec=args.retention_sec
+            args.dir, args.epoch, retention_sec=dml_retention
         )
         _emit({"table_dir": args.dir, **report})
         return
     if args.action == "vacuum":
-        _emit(table_store.vacuum_table(args.dir, retention_sec=args.retention_sec))
+        # Delta's retentionDurationCheck: vacuum destroys restore /
+        # time-travel / change-feed history, so a bare `table vacuum`
+        # must not default to retention 0. No --retention-sec -> the
+        # 7-day default; an explicit sub-default value needs --force.
+        retention = args.retention_sec
+        if retention is None:
+            retention = DEFAULT_VACUUM_RETENTION_SEC
+        elif retention < DEFAULT_VACUUM_RETENTION_SEC and not args.force:
+            raise SystemExit(
+                f"table vacuum --retention-sec {retention:g} is below the "
+                f"{DEFAULT_VACUUM_RETENTION_SEC:g}s default and would "
+                f"irreversibly delete retained epochs (restore/time-travel/"
+                f"changes history); pass --force to confirm"
+            )
+        _emit(table_store.vacuum_table(args.dir, retention_sec=retention))
         return
 
     from ariadne_dbt_spark.session import get_spark
@@ -515,14 +533,14 @@ def cmd_table(args):
             when_not_matched=none_if(args.when_not_matched),
             when_matched_condition=args.condition,
             merge_schema=args.merge_schema,
-            retention_sec=args.retention_sec,
+            retention_sec=dml_retention,
         )
         _emit({"table_dir": args.dir, **report})
     elif args.action == "delete-where":
         if not args.predicate:
             raise SystemExit("delete-where needs --predicate")
         report = table_store.delete_where(
-            spark, args.dir, args.predicate, retention_sec=args.retention_sec
+            spark, args.dir, args.predicate, retention_sec=dml_retention
         )
         _emit({"table_dir": args.dir, **report})
     else:  # update-where
@@ -535,7 +553,7 @@ def cmd_table(args):
                 raise SystemExit(f"--set wants col=expr, got {item!r}")
             set_exprs[col.strip()] = expr
         report = table_store.update_where(
-            spark, args.dir, set_exprs, args.predicate, retention_sec=args.retention_sec
+            spark, args.dir, set_exprs, args.predicate, retention_sec=dml_retention
         )
         _emit({"table_dir": args.dir, **report})
 
@@ -751,8 +769,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--from-epoch", dest="from_epoch", type=int, default=None)
     sp.add_argument("--to-epoch", dest="to_epoch", type=int, default=None)
     sp.add_argument(
-        "--retention-sec", dest="retention_sec", type=float, default=0.0,
-        help="keep retired epoch dirs younger than this (cross-process readers)",
+        "--retention-sec", dest="retention_sec", type=float, default=None,
+        help="keep retired epoch dirs younger than this (cross-process "
+        "readers; DML default 0, vacuum default 7 days)",
+    )
+    sp.add_argument(
+        "--force", action="store_true",
+        help="(vacuum) allow --retention-sec below the 7-day default",
     )
     sp.set_defaults(fn=cmd_table)
 

@@ -178,6 +178,16 @@ def sweep_stale_epochs(
     now = time.time()
     for entry in os.listdir(index_dir):
         full = os.path.join(index_dir, entry)
+        if ".attempt-" in entry:
+            # a writer's PRIVATE staging dir (table_store._cow_commit) —
+            # named t_ep<k+1>.attempt-<uuid>, so base-name matching would
+            # mistake it for a retired epoch: with retention>0 the sweep
+            # would stamp _retired.json INTO a live attempt (the stamp
+            # then rides into the committed epoch and ages it out
+            # early), and with retention 0 it would rmtree a live
+            # writer's staging mid-write. Attempt dirs are GC'd only by
+            # _cow_commit's own stale-attempt collector (round-9 advice).
+            continue
         if not os.path.isdir(full):
             if (
                 entry.startswith("_attempt")

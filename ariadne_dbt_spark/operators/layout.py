@@ -56,7 +56,12 @@ def z_value(bucket_cols: list[F.Column], bits: int) -> F.Column:
 
 
 def zorder_frame(
-    df: DataFrame, cols: list[str], *, bits: int = 8, n_files: int = 32
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 32,
+    extra_partition_cols: list[str] | None = None,
 ) -> tuple[DataFrame, dict]:
     """The reusable curve pipeline behind :func:`zorder_write` and
     ``table_store.optimize_table(zorder_by=)``: quantile-bucketize each
@@ -65,11 +70,30 @@ def zorder_frame(
     Returns (clustered frame with the original schema, boundary
     metadata). Refuses a frame that already has a ``_z`` column —
     silently replacing-then-dropping it would commit a rewrite MISSING
-    the user's column."""
+    the user's column.
+
+    ``extra_partition_cols`` composes the curve with a hive layout
+    (Delta's per-partition OPTIMIZE ZORDER): the exchange + sort key on
+    ``(*partition_cols, z)`` so each task holds a contiguous z-band
+    WITHIN one partition value and the partitioned write emits files
+    whose footer ranges are tight inside their directory. The bucket
+    boundaries are fit GLOBALLY (one approxQuantile pass over the whole
+    table, not one per partition) — correctness-neutral: pruning uses
+    each file's own min/max footers, the global fit only means a
+    partition whose key distribution differs wildly from the table's
+    uses fewer effective buckets."""
     if "_z" in df.columns:
         raise ValueError(
             "frame already has a column named '_z' (the z-order scratch "
             "name); rename it before z-ordering"
+        )
+    pcols = list(extra_partition_cols or [])
+    overlap = [c for c in cols if c in pcols]
+    if overlap:
+        raise ValueError(
+            f"zorder_by columns {overlap} are hive partition columns — "
+            f"they are constant within each file's directory already; "
+            f"z-order the non-partition keys only"
         )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -81,10 +105,11 @@ def zorder_frame(
         )
     }
     buckets = [_bucketize(c, bounds[c], bits) for c in cols]
+    order = [*pcols, "_z"]
     out = (
         df.withColumn("_z", z_value(buckets, bits))
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
+        .repartitionByRange(n_files, *order)
+        .sortWithinPartitions(*order)
         .drop("_z")
     )
     # note: _z must be dropped AFTER the exchange+sort or the range

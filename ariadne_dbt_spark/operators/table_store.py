@@ -99,6 +99,10 @@ DATA_NAME = "t"
 #: OPTIMIZE defaults: files this far under target count as "small";
 #: the report fires on file count or small-file fraction
 DEFAULT_TARGET_FILE_MB = 128
+#: Delta's default VACUUM retention (7 days): what `cli table vacuum`
+#: uses when no --retention-sec is given, and the floor below which it
+#: demands --force — vacuum irreversibly destroys restore/time-travel
+DEFAULT_VACUUM_RETENTION_SEC = 7 * 24 * 3600.0
 SMALL_FILE_FRAC = 0.5
 MAX_LIVE_FILES = 64
 
@@ -117,11 +121,12 @@ def read_table(
     ``FileNotFoundError`` rather than silently reading the current
     one."""
     if epoch is None:
-        # mergeSchema: schema evolution is metadata-only — a merge that
-        # added a column leaves carried (hard-linked) files without it,
-        # and the union read null-fills them (same round-7 pattern as
-        # epoch_store.read_gen_data)
-        return spark.read.option("mergeSchema", "true").parquet(_resolve(table_dir))
+        # persisted per-epoch schema when the epoch was committed by
+        # this module (partition-column types survive round-trips);
+        # mergeSchema-inference fallback for pre-existing flat dirs —
+        # either way a schema-evolving merge's carried (hard-linked)
+        # files null-fill the columns they predate
+        return _read_epoch_dir(spark, _resolve(table_dir))
     path = data_dir(table_dir, DATA_NAME, epoch)
     # the > current guard matters as much as the isdir one: a crashed
     # or in-flight optimize leaves a STAGED t_ep<current+1> dir whose
@@ -133,7 +138,7 @@ def read_table(
             f"dir); retained epochs: "
             f"{[h['epoch'] for h in table_history(table_dir)]}"
         )
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    return _read_epoch_dir(spark, path)
 
 
 def table_history(table_dir: str) -> list[dict]:
@@ -192,14 +197,21 @@ def write_table(
     """(Re)write the table's CURRENT epoch dir wholesale — the initial
     load path. ``partition_by`` lays the table out hive-partitioned
     (``col=value`` dirs); OPTIMIZE and MERGE detect and preserve the
-    layout from the paths, so it never needs restating. Returns the
-    data dir written."""
+    layout from the paths, so it never needs restating. The logical
+    schema is persisted beside the data (``_schema.json``) so readers
+    recover partition-column TYPES from the log instead of Spark path
+    inference — a string partition value like ``'01'`` or ``'1e3'``
+    stays a string on read-back (round-9 advice; Delta/Iceberg persist
+    the schema in the log for the same reason). Returns the data dir
+    written."""
     _check_constraints(df, table_dir, scope="write_table")
     dest = _resolve(table_dir)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(dest)
+    _save_schema(dest, df.schema)
+    _save_manifest(dest, None)
     return dest
 
 
@@ -312,7 +324,11 @@ def optimize_table(
     interleave JVM-side, range-partition + sort on the z-value — so
     min/max footer stats stay tight on EVERY listed column and a
     filter on any one of them skips files, where lexicographic
-    ``cluster_by`` prunes only its leading key.
+    ``cluster_by`` prunes only its leading key. On a hive-partitioned
+    table the curve is laid WITHIN each partition (exchange + sort on
+    ``(partition cols, z)``, global bucket fit — Delta's per-partition
+    OPTIMIZE ZORDER); a zorder key that is itself a partition column is
+    refused (it is constant per directory already).
     """
     if cluster_by and zorder_by:
         raise ValueError("pass cluster_by OR zorder_by, not both")
@@ -323,23 +339,24 @@ def optimize_table(
         raise FileNotFoundError(f"no table data at {live}")
     n_out = report["target_files"]
     pcols = _partition_cols(live, _walk_parquet(live))
-    if pcols and zorder_by:
-        # the Morton curve would have to be fit per partition value;
-        # disclosed gap — cluster_by composes (below), zorder does not
-        raise ValueError(
-            f"zorder_by on a hive-partitioned table ({pcols}) is not "
-            f"supported; use cluster_by (clusters WITHIN each partition)"
-        )
 
-    # mergeSchema: after a schema-evolving merge the live dir holds
-    # mixed-schema files; a single-footer read would DROP the newer
-    # columns from the whole rewrite
-    df = spark.read.option("mergeSchema", "true").parquet(live)
+    # persisted-schema read (mergeSchema-inference fallback): after a
+    # schema-evolving merge the live dir holds mixed-schema files; a
+    # single-footer read would DROP the newer columns from the rewrite
+    df = _read_epoch_dir(spark, live)
     if zorder_by:
         from ariadne_dbt_spark.operators.layout import zorder_frame
 
+        # on a hive layout the curve composes per Delta's OPTIMIZE
+        # ZORDER: exchange + sort on (partition cols, z) so each file's
+        # footer z-range is tight INSIDE its directory (zorder_frame
+        # refuses a zorder key that IS a partition column)
         out, _zmeta = zorder_frame(
-            df, list(zorder_by), bits=zorder_bits, n_files=n_out
+            df,
+            list(zorder_by),
+            bits=zorder_bits,
+            n_files=n_out,
+            extra_partition_cols=pcols,
         )
     elif cluster_by:
         # with a hive layout, range-partition on (partition cols,
@@ -482,6 +499,234 @@ def _carry_files(carried: list[str], live: str, staged: str) -> None:
             _sh.copy2(f, dest)
 
 
+#: a writer's attempt dir older than this (by the NEWEST mtime anywhere
+#: inside it — a long partitioned write updates nested subdirs, not the
+#: top-level dir, so top-level mtime alone would age out a live writer
+#: mid-write; round-9 advice) is presumed crashed and collected
+ATTEMPT_STALE_SEC = 4 * 3600.0
+
+
+def _gc_stale_attempts(table_dir: str) -> None:
+    """Collect attempt staging dirs abandoned by CRASHED writers — never
+    a live concurrent writer's: staleness is judged by the newest mtime
+    of the dir's whole contents (Spark's task commits keep touching
+    nested files for as long as the write is alive), with a threshold
+    far above any sane staged-write duration."""
+    import shutil as _sh
+    import time as _time
+
+    if not os.path.isdir(table_dir):
+        return
+    now = _time.time()
+    for entry in os.listdir(table_dir):
+        if ".attempt-" not in entry:
+            continue
+        p = os.path.join(table_dir, entry)
+        try:
+            newest = os.path.getmtime(p)
+            for dirpath, _dirs, files in os.walk(p):
+                newest = max(newest, os.path.getmtime(dirpath))
+                for f in files:
+                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+            if now - newest > ATTEMPT_STALE_SEC:
+                _sh.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _scrub_retired_stamp(attempt: str) -> None:
+    """Drop any ``_retired.json`` from a dir about to become the NEW
+    committed epoch. The sweeper now skips attempt dirs entirely, but a
+    stamp written by an older binary's sweep (or carried in from a
+    retired epoch by restore's hard-links) would ride into the committed
+    epoch and let a later sweep delete it the moment it retires —
+    silently breaking the retention contract."""
+    import contextlib as _ctx
+
+    from ariadne_dbt_spark.operators.epoch_store import _RETIRED_FILE
+
+    with _ctx.suppress(OSError):
+        os.remove(os.path.join(attempt, _RETIRED_FILE))
+
+
+#: per-epoch schema sidecar, written inside each epoch's data dir at
+#: commit time; the ``_`` prefix keeps parquet readers off it
+_SCHEMA_FILE = "_schema.json"
+
+
+def _save_schema(epoch_dir: str, schema) -> None:
+    import contextlib as _ctx
+    import json as _json
+
+    with _ctx.suppress(OSError):
+        with open(os.path.join(epoch_dir, _SCHEMA_FILE), "w") as f:
+            _json.dump(schema.jsonValue(), f)
+
+
+def _load_schema(epoch_dir: str):
+    """The schema persisted at this epoch's commit, or None for epochs
+    written before schema persistence existed (→ callers fall back to
+    parquet inference + mergeSchema)."""
+    import json as _json
+
+    path = os.path.join(epoch_dir, _SCHEMA_FILE)
+    if not os.path.exists(path):
+        return None
+    from pyspark.sql.types import StructType
+
+    try:
+        with open(path) as f:
+            return StructType.fromJson(_json.load(f))
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+#: per-epoch FILE-STATS MANIFEST (Iceberg's manifest / Delta's
+#: add-file stats, for plain parquet): per file the row count and the
+#: min/max bounds of every statable primitive column, captured ONCE at
+#: commit time so later MERGEs prune their touched set with ZERO footer
+#: IO — at 100 TB "open every live file's footer per merge" is one
+#: round-trip per file per merge, the exact planning cost Iceberg's
+#: manifests exist to amortize. Carried (hard-linked) files inherit
+#: their stats from the previous epoch's manifest (O(metadata)), so
+#: commit-time footer reads stay bounded by the REWRITE set.
+_MANIFEST_FILE = "_files.json"
+
+
+def _file_all_bounds(path: str):
+    """(rows, {col: [min, max]}) for one parquet file from the FOOTER
+    only. A column is included only when every row group has usable,
+    comparable, JSON-representable min/max (strings decoded utf-8;
+    temporal and binary-undecodable columns excluded — matching the
+    conservative rules of :func:`_file_key_bounds`). Parquet's stat
+    truncation keeps truncated maxima valid upper bounds, so the
+    manifest stays conservative."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(len(md.schema))]
+    bounds: dict = {}
+    dead: set = set()
+    for r in range(md.num_row_groups):
+        rg = md.row_group(r)
+        for ci, name in enumerate(names):
+            if name in dead or "." in name:
+                continue  # nested leaves carry dotted paths — skip
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    dead.add(name)
+                    continue
+            if isinstance(mn, (_dt.datetime, _dt.date)) or not isinstance(
+                mn, (int, float, str, bool)
+            ):
+                dead.add(name)
+                continue
+            try:
+                if name in bounds:
+                    lo, hi = bounds[name]
+                    bounds[name] = [min(lo, mn), max(hi, mx)]
+                else:
+                    bounds[name] = [mn, mx]
+            except TypeError:
+                dead.add(name)
+    for name in dead:
+        bounds.pop(name, None)
+    return md.num_rows, bounds
+
+
+def _save_manifest(epoch_dir: str, prev_live: str | None) -> None:
+    """Write ``_files.json`` for a just-staged epoch dir. Fresh files
+    get one footer read each (bounded by the rewrite set); files whose
+    basename carries the ``carry-`` hard-link prefix inherit their
+    entry from the PREVIOUS epoch's manifest when it has one — zero IO
+    for the carried majority of a well-pruned merge. Best-effort: any
+    failure leaves no manifest and readers fall back to footers."""
+    import contextlib as _ctx
+    import json as _json
+
+    prev: dict = {}
+    if prev_live is not None:
+        m = _load_manifest(prev_live)
+        if m:
+            prev = m
+    files: dict = {}
+    # best-effort by contract: a stats failure (unreadable footer, odd
+    # types) must never fail the COMMIT — the epoch just ships without
+    # a manifest and merges fall back to footer reads
+    with _ctx.suppress(Exception):
+        for f in _walk_parquet(epoch_dir):
+            rel = os.path.relpath(f, epoch_dir)
+            base = os.path.basename(rel)
+            ent = None
+            if base.startswith("carry-"):
+                orig = os.path.join(os.path.dirname(rel), base[len("carry-"):])
+                ent = prev.get(orig)
+            if ent is None:
+                rows, bounds = _file_all_bounds(f)
+                ent = {"rows": rows, "bounds": bounds}
+            files[rel] = ent
+        with open(os.path.join(epoch_dir, _MANIFEST_FILE), "w") as f:
+            _json.dump({"version": 1, "files": files}, f)
+
+
+def _load_manifest(epoch_dir: str) -> dict | None:
+    """{relpath: {"rows": n, "bounds": {col: [min,max]}}} for a
+    committed epoch, or None when absent/unreadable (pre-manifest
+    epochs → callers read footers)."""
+    import json as _json
+
+    path = os.path.join(epoch_dir, _MANIFEST_FILE)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            doc = _json.load(f)
+        return doc["files"] if doc.get("version") == 1 else None
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _manifest_bounds_fn(live: str, manifest: dict, key: str):
+    """A :func:`_prune_touched` ``bounds_fn`` backed by the committed
+    manifest: bounds come from one already-loaded JSON dict instead of
+    a footer read per file. A file the manifest missed (or a column it
+    could not stat) falls back to the footer / conservative-touched
+    path, so pruning correctness never depends on manifest coverage."""
+
+    def bounds(f):
+        ent = manifest.get(os.path.relpath(f, live))
+        if ent is None:
+            return _file_key_bounds(f, key)
+        b = ent.get("bounds", {}).get(key)
+        return None if b is None else (b[0], b[1])
+
+    return bounds
+
+
+def _read_epoch_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Read one committed epoch dir through its persisted schema when
+    present — partition-column TYPES then come from the log, not Spark
+    path inference, so a string partition value like ``'01'`` or
+    ``'1e3'`` survives a round-trip instead of being silently re-typed
+    (round-9 advice; Delta/Iceberg persist the schema the same way).
+    Explicit-schema reads also null-fill carried files that predate a
+    schema evolution, which is what ``mergeSchema`` bought on the
+    inference path."""
+    schema = _load_schema(path)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def _cow_commit(
     spark: SparkSession,
     table_dir: str,
@@ -516,22 +761,16 @@ def _cow_commit(
 
     staged = data_dir(table_dir, DATA_NAME, epoch + 1)
     attempt = f"{staged}.attempt-{_uuid.uuid4().hex[:12]}"
-    # GC attempt dirs from CRASHED writers (stale by mtime) — never a
-    # live concurrent writer's (it would fail confusingly mid-write)
-    for entry in os.listdir(table_dir) if os.path.isdir(table_dir) else []:
-        if ".attempt-" in entry:
-            p = os.path.join(table_dir, entry)
-            try:
-                if _time.time() - os.path.getmtime(p) > 3600:
-                    _sh.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+    _gc_stale_attempts(table_dir)
     try:
         writer = merged.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(attempt)
         _carry_files(carried, live, attempt)
+        _scrub_retired_stamp(attempt)
+        _save_schema(attempt, merged.schema)
+        _save_manifest(attempt, live)
 
         with commit_lock(table_dir):
             now = read_epoch(table_dir)
@@ -564,7 +803,7 @@ def _touched_by_predicate(
     rewrite set the same way.)"""
     from urllib.parse import unquote, urlparse
 
-    df = spark.read.option("mergeSchema", "true").parquet(live)
+    df = _read_epoch_dir(spark, live)
     hit_uris = [
         r[0]
         for r in df.where(pred).select(F.input_file_name()).distinct().collect()
@@ -647,9 +886,12 @@ def merge_table(
     cast/reordered to the target schema) and ``keys`` must be unique in
     the source — two source rows for one key is ambiguous (which one
     wins?), so it raises, exactly like Delta's
-    ``MultipleMatchesException``. The source is persisted for the
-    duration (it is traversed several times) and unpersisted before
-    returning.
+    ``MultipleMatchesException``. The TARGET may hold several rows for
+    one key: like Delta, EVERY matched target row is acted on — an
+    update rewrites each of the N rows with the source row's values
+    (row count preserved, never collapsed to one; round-9 advice), a
+    delete removes all N. The source is persisted for the duration (it
+    is traversed several times) and unpersisted before returning.
 
     ``merge_schema=True`` (Delta's ``mergeSchema``) lets the source ADD
     columns: the table schema widens, touched files are rewritten with
@@ -683,7 +925,7 @@ def merge_table(
     if not os.path.isdir(live):
         raise FileNotFoundError(f"no table data at {live}")
     files = _walk_parquet(live)
-    target_schema = spark.read.option("mergeSchema", "true").parquet(live).schema
+    target_schema = _read_epoch_dir(spark, live).schema
     missing = [f.name for f in target_schema.fields if f.name not in source.columns]
     if missing:
         raise ValueError(f"source is missing target columns: {missing}")
@@ -727,6 +969,11 @@ def merge_table(
             src_keys = None
         pcols = _partition_cols(live, files)
         bounds_fn = None
+        manifest = _load_manifest(live)
+        if manifest is not None and key0 not in pcols:
+            # committed file-stats manifest: the whole prune costs one
+            # JSON read, zero footer IO (Iceberg's manifest economics)
+            bounds_fn = _manifest_bounds_fn(live, manifest, key0)
         if key0 in pcols:
             # partition-column merge key: the value lives in the PATH,
             # not the footers — a point bound per file, coerced to the
@@ -791,7 +1038,14 @@ def merge_table(
             else:
                 s_add = None
         else:
-            n_applied = n_matched
+            # Delta counts TARGET rows acted on, and a target holding N
+            # rows for one matched key has all N updated/deleted — never
+            # collapsed to one (round-9 advice)
+            n_applied = (
+                tdf.join(kdf, keys, "left_semi").count()
+                if when_matched is not None
+                else 0
+            )
             if when_not_matched_by_source is None:
                 t_keep = tdf if when_matched is None else tdf.join(kdf, keys, "left_anti")
             else:
@@ -803,7 +1057,15 @@ def merge_table(
                     else tdf.limit(0)
                 )
             if when_matched == "update":
-                s_add = src if when_not_matched == "insert" else src.join(tkeys, keys, "left_semi")
+                # join source VALUES onto each matched target row: every
+                # matched target row becomes the source row's values,
+                # preserving target-side row count like Delta's UPDATE
+                upd = tdf.select(*keys).join(src, keys, "inner")
+                s_add = (
+                    upd.unionByName(src.join(tkeys, keys, "left_anti"))
+                    if when_not_matched == "insert"
+                    else upd
+                )
             elif when_not_matched == "insert":
                 s_add = src.join(tkeys, keys, "left_anti")
             else:
@@ -932,13 +1194,14 @@ def _rewrite_where(
     pcols = _partition_cols(live, files)
     touched, carried = _touched_by_predicate(spark, live, files, pred)
 
+    schema = _read_epoch_dir(spark, live).schema
     if touched:
-        reader = spark.read.option("mergeSchema", "true")
+        reader = spark.read.schema(schema)
         if pcols:
             reader = reader.option("basePath", live)
         tdf = reader.parquet(*touched)
     else:
-        tdf = spark.read.option("mergeSchema", "true").parquet(live).limit(0)
+        tdf = spark.createDataFrame([], schema)
     # persisted: the touched read feeds the hit count, the rewrite, the
     # constraint agg, and the staged write
     tdf = tdf.persist()
@@ -989,7 +1252,7 @@ def _pad_to_table_schema(
 ) -> DataFrame:
     from pyspark.sql import functions as F
 
-    schema = spark.read.option("mergeSchema", "true").parquet(_resolve(table_dir)).schema
+    schema = _read_epoch_dir(spark, _resolve(table_dir)).schema
     cols = [
         F.col(f.name) if f.name in keys else F.lit(None).cast(f.dataType).alias(f.name)
         for f in schema.fields
@@ -1025,6 +1288,10 @@ def clone_table(table_dir: str, dest_dir: str, *, epoch: int | None = None) -> d
     dest_live = data_dir(dest_dir, DATA_NAME, 0)
     files = _walk_parquet(live)
     _carry_files(files, live, dest_live)
+    sch = _load_schema(live)
+    if sch is not None:
+        _save_schema(dest_live, sch)
+    _save_manifest(dest_live, live)
     # CLONE carries table metadata: CHECK constraints follow the data
     cons = get_constraints(table_dir)
     if cons:
@@ -1068,6 +1335,12 @@ def restore_table(table_dir: str, epoch: int, *, retention_sec: float = 0.0) -> 
     try:
         files = _walk_parquet(src)
         _carry_files(files, src, attempt)
+        # the restored epoch keeps the schema it was committed under
+        sch = _load_schema(src)
+        if sch is not None:
+            _save_schema(attempt, sch)
+        _save_manifest(attempt, src)
+        _scrub_retired_stamp(attempt)
         with commit_lock(table_dir):
             now = read_epoch(table_dir)
             if now != current:

@@ -105,13 +105,36 @@ def table_upsert_stream(
     schema: str,
     max_files_per_trigger: int = 1,
     retention_sec: float = 0.0,
+    auto_optimize: bool = True,
+    optimize_max_files: int | None = None,
+    optimize_target_file_mb: int | None = None,
 ) -> int:
     """Run the upsert stream to completion (AvailableNow) over the
     parquet files in ``source_dir``: each micro-batch is merged into
     the managed table keyed by ``keys``, latest-wins by ``order_cols``.
     Returns the number of non-empty batches merged. Checkpoint lives
-    under ``table_dir/_upsert_checkpoint``."""
+    under ``table_dir/_upsert_checkpoint``.
+
+    ``auto_optimize`` (round 10, the table twin of the index streams'
+    ``auto_compact``): after each merged batch the metadata-only
+    ``table_report`` runs, and when it fires (live files >=
+    ``optimize_max_files``, or a small-file majority) the stream
+    OPTIMIZEs its own table CLUSTERED ON THE MERGE KEYS — which is what
+    keeps the NEXT merges' footer prune tight, so the per-batch COW
+    cost stays O(batch + touched files) for the stream's whole life
+    instead of degrading as each epoch flip sprays new small files.
+    Every knob defaults to ``table_report``'s; compaction commits
+    through the same epoch protocol as the merges, so a reader never
+    sees a half-optimized table and the stream's crash-replay story is
+    unchanged."""
+    from ariadne_dbt_spark.operators.table_store import optimize_table, table_report
+
     applied: list[int] = []
+    report_kw: dict = {}
+    if optimize_max_files is not None:
+        report_kw["max_files"] = optimize_max_files
+    if optimize_target_file_mb is not None:
+        report_kw["target_file_mb"] = optimize_target_file_mb
 
     def process(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -120,6 +143,15 @@ def table_upsert_stream(
             spark, table_dir, batch_df, keys, order_cols, retention_sec=retention_sec
         )
         applied.append(1)
+        if auto_optimize and table_report(table_dir, **report_kw)["should_optimize"]:
+            optimize_table(
+                spark,
+                table_dir,
+                retention_sec=retention_sec,
+                cluster_by=keys,
+                **({"target_file_mb": optimize_target_file_mb}
+                   if optimize_target_file_mb is not None else {}),
+            )
 
     q = (
         spark.readStream.schema(schema)

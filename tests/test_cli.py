@@ -264,5 +264,15 @@ def test_cli_table_restore_and_vacuum(tmp_path, capsys, spark):
     assert out["new_epoch"] == 2
     assert read_table(spark, tdir).where(F.col("v") == 99).count() == 0
 
+    # bare vacuum is guarded by the 7-day default retention: recently
+    # retired epochs survive (round-9 advice — a bare `table vacuum`
+    # must not destroy restore/time-travel history)
     out = _run(capsys, "table", "vacuum", "--dir", tdir)
+    assert {h["epoch"] for h in out["history"]} == {0, 1, 2}
+    # sub-default retention without --force refuses
+    with pytest.raises(SystemExit):
+        _run(capsys, "table", "vacuum", "--dir", tdir, "--retention-sec", "0")
+    capsys.readouterr()
+    out = _run(capsys, "table", "vacuum", "--dir", tdir,
+               "--retention-sec", "0", "--force")
     assert [h["epoch"] for h in out["history"]] == [2]

@@ -386,8 +386,11 @@ def test_partitioned_optimize_preserves_layout_and_refuses_clustering(spark, tmp
     live0 = data_dir(tdir, DATA_NAME, read_epoch(tdir))
     assert len(_walk_parquet(live0)) >= 9  # ~10 files per day
 
-    with pytest.raises(ValueError, match="zorder_by on a hive-partitioned"):
-        optimize_table(spark, tdir, zorder_by=["id"])
+    # a zorder key that IS a partition column is refused (constant per
+    # directory); non-partition keys compose — covered by
+    # test_partitioned_zorder_prunes_within_partitions
+    with pytest.raises(ValueError, match="partition columns"):
+        optimize_table(spark, tdir, zorder_by=["day"])
 
     before = read_table(spark, tdir).groupBy("day").count().collect()
     optimize_table(spark, tdir, target_file_mb=128)
@@ -523,3 +526,153 @@ def test_when_not_matched_by_source_respects_matched_condition(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in read_table(spark, tdir).collect()}
     assert got == {1: 99, 2: 20}  # 3 reaped; 2 kept its old value
+
+
+def test_duplicate_key_target_rows_each_updated(spark, tmp_path):
+    """Delta MERGE semantics on a target holding N rows for one matched
+    key: EVERY matched target row is updated (each takes the source
+    row's values; row count preserved) — never collapsed to a single
+    row (round-9 advice). Deletes remove all N."""
+    tdir = str(tmp_path / "dup")
+    rows = [Row(id=1, grp=0, val="a"), Row(id=1, grp=1, val="b"),
+            Row(id=1, grp=2, val="c"), Row(id=2, grp=0, val="d")]
+    write_table(spark, spark.createDataFrame(rows), tdir)
+
+    src = spark.createDataFrame([Row(id=1, grp=9, val="NEW"), Row(id=3, grp=9, val="INS")])
+    rep = merge_table(spark, tdir, src, ["id"])
+    got = read_table(spark, tdir).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append((r["grp"], r["val"]))
+    # all three id=1 target rows updated to the source values
+    assert by_id[1] == [(9, "NEW")] * 3
+    assert by_id[2] == [(0, "d")]
+    assert by_id[3] == [(9, "INS")]
+    assert rep["rows_updated"] == 3 and rep["rows_inserted"] == 1
+
+    # delete removes every row of the matched key
+    rep = merge_table(
+        spark, tdir,
+        spark.createDataFrame([Row(id=1, grp=0, val="x")]),
+        ["id"], when_matched="delete", when_not_matched=None,
+    )
+    assert rep["rows_deleted"] == 3
+    assert sorted(r["id"] for r in read_table(spark, tdir).collect()) == [2, 3]
+
+
+def test_partitioned_zorder_prunes_within_partitions(spark, tmp_path):
+    """OPTIMIZE ZORDER on a hive-partitioned table lays the Morton curve
+    WITHIN each partition (round-10; previously a disclosed refusal):
+    the layout is preserved, and inside each day= directory the files'
+    footer ranges on BOTH z-keys are narrow — a band predicate on either
+    key prunes most files of the partition, which lexicographic
+    clustering can only deliver for its leading key."""
+    from ariadne_dbt_spark.operators.table_store import _file_key_bounds
+
+    tdir = str(tmp_path / "pz")
+    df = spark.range(64_000).select(
+        (F.col("id") % 2).alias("day"),
+        (F.xxhash64("id") % 1000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+        # incompressible pad so target_file_mb=1 yields ~20 files
+        F.concat(
+            *[F.sha1(F.concat(F.lit(str(i)), F.col("id").cast("string"))) for i in range(8)]
+        ).alias("pad"),
+    )
+    write_table(spark, df.repartition(8), tdir, partition_by=["day"])
+
+    before = read_table(spark, tdir).groupBy("day").count().collect()
+    out = optimize_table(spark, tdir, target_file_mb=1, zorder_by=["x", "y"])
+    assert out["zordered_by"] == ["x", "y"]
+
+    live = data_dir(tdir, DATA_NAME, read_epoch(tdir))
+    files = _walk_parquet(live)
+    assert all("day=" in p for p in files)  # layout preserved
+    after = read_table(spark, tdir).groupBy("day").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+    # per partition dir, a 1/8 band on each z-key should skip most files
+    for key in ("x", "y"):
+        for day in ("day=0", "day=1"):
+            dfiles = [f for f in files if day in f]
+            assert len(dfiles) >= 4, f"want several files under {day}"
+            lo, hi = -1000, -750  # a 1/8 slice of the key domain
+            hit = 0
+            for f in dfiles:
+                b = _file_key_bounds(f, key)
+                assert b is not None
+                if not (b[1] < lo or b[0] > hi):
+                    hit += 1
+            assert hit / len(dfiles) <= 0.6, (
+                f"{key} band hit {hit}/{len(dfiles)} files in {day} — "
+                f"z-order gave no pruning inside the partition"
+            )
+
+
+def test_merge_prunes_from_manifest_without_footer_io(spark, tmp_path):
+    """The committed file-stats manifest (``_files.json``, round 10 —
+    Iceberg's manifest economics for plain parquet) makes the MERGE
+    prune zero-footer-IO: when every live file has a manifest entry,
+    ``_file_key_bounds`` is never called; with the manifest deleted the
+    same merge falls back to footers and commits the identical state.
+    Carried files must inherit their stats into the next manifest
+    (O(metadata)) so the property survives successive merges."""
+    import json
+
+    import ariadne_dbt_spark.operators.table_store as mod
+    from ariadne_dbt_spark.operators.table_store import _MANIFEST_FILE, _resolve
+
+    def build(name):
+        tdir = str(tmp_path / name)
+        df = spark.range(60_000).select(
+            F.col("id"),
+            (F.col("id") % 7).alias("grp"),
+            F.sha1(F.col("id").cast("string")).alias("val"),
+        )
+        write_table(spark, df.repartition(20), tdir)
+        optimize_table(spark, tdir, target_file_mb=1, cluster_by=["id"])
+        return tdir
+
+    tdir = build("mtab")
+    live = _resolve(tdir)
+    man = json.load(open(os.path.join(live, _MANIFEST_FILE)))["files"]
+    files = _walk_parquet(live)
+    assert len(files) >= 3
+    assert set(man) == {os.path.relpath(f, live) for f in files}
+    assert all("id" in e["bounds"] for e in man.values())
+    assert sum(e["rows"] for e in man.values()) == 60_000
+
+    calls = []
+    orig = mod._file_key_bounds
+    mod._file_key_bounds = lambda *a: (calls.append(a), orig(*a))[1]
+    try:
+        src = _source(spark, ids_update=[5, 6], ids_insert=[90001])
+        rep = merge_table(spark, tdir, src, ["id"])
+    finally:
+        mod._file_key_bounds = orig
+    assert calls == [], "manifest-covered merge still read parquet footers"
+    assert rep["n_files_carried"] > 0, "narrow merge should carry files"
+    state_a = _rows(spark, tdir)
+
+    # same merge on a manifest-less copy: identical result via footers
+    tdir2 = build("mtab2")
+    os.remove(os.path.join(_resolve(tdir2), _MANIFEST_FILE))
+    merge_table(spark, tdir2, _source(spark, [5, 6], [90001]), ["id"])
+    assert _rows(spark, tdir2) == state_a
+
+    # the NEXT epoch's manifest covers carried files by inheritance
+    live2 = _resolve(tdir)
+    man2 = json.load(open(os.path.join(live2, _MANIFEST_FILE)))["files"]
+    carried = [r for r in man2 if os.path.basename(r).startswith("carry-")]
+    assert carried, "expected hard-link-carried files in the new epoch"
+    for r in carried:
+        assert "id" in man2[r]["bounds"]
+
+    # and a second merge prunes footer-free again
+    calls2 = []
+    mod._file_key_bounds = lambda *a: (calls2.append(a), orig(*a))[1]
+    try:
+        merge_table(spark, tdir, _source(spark, [7], [90002]), ["id"])
+    finally:
+        mod._file_key_bounds = orig
+    assert calls2 == []

@@ -197,3 +197,110 @@ def test_retention_keeps_retired_epoch_then_sweeps(spark, tmp_path):
     sweep_stale_epochs(tdir, [DATA_NAME], read_epoch(tdir), retention_sec=3600)
     assert not os.path.isdir(old_dir)
     assert read_table(spark, tdir).count() == 500
+
+
+def test_sweeper_ignores_live_attempt_dirs(spark, tmp_path):
+    """A writer's private staging dir (t_ep<k+1>.attempt-<uuid>) must be
+    invisible to ``sweep_stale_epochs``: with retention 0 a concurrent
+    sweep used to rmtree a LIVE writer's staging mid-write, and with
+    retention > 0 it stamped ``_retired.json`` INTO the attempt — the
+    stamp then rode into the committed epoch and aged it out the moment
+    it retired (round-9 advice, medium)."""
+    from ariadne_dbt_spark.operators.epoch_store import sweep_stale_epochs
+
+    tdir = _make_fragmented(spark, tmp_path, n_rows=100, n_files=2)
+    attempt = os.path.join(tdir, f"{DATA_NAME}_ep1.attempt-cafebabe0123")
+    os.makedirs(attempt)
+    with open(os.path.join(attempt, "part-00000.parquet"), "wb") as f:
+        f.write(b"not-yet-finished")
+
+    sweep_stale_epochs(tdir, [DATA_NAME], 0, retention_sec=0.0)
+    assert os.path.isdir(attempt), "retention-0 sweep deleted a live attempt dir"
+
+    sweep_stale_epochs(tdir, [DATA_NAME], 0, retention_sec=3600.0)
+    assert not os.path.exists(os.path.join(attempt, "_retired.json")), (
+        "sweep stamped retirement into a live attempt dir"
+    )
+
+
+def test_commit_scrubs_inherited_retired_stamp(spark, tmp_path):
+    """Even if an old binary's sweep stamped ``_retired.json`` into the
+    staging dir, the commit must not let it ride into the committed
+    epoch (it would mark the LIVE epoch already-retired, so the next
+    sweep could delete it the instant the pointer moves on)."""
+    import ariadne_dbt_spark.operators.table_store as mod
+
+    tdir = _make_fragmented(spark, tmp_path, n_rows=100, n_files=4)
+
+    orig = mod._scrub_retired_stamp
+
+    def scrub_after_stamp(attempt):
+        with open(os.path.join(attempt, "_retired.json"), "w") as f:
+            json.dump({"retired_at": 0.0}, f)
+        orig(attempt)
+
+    mod._scrub_retired_stamp = scrub_after_stamp
+    try:
+        optimize_table(spark, tdir)
+    finally:
+        mod._scrub_retired_stamp = orig
+    live = os.path.join(tdir, f"{DATA_NAME}_ep1")
+    assert os.path.isdir(live)
+    assert not os.path.exists(os.path.join(live, "_retired.json"))
+
+
+def test_stale_attempt_gc_uses_content_mtime(spark, tmp_path):
+    """The crashed-attempt collector must age an attempt dir by the
+    NEWEST mtime anywhere inside it: a long partitioned write touches
+    nested files while the top-level dir's mtime stays pinned at job
+    start (round-9 advice)."""
+    from ariadne_dbt_spark.operators.table_store import (
+        ATTEMPT_STALE_SEC,
+        _gc_stale_attempts,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    os.makedirs(tdir)
+    old = time.time() - ATTEMPT_STALE_SEC - 60
+
+    # live writer: top dir old, inner file freshly written
+    live = os.path.join(tdir, f"{DATA_NAME}_ep1.attempt-live00000000")
+    os.makedirs(os.path.join(live, "k=1"))
+    with open(os.path.join(live, "k=1", "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    os.utime(live, (old, old))
+    os.utime(os.path.join(live, "k=1"), (old, old))
+
+    # crashed writer: everything old
+    dead = os.path.join(tdir, f"{DATA_NAME}_ep1.attempt-dead00000000")
+    os.makedirs(os.path.join(dead, "k=1"))
+    with open(os.path.join(dead, "k=1", "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    for p in (dead, os.path.join(dead, "k=1"), os.path.join(dead, "k=1", "part-0.parquet")):
+        os.utime(p, (old, old))
+
+    _gc_stale_attempts(tdir)
+    assert os.path.isdir(live), "GC removed a live writer's attempt dir"
+    assert not os.path.isdir(dead), "GC kept a provably crashed attempt dir"
+
+
+def test_partition_string_values_survive_roundtrip(spark, tmp_path):
+    """Partition-column TYPES come from the persisted schema, not path
+    inference: a string partition value like '01' or '1e3' must read
+    back as the same string (round-9 advice; path inference re-types it
+    to int/double and mangles the value)."""
+    tdir = str(tmp_path / "ptbl")
+    df = spark.createDataFrame(
+        [("01", 1), ("1e3", 2), ("x", 3)], "bucket string, v int"
+    )
+    write_table(spark, df, tdir, partition_by=["bucket"])
+
+    back = read_table(spark, tdir)
+    assert dict(back.dtypes)["bucket"] == "string"
+    assert sorted(r["bucket"] for r in back.collect()) == ["01", "1e3", "x"]
+
+    # the schema survives OPTIMIZE's epoch flip too
+    optimize_table(spark, tdir)
+    back2 = read_table(spark, tdir)
+    assert dict(back2.dtypes)["bucket"] == "string"
+    assert sorted(r["bucket"] for r in back2.collect()) == ["01", "1e3", "x"]

@@ -149,3 +149,48 @@ def test_guard_tiebreak_column_orders_lexicographically(spark, tmp_path):
         ["seq", "tie"],
     )
     assert _state(spark, tdir)[1] == (5, 9, "newer")
+
+
+def test_stream_auto_optimize_bounds_file_growth(spark, tmp_path):
+    """A long-running upsert stream accretes small files (each merge's
+    epoch flip writes batch-sized outputs); with ``auto_optimize`` the
+    stream folds its own table when ``table_report`` fires, clustered
+    on the merge key, and the merged STATE is unchanged (round 10 —
+    the table twin of the index streams' auto_compact)."""
+    from ariadne_dbt_spark.operators.epoch_store import _walk_parquet
+    from ariadne_dbt_spark.operators.table_store import _resolve, table_report
+
+    src_dir = str(tmp_path / "src")
+    tdir = str(tmp_path / "tbl")
+    os.makedirs(src_dir)
+    # 8 single-file batches of 20 users each, rotating states
+    for b in range(8):
+        rows = [
+            Row(user_id=u, seq=b, tie=0, state=f"u{u}b{b}")
+            for u in range(b, b + 20)
+        ]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src_dir)
+
+    write_table(spark, spark.createDataFrame([], SCHEMA), tdir)
+    n = table_upsert_stream(
+        spark, src_dir, tdir, ["user_id"], ["seq", "tie"],
+        schema=SCHEMA, max_files_per_trigger=1,
+        auto_optimize=True, optimize_max_files=6,
+    )
+    assert n >= 4
+
+    rep = table_report(tdir, max_files=6)
+    assert rep["n_files"] < 6 * 2, f"auto-optimize never fired: {rep}"
+
+    # state identical to the no-optimize run over the same source
+    tdir2 = str(tmp_path / "tbl2")
+    write_table(spark, spark.createDataFrame([], SCHEMA), tdir2)
+    table_upsert_stream(
+        spark, src_dir, tdir2, ["user_id"], ["seq", "tie"],
+        schema=SCHEMA, max_files_per_trigger=1, auto_optimize=False,
+    )
+    assert _state(spark, tdir) == _state(spark, tdir2)
+    assert table_report(tdir2, max_files=6)["n_files"] > rep["n_files"], (
+        "control stream should have accreted more files than the "
+        "auto-optimized one"
+    )
