@@ -337,8 +337,13 @@ def _parquet_file_stats(path: str) -> tuple[int, int | None, int | None]:
 
 
 def _walk_parquet(root: str) -> list[str]:
+    """Data files under ``root``, with Spark's listing convention:
+    files AND directories whose name starts with ``_`` or ``.`` are
+    invisible (that is what lets sidecars like ``_changes/`` live
+    inside an epoch dir without joining the table's data)."""
     out = []
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         out.extend(
             os.path.join(dirpath, f)
             for f in files

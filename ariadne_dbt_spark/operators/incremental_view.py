@@ -1,0 +1,299 @@
+"""Incrementally maintained aggregate materialized views over managed
+tables, folded from the change-data-feed.
+
+The 100 TB problem: a dashboard aggregate (revenue by region, events
+per user-day) over a mutating fact table is either recomputed from
+scratch per refresh — O(table) every time — or drifts stale. Delta's
+answer is CDF-driven incremental ETL: read ONLY the change rows since
+the last sync and fold them into the aggregate. This module is that
+pattern as a first-class operator pair:
+
+* :func:`build_agg_view` materializes ``SELECT group_by, aggs FROM
+  table GROUP BY group_by`` into its own MANAGED table (so the view
+  itself has epochs, time travel, OPTIMIZE, constraints — everything
+  tables get) plus a ``_view.json`` sync cursor.
+* :func:`refresh_agg_view` advances the view to the base table's
+  current epoch by folding change rows: with the base table's change
+  feed enabled (``enable_change_feed``) it reads the per-commit
+  ``_changes/`` logs — **O(churn since last sync)**, never a table
+  scan; otherwise it falls back to :func:`table_changes` version
+  diffing (one join of two versions — the audit path).
+
+Why pre-images matter: every change row carries a SIGN — ``insert`` /
+``update_postimage`` add, ``delete`` / ``update_preimage`` subtract —
+so any SUM/COUNT aggregate folds algebraically: the view's new value
+is ``old + Σ sign·x`` per group, computed over changed rows only and
+MERGEd into the view through the same footer/manifest-pruned COW path
+every table write uses. Groups whose row count reaches zero are
+deleted; brand-new groups insert. MIN/MAX are NOT incrementally
+maintainable under deletes (the new extreme may live in unchanged
+rows) and are refused — the same restriction every incremental-view
+engine carries.
+
+Crash safety: the sync cursor records the VIEW epoch it wrote; a
+refresh that finds the view at a different epoch than its cursor
+(crash between the view merge and the cursor write, or an external
+mutation of the view) rebuilds from scratch rather than double-folding
+a delta. Exactness: use DECIMAL/integer measures for bit-exact
+incremental sums; float sums accumulate reassociation drift vs a
+recompute (disclosed — same caveat as any incremental float fold).
+
+Reference parity: none — §8 scale extension (the reference rebuilds
+everything wholesale, ``src/ariadne_dbt/indexer.py:472-485``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ariadne_dbt_spark.operators.epoch_store import _atomic_write_json, read_epoch
+from ariadne_dbt_spark.operators.table_store import (
+    delete_keys,
+    merge_table,
+    read_table,
+    table_changes,
+    table_changes_log,
+    write_table,
+)
+
+__all__ = ["build_agg_view", "refresh_agg_view", "view_status"]
+
+_VIEW_META = "_view.json"
+#: hidden per-group live-row count: how the fold knows a group died
+_ROWS_COL = "_rows"
+
+#: supported incremental aggregates; ("count", None) is COUNT(*)
+_SUPPORTED = ("sum", "count")
+
+
+def _measure_exprs(measures: dict) -> list:
+    """Aggregate expressions for the FULL build (group-by semantics:
+    ``sum`` is ``COALESCE(SUM(x), 0)`` so an all-NULL group reads 0 —
+    the value the incremental fold also converges to)."""
+    out = []
+    for name, (op, col) in measures.items():
+        if op == "sum":
+            out.append(F.coalesce(F.sum(col), F.lit(0)).alias(name))
+        elif op == "count":
+            out.append(
+                (F.count(F.lit(1)) if col is None else F.count(col)).alias(name)
+            )
+    return out
+
+
+def _validate(measures: dict) -> None:
+    for name, spec in measures.items():
+        if not (isinstance(spec, (tuple, list)) and len(spec) == 2):
+            raise ValueError(f"measure {name!r} must be (op, column), got {spec!r}")
+        op, col = spec
+        if op not in _SUPPORTED:
+            raise ValueError(
+                f"measure {name!r}: {op!r} is not incrementally maintainable "
+                f"(supported: {_SUPPORTED}; MIN/MAX need the unchanged rows "
+                f"to re-derive an extreme after a delete — rebuild instead)"
+            )
+        if op == "sum" and col is None:
+            raise ValueError(f"measure {name!r}: sum needs a source column")
+
+
+def _meta_path(view_dir: str) -> str:
+    return os.path.join(view_dir, _VIEW_META)
+
+
+def _load_meta(view_dir: str) -> dict:
+    with open(_meta_path(view_dir)) as f:
+        return json.load(f)
+
+
+def build_agg_view(
+    spark: SparkSession,
+    table_dir: str,
+    view_dir: str,
+    *,
+    row_keys: list[str],
+    group_by: list[str],
+    measures: dict,
+) -> dict:
+    """Materialize the aggregate view (full computation) and persist
+    its sync cursor. ``row_keys`` is the base table's row identity
+    (what the diff-based CDF fallback keys on); ``measures`` maps
+    output column → ``("sum", col)`` / ``("count", col)`` /
+    ``("count", None)`` for COUNT(*). NULL group-key values are
+    refused — the view is MERGE-maintained on ``group_by``, and SQL
+    join semantics would silently never match a NULL group."""
+    _validate(measures)
+    base = read_table(spark, table_dir)
+    null_groups = base.where(
+        F.greatest(*[F.col(c).isNull() for c in group_by])
+        if len(group_by) > 1
+        else F.col(group_by[0]).isNull()
+    ).count()
+    if null_groups:
+        raise ValueError(
+            f"{null_groups} base rows carry NULL in {group_by}; NULL group "
+            f"keys cannot be merge-maintained — filter or coalesce them first"
+        )
+    view = base.groupBy(*group_by).agg(
+        *_measure_exprs(measures), F.count(F.lit(1)).alias(_ROWS_COL)
+    )
+    write_table(spark, view, view_dir)
+    meta = {
+        "table_dir": os.path.abspath(table_dir),
+        "row_keys": list(row_keys),
+        "group_by": list(group_by),
+        "measures": {k: [op, col] for k, (op, col) in measures.items()},
+        "synced_epoch": read_epoch(table_dir),
+        "view_epoch": read_epoch(view_dir),
+    }
+    _atomic_write_json(_meta_path(view_dir), meta)
+    return {"view_dir": view_dir, **meta, "n_groups": view.count()}
+
+
+def view_status(view_dir: str) -> dict:
+    """Sync state without touching Spark: the cursor plus whether the
+    base table has moved past it."""
+    meta = _load_meta(view_dir)
+    cur = read_epoch(meta["table_dir"])
+    return {
+        **meta,
+        "base_epoch": cur,
+        "stale": cur != meta["synced_epoch"],
+        "view_moved_externally": read_epoch(view_dir) != meta["view_epoch"],
+    }
+
+
+def _delta_exprs(measures: dict, sign) -> list:
+    """Signed fold of change rows → per-group measure deltas."""
+    out = []
+    for name, (op, col) in measures.items():
+        if op == "sum":
+            out.append(F.sum(sign * F.coalesce(F.col(col), F.lit(0))).alias(name))
+        else:
+            contrib = (
+                F.lit(1) if col is None else F.when(F.col(col).isNotNull(), 1).otherwise(0)
+            )
+            out.append(F.sum(sign * contrib).alias(name))
+    return out
+
+
+def refresh_agg_view(
+    spark: SparkSession,
+    view_dir: str,
+    *,
+    retention_sec: float = 0.0,
+    allow_rebuild: bool = True,
+) -> dict:
+    """Fold the base table's changes since the last sync into the view.
+
+    Prefers the log-backed CDF (O(churn); requires ``enable_change_feed``
+    on the base table and retention covering the sync gap), falling
+    back to :func:`table_changes` version diffing when logs are absent,
+    and to a FULL REBUILD when even the diff base epoch was vacuumed or
+    the view moved without its cursor (crash mid-refresh) — never a
+    silent double-fold. Cost of the fold itself: changed rows are
+    grouped once (shuffle O(churn)), the affected groups join the view
+    (merge-pruned on the clustered group key), and two epoch flips at
+    most (upsert + dead-group delete)."""
+    meta = _load_meta(view_dir)
+    table_dir = meta["table_dir"]
+    group_by = list(meta["group_by"])
+    measures = {k: (op, col) for k, (op, col) in meta["measures"].items()}
+    synced, cur = int(meta["synced_epoch"]), read_epoch(table_dir)
+
+    def rebuild(reason: str) -> dict:
+        if not allow_rebuild:
+            raise RuntimeError(f"view {view_dir} needs a rebuild ({reason})")
+        rep = build_agg_view(
+            spark,
+            table_dir,
+            view_dir,
+            row_keys=meta["row_keys"],
+            group_by=group_by,
+            measures=measures,
+        )
+        return {"refreshed": True, "mode": "rebuild", "reason": reason, **rep}
+
+    if read_epoch(view_dir) != int(meta["view_epoch"]):
+        return rebuild("view epoch moved without its sync cursor")
+    if cur == synced:
+        return {"refreshed": False, "mode": "noop", "synced_epoch": synced}
+
+    mode = "log"
+    try:
+        cdf = table_changes_log(spark, table_dir, from_epoch=synced, to_epoch=cur)
+    except (ValueError, FileNotFoundError):
+        mode = "diff"
+        try:
+            cdf = table_changes(
+                spark,
+                table_dir,
+                meta["row_keys"],
+                from_epoch=synced,
+                to_epoch=cur,
+                with_preimages=True,
+            )
+        except FileNotFoundError:
+            return rebuild(f"epoch {synced} vacuumed before refresh")
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    row_delta = F.sum(sign).alias(_ROWS_COL)
+    deltas = cdf.groupBy(*group_by).agg(*_delta_exprs(measures, sign), row_delta)
+    deltas = deltas.persist()
+    try:
+        if deltas.where(
+            F.greatest(*[F.col(c).isNull() for c in group_by])
+            if len(group_by) > 1
+            else F.col(group_by[0]).isNull()
+        ).count():
+            return rebuild("changed rows carry NULL group keys")
+
+        view = read_table(spark, view_dir)
+        # deltas ⟕ view: affected groups only — the view side is read
+        # through its manifest and joined on the (clustered) group key
+        d = deltas.alias("d")
+        v = view.alias("v")
+        joined = d.join(v, group_by, "left")
+        folded = joined.select(
+            *[F.col(f"d.{c}") for c in group_by],
+            *[
+                (F.coalesce(F.col(f"v.{name}"), F.lit(0)) + F.col(f"d.{name}"))
+                .cast(dict(view.dtypes)[name])
+                .alias(name)
+                for name in measures
+            ],
+            (
+                F.coalesce(F.col(f"v.{_ROWS_COL}"), F.lit(0)) + F.col(f"d.{_ROWS_COL}")
+            ).alias(_ROWS_COL),
+        ).persist()
+        bad = folded.where(F.col(_ROWS_COL) < 0).count()
+        if bad:
+            return rebuild(f"{bad} groups folded to negative row counts")
+
+        live = folded.where(F.col(_ROWS_COL) > 0)
+        dead = folded.where(F.col(_ROWS_COL) == 0).select(*group_by)
+        n_dead = dead.count()
+        rep = merge_table(
+            spark, view_dir, live, group_by, retention_sec=retention_sec
+        )
+        if n_dead:
+            delete_keys(spark, view_dir, dead, group_by, retention_sec=retention_sec)
+        folded.unpersist()
+    finally:
+        deltas.unpersist()
+
+    meta["synced_epoch"] = cur
+    meta["view_epoch"] = read_epoch(view_dir)
+    _atomic_write_json(_meta_path(view_dir), meta)
+    return {
+        "refreshed": True,
+        "mode": mode,
+        "synced_epoch": cur,
+        "groups_upserted": rep["rows_updated"] + rep["rows_inserted"],
+        "groups_deleted": n_dead,
+    }

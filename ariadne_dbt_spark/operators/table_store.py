@@ -91,6 +91,10 @@ __all__ = [
     "set_constraints",
     "get_constraints",
     "ConstraintViolation",
+    "set_table_properties",
+    "get_table_properties",
+    "enable_change_feed",
+    "table_changes_log",
 ]
 
 #: the single logical data-dir name a managed table owns
@@ -206,6 +210,15 @@ def write_table(
     written."""
     _check_constraints(df, table_dir, scope="write_table")
     dest = _resolve(table_dir)
+    if _change_feed_enabled(table_dir) and os.path.isdir(dest) and _walk_parquet(dest):
+        # a wholesale overwrite rewrites the CURRENT epoch in place —
+        # no epoch bump, so no change-log slot exists for it; silently
+        # allowing it would make table_changes_log miss a mutation
+        raise ValueError(
+            f"{table_dir} has change_feed enabled: write_table would "
+            f"overwrite the live epoch without a change log — mutate "
+            f"via merge_table / delete_* / update_where instead"
+        )
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -712,6 +725,139 @@ def _manifest_bounds_fn(live: str, manifest: dict, key: str):
     return bounds
 
 
+#: per-table properties beside epoch.json (Delta's table properties);
+#: today's one consumer is ``change_feed``
+_PROPS_FILE = "_props.json"
+#: the commit-op marker written inside every epoch dir by _cow_commit
+_COMMIT_MARKER = "_commit.json"
+#: an epoch's change-data-feed parquet dir (inside the epoch dir)
+_CHANGES_NAME = "_changes"
+
+
+def set_table_properties(table_dir: str, props: dict) -> None:
+    """Persist table properties (Delta's ``TBLPROPERTIES``). Known key:
+    ``{"change_feed": True}`` — see :func:`enable_change_feed`."""
+    from ariadne_dbt_spark.operators.epoch_store import _atomic_write_json
+
+    os.makedirs(table_dir, exist_ok=True)
+    _atomic_write_json(os.path.join(table_dir, _PROPS_FILE), props)
+
+
+def get_table_properties(table_dir: str) -> dict:
+    import json as _json
+
+    path = os.path.join(table_dir, _PROPS_FILE)
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def enable_change_feed(table_dir: str) -> None:
+    """Delta's ``delta.enableChangeDataFeed``: from the NEXT mutation
+    on, every MERGE / DELETE / UPDATE commit also writes its exact
+    change rows (pre/post images + ``_change_type``) into the new
+    epoch's ``_changes/`` log — O(batch) extra write per commit, and
+    :func:`table_changes_log` then reads churn-sized logs instead of
+    diffing two full table versions. Epochs committed BEFORE enabling
+    have no log (the log reader says so loudly)."""
+    set_table_properties(table_dir, {**get_table_properties(table_dir), "change_feed": True})
+
+
+def _change_feed_enabled(table_dir: str) -> bool:
+    return bool(get_table_properties(table_dir).get("change_feed"))
+
+
+def _save_commit_marker(epoch_dir: str, op: str) -> None:
+    import contextlib as _ctx
+    import json as _json
+
+    with _ctx.suppress(OSError):
+        with open(os.path.join(epoch_dir, _COMMIT_MARKER), "w") as f:
+            _json.dump({"op": op}, f)
+
+
+def _read_commit_marker(epoch_dir: str) -> str | None:
+    import json as _json
+
+    path = os.path.join(epoch_dir, _COMMIT_MARKER)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return _json.load(f).get("op")
+    except (OSError, ValueError):
+        return None
+
+
+def table_changes_log(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    from_epoch: int,
+    to_epoch: int | None = None,
+) -> DataFrame:
+    """The LOG-BACKED change-data-feed: exact change rows of every
+    epoch in ``(from_epoch, to_epoch]``, read from the per-commit
+    ``_changes/`` logs :func:`enable_change_feed` turns on — cost is
+    O(churn in the range), never a diff of two full table versions
+    (that is :func:`table_changes`, the audit path). Each row carries
+    the table's columns plus ``_change_type`` (insert / delete /
+    update_preimage / update_postimage — Delta's full CDF contract,
+    pre-images included, which makes the feed algebraic for downstream
+    incremental aggregation) and ``_commit_epoch``.
+
+    Every epoch in the range must still be ON DISK (mutate with
+    ``retention_sec`` covering your read cadence — the same rule Delta
+    has for CDF vs VACUUM) and must either carry a log or be a
+    row-preserving commit (``optimize``). A swept epoch raises
+    ``FileNotFoundError``; a pre-change-feed or ``restore`` epoch
+    raises ``ValueError`` naming the epoch — fall back to
+    :func:`table_changes` version diffing for those ranges."""
+    current = read_epoch(table_dir)
+    to = current if to_epoch is None else to_epoch
+    if to > current:
+        raise FileNotFoundError(f"epoch {to} of {table_dir} is not committed")
+    frames = []
+    for ep in range(from_epoch + 1, to + 1):
+        d = data_dir(table_dir, DATA_NAME, ep)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"epoch {ep} of {table_dir} was vacuumed — its change log "
+                f"is gone; keep retention_sec >= your CDF read cadence"
+            )
+        cdir = os.path.join(d, _CHANGES_NAME)
+        if os.path.isdir(cdir):
+            frames.append(
+                spark.read.parquet(cdir).withColumn(
+                    "_commit_epoch", F.lit(ep).cast("int")
+                )
+            )
+            continue
+        op = _read_commit_marker(d)
+        if op == "optimize":
+            continue  # row-preserving rewrite: empty change set
+        raise ValueError(
+            f"epoch {ep} of {table_dir} (op={op or 'unknown'}) has no "
+            f"change log — it was committed before enable_change_feed, "
+            f"or by an op the log does not cover (restore); use "
+            f"table_changes() to diff those versions instead"
+        )
+    if not frames:
+        schema = read_table(spark, table_dir).schema
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", F.lit("")).withColumn(
+            "_commit_epoch", F.lit(0).cast("int")
+        ).limit(0)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
 def _read_epoch_dir(spark: SparkSession, path: str) -> DataFrame:
     """Read one committed epoch dir through its persisted schema when
     present — partition-column TYPES then come from the log, not Spark
@@ -737,6 +883,7 @@ def _cow_commit(
     pcols: list[str],
     retention_sec: float,
     op: str,
+    changes: DataFrame | None = None,
 ) -> int:
     """The shared copy-on-write commit tail: stage the rewritten rows
     into an ATTEMPT-UNIQUE dir, then — under ``commit_lock``, after the
@@ -771,6 +918,14 @@ def _cow_commit(
         _scrub_retired_stamp(attempt)
         _save_schema(attempt, merged.schema)
         _save_manifest(attempt, live)
+        _save_commit_marker(attempt, op)
+        if changes is not None:
+            # the epoch's CHANGE LOG rides inside its own dir: the
+            # rename below commits data + log atomically, and Spark's
+            # `_` listing convention keeps it out of table reads
+            changes.write.mode("overwrite").parquet(
+                os.path.join(attempt, _CHANGES_NAME)
+            )
 
         with commit_lock(table_dir):
             now = read_epoch(table_dir)
@@ -1075,12 +1230,44 @@ def merge_table(
             n_reaped = tdf.count() - tdf.join(kdf, keys, "left_semi").count()
         merged = t_keep if s_add is None else t_keep.unionByName(s_add)
 
+        changes = None
+        if _change_feed_enabled(table_dir):
+            # the exact change rows this commit performs, derived from
+            # the same persisted tdf/src the merge itself uses — an
+            # O(batch) log written atomically with the epoch (Delta's
+            # CDF change files). Updates log BOTH images so the feed is
+            # algebraic downstream (incremental_view.py).
+            tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
+            parts = []
+            if when_matched_condition is not None and when_matched is not None:
+                won_pairs = pairs.where(won)
+                if when_matched == "update":
+                    parts.append(tag(won_pairs.select("t.*"), "update_preimage"))
+                    parts.append(tag(won_pairs.select("s.*"), "update_postimage"))
+                else:
+                    parts.append(tag(won_pairs.select("t.*"), "delete"))
+            elif when_matched == "update":
+                parts.append(tag(tdf.join(kdf, keys, "left_semi"), "update_preimage"))
+                parts.append(
+                    tag(tdf.select(*keys).join(src, keys, "inner"), "update_postimage")
+                )
+            elif when_matched == "delete":
+                parts.append(tag(tdf.join(kdf, keys, "left_semi"), "delete"))
+            if when_not_matched == "insert":
+                parts.append(tag(src.join(tkeys, keys, "left_anti"), "insert"))
+            if when_not_matched_by_source is not None:
+                parts.append(tag(tdf.join(kdf, keys, "left_anti"), "delete"))
+            changes = parts[0] if parts else tag(tdf, "x").limit(0)
+            for pt in parts[1:]:
+                changes = changes.unionByName(pt)
+
         # CHECK constraints on the rewrite set only (carried files
         # committed under them already; adding a constraint does not
         # retro-validate existing data — disclosed)
         _check_constraints(merged, table_dir, scope="merge")
         new_epoch = _cow_commit(
-            spark, table_dir, epoch, live, merged, carried, pcols, retention_sec, "merge"
+            spark, table_dir, epoch, live, merged, carried, pcols, retention_sec,
+            "merge", changes=changes,
         )
         return {
             "epoch": epoch,
@@ -1208,9 +1395,14 @@ def _rewrite_where(
     try:
         hit = F.coalesce(pred, F.lit(False))
         n_hit = tdf.where(hit).count()
+        tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
+        cdf_on = _change_feed_enabled(table_dir)
+        changes = None
         if set_exprs is None:
             merged = tdf.where(~hit)
             deleted, updated = n_hit, 0
+            if cdf_on:
+                changes = tag(tdf.where(hit), "delete")
         else:
             unknown = [c for c in set_exprs if c not in tdf.columns]
             if unknown:
@@ -1218,21 +1410,29 @@ def _rewrite_where(
             exprs = {
                 c: F.expr(e) if isinstance(e, str) else e for c, e in set_exprs.items()
             }
-            merged = tdf.select(
+            apply_set = lambda df: df.select(  # noqa: E731
                 *[
                     (
                         F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
                         if c in exprs
                         else F.col(c)
                     )
-                    for c in tdf.columns
+                    for c in df.columns
                 ]
             )
+            merged = apply_set(tdf)
             deleted, updated = 0, n_hit
+            if cdf_on:
+                # filter BEFORE transforming: the predicate must see the
+                # original values (post-SET rows may no longer match it)
+                changes = tag(tdf.where(hit), "update_preimage").unionByName(
+                    tag(apply_set(tdf.where(hit)), "update_postimage")
+                )
             # deletes only remove rows; updates can introduce violations
             _check_constraints(merged, table_dir, scope="update_where")
         new_epoch = _cow_commit(
-            spark, table_dir, epoch, live, merged, carried, pcols, retention_sec, op
+            spark, table_dir, epoch, live, merged, carried, pcols, retention_sec,
+            op, changes=changes,
         )
     finally:
         tdf.unpersist()
@@ -1340,6 +1540,7 @@ def restore_table(table_dir: str, epoch: int, *, retention_sec: float = 0.0) -> 
         if sch is not None:
             _save_schema(attempt, sch)
         _save_manifest(attempt, src)
+        _save_commit_marker(attempt, "restore")
         _scrub_retired_stamp(attempt)
         with commit_lock(table_dir):
             now = read_epoch(table_dir)
@@ -1435,6 +1636,7 @@ def table_changes(
     *,
     from_epoch: int,
     to_epoch: int | None = None,
+    with_preimages: bool = False,
 ) -> DataFrame:
     """Change-data-feed between two RETAINED versions: per key, did the
     row appear (``insert``), disappear (``delete``), or change
@@ -1442,6 +1644,14 @@ def table_changes(
     deletes) plus ``_change_type`` — the downstream-sync contract
     Delta's CDF serves, derived here by diffing epochs that vacuum
     retention kept on disk, so it needs no per-write change log.
+
+    ``with_preimages=True`` matches Delta's full CDF row contract: an
+    updated key emits TWO rows — ``update_preimage`` (the old values)
+    then ``update_postimage`` (the new) — which is what makes the feed
+    ALGEBRAIC for downstream incremental aggregation: every change row
+    carries a sign (+ for insert/update_postimage, − for delete/
+    update_preimage) and any SUM/COUNT view folds the feed without
+    consulting its base rows (see ``operators/incremental_view.py``).
 
     Unchanged rows are detected by a null-safe ``xxhash64`` over the
     non-key columns (a 64-bit fingerprint collision would suppress one
@@ -1480,10 +1690,43 @@ def table_changes(
         .when(F.col("n._fp").isNull(), F.lit("delete"))
         .when(F.col("o._fp") != F.col("n._fp"), F.lit("update_postimage"))
     )
-    image = F.coalesce(F.col("n._row"), F.col("o._row"))
-    out = j.select(*keys, change.alias("_change_type"), image.alias("_row")).where(
-        F.col("_change_type").isNotNull()
-    )
+    if with_preimages:
+        # an update explodes to its (preimage, postimage) pair; the
+        # explode stays on the join's partitioning — no extra shuffle
+        pair = F.when(
+            change == "update_postimage",
+            F.array(
+                F.struct(
+                    F.lit("update_preimage").alias("_ct"),
+                    F.col("o._row").alias("_r"),
+                ),
+                F.struct(
+                    F.lit("update_postimage").alias("_ct"),
+                    F.col("n._row").alias("_r"),
+                ),
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    change.alias("_ct"),
+                    F.coalesce(F.col("n._row"), F.col("o._row")).alias("_r"),
+                )
+            )
+        )
+        out = (
+            j.where(change.isNotNull())
+            .select(*keys, F.explode(pair).alias("_e"))
+            .select(
+                *keys,
+                F.col("_e._ct").alias("_change_type"),
+                F.col("_e._r").alias("_row"),
+            )
+        )
+    else:
+        image = F.coalesce(F.col("n._row"), F.col("o._row"))
+        out = j.select(
+            *keys, change.alias("_change_type"), image.alias("_row")
+        ).where(F.col("_change_type").isNotNull())
     if not value_cols:
         return out.select(*keys, "_change_type")
     return out.select(*keys, "_change_type", "_row.*")
