@@ -759,3 +759,111 @@ def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "incremental_agg_view",
+    oracle=f"""
+    WITH {_MERGE_CTE}
+    SELECT o_orderstatus,
+           CAST(SUM(price) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_orders,
+           COUNT(*) AS n_rows
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+    survey="managed-table-cdf,incremental-view",
+    doc="Incrementally maintained aggregate view folded from the "
+    "change-data-feed LOG (operators/incremental_view.py + "
+    "table_store.enable_change_feed): build a revenue-by-status view "
+    "over a managed orders table, run the same merge/update/delete "
+    "lifecycle as table_merge_upsert, then refresh_agg_view folds ONLY "
+    "the logged change rows (signed pre/post images, O(churn) — the "
+    "workload RAISES if the refresh fell back off the log path) and "
+    "the result must hash-equal the oracle's from-scratch GROUP BY of "
+    "the final state. Group death (a status emptying) and birth are "
+    "part of the contract.",
+)
+def incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ariadne_dbt_spark.operators.incremental_view import (
+        build_agg_view,
+        refresh_agg_view,
+    )
+    from ariadne_dbt_spark.operators.table_store import (
+        delete_keys,
+        enable_change_feed,
+        merge_table,
+        optimize_table,
+        read_table,
+        update_where,
+        write_table,
+    )
+    from ariadne_dbt_spark.workloads.relational import T, dec
+
+    work = tempfile.mkdtemp(prefix="ariadne_incr_view_")
+    try:
+        tdir = os.path.join(work, "orders_t")
+        base = T(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", dec("o_totalprice").alias("price")
+        )
+        write_table(spark, base.where(F.col("o_orderkey") % 4 < 3), tdir)
+        enable_change_feed(tdir)
+        vdir = os.path.join(work, "view_t")
+        build_agg_view(
+            spark,
+            tdir,
+            vdir,
+            row_keys=["o_orderkey"],
+            group_by=["o_orderstatus"],
+            measures={"total_price": ("sum", "price"), "n_orders": ("count", None)},
+        )
+        # the optimize epoch sits INSIDE the refresh range: the log
+        # reader must skip it as row-preserving, not fail on it
+        optimize_table(
+            spark, tdir, target_file_mb=1, cluster_by=["o_orderkey"], retention_sec=3600
+        )
+        src = base.where((F.col("o_orderkey") % 8).isin(0, 3)).withColumn(
+            "price", (F.col("price") + F.lit(1000)).cast("decimal(18,2)")
+        )
+        merge_table(spark, tdir, src, ["o_orderkey"], retention_sec=3600)
+        update_where(
+            spark,
+            tdir,
+            {"price": "CAST(price + 50 AS DECIMAL(18,2))"},
+            "o_orderstatus = 'P'",
+            retention_sec=3600,
+        )
+        delete_keys(
+            spark,
+            tdir,
+            base.select("o_orderkey").where(F.col("o_orderkey") % 100 == 1),
+            ["o_orderkey"],
+            retention_sec=3600,
+        )
+        rep = refresh_agg_view(spark, vdir)
+        if rep.get("mode") != "log":
+            raise RuntimeError(
+                f"incremental view refresh fell off the log path: {rep}"
+            )
+        out = (
+            read_table(spark, vdir)
+            .select(
+                "o_orderstatus",
+                F.col("total_price").cast("double").alias("total_price"),
+                F.col("n_orders").cast("bigint").alias("n_orders"),
+                F.col("_rows").cast("bigint").alias("n_rows"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(
+            out.toPandas(),
+            "o_orderstatus string, total_price double, n_orders bigint, n_rows bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+

@@ -707,6 +707,16 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
     ],
     "olap_ext_suite": [
         (
+            "incr_view",
+            "incremental_agg_view",
+            {
+                "o_orderstatus": "string",
+                "total_price": "double",
+                "n_orders": "bigint",
+                "n_rows": "bigint",
+            },
+        ),
+        (
             "rollup",
             "rollup_orders",
             {

@@ -50,6 +50,11 @@ HEADLINE = [
     # via footer pruning + hard-link carry), and the row includes the
     # full lifecycle (write, cluster, merge, delete, read back)
     "table_merge_upsert",
+    # round 10: incremental view maintenance folded from the per-commit
+    # change-feed LOG — tracked because its contract is a COST shape
+    # (refresh O(churn), never a base-table rescan); the row runs the
+    # whole lifecycle (build view, mutate base thrice, log-fold refresh)
+    "incremental_agg_view",
     "exact_substring_excision",
     "minhash_lsh_candidates",
     "simhash_fingerprints",
