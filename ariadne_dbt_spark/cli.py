@@ -21,8 +21,10 @@ Commands mirror the reference's tool surface:
     usage     usage-log analytics over a trailing window
     maintain  compaction-cadence report / fold for persisted indexes + tables
     table     managed-table DML: merge / delete-where / update-where /
-              restore / vacuum / history / changes (COW epoch flips,
-              change feed, time-travel undo)
+              restore / vacuum / history / changes / enable-cdf (COW
+              epoch flips, change feed, time-travel undo)
+    view      aggregate materialized views: build / refresh / status
+              (refresh folds the change-feed log — O(churn))
     serve     JSON-lines tool server (MCP via fastmcp when installed)
 
 Every command loads (or builds) the index, runs DataFrame queries, and
@@ -480,6 +482,10 @@ def cmd_table(args):
     if args.action == "history":
         _emit({"table_dir": args.dir, "history": table_store.table_history(args.dir)})
         return
+    if args.action == "enable-cdf":
+        table_store.enable_change_feed(args.dir)
+        _emit({"table_dir": args.dir, "properties": table_store.get_table_properties(args.dir)})
+        return
     if args.action == "restore":
         if args.epoch is None:
             raise SystemExit("restore needs --epoch")
@@ -510,15 +516,25 @@ def cmd_table(args):
 
     spark = get_spark("ariadne-table")
     if args.action == "changes":
-        if args.from_epoch is None or not args.keys:
-            raise SystemExit("changes needs --keys and --from-epoch")
-        df = table_store.table_changes(
-            spark,
-            args.dir,
-            [k.strip() for k in args.keys.split(",")],
-            from_epoch=args.from_epoch,
-            to_epoch=args.to_epoch,
-        )
+        if args.from_epoch is None:
+            raise SystemExit("changes needs --from-epoch")
+        if args.log:
+            # log-backed CDF: O(churn), needs enable-cdf before the
+            # mutations and retention covering the range
+            df = table_store.table_changes_log(
+                spark, args.dir, from_epoch=args.from_epoch, to_epoch=args.to_epoch
+            )
+        else:
+            if not args.keys:
+                raise SystemExit("diff-based changes needs --keys")
+            df = table_store.table_changes(
+                spark,
+                args.dir,
+                [k.strip() for k in args.keys.split(",")],
+                from_epoch=args.from_epoch,
+                to_epoch=args.to_epoch,
+                with_preimages=args.preimages,
+            )
         _emit({"table_dir": args.dir, "changes": [r.asDict() for r in df.collect()]})
     elif args.action == "merge":
         if not args.source or not args.keys:
@@ -556,6 +572,49 @@ def cmd_table(args):
             spark, args.dir, set_exprs, args.predicate, retention_sec=dml_retention
         )
         _emit({"table_dir": args.dir, **report})
+
+
+def cmd_view(args):
+    """Aggregate materialized views maintained from the change feed
+    (operators/incremental_view.py): ``build`` materializes and writes
+    the sync cursor, ``refresh`` folds the changes since the cursor
+    (log-backed when the base table has enable-cdf; O(churn)),
+    ``status`` is metadata-only."""
+    from ariadne_dbt_spark.operators import incremental_view as iv
+
+    if args.action == "status":
+        _emit(iv.view_status(args.dir))
+        return
+
+    from ariadne_dbt_spark.session import get_spark
+
+    spark = get_spark("ariadne-view")
+    if args.action == "build":
+        if not (args.table and args.row_keys and args.group_by and args.measure):
+            raise SystemExit(
+                "view build needs --table --row-keys --group-by and >=1 --measure"
+            )
+        measures = {}
+        for item in args.measure:
+            name, _, spec = item.partition("=")
+            op, _, col = spec.partition(":")
+            if not name or op not in ("sum", "count") or (op == "sum" and not col):
+                raise SystemExit(
+                    f"--measure wants name=sum:col | name=count[:col], got {item!r}"
+                )
+            measures[name.strip()] = (op, col or None)
+        _emit(
+            iv.build_agg_view(
+                spark,
+                args.table,
+                args.dir,
+                row_keys=[k.strip() for k in args.row_keys.split(",")],
+                group_by=[k.strip() for k in args.group_by.split(",")],
+                measures=measures,
+            )
+        )
+    else:
+        _emit(iv.refresh_agg_view(spark, args.dir, retention_sec=args.retention_sec))
 
 
 def cmd_serve(args):
@@ -738,7 +797,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=(
             "history", "changes", "merge", "delete-where", "update-where",
-            "restore", "vacuum",
+            "restore", "vacuum", "enable-cdf",
         ),
     )
     sp.add_argument("--dir", required=True, help="managed table directory")
@@ -769,6 +828,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--from-epoch", dest="from_epoch", type=int, default=None)
     sp.add_argument("--to-epoch", dest="to_epoch", type=int, default=None)
     sp.add_argument(
+        "--log", action="store_true",
+        help="(changes) read the per-commit change logs (O(churn); needs "
+        "enable-cdf) instead of diffing two versions",
+    )
+    sp.add_argument(
+        "--preimages", action="store_true",
+        help="(changes, diff mode) emit update_preimage rows too (Delta's "
+        "full CDF contract)",
+    )
+    sp.add_argument(
         "--retention-sec", dest="retention_sec", type=float, default=None,
         help="keep retired epoch dirs younger than this (cross-process "
         "readers; DML default 0, vacuum default 7 days)",
@@ -778,6 +847,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="(vacuum) allow --retention-sec below the 7-day default",
     )
     sp.set_defaults(fn=cmd_table)
+
+    sp = sub.add_parser(
+        "view",
+        help="incrementally maintained aggregate views: build / refresh / status",
+    )
+    sp.add_argument("action", choices=("build", "refresh", "status"))
+    sp.add_argument("--dir", required=True, help="view directory")
+    sp.add_argument("--table", default=None, help="(build) base managed-table dir")
+    sp.add_argument("--row-keys", dest="row_keys", default=None,
+                    help="(build) comma-separated base-row identity columns")
+    sp.add_argument("--group-by", dest="group_by", default=None,
+                    help="(build) comma-separated group columns")
+    sp.add_argument(
+        "--measure", action="append", default=None,
+        help="(build) name=sum:col | name=count:col | name=count, repeatable",
+    )
+    sp.add_argument("--retention-sec", dest="retention_sec", type=float, default=0.0)
+    sp.set_defaults(fn=cmd_view)
 
     sp = sub.add_parser(
         "serve", help="tool server: JSON-lines on stdio, or MCP via --transport"

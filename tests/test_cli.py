@@ -276,3 +276,49 @@ def test_cli_table_restore_and_vacuum(tmp_path, capsys, spark):
     out = _run(capsys, "table", "vacuum", "--dir", tdir,
                "--retention-sec", "0", "--force")
     assert [h["epoch"] for h in out["history"]] == [2]
+
+
+def test_cli_view_build_refresh_status(tmp_path, capsys, spark):
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.table_store import merge_table, write_table
+
+    tdir = str(tmp_path / "vbase")
+    write_table(
+        spark,
+        spark.range(100).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("int").alias("g"),
+            F.lit(Decimal("2.50")).cast("decimal(10,2)").alias("amt"),
+        ),
+        tdir,
+    )
+    _run(capsys, "table", "enable-cdf", "--dir", tdir)
+    vdir = str(tmp_path / "v")
+    out = _run(
+        capsys, "view", "build", "--dir", vdir, "--table", tdir,
+        "--row-keys", "id", "--group-by", "g",
+        "--measure", "total=sum:amt", "--measure", "n=count",
+    )
+    assert out["n_groups"] == 3
+
+    merge_table(
+        spark, tdir,
+        spark.createDataFrame([Row(id=500, g=9, amt=Decimal("1.00"))],
+                              "id long, g int, amt decimal(10,2)"),
+        ["id"], retention_sec=3600,
+    )
+    st = _run(capsys, "view", "status", "--dir", vdir)
+    assert st["stale"] is True
+    out = _run(capsys, "view", "refresh", "--dir", vdir)
+    assert out["refreshed"] and out["mode"] == "log"
+    st = _run(capsys, "view", "status", "--dir", vdir)
+    assert st["stale"] is False
+
+    # the log-backed CLI changes reader sees the merge's insert row
+    ch = _run(capsys, "table", "changes", "--dir", tdir,
+              "--from-epoch", "0", "--log")
+    assert [c["_change_type"] for c in ch["changes"]] == ["insert"]
