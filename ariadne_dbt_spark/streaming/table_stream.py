@@ -108,6 +108,7 @@ def table_upsert_stream(
     auto_optimize: bool = True,
     optimize_max_files: int | None = None,
     optimize_target_file_mb: int | None = None,
+    follow_views: list[str] | None = None,
 ) -> int:
     """Run the upsert stream to completion (AvailableNow) over the
     parquet files in ``source_dir``: each micro-batch is merged into
@@ -126,7 +127,17 @@ def table_upsert_stream(
     Every knob defaults to ``table_report``'s; compaction commits
     through the same epoch protocol as the merges, so a reader never
     sees a half-optimized table and the stream's crash-replay story is
-    unchanged."""
+    unchanged.
+
+    ``follow_views`` (round 10): view dirs built by
+    ``incremental_view.build_agg_view`` over THIS table — each is
+    refreshed after EVERY commit the stream makes (the merge, and the
+    auto-optimize when it fires), so the whole chain — stream → table →
+    aggregate — is incremental end to end, each refresh folding exactly
+    one commit's change rows. Refreshing per commit is also what makes
+    ``retention_sec=0`` safe: the log a refresh needs always lives in
+    the CURRENT epoch dir, never a swept one. Enable the change feed on
+    the table before streaming or every refresh pays the diff path."""
     from ariadne_dbt_spark.operators.table_store import optimize_table, table_report
 
     applied: list[int] = []
@@ -136,6 +147,14 @@ def table_upsert_stream(
     if optimize_target_file_mb is not None:
         report_kw["target_file_mb"] = optimize_target_file_mb
 
+    def refresh_views() -> None:
+        if not follow_views:
+            return
+        from ariadne_dbt_spark.operators.incremental_view import refresh_agg_view
+
+        for vdir in follow_views:
+            refresh_agg_view(spark, vdir, retention_sec=retention_sec)
+
     def process(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -143,6 +162,7 @@ def table_upsert_stream(
             spark, table_dir, batch_df, keys, order_cols, retention_sec=retention_sec
         )
         applied.append(1)
+        refresh_views()
         if auto_optimize and table_report(table_dir, **report_kw)["should_optimize"]:
             optimize_table(
                 spark,
@@ -152,6 +172,9 @@ def table_upsert_stream(
                 **({"target_file_mb": optimize_target_file_mb}
                    if optimize_target_file_mb is not None else {}),
             )
+            # advance the cursors past the row-preserving optimize
+            # epoch while its dir is still current (retention-0 safety)
+            refresh_views()
 
     q = (
         spark.readStream.schema(schema)

@@ -194,3 +194,56 @@ def test_stream_auto_optimize_bounds_file_growth(spark, tmp_path):
         "control stream should have accreted more files than the "
         "auto-optimized one"
     )
+
+
+def test_stream_follow_views_stay_in_sync(spark, tmp_path):
+    """stream → table → aggregate, incremental end to end: a view
+    registered via ``follow_views`` is refreshed after every stream
+    commit (merges AND the auto-optimize), so at stream end it equals a
+    from-scratch rebuild — at retention 0, proving each refresh folded
+    only current-epoch change logs."""
+    from ariadne_dbt_spark.operators.incremental_view import (
+        build_agg_view,
+        view_status,
+    )
+    from ariadne_dbt_spark.operators.table_store import (
+        enable_change_feed,
+        read_table,
+    )
+
+    src_dir = str(tmp_path / "src")
+    tdir = str(tmp_path / "tbl")
+    vdir = str(tmp_path / "view")
+    os.makedirs(src_dir)
+    for b in range(6):
+        rows = [
+            Row(user_id=u, seq=b, tie=0, state=f"s{(u + b) % 3}")
+            for u in range(b, b + 15)
+        ]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src_dir)
+
+    write_table(spark, spark.createDataFrame([], SCHEMA), tdir)
+    enable_change_feed(tdir)
+    build_agg_view(
+        spark, tdir, vdir,
+        row_keys=["user_id"], group_by=["state"],
+        measures={"n_users": ("count", None)},
+    )
+    table_upsert_stream(
+        spark, src_dir, tdir, ["user_id"], ["seq", "tie"],
+        schema=SCHEMA, max_files_per_trigger=1,
+        auto_optimize=True, optimize_max_files=4,
+        follow_views=[vdir],
+    )
+    assert view_status(vdir)["stale"] is False
+
+    got = {
+        r["state"]: (r["n_users"], r["_rows"])
+        for r in read_table(spark, vdir).collect()
+    }
+    want = {
+        r["state"]: (r["n"], r["n"])
+        for r in read_table(spark, tdir)
+        .groupBy("state").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
