@@ -481,6 +481,60 @@ def _table_merge_op(out_dir: str):
     return run
 
 
+def _view_refresh_1k_batch_op(out_dir: str):
+    """Constant 1000-row upsert + incremental VIEW refresh folded from
+    the change-feed LOG (incremental_view.refresh_agg_view): the
+    streaming-aggregate serving shape. Table + view build are one-time
+    setup; the timed region is one merge commit plus one log-fold
+    refresh — O(batch churn) + a view merge on the affected groups, so
+    while the base grows 16x the fold stays batch-sized: near-flat
+    slope = the O(churn) claim, measured. The op RAISES if the refresh
+    leaves the log path (a diff or rebuild would silently re-linearize
+    the curve)."""
+    import os
+
+    from ariadne_dbt_spark.operators.incremental_view import (
+        build_agg_view,
+        refresh_agg_view,
+    )
+    from ariadne_dbt_spark.operators.table_store import (
+        enable_change_feed,
+        merge_table,
+        optimize_table,
+        write_table,
+    )
+
+    def run(spark: SparkSession, docs: DataFrame, emb: DataFrame) -> int:
+        tdir = os.path.join(out_dir, "view_base_t")
+        vdir = os.path.join(out_dir, "view_agg_t")
+        if not os.path.isdir(tdir):
+            base = docs.select(
+                "doc_id",
+                F.pmod(F.xxhash64("doc_id", F.lit(9)), F.lit(50)).alias("grp"),
+                F.length("text").cast("bigint").alias("n_chars"),
+            )
+            write_table(spark, base, tdir)
+            optimize_table(spark, tdir, target_file_mb=1, cluster_by=["doc_id"])
+            enable_change_feed(tdir)
+            build_agg_view(
+                spark, tdir, vdir,
+                row_keys=["doc_id"], group_by=["grp"],
+                measures={"chars": ("sum", "n_chars"), "n": ("count", None)},
+            )
+        batch = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(9)), F.lit(50)).alias("grp"),
+            (F.col("id") % 997 + 1).cast("bigint").alias("n_chars"),
+        )
+        merge_table(spark, tdir, batch, ["doc_id"], retention_sec=3600)
+        rep = refresh_agg_view(spark, vdir)
+        if rep.get("mode") not in ("log", "noop"):
+            raise RuntimeError(f"view refresh left the log path: {rep}")
+        return rep.get("groups_upserted", 0)
+
+    return run
+
+
 def _scd2_merge_op(out_dir: str):
     """Constant 2000-event batch merged into a PERSISTED SCD2 history of
     the whole corpus (scd2_merge): the nightly-merge serving shape. The
@@ -761,6 +815,7 @@ def run_sweep(
         "ivf_pq_query": _ivf_pq_query_op,
         "scd2_merge_2k_batch": _scd2_merge_op,
         "table_merge_1k_batch": _table_merge_op,
+        "view_refresh_1k_batch": _view_refresh_1k_batch_op,
         "neardup_ingest_gated_1k": _neardup_ingest_gated_op,
         "video_neardup": _video_neardup_op,
         "rrf_hybrid_retrieval": _rrf_hybrid_op,
