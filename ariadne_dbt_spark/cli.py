@@ -598,9 +598,14 @@ def cmd_view(args):
         for item in args.measure:
             name, _, spec = item.partition("=")
             op, _, col = spec.partition(":")
-            if not name or op not in ("sum", "count") or (op == "sum" and not col):
+            if (
+                not name
+                or op not in ("sum", "count", "avg")
+                or (op in ("sum", "avg") and not col)
+            ):
                 raise SystemExit(
-                    f"--measure wants name=sum:col | name=count[:col], got {item!r}"
+                    f"--measure wants name=sum:col | name=avg:col | "
+                    f"name=count[:col], got {item!r}"
                 )
             measures[name.strip()] = (op, col or None)
         _emit(
@@ -861,7 +866,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="(build) comma-separated group columns")
     sp.add_argument(
         "--measure", action="append", default=None,
-        help="(build) name=sum:col | name=count:col | name=count, repeatable",
+        help="(build) name=sum:col | name=avg:col | name=count[:col], repeatable",
     )
     sp.add_argument("--retention-sec", dest="retention_sec", type=float, default=0.0)
     sp.set_defaults(fn=cmd_view)

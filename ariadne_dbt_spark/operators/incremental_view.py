@@ -60,14 +60,57 @@ from ariadne_dbt_spark.operators.table_store import (
     write_table,
 )
 
-__all__ = ["build_agg_view", "refresh_agg_view", "view_status"]
+__all__ = ["build_agg_view", "refresh_agg_view", "view_status", "read_view"]
 
 _VIEW_META = "_view.json"
 #: hidden per-group live-row count: how the fold knows a group died
 _ROWS_COL = "_rows"
 
-#: supported incremental aggregates; ("count", None) is COUNT(*)
-_SUPPORTED = ("sum", "count")
+#: supported incremental aggregates; ("count", None) is COUNT(*).
+#: ("avg", col) is DERIVED: stored as hidden sum+count pairs (both
+#: incrementally maintainable) and divided at read time by read_view —
+#: the standard incremental-view decomposition
+_SUPPORTED = ("sum", "count", "avg")
+
+
+def _storage_measures(measures: dict) -> tuple[dict, dict]:
+    """(stored, derived): rewrite each ``avg`` measure into hidden
+    ``sum``/``count`` storage columns (``<name>__sum``, ``<name>__cnt``)
+    and record the division for :func:`read_view`."""
+    stored: dict = {}
+    derived: dict = {}
+    for name, (op, col) in measures.items():
+        if op == "avg":
+            stored[f"{name}__sum"] = ("sum", col)
+            stored[f"{name}__cnt"] = ("count", col)
+            derived[name] = (f"{name}__sum", f"{name}__cnt")
+        else:
+            stored[name] = (op, col)
+    return stored, derived
+
+
+def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The view's USER-FACING frame: group keys + declared measures,
+    with ``avg`` measures divided out of their hidden sum/count pair
+    (NULL when the count is 0 — SQL AVG of nothing) and the internal
+    row-count column hidden."""
+    meta = _load_meta(view_dir)
+    measures = {k: (op, col) for k, (op, col) in meta["measures"].items()}
+    _stored, derived = _storage_measures(measures)
+    df = read_table(spark, view_dir)
+    cols = [F.col(c) for c in meta["group_by"]]
+    for name in measures:
+        if name in derived:
+            s_col, c_col = derived[name]
+            cols.append(
+                F.when(
+                    F.col(c_col) > 0,
+                    F.col(s_col).cast("double") / F.col(c_col),
+                ).alias(name)
+            )
+        else:
+            cols.append(F.col(name))
+    return df.select(*cols)
 
 
 def _measure_exprs(measures: dict) -> list:
@@ -96,8 +139,10 @@ def _validate(measures: dict) -> None:
                 f"(supported: {_SUPPORTED}; MIN/MAX need the unchanged rows "
                 f"to re-derive an extreme after a delete — rebuild instead)"
             )
-        if op == "sum" and col is None:
-            raise ValueError(f"measure {name!r}: sum needs a source column")
+        if op in ("sum", "avg") and col is None:
+            raise ValueError(f"measure {name!r}: {op} needs a source column")
+        if op == "avg" and (name.endswith("__sum") or name.endswith("__cnt")):
+            raise ValueError(f"measure {name!r}: reserved storage-name suffix")
 
 
 def _meta_path(view_dir: str) -> str:
@@ -137,8 +182,9 @@ def build_agg_view(
             f"{null_groups} base rows carry NULL in {group_by}; NULL group "
             f"keys cannot be merge-maintained — filter or coalesce them first"
         )
+    stored, _derived = _storage_measures(measures)
     view = base.groupBy(*group_by).agg(
-        *_measure_exprs(measures), F.count(F.lit(1)).alias(_ROWS_COL)
+        *_measure_exprs(stored), F.count(F.lit(1)).alias(_ROWS_COL)
     )
     write_table(spark, view, view_dir)
     meta = {
@@ -202,6 +248,7 @@ def refresh_agg_view(
     table_dir = meta["table_dir"]
     group_by = list(meta["group_by"])
     measures = {k: (op, col) for k, (op, col) in meta["measures"].items()}
+    stored, _derived = _storage_measures(measures)
     synced, cur = int(meta["synced_epoch"]), read_epoch(table_dir)
 
     def rebuild(reason: str) -> dict:
@@ -243,7 +290,7 @@ def refresh_agg_view(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
     row_delta = F.sum(sign).alias(_ROWS_COL)
-    deltas = cdf.groupBy(*group_by).agg(*_delta_exprs(measures, sign), row_delta)
+    deltas = cdf.groupBy(*group_by).agg(*_delta_exprs(stored, sign), row_delta)
     deltas = deltas.persist()
     try:
         if deltas.where(
@@ -265,7 +312,7 @@ def refresh_agg_view(
                 (F.coalesce(F.col(f"v.{name}"), F.lit(0)) + F.col(f"d.{name}"))
                 .cast(dict(view.dtypes)[name])
                 .alias(name)
-                for name in measures
+                for name in stored
             ],
             (
                 F.coalesce(F.col(f"v.{_ROWS_COL}"), F.lit(0)) + F.col(f"d.{_ROWS_COL}")

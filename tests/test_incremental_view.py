@@ -204,3 +204,48 @@ def test_write_table_refused_under_change_feed(spark, tmp_path):
             read_table(spark, tdir).limit(1),
             tdir,
         )
+
+
+def test_avg_measure_and_read_view(spark, tmp_path):
+    """``avg`` measures store hidden sum/count pairs (incrementally
+    maintainable) and divide at read time; read_view hides the storage
+    columns and matches a from-scratch AVG after mutations. The view is
+    itself a managed table, so time travel to the pre-refresh version
+    works out of the box."""
+    from ariadne_dbt_spark.operators.incremental_view import read_view
+
+    tdir = _base(spark, tmp_path, name="avg")
+    vdir = str(tmp_path / "avgview")
+    build_agg_view(
+        spark, tdir, vdir,
+        row_keys=["id"], group_by=["grp"],
+        measures={"mean_amt": ("avg", "amt"), "n": ("count", None)},
+    )
+    before = {r["grp"]: r["mean_amt"] for r in read_view(spark, vdir).collect()}
+
+    _mutate(spark, tdir)
+    out = refresh_agg_view(spark, vdir, retention_sec=3600)
+    assert out["refreshed"] and out["mode"] == "log"
+
+    got = {
+        r["grp"]: (round(r["mean_amt"], 6), r["n"])
+        for r in read_view(spark, vdir).collect()
+    }
+    want = {
+        r["grp"]: (round(float(r["m"]), 6), r["n"])
+        for r in read_table(spark, tdir)
+        .groupBy("grp")
+        .agg(F.avg("amt").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert set(read_view(spark, vdir).columns) == {"grp", "mean_amt", "n"}
+
+    # time travel: the pre-refresh view version is still readable
+    old = {
+        r["grp"]: float(r["mean_amt__sum"]) / r["mean_amt__cnt"]
+        for r in read_table(spark, vdir, epoch=0).collect()
+    }
+    assert old.keys() == before.keys()
+    for g in old:
+        assert abs(old[g] - before[g]) < 1e-9
