@@ -232,6 +232,7 @@ def refresh_agg_view(
     *,
     retention_sec: float = 0.0,
     allow_rebuild: bool = True,
+    auto_optimize: bool = True,
 ) -> dict:
     """Fold the base table's changes since the last sync into the view.
 
@@ -333,6 +334,19 @@ def refresh_agg_view(
         folded.unpersist()
     finally:
         deltas.unpersist()
+
+    if auto_optimize:
+        # per-refresh merges fragment the view table; fold it when the
+        # metadata-only signal fires, clustered on the group key so the
+        # NEXT refresh's view merge stays manifest-pruned. The optimize
+        # epoch lands BEFORE the cursor write below, so the cursor
+        # always records the post-compaction view epoch.
+        from ariadne_dbt_spark.operators.table_store import optimize_table, table_report
+
+        if table_report(view_dir)["should_optimize"]:
+            optimize_table(
+                spark, view_dir, cluster_by=group_by, retention_sec=retention_sec
+            )
 
     meta["synced_epoch"] = cur
     meta["view_epoch"] = read_epoch(view_dir)
