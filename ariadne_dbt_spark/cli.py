@@ -502,7 +502,10 @@ def cmd_table(args):
         retention = args.retention_sec
         if retention is None:
             retention = DEFAULT_VACUUM_RETENTION_SEC
-        elif retention < DEFAULT_VACUUM_RETENTION_SEC and not args.force:
+        if args.dry_run:
+            _emit(table_store.vacuum_table(args.dir, retention_sec=retention, dry_run=True))
+            return
+        if retention < DEFAULT_VACUUM_RETENTION_SEC and not args.force:
             raise SystemExit(
                 f"table vacuum --retention-sec {retention:g} is below the "
                 f"{DEFAULT_VACUUM_RETENTION_SEC:g}s default and would "
@@ -850,6 +853,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--force", action="store_true",
         help="(vacuum) allow --retention-sec below the 7-day default",
+    )
+    sp.add_argument(
+        "--dry-run", dest="dry_run", action="store_true",
+        help="(vacuum) report what this retention would delete; remove nothing",
     )
     sp.set_defaults(fn=cmd_table)
 

@@ -1560,11 +1560,50 @@ def restore_table(table_dir: str, epoch: int, *, retention_sec: float = 0.0) -> 
     return {"epoch": current, "new_epoch": current + 1, "n_files_linked": len(files)}
 
 
-def vacuum_table(table_dir: str, *, retention_sec: float = 0.0) -> dict:
+def vacuum_table(
+    table_dir: str, *, retention_sec: float = 0.0, dry_run: bool = False
+) -> dict:
     """Explicit vacuum: sweep retired epoch dirs older than
     ``retention_sec`` (by their retirement stamp) without performing
     any rewrite — the standalone form of the sweep every mutation
-    already runs. Returns the retained history after the sweep."""
+    already runs. Returns the retained history after the sweep.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): delete nothing;
+    report instead, per retired epoch, whether THIS retention would
+    remove it — the look-before-you-leap face of the destructive knob.
+    Epochs not yet stamped would survive one more sweep regardless (the
+    first sweep only starts their retention clock)."""
+    import time as _time
+
+    if dry_run:
+        now = _time.time()
+        report = []
+        for h in table_history(table_dir):
+            if h["is_current"]:
+                continue
+            ra = h.get("retired_at")
+            would_delete = (
+                retention_sec <= 0
+                if ra is None
+                else (now - ra) >= retention_sec or retention_sec <= 0
+            )
+            report.append(
+                {
+                    "epoch": h["epoch"],
+                    "n_files": h["n_files"],
+                    "total_bytes": h["total_bytes"],
+                    "retired_at": ra,
+                    "age_sec": None if ra is None else round(now - ra, 1),
+                    "would_delete": bool(would_delete),
+                }
+            )
+        return {
+            "table_dir": table_dir,
+            "dry_run": True,
+            "retention_sec": retention_sec,
+            "candidates": report,
+            "history": table_history(table_dir),
+        }
     sweep_stale_epochs(
         table_dir, [DATA_NAME], read_epoch(table_dir), retention_sec=retention_sec
     )

@@ -267,3 +267,33 @@ def test_restore_undoes_a_bad_merge_linearly(spark, tmp_path):
     assert [h["epoch"] for h in table_history(tdir)] == [2]
     with pytest.raises(FileNotFoundError, match="not a committed version"):
         restore_table(tdir, 1)
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """Delta's VACUUM DRY RUN: report which retired epochs this
+    retention would remove, delete nothing."""
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.table_store import (
+        optimize_table,
+        table_history,
+        vacuum_table,
+        write_table,
+    )
+
+    tdir = str(tmp_path / "dr")
+    write_table(spark, spark.range(100).select(F.col("id")), tdir)
+    optimize_table(spark, tdir, retention_sec=3600)
+    optimize_table(spark, tdir, retention_sec=3600)
+    n_before = len(table_history(tdir))
+    assert n_before == 3
+
+    out = vacuum_table(tdir, retention_sec=0.0, dry_run=True)
+    assert out["dry_run"] is True
+    assert [c["epoch"] for c in out["candidates"]] == [0, 1]
+    assert all(c["would_delete"] for c in out["candidates"])
+    assert len(table_history(tdir)) == n_before  # nothing deleted
+
+    out = vacuum_table(tdir, retention_sec=86400.0, dry_run=True)
+    assert not any(c["would_delete"] for c in out["candidates"])
+    assert len(table_history(tdir)) == n_before
