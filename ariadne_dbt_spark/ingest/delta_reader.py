@@ -1,0 +1,249 @@
+"""Read Delta Lake tables WITHOUT the delta-spark jars: a pure-Python
+transaction-log resolver + a plain Spark parquet read of the live files.
+
+Why this exists: at 100 TB the lakehouse you must INGEST from is very
+often someone else's Delta table. The data files are ordinary parquet;
+all Delta adds is the `_delta_log/` commit log that says WHICH files
+are live at each version. That resolution is pure metadata work —
+read the last checkpoint (a parquet file of actions) plus the JSON
+commits after it, replay add/remove actions keyed by path, and hand
+the surviving file list to ``spark.read.parquet`` — so a Spark
+cluster with no Delta runtime can still scan the table, with column
+pruning / predicate pushdown / partition columns all intact.
+
+Protocol surface (v1, deliberately conservative — refusals are loud):
+
+* JSON commits ``_delta_log/<version>.json`` and single-file
+  checkpoints ``<version>.checkpoint.parquet`` via ``_last_checkpoint``
+  (multi-part checkpoints: refused).
+* ``metaData`` gives the schema (Delta's schemaString IS Spark's
+  StructType JSON) and partition columns; partition values come from
+  the add-action ``partitionValues`` map, but files are read with
+  ``basePath`` so Spark derives them from the hive-style paths the
+  writers lay down.
+* ``protocol`` with ``minReaderVersion > 1`` is refused UNLESS its
+  ``readerFeatures`` are all in the supported set (deletion vectors /
+  column mapping change file bytes' meaning — reading them naively
+  returns WRONG rows, so they hard-fail rather than approximate).
+* Time travel: ``version=`` replays the log only up to that commit.
+
+Reference parity: none — §8 scale extension (interop source; the
+reference reads only its own files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["delta_snapshot", "read_delta", "delta_history"]
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+#: reader features we can honor with a plain parquet scan. Anything
+#: else (deletionVectors, columnMapping, v2Checkpoint, ...) changes how
+#: file bytes map to rows and MUST refuse.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "typeWidening", "variantType"}
+
+
+def _log_dir(table_path: str) -> str:
+    d = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"{table_path} has no _delta_log — not a Delta table")
+    return d
+
+
+def _list_commits(log: str) -> list[int]:
+    out = []
+    for entry in os.listdir(log):
+        m = _COMMIT_RE.match(entry)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_last_checkpoint(log: str) -> dict | None:
+    path = os.path.join(log, "_last_checkpoint")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None  # corrupt hint: fall back to replaying all JSON
+
+
+def _checkpoint_actions(log: str, version: int) -> list[dict]:
+    """Actions from a single-file classic checkpoint, via pyarrow (no
+    Spark job: checkpoints are small metadata parquet)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(log, f"{version:020d}.checkpoint.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"_last_checkpoint names version {version} but "
+            f"{os.path.basename(path)} is missing (multi-part checkpoints "
+            f"are not supported by this reader)"
+        )
+    tbl = pq.read_table(path)
+    cols = set(tbl.column_names)
+    out = []
+    for row in tbl.to_pylist():
+        for kind in ("add", "remove", "metaData", "protocol"):
+            if kind in cols and row.get(kind) is not None:
+                out.append({kind: row[kind]})
+    return out
+
+
+def _commit_actions(log: str, version: int) -> list[dict]:
+    path = os.path.join(log, f"{version:020d}.json")
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def delta_snapshot(table_path: str, *, version: int | None = None) -> dict:
+    """Resolve the table state at ``version`` (default: latest): the
+    live file list (relative paths + partitionValues + sizes), the
+    schema JSON, partition columns, and the protocol — METADATA ONLY
+    (checkpoint parquet + JSON lines; no Spark job, no data files
+    opened). Raises on unsupported protocol features rather than
+    misreading data."""
+    log = _log_dir(table_path)
+    commits = _list_commits(log)
+    if not commits:
+        raise FileNotFoundError(f"{log} holds no commit json files")
+    latest = commits[-1]
+    target = latest if version is None else int(version)
+    if target not in commits and (version is not None):
+        # the commit may be subsumed by a checkpoint whose json was
+        # cleaned up; only replayable versions are travel targets
+        raise FileNotFoundError(
+            f"version {target} of {table_path} is not replayable "
+            f"(log holds {commits[0]}..{latest})"
+        )
+
+    actions: list[dict] = []
+    start = 0
+    cp = _read_last_checkpoint(log)
+    if cp and int(cp.get("version", -1)) <= target:
+        if int(cp.get("parts", 1) or 1) != 1:
+            raise ValueError(
+                f"{table_path}: multi-part checkpoint (parts={cp['parts']}) "
+                f"is not supported by this reader"
+            )
+        actions.extend(_checkpoint_actions(log, int(cp["version"])))
+        start = int(cp["version"]) + 1
+    if start == 0 and commits[0] != 0:
+        raise FileNotFoundError(
+            f"{table_path}: log starts at commit {commits[0]} with no "
+            f"usable checkpoint at or before version {target} — the log "
+            f"was cleaned up past this version"
+        )
+    for v in commits:
+        if start <= v <= target:
+            actions.extend(_commit_actions(log, v))
+
+    live: dict[str, dict] = {}
+    meta = None
+    protocol = None
+    for a in actions:
+        if "add" in a:
+            add = a["add"]
+            live[add["path"]] = add
+        elif "remove" in a:
+            live.pop(a["remove"]["path"], None)
+        elif "metaData" in a:
+            meta = a["metaData"]
+        elif "protocol" in a:
+            protocol = a["protocol"]
+
+    if meta is None:
+        raise ValueError(f"{table_path}: no metaData action found in the log")
+    if protocol is not None:
+        mrv = int(protocol.get("minReaderVersion", 1))
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if mrv > 1 and (mrv != 3 or unsupported):
+            raise ValueError(
+                f"{table_path}: Delta protocol minReaderVersion={mrv} "
+                f"readerFeatures={sorted(feats)} — features "
+                f"{sorted(unsupported) or '(implicit)'} change how file "
+                f"bytes map to rows; refusing rather than misreading"
+            )
+    fmt = (meta.get("format") or {}).get("provider", "parquet")
+    if fmt != "parquet":
+        raise ValueError(f"{table_path}: format {fmt!r} not supported")
+
+    return {
+        "version": target,
+        "schema_json": meta["schemaString"],
+        "partition_columns": list(meta.get("partitionColumns") or []),
+        "files": [
+            {
+                "path": p,
+                "size": add.get("size"),
+                "partitionValues": add.get("partitionValues") or {},
+            }
+            for p, add in sorted(live.items())
+        ],
+        "protocol": protocol or {"minReaderVersion": 1},
+    }
+
+
+def read_delta(
+    spark: SparkSession, table_path: str, *, version: int | None = None
+) -> DataFrame:
+    """``spark.read.format("delta")`` without the jars: resolve the
+    snapshot's live files through the transaction log, then read them
+    as plain parquet with the LOG's schema (not footer inference) and
+    ``basePath`` so hive-style partition columns survive. An empty
+    snapshot returns an empty frame with the correct schema. Predicate
+    pushdown, column pruning, and partition pruning are ordinary
+    Catalyst behavior on the resulting scan."""
+    from urllib.parse import unquote
+
+    from pyspark.sql.types import StructType
+
+    snap = delta_snapshot(table_path, version=version)
+    schema = StructType.fromJson(json.loads(snap["schema_json"]))
+    if not snap["files"]:
+        return spark.createDataFrame([], schema)
+    paths = [
+        os.path.join(table_path, unquote(f["path"])) for f in snap["files"]
+    ]
+    reader = spark.read.schema(schema)
+    if snap["partition_columns"]:
+        reader = reader.option("basePath", table_path)
+    return reader.parquet(*paths)
+
+
+def delta_history(table_path: str) -> list[dict]:
+    """Commit metadata per replayable version, oldest first — the
+    ``DESCRIBE HISTORY`` face: version, timestamp, operation (from
+    ``commitInfo`` when the writer recorded one), and net file counts."""
+    log = _log_dir(table_path)
+    out = []
+    for v in _list_commits(log):
+        adds = removes = 0
+        info: dict = {}
+        for a in _commit_actions(log, v):
+            if "add" in a:
+                adds += 1
+            elif "remove" in a:
+                removes += 1
+            elif "commitInfo" in a:
+                info = a["commitInfo"]
+        out.append(
+            {
+                "version": v,
+                "timestamp": info.get("timestamp"),
+                "operation": info.get("operation"),
+                "n_added": adds,
+                "n_removed": removes,
+            }
+        )
+    return out

@@ -718,3 +718,104 @@ def binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "delta_log_read",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CASE WHEN o_orderkey % 3 = 1 THEN 'keep' ELSE 'late' END AS cohort
+    FROM orders WHERE o_orderkey % 3 IN (1, 2)
+    ORDER BY o_orderkey
+    """,
+    survey="source-delta-log",
+    doc="Delta Lake interop source (ingest/delta_reader.py read_delta): "
+    "resolve a Delta table's live files from its _delta_log "
+    "transaction log — pure-Python metadata replay of "
+    "protocol/metaData/add/remove actions, NO delta-spark runtime — "
+    "then scan them as plain parquet with the LOG's schema. The "
+    "fixture writes three parquet files from orders and fabricates a "
+    "two-commit log (v0 adds the %3==0 and %3==1 files; v1 removes "
+    "the %3==0 file and adds the %3==2 file), so the latest snapshot "
+    "must contain exactly the %3 in (1,2) rows — the oracle derives "
+    "the same set relationally. Removed-file exclusion, late-add "
+    "inclusion, and log-schema reads are all on the hash path.",
+)
+def delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.ingest.delta_reader import read_delta
+    from ariadne_dbt_spark.session import table_path
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.when(F.col("o_orderkey") % 3 == 1, "keep")
+        .otherwise("late")
+        .alias("cohort"),
+    )
+    work = _tf.mkdtemp(prefix="ariadne_delta_src_")
+    try:
+        table = _os.path.join(work, "dtable")
+        _os.makedirs(table)
+
+        def part(name, pred):
+            tmp = _os.path.join(work, "stage")
+            orders.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+            _sh.move(src, _os.path.join(table, name))
+            _sh.rmtree(tmp)
+            return name
+
+        f0 = part("part-000.parquet", F.col("o_orderkey") % 3 == 0)
+        f1 = part("part-001.parquet", F.col("o_orderkey") % 3 == 1)
+        f2 = part("part-002.parquet", F.col("o_orderkey") % 3 == 2)
+        schema_string = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "price", "type": "double", "nullable": True, "metadata": {}},
+                    {"name": "cohort", "type": "string", "nullable": True, "metadata": {}},
+                ],
+            }
+        )
+        log = _os.path.join(table, "_delta_log")
+        _os.makedirs(log)
+
+        def commit(v, actions):
+            with open(_os.path.join(log, f"{v:020d}.json"), "w") as f:
+                for a in actions:
+                    f.write(_json.dumps(a) + "\n")
+
+        def add(p):
+            return {"add": {"path": p, "partitionValues": {}, "size": 1,
+                            "modificationTime": 0, "dataChange": True}}
+
+        commit(0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "fixture",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_string,
+                          "partitionColumns": [], "configuration": {}}},
+            add(f0), add(f1),
+            {"commitInfo": {"operation": "WRITE", "timestamp": 1}},
+        ])
+        commit(1, [
+            {"remove": {"path": f0, "dataChange": True}}, add(f2),
+            {"commitInfo": {"operation": "MERGE", "timestamp": 2}},
+        ])
+
+        out = read_delta(spark, table).orderBy("o_orderkey")
+        return spark.createDataFrame(
+            out.toPandas(), "o_orderkey bigint, price double, cohort string"
+        )
+    finally:
+        _sh.rmtree(work, ignore_errors=True)

@@ -836,6 +836,11 @@ SUITES: dict[str, list[tuple[str, str, dict[str, str]]]] = {
         ),
     ],
     "sampling_suite": [
+        (
+            "delta_read",
+            "delta_log_read",
+            {"o_orderkey": "bigint", "price": "double", "cohort": "string"},
+        ),
         ("stratified", "stratified_sample_counts", {"lang": "string", "n_sampled": "bigint"}),
         (
             "hash_stability",
