@@ -39,7 +39,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["delta_snapshot", "read_delta", "delta_history"]
+__all__ = ["delta_snapshot", "read_delta", "delta_history", "write_delta"]
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
@@ -247,3 +247,158 @@ def delta_history(table_path: str) -> list[dict]:
             }
         )
     return out
+
+
+def write_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    *,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """The write side of the interop: produce a Delta table OTHER
+    engines (delta-spark, DuckDB delta, Trino, Polars) can read —
+    again without the delta-spark runtime. Data lands as ordinary
+    parquet part files; the commit is one JSON actions file created
+    with ``O_CREAT|O_EXCL`` at the next version number, which is
+    exactly Delta's put-if-absent commit primitive (on a filesystem
+    with atomic create; two racing writers -> one loses loudly with
+    ``FileExistsError``, never a corrupted log).
+
+    ``mode``: ``"error"`` (default — refuse if the table exists),
+    ``"overwrite"`` (logical overwrite: the new commit ADDS the new
+    files and REMOVES every previously-live one, so old versions stay
+    time-travel readable — Delta semantics, not an rmtree), or
+    ``"append"``. Appends and overwrites validate the existing log's
+    protocol the same way :func:`delta_snapshot` does, and inherit its
+    schema rules: an append with a different column set refuses
+    (schema evolution is a deliberate non-goal of v1).
+
+    Stats minimalism: add actions carry path/partitionValues/size/
+    modificationTime/dataChange — valid per protocol (stats are
+    optional); engines that want data-skipping stats re-derive them
+    from footers."""
+    import glob
+    import shutil
+    import time
+    import uuid
+
+    existing = os.path.isdir(os.path.join(table_path, "_delta_log"))
+    if mode not in ("error", "overwrite", "append"):
+        raise ValueError(f"mode must be error|overwrite|append, got {mode!r}")
+    if existing and mode == "error":
+        raise FileExistsError(
+            f"{table_path} is already a Delta table (mode='error'); "
+            f"use mode='append' or mode='overwrite'"
+        )
+
+    prev_files: list[dict] = []
+    version = 0
+    if existing:
+        snap = delta_snapshot(table_path)  # validates protocol support
+        version = snap["version"] + 1
+        prev_files = snap["files"]
+        prev_cols = [
+            f["name"] for f in json.loads(snap["schema_json"])["fields"]
+        ]
+        if sorted(prev_cols) != sorted(df.columns):
+            raise ValueError(
+                f"{mode} with a different column set ({sorted(df.columns)} "
+                f"vs table {sorted(prev_cols)}): schema evolution is not "
+                f"supported by this writer"
+            )
+        df = df.select(*prev_cols)  # stable column order across commits
+
+    # stage the parquet write, then move the part files into the table
+    # root under unique names (Delta data files are immutable and
+    # name-unique; a crashed attempt leaves unreferenced files that no
+    # commit names — garbage, never corruption)
+    stage = os.path.join(table_path, f"_staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+    adds = []
+    now_ms = int(time.time() * 1000)
+    try:
+        for src in sorted(glob.glob(os.path.join(stage, "**", "*.parquet"), recursive=True)):
+            rel_in_stage = os.path.relpath(src, stage)
+            part_dirs = os.path.dirname(rel_in_stage)
+            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = os.path.join(part_dirs, base) if part_dirs else base
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(src, dest)
+            pv = {}
+            for seg in part_dirs.split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    from urllib.parse import unquote as _uq
+
+                    pv[k] = _uq(v)
+            adds.append(
+                {
+                    "add": {
+                        # log paths are url-style relative paths
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dest),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE" if mode != "append" else "APPEND",
+                "operationParameters": {"mode": mode.upper()},
+            }
+        }
+    ]
+    if version == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": list(partition_by or []),
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if mode == "overwrite":
+        actions.extend(
+            {
+                "remove": {
+                    "path": f["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for f in prev_files
+        )
+    actions.extend(adds)
+
+    log = os.path.join(table_path, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    commit_path = os.path.join(log, f"{version:020d}.json")
+    # put-if-absent: Delta's commit protocol on an atomic-create FS
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return {
+        "table_path": table_path,
+        "version": version,
+        "n_files_added": len(adds),
+        "n_files_removed": len(prev_files) if mode == "overwrite" else 0,
+    }

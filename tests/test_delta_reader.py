@@ -229,3 +229,60 @@ def test_unsupported_reader_features_refuse(spark, tmp_path):
 def test_not_a_delta_table(tmp_path):
     with pytest.raises(FileNotFoundError, match="_delta_log"):
         delta_snapshot(str(tmp_path / "nope"))
+
+
+def test_write_delta_roundtrip_create_append_overwrite(spark, tmp_path):
+    """write_delta produces a log read_delta (and per spec any Delta
+    reader) resolves: create → append → logical overwrite, with old
+    versions still time-travel readable and history recording the
+    operations."""
+    from ariadne_dbt_spark.ingest.delta_reader import write_delta
+
+    table = str(tmp_path / "wd")
+    df1 = spark.createDataFrame([(i, f"v{i}") for i in range(5)], "id long, val string")
+    rep = write_delta(spark, df1, table)
+    assert rep["version"] == 0 and rep["n_files_added"] >= 1
+
+    with pytest.raises(FileExistsError):
+        write_delta(spark, df1, table)  # mode='error' default
+
+    df2 = spark.createDataFrame([(i, f"v{i}") for i in range(5, 8)], "id long, val string")
+    rep = write_delta(spark, df2, table, mode="append")
+    assert rep["version"] == 1
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == list(range(8))
+
+    df3 = spark.createDataFrame([(99, "new")], "id long, val string")
+    rep = write_delta(spark, df3, table, mode="overwrite")
+    assert rep["version"] == 2 and rep["n_files_removed"] >= 2
+    assert [r["id"] for r in read_delta(spark, table).collect()] == [99]
+    # logical overwrite: v1 still reads in full
+    assert sorted(r["id"] for r in read_delta(spark, table, version=1).collect()) == list(range(8))
+    assert [h["operation"] for h in delta_history(table)] == ["WRITE", "APPEND", "WRITE"]
+
+    # append with a different column set refuses (no schema evolution)
+    with pytest.raises(ValueError, match="schema evolution"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "x", 2)], "id long, val string, extra long"),
+            table,
+            mode="append",
+        )
+
+
+def test_write_delta_partitioned_roundtrip(spark, tmp_path):
+    from ariadne_dbt_spark.ingest.delta_reader import write_delta
+
+    table = str(tmp_path / "wdp")
+    df = spark.createDataFrame(
+        [(i, "01" if i % 2 else "1e3") for i in range(10)], "id long, day string"
+    )
+    write_delta(spark, df, table, partition_by=["day"])
+    snap = delta_snapshot(table)
+    assert snap["partition_columns"] == ["day"]
+    assert all(f["partitionValues"].get("day") in ("01", "1e3") for f in snap["files"])
+
+    back = read_delta(spark, table)
+    assert dict(back.dtypes)["day"] == "string"  # log schema wins
+    assert sorted((r["id"], r["day"]) for r in back.collect()) == sorted(
+        (i, "01" if i % 2 else "1e3") for i in range(10)
+    )
