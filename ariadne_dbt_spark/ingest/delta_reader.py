@@ -39,7 +39,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["delta_snapshot", "read_delta", "delta_history", "write_delta"]
+__all__ = ["delta_snapshot", "read_delta", "delta_history", "write_delta", "export_table_to_delta", "import_delta_as_table"]
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
@@ -401,4 +401,151 @@ def write_delta(
         "version": version,
         "n_files_added": len(adds),
         "n_files_removed": len(prev_files) if mode == "overwrite" else 0,
+    }
+
+
+def export_table_to_delta(spark: SparkSession, table_dir: str, delta_path: str) -> dict:
+    """ZERO-COPY export of a managed table (operators/table_store.py)
+    as a brand-new Delta table: hard-link the current epoch's parquet
+    files into ``delta_path`` (O(metadata), no bytes moved — both COW
+    designs keep data files immutable, so shared inodes can never
+    diverge) and write commit 0 naming them. The managed table's
+    persisted ``_schema.json`` becomes the Delta ``schemaString``
+    (partition-column types survive); hive layouts export with their
+    ``partitionValues``. The handoff path to every Delta-speaking
+    engine, at the cost of a directory listing."""
+    import shutil
+    import time
+    import uuid
+
+    from ariadne_dbt_spark.operators.epoch_store import _walk_parquet
+    from ariadne_dbt_spark.operators.table_store import (
+        _load_schema,
+        _partition_cols,
+        _resolve,
+    )
+
+    if os.path.isdir(os.path.join(delta_path, "_delta_log")):
+        raise FileExistsError(f"{delta_path} is already a Delta table")
+    live = _resolve(table_dir)
+    files = _walk_parquet(live)
+    if not files:
+        raise FileNotFoundError(f"no table data under {live}")
+    pcols = _partition_cols(live, files)
+    schema = _load_schema(live)
+    if schema is None:
+        schema = spark.read.option("mergeSchema", "true").parquet(live).schema
+
+    from urllib.parse import unquote as _uq
+
+    adds = []
+    now_ms = int(time.time() * 1000)
+    for src in sorted(files):
+        rel_dirs = os.path.dirname(os.path.relpath(src, live))
+        base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        rel = os.path.join(rel_dirs, base) if rel_dirs else base
+        dest = os.path.join(delta_path, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        try:
+            os.link(src, dest)
+        except OSError:
+            shutil.copy2(src, dest)
+        pv = {}
+        for seg in rel_dirs.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                pv[k] = _uq(v)
+        adds.append(
+            {
+                "add": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(dest),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+
+    actions = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "WRITE",
+                        "operationParameters": {"mode": "ErrorIfExists"}}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": pcols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+        *adds,
+    ]
+    log = os.path.join(delta_path, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    fd = os.open(os.path.join(log, f"{0:020d}.json"), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return {
+        "table_dir": table_dir,
+        "delta_path": delta_path,
+        "n_files_linked": len(adds),
+        "partition_columns": pcols,
+    }
+
+
+def import_delta_as_table(
+    spark: SparkSession, delta_path: str, table_dir: str, *, version: int | None = None
+) -> dict:
+    """ZERO-COPY import of a Delta snapshot as a managed table: the
+    snapshot's live files hard-link into the table's epoch-0 data dir
+    (hive layout preserved from the log's partitionValues), the Delta
+    schema persists as the managed ``_schema.json``, and a stats
+    manifest is built — so the imported table immediately supports
+    manifest-pruned MERGE, OPTIMIZE, constraints, its own time travel.
+    Divergence is automatic: both sides rewrite whole files into NEW
+    locations on every mutation, shared inodes stay immutable."""
+    from pyspark.sql.types import StructType
+
+    from ariadne_dbt_spark.operators.epoch_store import _walk_parquet, read_epoch
+    from ariadne_dbt_spark.operators.table_store import (
+        DATA_NAME,
+        _save_manifest,
+        _save_schema,
+    )
+    from ariadne_dbt_spark.operators.epoch_store import data_dir as _ddir
+
+    snap = delta_snapshot(delta_path, version=version)
+    if os.path.isdir(table_dir) and (
+        _walk_parquet(table_dir) or read_epoch(table_dir) != 0
+    ):
+        raise ValueError(f"import destination {table_dir} already holds data")
+    dest_live = _ddir(table_dir, DATA_NAME, 0)
+    import shutil
+
+    from urllib.parse import unquote as _uq
+
+    n = 0
+    for fent in snap["files"]:
+        src = os.path.join(delta_path, _uq(fent["path"]))
+        rel = _uq(fent["path"])
+        dest = os.path.join(dest_live, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        try:
+            os.link(src, dest)
+        except OSError:
+            shutil.copy2(src, dest)
+        n += 1
+    os.makedirs(dest_live, exist_ok=True)
+    schema = StructType.fromJson(json.loads(snap["schema_json"]))
+    _save_schema(dest_live, schema)
+    _save_manifest(dest_live, None)
+    return {
+        "delta_path": delta_path,
+        "delta_version": snap["version"],
+        "table_dir": table_dir,
+        "n_files_linked": n,
     }

@@ -286,3 +286,71 @@ def test_write_delta_partitioned_roundtrip(spark, tmp_path):
     assert sorted((r["id"], r["day"]) for r in back.collect()) == sorted(
         (i, "01" if i % 2 else "1e3") for i in range(10)
     )
+
+
+def test_export_managed_table_to_delta_is_zero_copy(spark, tmp_path):
+    from ariadne_dbt_spark.ingest.delta_reader import export_table_to_delta
+    from ariadne_dbt_spark.operators.epoch_store import _walk_parquet
+    from ariadne_dbt_spark.operators.table_store import (
+        _resolve,
+        optimize_table,
+        read_table,
+        write_table,
+    )
+
+    tdir = str(tmp_path / "mt")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("band")
+    )
+    write_table(spark, df, tdir, partition_by=["band"])
+    optimize_table(spark, tdir)
+
+    dpath = str(tmp_path / "exported")
+    rep = export_table_to_delta(spark, tdir, dpath)
+    assert rep["partition_columns"] == ["band"]
+
+    # zero-copy: every delta data file shares an inode with the epoch's
+    src_inodes = {os.stat(p).st_ino for p in _walk_parquet(_resolve(tdir))}
+    exp_files = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(dpath)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in dp
+    ]
+    assert exp_files and all(os.stat(p).st_ino in src_inodes for p in exp_files)
+
+    back = read_delta(spark, dpath)
+    assert dict(back.dtypes)["band"] == "string"
+    assert sorted(r["id"] for r in back.collect()) == sorted(
+        r["id"] for r in read_table(spark, tdir).collect()
+    )
+
+
+def test_import_delta_as_managed_table(spark, tmp_path):
+    from decimal import Decimal
+
+    from ariadne_dbt_spark.ingest.delta_reader import (
+        import_delta_as_table,
+        write_delta,
+    )
+    from ariadne_dbt_spark.operators.table_store import merge_table, read_table
+
+    dpath = str(tmp_path / "src_delta")
+    df = spark.createDataFrame(
+        [(i, Decimal(f"{i}.50")) for i in range(50)], "id long, amt decimal(10,2)"
+    )
+    write_delta(spark, df, dpath)
+
+    tdir = str(tmp_path / "imported")
+    rep = import_delta_as_table(spark, dpath, tdir)
+    assert rep["n_files_linked"] >= 1
+    assert read_table(spark, tdir).count() == 50
+
+    # the import is a full managed table: merge works, source unchanged
+    merge_table(
+        spark, tdir,
+        spark.createDataFrame([(0, Decimal("99.99"))], "id long, amt decimal(10,2)"),
+        ["id"],
+    )
+    assert read_table(spark, tdir).where(F.col("amt") == 99.99).count() == 1
+    assert read_delta(spark, dpath).where(F.col("amt") == 99.99).count() == 0
