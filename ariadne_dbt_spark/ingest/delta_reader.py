@@ -39,7 +39,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["delta_snapshot", "read_delta", "delta_history", "write_delta", "export_table_to_delta", "import_delta_as_table"]
+__all__ = ["delta_snapshot", "read_delta", "delta_history", "write_delta", "export_table_to_delta", "import_delta_as_table", "delta_tail"]
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
@@ -549,3 +549,63 @@ def import_delta_as_table(
         "table_dir": table_dir,
         "n_files_linked": n,
     }
+
+
+def delta_tail(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    from_version: int,
+    allow_non_append: bool = False,
+) -> tuple[DataFrame | None, int]:
+    """Incremental ingestion from someone else's Delta table: the rows
+    ADDED by commits ``(from_version, latest]``, as one frame, plus the
+    new cursor — the pull-based equivalent of Spark's Delta streaming
+    source. Cost is O(new commits): only the new JSON actions are read
+    and only the newly added files are scanned.
+
+    Semantics guard: a commit in the range that REMOVES files is not
+    append-only — its adds may be rewrites of survived rows (compaction)
+    rather than new data, so it raises unless ``allow_non_append=True``
+    (which then skips remove actions and treats every add as new —
+    correct only if the producer never compacts, exactly the contract
+    Delta's own streaming source enforces with ignoreChanges).
+
+    Returns ``(None, latest)`` when there is nothing new."""
+    from pyspark.sql.types import StructType
+
+    log = _log_dir(table_path)
+    commits = _list_commits(log)
+    if not commits:
+        raise FileNotFoundError(f"{log} holds no commit json files")
+    latest = commits[-1]
+    if from_version >= latest:
+        return None, latest
+    missing = [v for v in range(from_version + 1, latest + 1) if v not in commits]
+    if missing:
+        raise FileNotFoundError(
+            f"{table_path}: commits {missing} were cleaned up — the tail "
+            f"cursor is older than the retained log; re-sync from a full "
+            f"snapshot (read_delta) instead"
+        )
+    snap = delta_snapshot(table_path)  # protocol + schema validation
+    adds: list[str] = []
+    for v in range(from_version + 1, latest + 1):
+        for a in _commit_actions(log, v):
+            if "remove" in a and not allow_non_append:
+                raise ValueError(
+                    f"{table_path}: commit {v} removes files — not an "
+                    f"append-only range; pass allow_non_append=True only "
+                    f"if the producer never compacts"
+                )
+            if "add" in a:
+                adds.append(a["add"]["path"])
+    schema = StructType.fromJson(json.loads(snap["schema_json"]))
+    if not adds:
+        return spark.createDataFrame([], schema), latest
+    from urllib.parse import unquote as _uq
+
+    reader = spark.read.schema(schema)
+    if snap["partition_columns"]:
+        reader = reader.option("basePath", table_path)
+    return reader.parquet(*[os.path.join(table_path, _uq(p)) for p in adds]), latest

@@ -354,3 +354,35 @@ def test_import_delta_as_managed_table(spark, tmp_path):
     )
     assert read_table(spark, tdir).where(F.col("amt") == 99.99).count() == 1
     assert read_delta(spark, dpath).where(F.col("amt") == 99.99).count() == 0
+
+
+def test_delta_tail_incremental_pull(spark, tmp_path):
+    from ariadne_dbt_spark.ingest.delta_reader import delta_tail, write_delta
+
+    table = str(tmp_path / "tail")
+    write_delta(
+        spark,
+        spark.createDataFrame([(i,) for i in range(5)], "id long"),
+        table,
+    )
+    df, cur = delta_tail(spark, table, from_version=-1)
+    assert cur == 0 and sorted(r["id"] for r in df.collect()) == list(range(5))
+
+    # nothing new
+    df, cur2 = delta_tail(spark, table, from_version=cur)
+    assert df is None and cur2 == 0
+
+    write_delta(
+        spark,
+        spark.createDataFrame([(i,) for i in range(5, 9)], "id long"),
+        table, mode="append",
+    )
+    df, cur3 = delta_tail(spark, table, from_version=cur)
+    assert cur3 == 1 and sorted(r["id"] for r in df.collect()) == [5, 6, 7, 8]
+
+    # an overwrite commit in range is not append-only: refuse
+    write_delta(
+        spark, spark.createDataFrame([(99,)], "id long"), table, mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        delta_tail(spark, table, from_version=cur3)
