@@ -39,7 +39,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["delta_snapshot", "read_delta", "delta_history", "write_delta", "export_table_to_delta", "import_delta_as_table", "delta_tail"]
+__all__ = ["delta_snapshot", "read_delta", "delta_history", "write_delta", "export_table_to_delta", "import_delta_as_table", "delta_tail", "delta_checkpoint", "delta_log_cleanup"]
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
@@ -114,21 +114,25 @@ def delta_snapshot(table_path: str, *, version: int | None = None) -> dict:
     misreading data."""
     log = _log_dir(table_path)
     commits = _list_commits(log)
-    if not commits:
+    cp = _read_last_checkpoint(log)
+    if not commits and not cp:
         raise FileNotFoundError(f"{log} holds no commit json files")
-    latest = commits[-1]
+    # a fully cleaned-up log (checkpoint only, json removed) is valid:
+    # the checkpoint IS the latest state until the next commit lands
+    latest = max(commits[-1] if commits else -1, int(cp["version"]) if cp else -1)
     target = latest if version is None else int(version)
-    if target not in commits and (version is not None):
+    if version is not None and target not in commits and not (
+        cp and int(cp.get("version", -1)) == target
+    ):
         # the commit may be subsumed by a checkpoint whose json was
         # cleaned up; only replayable versions are travel targets
         raise FileNotFoundError(
             f"version {target} of {table_path} is not replayable "
-            f"(log holds {commits[0]}..{latest})"
+            f"(log holds {commits[0] if commits else '-'}..{latest})"
         )
 
     actions: list[dict] = []
     start = 0
-    cp = _read_last_checkpoint(log)
     if cp and int(cp.get("version", -1)) <= target:
         if int(cp.get("parts", 1) or 1) != 1:
             raise ValueError(
@@ -137,11 +141,12 @@ def delta_snapshot(table_path: str, *, version: int | None = None) -> dict:
             )
         actions.extend(_checkpoint_actions(log, int(cp["version"])))
         start = int(cp["version"]) + 1
-    if start == 0 and commits[0] != 0:
+    if start == 0 and (not commits or commits[0] != 0):
         raise FileNotFoundError(
-            f"{table_path}: log starts at commit {commits[0]} with no "
-            f"usable checkpoint at or before version {target} — the log "
-            f"was cleaned up past this version"
+            f"{table_path}: log starts at commit "
+            f"{commits[0] if commits else '-'} with no usable checkpoint "
+            f"at or before version {target} — the log was cleaned up "
+            f"past this version"
         )
     for v in commits:
         if start <= v <= target:
@@ -609,3 +614,110 @@ def delta_tail(
     if snap["partition_columns"]:
         reader = reader.option("basePath", table_path)
     return reader.parquet(*[os.path.join(table_path, _uq(p)) for p in adds]), latest
+
+
+def delta_checkpoint(table_path: str) -> dict:
+    """Write a classic single-file checkpoint for the latest version +
+    the ``_last_checkpoint`` hint — the log maintenance a long append
+    chain needs: without it every reader replays EVERY JSON commit, and
+    cleaned-up logs become unreadable. Pure pyarrow (no Spark job): the
+    checkpoint is one parquet file of the snapshot's reconstituted
+    protocol/metaData/add actions, each action kind a nullable struct
+    column, exactly what :func:`_checkpoint_actions` (and per spec any
+    Delta reader) consumes. Remove actions need not be retained — the
+    checkpoint IS the collapsed state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = _log_dir(table_path)
+    snap = delta_snapshot(table_path)
+    version = snap["version"]
+    meta = None
+    protocol = None
+    # reconstitute the latest metaData/protocol from the replay
+    for v in _list_commits(log):
+        if v > version:
+            break
+        path = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(path):
+            for a in _commit_actions(log, v):
+                if "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+    cp = _read_last_checkpoint(log)
+    if (meta is None or protocol is None) and cp:
+        for a in _checkpoint_actions(log, int(cp["version"])):
+            if meta is None and "metaData" in a:
+                meta = a["metaData"]
+            if protocol is None and "protocol" in a:
+                protocol = a["protocol"]
+    if meta is None:
+        raise ValueError(f"{table_path}: no metaData to checkpoint")
+    protocol = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    # pyarrow infers struct schemas per column from non-null values;
+    # empty dicts are unwritable empty structs, so drop falsy members
+    # RECURSIVELY (metaData.format.options is the usual offender)
+    def _clean(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                v = _clean(v)
+            if v not in ({}, [], None):
+                out[k] = v
+        return out
+
+    rows = [
+        {"protocol": _clean(protocol), "metaData": None, "add": None},
+        {"protocol": None, "metaData": _clean(meta), "add": None},
+    ] + [
+        {
+            "protocol": None,
+            "metaData": None,
+            "add": _clean(
+                {
+                    "path": f["path"],
+                    "partitionValues": f["partitionValues"] or None,
+                    "size": f["size"],
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+            ),
+        }
+        for f in snap["files"]
+    ]
+    out = os.path.join(log, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), out)
+    from ariadne_dbt_spark.operators.epoch_store import _atomic_write_json
+
+    _atomic_write_json(
+        os.path.join(log, "_last_checkpoint"),
+        {"version": version, "size": len(rows)},
+    )
+    return {"table_path": table_path, "version": version, "n_actions": len(rows)}
+
+
+def delta_log_cleanup(table_path: str, *, keep_versions: int = 0) -> dict:
+    """Remove JSON commits at or before the checkpointed version (minus
+    ``keep_versions`` most recent ones kept for history/tail readers) —
+    the log-retention sweep that pairs with :func:`delta_checkpoint`.
+    Refuses when no checkpoint exists: cleanup without one strands
+    every reader."""
+    log = _log_dir(table_path)
+    cp = _read_last_checkpoint(log)
+    if not cp:
+        raise ValueError(
+            f"{table_path}: no _last_checkpoint — run delta_checkpoint "
+            f"before cleaning the log"
+        )
+    cut = int(cp["version"]) - int(keep_versions)
+    removed = []
+    for v in _list_commits(log):
+        if v <= cut:
+            try:
+                os.remove(os.path.join(log, f"{v:020d}.json"))
+                removed.append(v)
+            except OSError:
+                pass
+    return {"table_path": table_path, "removed_versions": removed, "checkpoint": int(cp["version"])}

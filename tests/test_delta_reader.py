@@ -386,3 +386,57 @@ def test_delta_tail_incremental_pull(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append-only"):
         delta_tail(spark, table, from_version=cur3)
+
+
+def test_delta_checkpoint_and_log_cleanup(spark, tmp_path):
+    """A long append chain checkpoints into one parquet + hint file;
+    log cleanup then removes the JSON the checkpoint subsumes, and the
+    table still resolves (through the checkpoint) to the same rows.
+    Cleanup without a checkpoint refuses."""
+    from ariadne_dbt_spark.ingest.delta_reader import (
+        delta_checkpoint,
+        delta_log_cleanup,
+        write_delta,
+    )
+
+    table = str(tmp_path / "ckpt")
+    write_delta(spark, spark.createDataFrame([(0,)], "id long"), table)
+    for i in range(1, 5):
+        write_delta(
+            spark, spark.createDataFrame([(i,)], "id long"), table, mode="append"
+        )
+    with pytest.raises(ValueError, match="delta_checkpoint"):
+        delta_log_cleanup(table)
+
+    rep = delta_checkpoint(table)
+    assert rep["version"] == 4
+    before = sorted(r["id"] for r in read_delta(spark, table).collect())
+
+    out = delta_log_cleanup(table)
+    assert out["removed_versions"] == [0, 1, 2, 3, 4]
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == before
+
+    # appends continue after cleanup; replay = checkpoint + new json
+    write_delta(
+        spark, spark.createDataFrame([(9,)], "id long"), table, mode="append"
+    )
+    assert sorted(r["id"] for r in read_delta(spark, table).collect()) == before + [9]
+
+
+def test_delta_checkpoint_partitioned(spark, tmp_path):
+    from ariadne_dbt_spark.ingest.delta_reader import (
+        delta_checkpoint,
+        delta_log_cleanup,
+        write_delta,
+    )
+
+    table = str(tmp_path / "ckptp")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10)], "id long, band string"
+    )
+    write_delta(spark, df, table, partition_by=["band"])
+    delta_checkpoint(table)
+    delta_log_cleanup(table)
+    back = read_delta(spark, table)
+    assert dict(back.dtypes)["band"] == "string"
+    assert back.count() == 10
