@@ -25,6 +25,8 @@ Commands mirror the reference's tool surface:
               epoch flips, change feed, time-travel undo)
     view      aggregate materialized views: build / refresh / status
               (refresh folds the change-feed log — O(churn))
+    delta     Delta Lake interop without the jars: snapshot / history /
+              count / checkpoint / cleanup / zero-copy export + import
     serve     JSON-lines tool server (MCP via fastmcp when installed)
 
 Every command loads (or builds) the index, runs DataFrame queries, and
@@ -577,6 +579,43 @@ def cmd_table(args):
         _emit({"table_dir": args.dir, **report})
 
 
+def cmd_delta(args):
+    """Delta Lake interop (ingest/delta_reader.py — no delta-spark
+    runtime): inspect a table's log, maintain it (checkpoint + JSON
+    retention cleanup), and bridge zero-copy to/from managed tables."""
+    from ariadne_dbt_spark.ingest import delta_reader as dr
+
+    if args.action == "snapshot":
+        snap = dr.delta_snapshot(args.path, version=args.version)
+        snap["n_files"] = len(snap.pop("files"))
+        _emit(snap)
+        return
+    if args.action == "history":
+        _emit({"path": args.path, "history": dr.delta_history(args.path)})
+        return
+    if args.action == "checkpoint":
+        _emit(dr.delta_checkpoint(args.path))
+        return
+    if args.action == "cleanup":
+        _emit(dr.delta_log_cleanup(args.path, keep_versions=args.keep_versions))
+        return
+
+    from ariadne_dbt_spark.session import get_spark
+
+    spark = get_spark("ariadne-delta")
+    if args.action == "export":
+        if not args.table:
+            raise SystemExit("delta export needs --table (managed-table dir)")
+        _emit(dr.export_table_to_delta(spark, args.table, args.path))
+    elif args.action == "import":
+        if not args.table:
+            raise SystemExit("delta import needs --table (destination dir)")
+        _emit(dr.import_delta_as_table(spark, args.path, args.table, version=args.version))
+    else:  # count
+        df = dr.read_delta(spark, args.path, version=args.version)
+        _emit({"path": args.path, "n_rows": df.count(), "columns": df.columns})
+
+
 def cmd_view(args):
     """Aggregate materialized views maintained from the change feed
     (operators/incremental_view.py): ``build`` materializes and writes
@@ -877,6 +916,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--retention-sec", dest="retention_sec", type=float, default=0.0)
     sp.set_defaults(fn=cmd_view)
+
+    sp = sub.add_parser(
+        "delta",
+        help="Delta Lake interop (no jars): snapshot / history / count / "
+        "checkpoint / cleanup / export / import",
+    )
+    sp.add_argument(
+        "action",
+        choices=("snapshot", "history", "count", "checkpoint", "cleanup",
+                 "export", "import"),
+    )
+    sp.add_argument("--path", required=True, help="Delta table path")
+    sp.add_argument("--table", default=None,
+                    help="(export: source / import: destination) managed-table dir")
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--keep-versions", dest="keep_versions", type=int, default=0,
+                    help="(cleanup) keep this many pre-checkpoint JSON commits")
+    sp.set_defaults(fn=cmd_delta)
 
     sp = sub.add_parser(
         "serve", help="tool server: JSON-lines on stdio, or MCP via --transport"

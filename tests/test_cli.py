@@ -322,3 +322,29 @@ def test_cli_view_build_refresh_status(tmp_path, capsys, spark):
     ch = _run(capsys, "table", "changes", "--dir", tdir,
               "--from-epoch", "0", "--log")
     assert [c["_change_type"] for c in ch["changes"]] == ["insert"]
+
+
+def test_cli_delta_roundtrip(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    from ariadne_dbt_spark.operators.table_store import read_table, write_table
+
+    tdir = str(tmp_path / "dsrc")
+    write_table(spark, spark.range(20).select(F.col("id")), tdir)
+    dpath = str(tmp_path / "dl")
+    out = _run(capsys, "delta", "export", "--table", tdir, "--path", dpath)
+    assert out["n_files_linked"] >= 1
+
+    out = _run(capsys, "delta", "snapshot", "--path", dpath)
+    assert out["version"] == 0 and out["n_files"] >= 1
+    out = _run(capsys, "delta", "count", "--path", dpath)
+    assert out["n_rows"] == 20
+
+    _run(capsys, "delta", "checkpoint", "--path", dpath)
+    out = _run(capsys, "delta", "cleanup", "--path", dpath)
+    assert out["removed_versions"] == [0]
+    assert _run(capsys, "delta", "count", "--path", dpath)["n_rows"] == 20
+
+    tdir2 = str(tmp_path / "dimp")
+    _run(capsys, "delta", "import", "--path", dpath, "--table", tdir2)
+    assert read_table(spark, tdir2).count() == 20
