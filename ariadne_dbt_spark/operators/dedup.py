@@ -201,6 +201,11 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_pairs_count(sh: DataFrame, threshold: float) -> DataFrame:
+    # round-10 note: a groupBy(shingle)+collect_list pair expansion (the
+    # shared_span_pairs shape) was A/B-measured SLOWER here (2.7-3.3 →
+    # 3.1-4.1 s warm at sf0.1): sh is already cached by the dispatcher,
+    # so the self-join pays no recompute and streams the pair mass,
+    # while the aggregate buffers it — kept as the streamed join.
     a = sh.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
     inter = (
@@ -1126,48 +1131,84 @@ def shared_span_pairs(
 
     Shape & scale:
 
-    * k-grams with their START POSITION via posexplode + window
-      ``lead`` (the measured-fast shingle shape; ONE exchange on id),
-    * the candidate join keys on the k-gram STRING — a postings
-      equi-join, never all-pairs; ``max_df`` drops k-grams present in
-      more than ``max_df`` docs first (the paper's stop-gram cap: hot
-      boilerplate grams otherwise quadratically blow up the candidate
-      mass — at 100 TB always set it; AQE skew-join is the backstop),
+    * k-grams with their START POSITION from ONE map-only pass:
+      ``explode(transform(sequence(...)))`` over the split token array
+      behind an explicit repartition barrier (the barrier stops
+      projection collapse from inlining the regex split into every
+      window lambda — the measured per-element re-evaluation pathology
+      the old window-``lead`` shape existed to dodge, now avoided
+      without the id-exchange + sort that shape paid),
+    * occurrences meet in ONE ``groupBy(gram)``: the postings list per
+      gram is collected and cross-doc occurrence pairs are expanded
+      group-locally with array HOFs (inner ``filter`` before the pair
+      ``transform``, so the transient buffer is the group's true output
+      mass, never |occ|²). ``max_df`` drops k-grams present in more
+      than ``max_df`` docs inside the same aggregate (the paper's
+      stop-gram cap: hot boilerplate grams otherwise quadratically blow
+      up the candidate mass — at 100 TB always set it). The old shape
+      self-joined the gram table instead, which derived the
+      corpus-sized gram subtree THREE times (dfreq + both join sides)
+      and shuffled the gram strings twice more,
     * runs of consecutive matches on a diagonal collapse via the
       classic gaps-and-islands window (pos_a - row_number), grouped
       per (pair, diagonal, island) — all hash exchanges on pair keys.
 
-    The gram table feeds both join sides, so the plan derives it twice
-    (two window passes over the corpus); for corpus-scale runs persist
-    the tokenized input (or write grams once and self-join the parquet)
-    — at gate scale the recompute is cheaper than cache lifecycle.
+    Per-gram aggregation state is the gram's postings (positions ride
+    along) — bounded by ``max_df`` docs × within-doc repeats, the same
+    rows the postings join shuffled; the pair expansion's output is the
+    identical candidate-match multiset the join produced.
     """
     from pyspark.sql.window import Window
 
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
-            "pos", "tok"
-        ),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    gram_expr = (
+        f"transform(sequence(0, size(t) - {int(k)}), "
+        f"i -> struct(i AS pos, array_join(slice(t, i + 1, {int(k)}), ' ') AS gram))"
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    grams = toks.select(
-        "id",
-        "pos",
-        F.concat_ws(" ", "tok", *[F.lead("tok", i).over(w) for i in range(1, k)]).alias(
-            "gram"
-        ),
-        F.lead("tok", k - 1).over(w).alias("_last"),
-    ).where(F.col("_last").isNotNull()).drop("_last")
+    grams = (
+        toks.where(F.size("t") >= int(k))
+        .select("id", F.explode(F.expr(gram_expr)).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    occ = grams.groupBy("gram").agg(
+        F.collect_list(F.struct("id", "pos")).alias("occ")
+    )
+    n_docs = F.size(F.array_distinct(F.transform(F.col("occ"), lambda o: o["id"])))
+    occ = occ.where(n_docs >= 2)
     if max_df is not None:
-        dfreq = grams.groupBy("gram").agg(
-            F.countDistinct("id").alias("_df")
-        ).where(F.col("_df") <= F.lit(int(max_df))).select("gram")
-        grams = grams.join(dfreq, "gram")
-    a = grams.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "gram")
-    b = grams.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "gram")
-    matches = a.join(b, "gram").where(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+        occ = occ.where(n_docs <= F.lit(int(max_df)))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("occ"),
+            lambda x: F.transform(
+                F.filter(F.col("occ"), lambda y: x["id"] < y["id"]),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["pos"].alias("pos_a"),
+                    y["pos"].alias("pos_b"),
+                ),
+            ),
+        )
+    )
+    matches = (
+        occ.select(F.explode(pair_expr).alias("m"))
+        .select(
+            F.col("m.id_a").alias("id_a"),
+            F.col("m.id_b").alias("id_b"),
+            F.col("m.pos_a").alias("pos_a"),
+            F.col("m.pos_b").alias("pos_b"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
     )
     wd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     islands = matches.withColumn(
@@ -1216,10 +1257,18 @@ def excise_duplicate_spans(
     needs the whole corpus in one address space):
 
     * gram construction is MAP-ONLY — ``transform(sequence(...))`` over
-      the token array, no per-doc window shuffle;
-    * the only corpus-sized shuffle keys on the gram (count >= 2, then
-      a semi-join back) — O(total tokens) rows, the same mass every
-      shingle operator here carries, never all-pairs;
+      the token array, no per-doc window shuffle — and (round 10) emits
+      only a 64-bit ``xxhash64`` of each window's token slice: NO gram
+      string is ever built or shuffled for the corpus at large;
+    * the only corpus-sized shuffle keys on that hash (count >= 2 with
+      map-side combine, then a semi-join back) — O(total tokens)
+      narrow rows, never all-pairs and never L-token strings (which
+      at L=50 would dominate shuffle bytes ~25x);
+    * hash hits are CHURN-sized candidates; their exact gram strings
+      are re-derived (one churn-sized join back to the token arrays)
+      and re-counted by STRING, which removes any hash-collision false
+      positives — the default path stays bit-exact for every input
+      while paying string costs only on candidates;
     * covered positions explode only DUPLICATED windows (churn-sized,
       L rows each) and reduce to one position-set per AFFECTED doc;
     * the rebuild is a left join of the token arrays against that
@@ -1227,9 +1276,8 @@ def excise_duplicate_spans(
       docs pass through with a NULL set, touching no shuffle (see
       ``_excise_rebuild``).
 
-    ``hash_grams=True`` swaps the shuffle key for ``xxhash64(gram)`` —
-    at 100 TB the 50-token gram strings dominate shuffle bytes and the
-    64-bit key cuts them ~25x; under ``keep="all"`` a collision can
+    ``hash_grams=True`` skips the exact confirm pass and trusts the
+    64-bit hash outright; under ``keep="all"`` a collision can
     only over-remove one window (probability ~n²/2⁶⁴). Under
     ``keep="first"`` the symptom differs: a collision merges two
     distinct grams' occurrence lists, so the min-``(id, start)``
@@ -1253,12 +1301,62 @@ def excise_duplicate_spans(
     if keep not in ("all", "first"):
         raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
     toks = _excise_tokens(df, id_col, text_col)
-    grams = _excise_grams(toks, L, hash_grams)
-    counted = grams.groupBy("gram").agg(
+    grams_h = _excise_gram_hashes(toks, L)
+    if hash_grams:
+        # documented hashed-key semantics: count + canonical per 64-bit
+        # window hash, no string pass at all
+        counted = grams_h.groupBy("h").agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct("id", "start")).alias("_canon"),
+        ).where(F.col("_c") >= 2)
+        bad = grams_h.join(counted, "h")
+        if keep == "first":
+            bad = bad.where(
+                (F.col("id") != F.col("_canon.id"))
+                | (F.col("start") != F.col("_canon.start"))
+            )
+        return _excise_rebuild(toks, bad.select("id", "start"), L)
+    # BIT-EXACT two-phase plan (round 10, guide §2.3/§8: decide with
+    # small rows). Phase 1 — count 64-bit window hashes, never strings:
+    # the corpus-sized exchange carries (h, partial count) after
+    # map-side combine instead of ~8·L-byte gram strings (the old plan
+    # shuffled the strings TWICE: groupBy + self-join). Phase 2 —
+    # candidates (all occurrences of any window whose HASH repeats; a
+    # superset of true duplicates) are churn-sized, so re-deriving
+    # their exact gram strings and re-counting by STRING costs O(churn)
+    # and removes hash-collision false positives: results are
+    # bit-identical to the old string-keyed plan for every input, and
+    # keep="first" canonicals are picked on exact string groups (no
+    # collision-flip caveat).
+    hot = (
+        grams_h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_hc"))
+        .where(F.col("_hc") >= 2)
+        .select("h")
+    )
+    # churn-sized: pin it so the string-confirm subtree below (read by
+    # both the exact count and the occurrence join) does not re-derive
+    # the corpus-sized hash pass twice
+    cand = (
+        grams_h.join(hot, "h")
+        .groupBy("id")
+        .agg(F.collect_list("start").alias("_starts"))
+        .localCheckpoint()
+    )
+    cgram_expr = (
+        f"transform(_starts, s -> struct(s AS start, "
+        f"array_join(slice(t, s + 1, {int(L)}), ' ') AS gram))"
+    )
+    cgrams = (
+        toks.join(cand, "id")
+        .select("id", F.explode(F.expr(cgram_expr)).alias("g"))
+        .select("id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    )
+    counted = cgrams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("_c"),
         F.min(F.struct("id", "start")).alias("_canon"),
     ).where(F.col("_c") >= 2)
-    bad = grams.join(counted, "gram")
+    bad = cgrams.join(counted, "gram")
     if keep == "first":
         bad = bad.where(
             (F.col("id") != F.col("_canon.id"))
@@ -1268,26 +1366,30 @@ def excise_duplicate_spans(
 
 
 def _excise_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token array), materialized ONCE behind a repartition
+    barrier: the gram-hash pass, the candidate string re-derivation and
+    the rebuild all hang off the same exchange (ReusedExchange), instead
+    of re-running the regex split per consumer — and the barrier stops
+    projection collapse from inlining the split into downstream HOF
+    lambdas (the measured per-element re-evaluation pathology)."""
     return df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def _excise_grams(toks: DataFrame, L: int, hash_grams: bool) -> DataFrame:
-    """(id, start, gram) for every L-token window — map-only HOFs."""
+def _excise_gram_hashes(toks: DataFrame, L: int) -> DataFrame:
+    """(id, start, h) for every L-token window — map-only HOFs; h is
+    xxhash64 over the token-array slice (no gram string is built)."""
     gram_expr = (
         f"transform(sequence(0, size(t) - {int(L)}), "
-        f"i -> struct(i AS start, array_join(slice(t, i + 1, {int(L)}), ' ') AS gram))"
+        f"i -> struct(i AS start, xxhash64(slice(t, i + 1, {int(L)})) AS h))"
     )
-    grams = (
+    return (
         toks.where(F.size("t") >= int(L))
         .select("id", F.explode(F.expr(gram_expr)).alias("g"))
-        .select("id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+        .select("id", F.col("g.start").alias("start"), F.col("g.h").alias("h"))
     )
-    if hash_grams:
-        grams = grams.select("id", "start", F.xxhash64("gram").alias("gram"))
-    return grams
 
 
 def _excise_rebuild(toks: DataFrame, bad: DataFrame, L: int) -> DataFrame:
@@ -1352,18 +1454,49 @@ def excise_contaminated_spans(
     normalized, fully-contaminated docs come back empty (drop or route
     them with a ``where``).
 
-    Shape: benchmark grams are DISTINCT'd (the benchmark is the small
-    side by construction — semi-join keys, broadcast by AQE when it
-    fits); the corpus side stays the one O(total tokens) gram pass +
-    the churn-bounded rebuild. ``hash_grams`` as in
-    ``excise_duplicate_spans``.
+    Shape: benchmark window HASHES are DISTINCT'd (the benchmark is the
+    small side by construction — semi-join keys, broadcast by AQE when
+    it fits) and probe the corpus' hash-only gram pass, so the corpus
+    side never builds gram strings or shuffles them; the hash-hit
+    candidates are churn-sized, and (round 10, unless ``hash_grams``)
+    their exact gram strings are re-derived and confirmed against the
+    benchmark's STRING windows before the rebuild — bit-identical to a
+    string-keyed semi-join for every input, at hash-probe cost.
     """
     toks = _excise_tokens(df, id_col, text_col)
-    grams = _excise_grams(toks, L, hash_grams)
+    grams_h = _excise_gram_hashes(toks, L)
     bench_t = bench_df.select(
         F.split(
             F.trim(F.lower(F.col(bench_text_col or text_col))), r"\s+"
         ).alias("t")
+    )
+    bhash_expr = (
+        f"transform(sequence(0, size(t) - {int(L)}), "
+        f"i -> xxhash64(slice(t, i + 1, {int(L)})))"
+    )
+    bench_h = (
+        bench_t.where(F.size("t") >= int(L))
+        .select(F.explode(F.expr(bhash_expr)).alias("h"))
+        .distinct()
+    )
+    if hash_grams:
+        return _excise_rebuild(toks, grams_h.join(bench_h, "h"), L)
+    # churn-sized; pinned for the same two-consumer reason as in
+    # excise_duplicate_spans
+    cand = (
+        grams_h.join(bench_h, "h")
+        .groupBy("id")
+        .agg(F.collect_list("start").alias("_starts"))
+        .localCheckpoint()
+    )
+    cgram_expr = (
+        f"transform(_starts, s -> struct(s AS start, "
+        f"array_join(slice(t, s + 1, {int(L)}), ' ') AS gram))"
+    )
+    cgrams = (
+        toks.join(cand, "id")
+        .select("id", F.explode(F.expr(cgram_expr)).alias("g"))
+        .select("id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
     )
     bgram_expr = (
         f"transform(sequence(0, size(t) - {int(L)}), "
@@ -1372,12 +1505,9 @@ def excise_contaminated_spans(
     bench_grams = (
         bench_t.where(F.size("t") >= int(L))
         .select(F.explode(F.expr(bgram_expr)).alias("gram"))
+        .distinct()
     )
-    if hash_grams:
-        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
-    return _excise_rebuild(
-        toks, grams.join(bench_grams.distinct(), "gram"), L
-    )
+    return _excise_rebuild(toks, cgrams.join(bench_grams, "gram"), L)
 
 
 def edit_distance_near_dups(
@@ -1445,10 +1575,11 @@ def containment_pairs(
     which symmetric Jaccard misses entirely (a 30-word excerpt of a
     500-word doc has Jaccard ≈ 0.06 but containment 1.0).
 
-    Same postings-join shape as the Jaccard count path (shingle_sets →
-    equi-join on shingle → pair-count): one exchange for shingles, one
-    for the pair aggregation; only ``sz_a`` rides along (the denominator
-    is the contained side alone). At scale the candidate mass is bounded
+    Same postings-join shape as the classic Jaccard count path
+    (shingle_sets → equi-join on shingle → pair-count): one exchange
+    for shingles, one for the pair aggregation; only ``sz_a`` rides
+    along (the denominator is the contained side alone). At scale the
+    candidate mass is bounded
     by the shingle document-frequency distribution exactly as in
     ``_jaccard_pairs_count``; prefix filtering is NOT applicable on the
     contained side (a snippet keeps none of its rarest-shingle
@@ -1460,6 +1591,13 @@ def containment_pairs(
     numerator and denominator, so the ratio semantics stay internally
     consistent (a snippet of only-ubiquitous shingles simply produces
     no candidates, which is the correct dedup outcome for boilerplate).
+
+    Round-10 note: a single-pass groupBy(shingle) + group-local pair
+    expansion (the shared_span_pairs round-10 shape) was measured
+    SLOWER here (3.0 → 4.1 s warm at sf0.1, alternating A/B): the
+    contained side's sets are near-distinct so the collect_list
+    buffers, struct explode, and the extra size-rejoin cost more than
+    the streamed postings self-join they replaced — kept as-is.
     """
     sh = shingle_sets(df, id_col, text_col, n=n)
     if max_df is not None:

@@ -413,6 +413,22 @@ def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> 
     Returns ``(node, degree, n_triangles, clustering_millionths)`` for
     nodes with degree >= 2, where clustering_millionths =
     floor(2e6 * T / (d * (d-1))) — integer-exact cross-engine.
+
+    Plan shape (round-10 rewrite): the naive composition re-derived
+    ``und``/``deg``/``o`` under every consumer — with ``deg`` read 3x,
+    ``o`` 3x and ``tri`` 3x the duplication is MULTIPLICATIVE (an
+    865-node physical plan, 372 Exchanges / 94 broadcast-NLJ instances
+    of the upstream scan at sf0.1, plans/r10/triangle_clustering_*).
+    Two fixes: per-node fan-outs use one ``explode(array(...))``
+    generator instead of a 3-way union of the parent (tri and und each
+    derived ONCE), and the two frames every downstream stage reads —
+    ``deg`` (O(nodes)) and the oriented edge list ``o`` (O(m), exactly
+    the mass one shuffle of the input moves) — are pinned with an eager
+    ``localCheckpoint``, so the wedge join, the closure join and the
+    final degree join all read materialized blocks instead of
+    re-running the distinct+orientation subtree. Lineage truncation is
+    the standard iterative-graph trade-off (a lost executor re-runs the
+    whole op instead of one stage); the plan drops to 19 Exchanges.
     """
     und = (
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
@@ -420,10 +436,10 @@ def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> 
         .distinct()
     )
     deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
+        und.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
@@ -438,6 +454,7 @@ def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> 
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
+        .localCheckpoint()
     )
     e1 = o.select(F.col("u"), F.col("v"), F.col("dv"))
     e2 = o.select(F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw"))
@@ -448,9 +465,7 @@ def triangle_counts(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> 
     closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
     tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
     per_node = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))
     )

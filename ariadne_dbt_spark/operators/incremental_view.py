@@ -294,16 +294,13 @@ def refresh_agg_view(
     deltas = cdf.groupBy(*group_by).agg(*_delta_exprs(stored, sign), row_delta)
     deltas = deltas.persist()
     try:
-        if deltas.where(
-            F.greatest(*[F.col(c).isNull() for c in group_by])
-            if len(group_by) > 1
-            else F.col(group_by[0]).isNull()
-        ).count():
-            return rebuild("changed rows carry NULL group keys")
-
         view = read_table(spark, view_dir)
         # deltas ⟕ view: affected groups only — the view side is read
-        # through its manifest and joined on the (clustered) group key
+        # through its manifest and joined on the (clustered) group key.
+        # NULL group keys ride through the left join unmatched, so the
+        # null-key guard folds into the same single stats aggregate as
+        # the negative-row and dead-group counts below (one job where
+        # three .count() actions each paid a full job per refresh).
         d = deltas.alias("d")
         v = view.alias("v")
         joined = d.join(v, group_by, "left")
@@ -319,13 +316,25 @@ def refresh_agg_view(
                 F.coalesce(F.col(f"v.{_ROWS_COL}"), F.lit(0)) + F.col(f"d.{_ROWS_COL}")
             ).alias(_ROWS_COL),
         ).persist()
-        bad = folded.where(F.col(_ROWS_COL) < 0).count()
-        if bad:
-            return rebuild(f"{bad} groups folded to negative row counts")
+        null_key = (
+            F.greatest(*[F.col(c).isNull() for c in group_by])
+            if len(group_by) > 1
+            else F.col(group_by[0]).isNull()
+        )
+        stats = folded.agg(
+            F.count(F.when(null_key, 1)).alias("nulls"),
+            F.count(F.when(F.col(_ROWS_COL) < 0, 1)).alias("bad"),
+            F.count(F.when(F.col(_ROWS_COL) == 0, 1)).alias("dead"),
+        ).collect()[0]
+        if stats["nulls"] or stats["bad"]:
+            folded.unpersist()
+            if stats["nulls"]:
+                return rebuild("changed rows carry NULL group keys")
+            return rebuild(f"{stats['bad']} groups folded to negative row counts")
 
         live = folded.where(F.col(_ROWS_COL) > 0)
         dead = folded.where(F.col(_ROWS_COL) == 0).select(*group_by)
-        n_dead = dead.count()
+        n_dead = stats["dead"]
         rep = merge_table(
             spark, view_dir, live, group_by, retention_sec=retention_sec
         )

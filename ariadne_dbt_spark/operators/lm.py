@@ -28,7 +28,7 @@ what makes the broadcast path viable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -54,19 +54,24 @@ def _tokens(text_col: str) -> F.Column:
 def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(id, w1, w2)`` — one row per in-document bigram.
 
-    posexplode + window ``lead`` keeps bigram construction below a
-    single doc-id exchange (the measured-fast shingle shape, see
-    operators/dedup.py:shingle_sets).
+    MAP-ONLY (round 10): ``explode(arrays_zip(slice(t, 1, n-1),
+    slice(t, 2, n-1)))`` pairs each token with its successor with zero
+    exchanges — the old posexplode + window ``lead`` shape paid a
+    corpus-sized hash exchange on doc id plus a per-doc sort just to
+    look one row ahead. The token array appears only as a direct
+    argument (never captured inside a lambda), so projection collapse
+    cannot re-evaluate the regex split per element (the measured HOF
+    pathology that originally motivated the window shape); codegen
+    subexpression elimination evaluates the split once per row.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(_tokens(text_col)).alias("_pos", "w1"),
+    t = _tokens(text_col)
+    n = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, n).alias("w1"),
+        F.slice(t, 2, n).alias("w2"),
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    return (
-        toks.select("_id", "w1", F.lead("w1").over(w).alias("w2"))
-        .where(F.col("w2").isNotNull())
-        .withColumnRenamed("_id", id_col)
+    return df.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
+        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
     )
 
 
@@ -194,21 +199,19 @@ def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def doc_trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(id, w1, w2, w3)`` — one row per in-document trigram (same
-    one-exchange window-lead shape as :func:`doc_bigrams`)."""
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(_tokens(text_col)).alias("_pos", "w1"),
+    map-only zip-of-slices shape as :func:`doc_bigrams`)."""
+    t = _tokens(text_col)
+    n = F.greatest(F.size(t) - 2, F.lit(0))
+    triples = F.arrays_zip(
+        F.slice(t, 1, n).alias("w1"),
+        F.slice(t, 2, n).alias("w2"),
+        F.slice(t, 3, n).alias("w3"),
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    return (
-        toks.select(
-            "_id",
-            "w1",
-            F.lead("w1", 1).over(w).alias("w2"),
-            F.lead("w1", 2).over(w).alias("w3"),
-        )
-        .where(F.col("w3").isNotNull())
-        .withColumnRenamed("_id", id_col)
+    return df.select(F.col(id_col), F.explode(triples).alias("_tg")).select(
+        id_col,
+        F.col("_tg.w1").alias("w1"),
+        F.col("_tg.w2").alias("w2"),
+        F.col("_tg.w3").alias("w3"),
     )
 
 

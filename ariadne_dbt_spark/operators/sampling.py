@@ -393,11 +393,13 @@ def curriculum_order(
     """
     if n_phases < 2:
         raise ValueError("n_phases must be >= 2")
-    probs = [i / n_phases for i in range(1, n_phases)]
-    row = df.agg(
-        F.percentile(F.col(score_col), F.array(*[F.lit(p) for p in probs])).alias("b")
-    ).first()
-    bounds = [float(x) for x in row["b"]]
+    # round 10: value-histogram rank selection (bit-identical to
+    # F.percentile, see operators/drift.py:quantile_edges) — difficulty
+    # scores are rounded/integer by contract, so the histogram is tiny
+    # and no aggregation buffer ever holds corpus values
+    from ariadne_dbt_spark.operators.drift import quantile_edges
+
+    bounds = quantile_edges(df, score_col, bins=n_phases)
     phase = F.lit(int(n_phases))
     for i in range(n_phases - 1, 0, -1):
         phase = F.when(

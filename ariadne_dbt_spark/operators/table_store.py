@@ -1165,7 +1165,12 @@ def merge_table(
         tdf = tdf.persist()
         cleanup.append(tdf)
         tkeys = tdf.select(*keys)
-        n_matched = src.join(tkeys, keys, "left_semi").count()
+        # every per-clause row count drains through ONE tagged-union
+        # job at the end (round 10): separate .count() actions each
+        # paid a full job's fixed cost per commit, which dominates
+        # small-batch DML wall-clock
+        _tag = lambda df, t: df.select(F.lit(t).alias("_t"))  # noqa: E731
+        cnt_parts = [_tag(src.join(tkeys, keys, "left_semi"), "matched")]
 
         if when_matched_condition is not None and when_matched is not None:
             # conditional matched clause: evaluate per (target, source)
@@ -1183,7 +1188,7 @@ def merge_table(
             t_keep = pairs.where(~won).select("t.*")
             if when_not_matched_by_source is None:
                 t_keep = unmatched_tgt.unionByName(t_keep)
-            n_applied = pairs.where(won).count()
+            cnt_parts.append(_tag(pairs.where(won), "applied"))
             if when_matched == "update":
                 s_add = pairs.where(won).select("s.*")
                 if when_not_matched == "insert":
@@ -1196,11 +1201,8 @@ def merge_table(
             # Delta counts TARGET rows acted on, and a target holding N
             # rows for one matched key has all N updated/deleted — never
             # collapsed to one (round-9 advice)
-            n_applied = (
-                tdf.join(kdf, keys, "left_semi").count()
-                if when_matched is not None
-                else 0
-            )
+            if when_matched is not None:
+                cnt_parts.append(_tag(tdf.join(kdf, keys, "left_semi"), "applied"))
             if when_not_matched_by_source is None:
                 t_keep = tdf if when_matched is None else tdf.join(kdf, keys, "left_anti")
             else:
@@ -1225,9 +1227,21 @@ def merge_table(
                 s_add = src.join(tkeys, keys, "left_anti")
             else:
                 s_add = None
+        if when_not_matched_by_source is not None:
+            cnt_parts.append(_tag(tdf, "target"))
+            cnt_parts.append(_tag(tdf.join(kdf, keys, "left_semi"), "tmatched"))
+        allc = cnt_parts[0]
+        for pt in cnt_parts[1:]:
+            allc = allc.unionAll(pt)
+        counts = {
+            r["_t"]: r["n"]
+            for r in allc.groupBy("_t").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_matched = counts.get("matched", 0)
+        n_applied = counts.get("applied", 0) if when_matched is not None else 0
         n_reaped = 0
         if when_not_matched_by_source is not None:
-            n_reaped = tdf.count() - tdf.join(kdf, keys, "left_semi").count()
+            n_reaped = counts.get("target", 0) - counts.get("tmatched", 0)
         merged = t_keep if s_add is None else t_keep.unionByName(s_add)
 
         changes = None

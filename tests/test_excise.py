@@ -254,9 +254,13 @@ def test_no_cartesian_and_single_gram_shuffle(spark):
         .toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
-    # exchange ceiling: gram count agg + dup semi-join + covered-set
-    # groupBy + rebuild left join (covered positions via array_except,
-    # churn-sized — NOT a corpus-wide (id,pos) anti-join) — measured 5
-    # on the sf0.001 corpus; 8 leaves AQE headroom without hiding a
-    # regression to a recompute-heavy shape
-    assert plan.count("Exchange") <= 8, plan.count("Exchange")
+    # exchange ceiling for the round-10 two-phase plan: token barrier +
+    # hash-count agg + hash semi-join + candidate groupBy (checkpointed)
+    # + string-confirm agg/join + covered-set groupBy + rebuild left
+    # join. Measured 11 pre-AQE (several are the SAME reused token
+    # barrier, and the churn-sized join sides become broadcasts at
+    # runtime); 13 leaves headroom without hiding a regression to a
+    # recompute-heavy shape. The corpus-sized exchanges carry only
+    # (id, start, int64 hash) rows — never gram strings; the old
+    # string-keyed single-phase plan is the regression this pins out.
+    assert plan.count("Exchange") <= 13, plan.count("Exchange")
