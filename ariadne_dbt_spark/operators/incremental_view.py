@@ -186,7 +186,7 @@ def build_agg_view(
     view = base.groupBy(*group_by).agg(
         *_measure_exprs(stored), F.count(F.lit(1)).alias(_ROWS_COL)
     )
-    write_table(spark, view, view_dir)
+    dest = write_table(spark, view, view_dir)
     meta = {
         "table_dir": os.path.abspath(table_dir),
         "row_keys": list(row_keys),
@@ -196,7 +196,17 @@ def build_agg_view(
         "view_epoch": read_epoch(view_dir),
     }
     _atomic_write_json(_meta_path(view_dir), meta)
-    return {"view_dir": view_dir, **meta, "n_groups": view.count()}
+    # n_groups from the just-committed file-stats manifest (driver
+    # metadata): a .count() here re-ran the whole base aggregation as a
+    # second job per build (round 10)
+    from ariadne_dbt_spark.operators.table_store import _load_manifest
+
+    man = _load_manifest(dest)
+    if man and all(isinstance(e.get("rows"), int) for e in man.values()):
+        n_groups = sum(e["rows"] for e in man.values())
+    else:  # manifest is best-effort; fall back to the old job
+        n_groups = view.count()
+    return {"view_dir": view_dir, **meta, "n_groups": n_groups}
 
 
 def view_status(view_dir: str) -> dict:

@@ -130,10 +130,12 @@ def train_language_classifier(
         featuresCol="_features",
         labelCol="_label",
         family="multinomial",
-        # measured on the planted corpus: 12 L-BFGS iterations converge
-        # to the same held-out confusion as 25 (min winner prob 0.9986
-        # vs 0.9992) at ~half the training wall-clock
-        maxIter=12,
+        # measured on the planted corpus (round 10, all three SFs): 8
+        # L-BFGS iterations keep the held-out confusion exactly diagonal
+        # with min winner prob 0.991 (12 iters: 0.9986, 25: 0.9992) —
+        # each dropped iteration removes one treeAggregate job, and the
+        # hard-argmax contract needs margin, not calibrated probability
+        maxIter=8,
         regParam=1e-4,
         standardization=False,
     )

@@ -708,6 +708,24 @@ def _load_manifest(epoch_dir: str) -> dict | None:
         return None
 
 
+def _rows_total(live: str, files: list[str], manifest: dict | None) -> int:
+    """Total row count of ``files`` from the committed manifest, falling
+    back to a footer ``num_rows`` read per manifest-missed file — driver
+    metadata only, never a Spark job. Used to derive deleted-row counts
+    for rows that (by definition) never flow into the staged write."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        ent = (manifest or {}).get(os.path.relpath(f, live))
+        rows = ent.get("rows") if isinstance(ent, dict) else None
+        if isinstance(rows, int):
+            total += rows
+        else:
+            total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 def _manifest_bounds_fn(live: str, manifest: dict, key: str):
     """A :func:`_prune_touched` ``bounds_fn`` backed by the committed
     manifest: bounds come from one already-loaded JSON dict instead of
@@ -1103,24 +1121,48 @@ def merge_table(
     try:
         key0 = keys[0]
         kdf = src.select(*keys).distinct()
-        # one action for row count, key-tuple count (struct: null keys
-        # still counted, matching distinct()), and the key0 range
-        stats = src.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.struct(*keys)).alias("k"),
-            F.min(key0).alias("lo"),
-            F.max(key0).alias("hi"),
-        ).collect()[0]
-        n_src, n_keys = stats["n"], stats["k"]
-        src_lo, src_hi = stats["lo"], stats["hi"]
-        if n_keys != n_src:
-            raise ValueError(
-                f"source keys are not unique: {n_src} rows, {n_keys} distinct "
-                f"{keys} — pre-aggregate the source (last-wins etc.) first"
-            )
-        if n_keys <= prune_max_keys:
-            src_keys = sorted(r[0] for r in src.select(key0).distinct().collect() if r[0] is not None)
+        # ONE bounded action for source stats + prune keys (round 10):
+        # collect the per-key grouped counts LIMITed to the prune cap —
+        # when the source fits (the incremental-batch contract), that
+        # single job yields the distinct keys, the uniqueness check
+        # (every group count must be 1), the row count and the key0
+        # range together; the old shape paid one agg job plus one
+        # distinct-collect job per commit. Driver memory stays bounded
+        # by the LIMIT whatever the source size; only a source beyond
+        # ``prune_max_keys`` pays a second (stats-only) aggregate and
+        # skips per-key pruning, exactly as before.
+        krows = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .limit(prune_max_keys + 1)
+            .collect()
+        )
+        if len(krows) <= prune_max_keys:
+            n_keys = len(krows)
+            n_src = sum(r["_c"] for r in krows)
+            if any(r["_c"] > 1 for r in krows):
+                raise ValueError(
+                    f"source keys are not unique: {n_src} rows, {n_keys} distinct "
+                    f"{keys} — pre-aggregate the source (last-wins etc.) first"
+                )
+            k0_vals = [r[key0] for r in krows if r[key0] is not None]
+            src_keys = sorted(set(k0_vals))
+            src_lo = min(k0_vals) if k0_vals else None
+            src_hi = max(k0_vals) if k0_vals else None
         else:
+            stats = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.struct(*keys)).alias("k"),
+                F.min(key0).alias("lo"),
+                F.max(key0).alias("hi"),
+            ).collect()[0]
+            n_src, n_keys = stats["n"], stats["k"]
+            src_lo, src_hi = stats["lo"], stats["hi"]
+            if n_keys != n_src:
+                raise ValueError(
+                    f"source keys are not unique: {n_src} rows, {n_keys} distinct "
+                    f"{keys} — pre-aggregate the source (last-wins etc.) first"
+                )
             src_keys = None
         pcols = _partition_cols(live, files)
         bounds_fn = None
@@ -1165,11 +1207,22 @@ def merge_table(
         tdf = tdf.persist()
         cleanup.append(tdf)
         tkeys = tdf.select(*keys)
-        # every per-clause row count drains through ONE tagged-union
-        # job at the end (round 10): separate .count() actions each
-        # paid a full job's fixed cost per commit, which dominates
-        # small-batch DML wall-clock
+        # row counts for the report ride ON the staged write itself
+        # (round 10, guide §1/§2: don't run jobs you can observe for
+        # free): every row flowing into the new epoch carries a hidden
+        # clause tag and a CollectMetrics (DataFrame.observe) node sums
+        # the tags during the write — zero extra actions. Counts of
+        # rows that DON'T flow (deleted targets) are derived as
+        # touched_rows_total − kept, with touched_rows_total read from
+        # the committed manifest / footers driver-side (no job). The
+        # one combination that can't be derived this way
+        # (matched-delete + by-source-delete: nothing flows at all)
+        # keeps the old tagged-union counting job.
         _tag = lambda df, t: df.select(F.lit(t).alias("_t"))  # noqa: E731
+        _mtag = lambda df, t: df.withColumn("_mtag", F.lit(t))  # noqa: E731
+        count_job_needed = (
+            when_matched == "delete" and when_not_matched_by_source is not None
+        )
         cnt_parts = [_tag(src.join(tkeys, keys, "left_semi"), "matched")]
 
         if when_matched_condition is not None and when_matched is not None:
@@ -1188,20 +1241,21 @@ def merge_table(
             t_keep = pairs.where(~won).select("t.*")
             if when_not_matched_by_source is None:
                 t_keep = unmatched_tgt.unionByName(t_keep)
-            cnt_parts.append(_tag(pairs.where(won), "applied"))
-            if when_matched == "update":
-                s_add = pairs.where(won).select("s.*")
-                if when_not_matched == "insert":
-                    s_add = s_add.unionByName(src.join(tkeys, keys, "left_anti"))
-            elif when_not_matched == "insert":
-                s_add = src.join(tkeys, keys, "left_anti")
-            else:
-                s_add = None
+            if count_job_needed:
+                cnt_parts.append(_tag(pairs.where(won), "applied"))
+            s_upd = (
+                pairs.where(won).select("s.*") if when_matched == "update" else None
+            )
+            s_ins = (
+                src.join(tkeys, keys, "left_anti")
+                if when_not_matched == "insert"
+                else None
+            )
         else:
             # Delta counts TARGET rows acted on, and a target holding N
             # rows for one matched key has all N updated/deleted — never
             # collapsed to one (round-9 advice)
-            if when_matched is not None:
+            if count_job_needed and when_matched is not None:
                 cnt_parts.append(_tag(tdf.join(kdf, keys, "left_semi"), "applied"))
             if when_not_matched_by_source is None:
                 t_keep = tdf if when_matched is None else tdf.join(kdf, keys, "left_anti")
@@ -1213,36 +1267,65 @@ def merge_table(
                     if when_matched is None
                     else tdf.limit(0)
                 )
-            if when_matched == "update":
-                # join source VALUES onto each matched target row: every
-                # matched target row becomes the source row's values,
-                # preserving target-side row count like Delta's UPDATE
-                upd = tdf.select(*keys).join(src, keys, "inner")
-                s_add = (
-                    upd.unionByName(src.join(tkeys, keys, "left_anti"))
-                    if when_not_matched == "insert"
-                    else upd
-                )
-            elif when_not_matched == "insert":
-                s_add = src.join(tkeys, keys, "left_anti")
-            else:
-                s_add = None
-        if when_not_matched_by_source is not None:
+            # join source VALUES onto each matched target row: every
+            # matched target row becomes the source row's values,
+            # preserving target-side row count like Delta's UPDATE
+            s_upd = (
+                tdf.select(*keys).join(src, keys, "inner")
+                if when_matched == "update"
+                else None
+            )
+            s_ins = (
+                src.join(tkeys, keys, "left_anti")
+                if when_not_matched == "insert"
+                else None
+            )
+        parts_m = [_mtag(t_keep, "k")]
+        if s_upd is not None:
+            parts_m.append(_mtag(s_upd, "u"))
+        if s_ins is not None:
+            parts_m.append(_mtag(s_ins, "i"))
+        merged = parts_m[0]
+        for pt in parts_m[1:]:
+            merged = merged.unionByName(pt)
+        # deleted rows never flow into the new epoch: their count is
+        # touched_rows_total − kept − updated, with the total read from
+        # the committed manifest (fallback: footer num_rows) — driver
+        # metadata, no job. Only needed when the merge can delete.
+        need_total = (
+            when_matched == "delete" or when_not_matched_by_source is not None
+        )
+        touched_total = (
+            _rows_total(live, touched, manifest)
+            if (need_total and not count_job_needed)
+            else None
+        )
+        obs = None
+        if count_job_needed:
             cnt_parts.append(_tag(tdf, "target"))
             cnt_parts.append(_tag(tdf.join(kdf, keys, "left_semi"), "tmatched"))
-        allc = cnt_parts[0]
-        for pt in cnt_parts[1:]:
-            allc = allc.unionAll(pt)
-        counts = {
-            r["_t"]: r["n"]
-            for r in allc.groupBy("_t").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        n_matched = counts.get("matched", 0)
-        n_applied = counts.get("applied", 0) if when_matched is not None else 0
-        n_reaped = 0
-        if when_not_matched_by_source is not None:
+            allc = cnt_parts[0]
+            for pt in cnt_parts[1:]:
+                allc = allc.unionAll(pt)
+            counts = {
+                r["_t"]: r["n"]
+                for r in allc.groupBy("_t").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            n_matched = counts.get("matched", 0)
+            n_applied = counts.get("applied", 0) if when_matched is not None else 0
             n_reaped = counts.get("target", 0) - counts.get("tmatched", 0)
-        merged = t_keep if s_add is None else t_keep.unionByName(s_add)
+            n_updated = n_applied if when_matched == "update" else 0
+            n_deleted = (n_applied if when_matched == "delete" else 0) + n_reaped
+            n_inserted = (n_src - n_matched) if when_not_matched == "insert" else 0
+            merged = merged.drop("_mtag")
+        else:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            _c = lambda t: F.coalesce(  # noqa: E731
+                F.sum(F.when(F.col("_mtag") == t, 1).otherwise(0)), F.lit(0)
+            ).alias(t)
+            merged = merged.observe(obs, _c("k"), _c("u"), _c("i")).drop("_mtag")
 
         changes = None
         if _change_feed_enabled(table_dir):
@@ -1283,6 +1366,18 @@ def merge_table(
             spark, table_dir, epoch, live, merged, carried, pcols, retention_sec,
             "merge", changes=changes,
         )
+        if obs is not None:
+            # the staged write (or the constraint agg, whichever ran
+            # first — same rows either way) filled the observation; no
+            # extra job ran for these numbers
+            m = obs.get
+            n_updated = int(m["u"]) if when_matched == "update" else 0
+            n_inserted = int(m["i"])
+            n_deleted = (
+                touched_total - int(m["k"]) - int(m["u"])
+                if touched_total is not None
+                else 0
+            )
         return {
             "epoch": epoch,
             "new_epoch": new_epoch,
@@ -1290,9 +1385,9 @@ def merge_table(
             "n_files_touched": len(touched),
             "n_files_carried": len(carried),
             "rows_source": n_src,
-            "rows_updated": n_applied if when_matched == "update" else 0,
-            "rows_deleted": (n_applied if when_matched == "delete" else 0) + n_reaped,
-            "rows_inserted": (n_src - n_matched) if when_not_matched == "insert" else 0,
+            "rows_updated": n_updated,
+            "rows_deleted": n_deleted,
+            "rows_inserted": n_inserted,
             "schema_evolved": extra if merge_schema else [],
         }
     finally:
@@ -1407,14 +1502,25 @@ def _rewrite_where(
     # constraint agg, and the staged write
     tdf = tdf.persist()
     try:
+        from pyspark.sql import Observation
+
         hit = F.coalesce(pred, F.lit(False))
-        n_hit = tdf.where(hit).count()
+        # the hit count rides ON the staged write via a CollectMetrics
+        # node over the pre-rewrite rows (round 10): a dedicated
+        # .count() action paid a full job per DML commit for a number
+        # the write's own row flow already knows
+        obs = Observation()
+        tdf_obs = tdf.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(hit, 1).otherwise(0)), F.lit(0)
+            ).alias("n_hit"),
+        )
         tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
         cdf_on = _change_feed_enabled(table_dir)
         changes = None
         if set_exprs is None:
-            merged = tdf.where(~hit)
-            deleted, updated = n_hit, 0
+            merged = tdf_obs.where(~hit)
             if cdf_on:
                 changes = tag(tdf.where(hit), "delete")
         else:
@@ -1434,8 +1540,7 @@ def _rewrite_where(
                     for c in df.columns
                 ]
             )
-            merged = apply_set(tdf)
-            deleted, updated = 0, n_hit
+            merged = apply_set(tdf_obs)
             if cdf_on:
                 # filter BEFORE transforming: the predicate must see the
                 # original values (post-SET rows may no longer match it)
@@ -1448,6 +1553,7 @@ def _rewrite_where(
             spark, table_dir, epoch, live, merged, carried, pcols, retention_sec,
             op, changes=changes,
         )
+        n_hit = int(obs.get["n_hit"])
     finally:
         tdf.unpersist()
     return {
@@ -1456,8 +1562,8 @@ def _rewrite_where(
         "n_files": len(files),
         "n_files_touched": len(touched),
         "n_files_carried": len(carried),
-        "rows_deleted": deleted,
-        "rows_updated": updated,
+        "rows_deleted": n_hit if set_exprs is None else 0,
+        "rows_updated": 0 if set_exprs is None else n_hit,
     }
 
 

@@ -676,3 +676,52 @@ def test_merge_prunes_from_manifest_without_footer_io(spark, tmp_path):
     finally:
         mod._file_key_bounds = orig
     assert calls2 == []
+
+
+def test_merge_beyond_prune_cap_uses_range_stats_and_matches(spark, tmp_path):
+    """Round-10 fused key probe: a source with more distinct keys than
+    ``prune_max_keys`` must route through the stats-only aggregate
+    (no per-key list), still produce the identical merged state and
+    report, and still raise on duplicate keys."""
+    tdir = _make_table(spark, tmp_path, n=200)
+    before = _rows(spark, tdir)
+    src = _source(spark, ids_update=[3, 7, 9], ids_insert=[200, 300])
+
+    rep = merge_table(spark, tdir, src, ["id"], prune_max_keys=2)
+    assert rep["rows_updated"] == 3 and rep["rows_inserted"] == 2
+    assert rep["rows_deleted"] == 0
+
+    expect = dict(before)
+    for i in [3, 7, 9, 200, 300]:
+        expect[i] = (i % 7, f"new{i}")
+    assert _rows(spark, tdir) == expect
+
+    dup = spark.createDataFrame(
+        [Row(id=i, grp=i % 7, val=f"x{i}") for i in [1, 2, 3]]
+        + [Row(id=3, grp=3, val="dup")]
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        merge_table(spark, tdir, dup, ["id"], prune_max_keys=2)
+
+
+def test_delete_beyond_prune_cap_counts_via_rows_total(spark, tmp_path):
+    """rows_deleted derives from manifest/footer row totals minus the
+    observed kept/updated rows — exercise it on BOTH sides of the
+    prune cap."""
+    for cap, name in ((100_000, "d1"), (1, "d2")):
+        tdir = _make_table(spark, tmp_path, n=120, name=name)
+        before = _rows(spark, tdir)
+        doomed = spark.createDataFrame([Row(id=i) for i in [0, 60, 119, 7777]])
+        rep = merge_table(
+            spark,
+            tdir,
+            doomed.select("id", F.lit(0).alias("grp"), F.lit("x").alias("val")),
+            ["id"],
+            when_matched="delete",
+            when_not_matched=None,
+            prune_max_keys=cap,
+        )
+        assert rep["rows_deleted"] == 3, (cap, rep)
+        assert rep["rows_updated"] == 0 and rep["rows_inserted"] == 0
+        expect = {k: v for k, v in before.items() if k not in (0, 60, 119)}
+        assert _rows(spark, tdir) == expect
