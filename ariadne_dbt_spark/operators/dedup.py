@@ -97,6 +97,17 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
         F.col(id_col).alias("id"),
         F.posexplode(tokenize(text_col, min_len=1, stop=False)).alias("pos", "tok"),
     )
+    # EXPLICIT-N on the window's one id exchange (round 10): the window
+    # + collect_set runs over every token row, so its cost is
+    # row-proportional while its exchange INPUT bytes are small — under
+    # byte-based AQE coalescing (session.py parallelismFirst=false) the
+    # whole corpus-wide shingle build would otherwise run on one or two
+    # reducers. A user-specified partition count is exempt from AQE
+    # coalescing; downstream per-id joins/groupBys still reuse the
+    # hash(id, N) distribution exactly as before.
+    toks = toks.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id"
+    )
     w = Window.partitionBy("id").orderBy("pos")
     shingled = (
         toks.select(
@@ -1607,11 +1618,24 @@ def containment_pairs(
             .drop("_df")
         )
         # sizes must reflect the CAPPED sets for a consistent ratio
+        # (an explicit-N pin on this window's id exchange was A/B'd and
+        # measured SLOWER — 3.3 → 3.7 s warm — the count-over-window is
+        # cheap enough that the extra full-width exchange never pays)
         from pyspark.sql.window import Window
 
         sh = sh.select(
             "id", "shingle", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz")
         )
+    # EXPLICIT-N repartition on the join key (round 10): the postings
+    # self-join EXPANDS — its output (candidate pairs, Σ df² mass) dwarfs
+    # its input bytes, and AQE sizes post-shuffle partitions from INPUT
+    # bytes only, so byte-based coalescing (parallelismFirst=false,
+    # session.py) would serialize exactly the stage whose cost is
+    # multiplicative. A user-specified partition count is exempt from
+    # AQE coalescing, pinning the expansion's parallelism to the
+    # cluster's cores; both self-join sides derive from this one
+    # exchange, so the join itself adds none.
+    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "shingle")
     a = sh.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (

@@ -48,6 +48,20 @@ def get_spark(app_name: str = "ariadne-dbt-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size post-shuffle partitions from BYTES (the advisory target),
+        # not the core count (guide §2.2 "fewer, larger reduce
+        # partitions"): with the default parallelismFirst=true, every
+        # KB-sized shuffle still fans out to `cpus` reducers — measured
+        # here as hundreds of near-empty tasks per query at bench scale,
+        # and the M×R tiny-block fetch pattern at cluster scale. Stages
+        # whose cost is multiplicative rather than byte-proportional
+        # (exploding pair joins) pin their parallelism structurally with
+        # an explicit-N repartition instead (e.g. containment_pairs),
+        # which AQE never coalesces. Env-overridable for A/B.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
