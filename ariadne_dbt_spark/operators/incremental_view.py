@@ -52,7 +52,6 @@ from pyspark.sql import functions as F
 
 from ariadne_dbt_spark.operators.epoch_store import _atomic_write_json, read_epoch
 from ariadne_dbt_spark.operators.table_store import (
-    delete_keys,
     merge_table,
     read_table,
     table_changes,
@@ -342,14 +341,20 @@ def refresh_agg_view(
                 return rebuild("changed rows carry NULL group keys")
             return rebuild(f"{stats['bad']} groups folded to negative row counts")
 
-        live = folded.where(F.col(_ROWS_COL) > 0)
-        dead = folded.where(F.col(_ROWS_COL) == 0).select(*group_by)
         n_dead = stats["dead"]
+        # ONE fused merge (round 10): live groups upsert and dead
+        # groups delete in the same epoch flip via
+        # source_delete_condition — the old live-merge + delete_keys
+        # pair paid two full commit cycles (probe + staged write each)
+        # per refresh
         rep = merge_table(
-            spark, view_dir, live, group_by, retention_sec=retention_sec
+            spark,
+            view_dir,
+            folded,
+            group_by,
+            source_delete_condition=F.col(_ROWS_COL) == 0,
+            retention_sec=retention_sec,
         )
-        if n_dead:
-            delete_keys(spark, view_dir, dead, group_by, retention_sec=retention_sec)
         folded.unpersist()
     finally:
         deltas.unpersist()

@@ -997,6 +997,7 @@ def merge_table(
     when_not_matched: str | None = "insert",
     when_not_matched_by_source: str | None = None,
     when_matched_condition=None,
+    source_delete_condition=None,
     merge_schema: bool = False,
     retention_sec: float = 0.0,
     prune_max_keys: int = MERGE_PRUNE_MAX_KEYS,
@@ -1018,6 +1019,15 @@ def merge_table(
     the source, so the whole table is rewritten — the same caveat
     Delta's documentation carries. Don't use it for incremental
     batches; that's what plain upsert + ``delete_keys`` are for.
+
+    ``source_delete_condition`` (Delta's ``WHEN MATCHED AND cond THEN
+    DELETE`` fused beside the update/insert clauses): a boolean
+    expression over SOURCE columns. A delete-flagged source row deletes
+    its matched target rows and never inserts; other source rows follow
+    the normal update/insert clauses. One epoch flip where a separate
+    upsert + ``delete_keys`` pays two — the incremental-view refresh
+    shape (live groups upsert, dead groups delete). Composes only with
+    plain ``when_matched="update"``.
 
     ``when_matched_condition`` (Delta's conditional clause): a boolean
     SQL expression (or Column) over the aliases ``s`` (source) and
@@ -1092,6 +1102,16 @@ def merge_table(
         raise ValueError("merge with no clause at all is a no-op")
     if not keys:
         raise ValueError("merge needs at least one key column")
+    if source_delete_condition is not None and (
+        when_matched != "update"
+        or when_matched_condition is not None
+        or when_not_matched_by_source is not None
+    ):
+        raise ValueError(
+            "source_delete_condition composes only with the plain "
+            "when_matched='update' clause (no when_matched_condition / "
+            "when_not_matched_by_source)"
+        )
 
     epoch = read_epoch(table_dir)
     live = data_dir(table_dir, DATA_NAME, epoch)
@@ -1269,14 +1289,28 @@ def merge_table(
                 )
             # join source VALUES onto each matched target row: every
             # matched target row becomes the source row's values,
-            # preserving target-side row count like Delta's UPDATE
+            # preserving target-side row count like Delta's UPDATE.
+            # With source_delete_condition (Delta's WHEN MATCHED AND
+            # cond THEN DELETE fused with the update/insert clauses —
+            # round 10, one epoch flip where upsert + delete_keys paid
+            # two), delete-flagged source rows contribute no update and
+            # no insert: their matched targets simply never re-enter
+            # the new epoch.
+            s_src = src
+            if source_delete_condition is not None:
+                _dc = (
+                    F.expr(source_delete_condition)
+                    if isinstance(source_delete_condition, str)
+                    else source_delete_condition
+                )
+                s_src = src.where(~F.coalesce(_dc, F.lit(False)))
             s_upd = (
-                tdf.select(*keys).join(src, keys, "inner")
+                tdf.select(*keys).join(s_src, keys, "inner")
                 if when_matched == "update"
                 else None
             )
             s_ins = (
-                src.join(tkeys, keys, "left_anti")
+                s_src.join(tkeys, keys, "left_anti")
                 if when_not_matched == "insert"
                 else None
             )
@@ -1293,7 +1327,9 @@ def merge_table(
         # the committed manifest (fallback: footer num_rows) — driver
         # metadata, no job. Only needed when the merge can delete.
         need_total = (
-            when_matched == "delete" or when_not_matched_by_source is not None
+            when_matched == "delete"
+            or when_not_matched_by_source is not None
+            or source_delete_condition is not None
         )
         touched_total = (
             _rows_total(live, touched, manifest)
@@ -1343,6 +1379,17 @@ def merge_table(
                     parts.append(tag(won_pairs.select("s.*"), "update_postimage"))
                 else:
                     parts.append(tag(won_pairs.select("t.*"), "delete"))
+            elif when_matched == "update" and source_delete_condition is not None:
+                # fused conditional delete: matched targets of
+                # delete-flagged source rows log a delete; the rest log
+                # the usual update pair
+                live_k = s_src.select(*keys).distinct()
+                dead_k = kdf.exceptAll(live_k)
+                parts.append(tag(tdf.join(live_k, keys, "left_semi"), "update_preimage"))
+                parts.append(
+                    tag(tdf.select(*keys).join(s_src, keys, "inner"), "update_postimage")
+                )
+                parts.append(tag(tdf.join(dead_k, keys, "left_semi"), "delete"))
             elif when_matched == "update":
                 parts.append(tag(tdf.join(kdf, keys, "left_semi"), "update_preimage"))
                 parts.append(
@@ -1351,7 +1398,8 @@ def merge_table(
             elif when_matched == "delete":
                 parts.append(tag(tdf.join(kdf, keys, "left_semi"), "delete"))
             if when_not_matched == "insert":
-                parts.append(tag(src.join(tkeys, keys, "left_anti"), "insert"))
+                src_ins = src if source_delete_condition is None else s_src
+                parts.append(tag(src_ins.join(tkeys, keys, "left_anti"), "insert"))
             if when_not_matched_by_source is not None:
                 parts.append(tag(tdf.join(kdf, keys, "left_anti"), "delete"))
             changes = parts[0] if parts else tag(tdf, "x").limit(0)

@@ -725,3 +725,42 @@ def test_delete_beyond_prune_cap_counts_via_rows_total(spark, tmp_path):
         assert rep["rows_updated"] == 0 and rep["rows_inserted"] == 0
         expect = {k: v for k, v in before.items() if k not in (0, 60, 119)}
         assert _rows(spark, tdir) == expect
+
+
+def test_source_delete_condition_fuses_upsert_and_delete(spark, tmp_path):
+    """Delta's WHEN MATCHED AND cond THEN DELETE beside update/insert,
+    in ONE epoch flip: delete-flagged source rows remove their matched
+    targets and never insert; other rows upsert normally."""
+    tdir = _make_table(spark, tmp_path, n=100)
+    before = _rows(spark, tdir)
+    src = spark.createDataFrame(
+        # doomed=True rows: 5 (exists -> delete), 500 (absent -> no-op)
+        [Row(id=5, grp=5, val="x", doomed=True),
+         Row(id=500, grp=3, val="x", doomed=True),
+         Row(id=7, grp=0, val="upd7", doomed=False),
+         Row(id=600, grp=5, val="new600", doomed=False)]
+    )
+    ep0 = read_epoch(tdir)
+    rep = merge_table(
+        spark, tdir,
+        src, ["id"],
+        source_delete_condition=F.col("doomed"),
+        merge_schema=True,  # src carries the extra flag column
+    )
+    assert read_epoch(tdir) == ep0 + 1  # ONE flip for update+insert+delete
+    assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+    assert rep["rows_deleted"] == 1
+
+    after = {
+        r["id"]: (r["grp"], r["val"])
+        for r in read_table(spark, tdir).select("id", "grp", "val").collect()
+    }
+    expect = {k: v for k, v in before.items() if k != 5}
+    expect[7] = (0, "upd7")
+    expect[600] = (5, "new600")
+    assert after == expect
+
+    # invalid compositions raise
+    with pytest.raises(ValueError, match="source_delete_condition"):
+        merge_table(spark, tdir, src, ["id"], when_matched="delete",
+                    source_delete_condition=F.col("doomed"))
