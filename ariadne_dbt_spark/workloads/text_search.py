@@ -72,41 +72,51 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
     if not force and os.path.exists(done):
         return out
     docs = documents(spark, sf_dir)
+    fields = ["text"]
     postings, _ = build_postings(
-        docs, "doc_id", {"text": "text"},
+        docs, "doc_id", dict.fromkeys(fields, "text"),
         repartition_to=spark.sparkContext.defaultParallelism,
     )
-    n_docs = docs.count()
+    # n_docs from the parquet FOOTER (round 10): documents() is a plain
+    # single-table read, so metadata num_rows is exact and the old
+    # .count() paid a full corpus-scan job per build for it
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(table_path(sf_dir, "documents")).metadata.num_rows
     # 8 term-hashed files: enough parallelism for the query-side scan at
     # this corpus scale while keeping listing/footer overhead low (at
     # cluster scale this becomes partitionBy/bucketBy on term ranges)
     postings.repartition(8, F.col("term")).write.mode("overwrite").parquet(
         os.path.join(out, "postings")
     )
-    # docstats = sum(tf) over the postings JUST WRITTEN — rolling up the
-    # parquet re-read costs one tiny job; recomputing from the un-cached
-    # `docstats` plan would tokenize the whole corpus a second time.
-    # Cached so the avgdl rollup below reads the aggregate, not a third
-    # pass over parquet.
+    # docstats = sum(tf) over the postings JUST WRITTEN (one tiny job;
+    # recomputing from the un-cached plan would tokenize the corpus a
+    # second time). The per-field avgdl index metadata rides ON the same
+    # write via DataFrame.observe (round 10) — the old cache + separate
+    # avg().collect() action is gone. dl totals are integer sums far
+    # below 2^53, so sum/count division here is bit-identical to
+    # Spark's AVG over the same rows.
+    from pyspark.sql import Observation
+
+    obs = Observation()
     docstats = (
         spark.read.parquet(os.path.join(out, "postings"))
         .groupBy("unique_id", "field")
         .agg(F.sum("tf").alias("dl"))
-        .cache()
     )
-    try:
-        # corpus constants (n_docs, avgdl per field) are index metadata —
-        # persisting them here keeps the query path free of stats jobs.
-        # The avgdl aggregate runs FIRST: it materializes the cache with
-        # full parallelism, so the coalesce(1) write below reads cached
-        # blocks instead of computing the rollup in its single task.
-        avgdl = {
-            r["field"]: r["avgdl"]
-            for r in docstats.groupBy("field").agg(F.avg("dl").alias("avgdl")).collect()
-        }
-        docstats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "docstats"))
-    finally:
-        docstats.unpersist()
+    aggs = []
+    for f_ in fields:
+        aggs.append(F.sum(F.when(F.col("field") == f_, F.col("dl"))).alias(f"_s_{f_}"))
+        aggs.append(
+            F.sum(F.when(F.col("field") == f_, 1).otherwise(0)).alias(f"_c_{f_}")
+        )
+    docstats.observe(obs, *aggs).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "docstats")
+    )
+    m = obs.get
+    avgdl = {
+        f_: (m[f"_s_{f_}"] / m[f"_c_{f_}"]) for f_ in fields if m[f"_c_{f_}"]
+    }
     with open(done, "w") as f:
         json.dump({"n_docs": n_docs, "avgdl": avgdl}, f)
     return out
