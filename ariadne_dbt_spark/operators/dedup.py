@@ -1635,12 +1635,19 @@ def containment_pairs(
     # AQE coalescing, pinning the expansion's parallelism to the
     # cluster's cores; both self-join sides derive from this one
     # exchange, so the join itself adds none.
-    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "shingle")
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(n_par, "shingle")
     a = sh.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") != F.col("id_b"))
+        # second explicit-N pin: the pair AGGREGATION's exchange input is
+        # the expanded candidate mass itself — a subset-key repartition
+        # satisfies the groupBy's clustering, so this one pinned
+        # exchange replaces the AQE-coalesced one rather than adding to
+        # it, keeping the reduction parallel
+        .repartition(n_par, "id_a", "id_b")
         .groupBy("id_a", "id_b", "sz_a")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
