@@ -110,6 +110,7 @@ def bm25(
     b: float = B,
     stem_query: bool = False,
     avgdl_by_field: dict[str, float] | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Score every matching doc: ``(unique_id, bm25_score)`` descending.
 
@@ -123,11 +124,21 @@ def bm25(
     constants, not query state) so the query path never scans docstats
     beyond the per-doc ``dl`` join.
 
+    ``dfreq`` short-circuits the per-query document-frequency aggregate
+    the same way: pass the lexicon persisted at index-build time
+    (``(field, term, df)`` — df is a corpus constant like avgdl, the
+    classic place an inverted index stores it) and the query plan drops
+    a full postings re-scan plus its two aggregation exchanges. Without
+    it, df is counted from the term-filtered scan — ``postings`` must be
+    unique per (unique_id, field, term) (the build_postings contract;
+    duplicate rows would already corrupt tf), so a plain COUNT suffices
+    and no distinct expansion is paid.
+
     Plan shape: the query-term predicate is an ``isin`` literal, so it
     pushes into the postings scan (term-partitioned storage prunes at
-    100 TB); field weights and avgdl are literal CASE expressions; the
-    only runtime statistic computed per query is df per (field, term)
-    over the already-filtered scan (a tiny broadcast aggregate).
+    100 TB); field weights and avgdl are literal CASE expressions; with
+    a persisted lexicon the only per-query work is the filtered scan,
+    two broadcast joins and one aggregate.
     """
     spark = postings.sparkSession
     terms = tokenize_query(query_text, stem=stem_query)
@@ -137,10 +148,14 @@ def bm25(
 
     tset = sorted(set(terms))
     matched = postings.where(F.col("term").isin(tset))
-    # df per (field, term) over the corpus = over the term-filtered scan
-    dfreq = matched.groupBy("field", "term").agg(
-        F.countDistinct("unique_id").alias("df")
-    )
+    if dfreq is not None:
+        dfreq = dfreq.where(F.col("term").isin(tset)).select("field", "term", "df")
+    else:
+        # df per (field, term) over the corpus = over the term-filtered
+        # scan; COUNT not COUNT DISTINCT — see the contract above
+        dfreq = matched.groupBy("field", "term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
     if avgdl_by_field:
         # a field scored by `weights` but missing from the persisted stats
         # would get NULL avgdl → NULL term_score → silently dropped by the
@@ -325,6 +340,7 @@ def bm25_batch(
     stem_query: bool = False,
     avgdl_by_field: dict[str, float] | None = None,
     k: int | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Score a BATCH of queries in ONE pass over the postings:
     ``(query_id, unique_id, bm25_score[, rank])``.
@@ -333,7 +349,8 @@ def bm25_batch(
     term-filtered scan per query, the union of all queries' terms drives
     a single pushed-down scan, a literal (query_id, term) frame fans
     matches out per query, and scoring aggregates by (query_id, doc).
-    df per (field, term) is corpus-global, computed once for the batch.
+    df per (field, term) is corpus-global: pass the build-time lexicon
+    as ``dfreq`` (see :func:`bm25`) or it is counted once for the batch.
     With ``k`` set, a per-query window keeps the top-k (partitioned by
     query_id — bounded, never a global sort).
     """
@@ -352,9 +369,16 @@ def bm25_batch(
     )
     all_terms = sorted({t for _, t in qt_rows})
     matched = postings.where(F.col("term").isin(all_terms))
-    dfreq = matched.groupBy("field", "term").agg(
-        F.countDistinct("unique_id").alias("df")
-    )
+    if dfreq is not None:
+        dfreq = dfreq.where(F.col("term").isin(all_terms)).select(
+            "field", "term", "df"
+        )
+    else:
+        # COUNT not COUNT DISTINCT: postings are unique per
+        # (unique_id, field, term) — the build_postings contract
+        dfreq = matched.groupBy("field", "term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
     if avgdl_by_field:
         missing = set(weights) - set(avgdl_by_field)
         if missing:

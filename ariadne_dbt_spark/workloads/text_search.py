@@ -57,9 +57,29 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_index_dir(sf_dir: str) -> str:
     docs_path = table_path(sf_dir, "documents")
     mtime = int(os.path.getmtime(docs_path))
-    # v2: _BUILT carries JSON stats (n_docs + avgdl), not a bare count
-    key = hashlib.md5(f"{docs_path}:{mtime}:v2".encode()).hexdigest()[:12]
+    # v3: index carries a lexicon (per-term df/ttf) beside the postings
+    key = hashlib.md5(f"{docs_path}:{mtime}:v3".encode()).hexdigest()[:12]
     return os.path.join(_REPO, ".tmp", f"bm25_index_{key}")
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Exact row count from parquet footers — driver metadata, no Spark
+    job. Handles both a single file and a directory dataset (the normal
+    case at any real scale): per-file ``num_rows`` summed over the
+    listing, skipping Spark's ``_``/``.`` marker files — the same shape
+    as table_store._rows_total."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
+                continue
+            total += pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+    return total
 
 
 def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -> str:
@@ -77,12 +97,11 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
         docs, "doc_id", dict.fromkeys(fields, "text"),
         repartition_to=spark.sparkContext.defaultParallelism,
     )
-    # n_docs from the parquet FOOTER (round 10): documents() is a plain
-    # single-table read, so metadata num_rows is exact and the old
-    # .count() paid a full corpus-scan job per build for it
-    import pyarrow.parquet as pq
-
-    n_docs = pq.ParquetFile(table_path(sf_dir, "documents")).metadata.num_rows
+    # n_docs from the parquet FOOTERS (round 10, multi-file-safe round
+    # 11): documents() is a plain single-table read, so metadata
+    # num_rows is exact and the old .count() paid a full corpus-scan
+    # job per build for it
+    n_docs = _parquet_num_rows(table_path(sf_dir, "documents"))
     # 8 term-hashed files: enough parallelism for the query-side scan at
     # this corpus scale while keeping listing/footer overhead low (at
     # cluster scale this becomes partitionBy/bucketBy on term ranges)
@@ -99,20 +118,44 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
     from pyspark.sql import Observation
 
     obs = Observation()
-    docstats = (
-        spark.read.parquet(os.path.join(out, "postings"))
-        .groupBy("unique_id", "field")
-        .agg(F.sum("tf").alias("dl"))
-    )
+    written = spark.read.parquet(os.path.join(out, "postings"))
+    docstats = written.groupBy("unique_id", "field").agg(F.sum("tf").alias("dl"))
     aggs = []
     for f_ in fields:
         aggs.append(F.sum(F.when(F.col("field") == f_, F.col("dl"))).alias(f"_s_{f_}"))
         aggs.append(
             F.sum(F.when(F.col("field") == f_, 1).otherwise(0)).alias(f"_c_{f_}")
         )
-    docstats.observe(obs, *aggs).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out, "docstats")
+
+    def _write_docstats() -> None:
+        docstats.observe(obs, *aggs).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "docstats")
+        )
+
+    # lexicon = per-(field, term) document frequency + total term
+    # frequency (round 11): df is a corpus constant exactly like avgdl,
+    # and persisting it is where an inverted index classically keeps it
+    # — every query previously re-aggregated df from a second postings
+    # scan (two exchanges per search). COUNT suffices for df because
+    # postings are unique per (unique_id, field, term) by construction.
+    lexicon = written.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
     )
+
+    def _write_lexicon() -> None:
+        lexicon.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "lexicon")
+        )
+
+    # the two stats jobs are independent reads of the written postings:
+    # submit them concurrently so the second back-fills the first's
+    # straggler tail (guide §2.6); job descriptions are thread-local
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_docstats), pool.submit(_write_lexicon)]
+        for fut in futs:
+            fut.result()
     m = obs.get
     avgdl = {
         f_: (m[f"_s_{f_}"] / m[f"_c_{f_}"]) for f_ in fields if m[f"_c_{f_}"]
@@ -124,9 +167,10 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
 
 def read_bm25_index(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, int, dict[str, float]]:
-    """(postings, docstats, n_docs, avgdl_by_field) from the persisted
-    index, building it first if absent."""
+) -> tuple[DataFrame, DataFrame, int, dict[str, float], DataFrame]:
+    """(postings, docstats, n_docs, avgdl_by_field, lexicon) from the
+    persisted index, building it first if absent. The lexicon carries
+    per-(field, term) df/ttf so queries never re-derive corpus stats."""
     out = build_bm25_index(spark, sf_dir)
     with open(os.path.join(out, "_BUILT")) as f:
         meta = json.load(f)
@@ -135,6 +179,7 @@ def read_bm25_index(
         spark.read.parquet(os.path.join(out, "docstats")),
         int(meta["n_docs"]),
         meta["avgdl"],
+        spark.read.parquet(os.path.join(out, "lexicon")),
     )
 
 
@@ -183,7 +228,11 @@ def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_bm25_index(spark, sf_dir, force=True)
-    postings, _, _, _ = read_bm25_index(spark, sf_dir)
+    postings, _, _, _, _ = read_bm25_index(spark, sf_dir)
+    # invariants over the postings themselves (a lexicon/docstats-
+    # marginal rewrite was A/B'd in round 11: bit-identical values but
+    # 2 jobs → 4 — the two tiny sub-aggregates each pay a job, so the
+    # smaller scan LOST to per-job overhead at bench scale; reverted)
     return postings.agg(
         F.count(F.lit(1)).alias("n_postings"),
         F.countDistinct("term").alias("n_terms"),
@@ -223,12 +272,13 @@ def bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="BM25 top-20 for query 'spark vector stream'.",
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    postings, docstats, n_docs, avgdl = read_bm25_index(spark, sf_dir)
+    postings, docstats, n_docs, avgdl, lexicon = read_bm25_index(spark, sf_dir)
     # bm25() filters terms via isin → pushed to the parquet scan; the
-    # persisted avgdl stats keep the query free of corpus-stats jobs
+    # persisted avgdl + lexicon stats keep the query free of
+    # corpus-stats aggregation (df joins from the build-time lexicon)
     scored = bm25(
         postings, docstats, n_docs, "spark vector stream",
-        field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+        field_weights={"text": 1.0}, avgdl_by_field=avgdl, dfreq=lexicon,
     )
     # cast BEFORE the top-k: the oracle tie-breaks (raw DESC, doc_id
     # BIGINT); a string unique_id orders '100' < '99' on exact ties
@@ -755,10 +805,10 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ariadne_dbt_spark.operators.similarity import brute_force_topk
 
-    postings, docstats, n_docs, avgdl = read_bm25_index(spark, sf_dir)
+    postings, docstats, n_docs, avgdl, lexicon = read_bm25_index(spark, sf_dir)
     bm = bm25(
         postings, docstats, n_docs, "spark vector stream",
-        field_weights={"text": 1.0}, avgdl_by_field=avgdl,
+        field_weights={"text": 1.0}, avgdl_by_field=avgdl, dfreq=lexicon,
     ).select(F.col("unique_id").cast("bigint").alias("doc_id"), "bm25_score")
     # top-50 pre-cut FIRST (compiles to TakeOrderedAndProject — a
     # distributed partial top-k, no shuffle-everything), THEN the rank
@@ -898,7 +948,7 @@ def query_term_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_dbt_spark.operators.search import bm25_batch
 
-    postings, docstats, n_docs, avgdl = read_bm25_index(spark, sf_dir)
+    postings, docstats, n_docs, avgdl, lexicon = read_bm25_index(spark, sf_dir)
     out = bm25_batch(
         postings, docstats, n_docs,
         {
@@ -908,6 +958,7 @@ def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         field_weights={"text": 1.0},
         avgdl_by_field=avgdl,
+        dfreq=lexicon,
     )
     # rank AFTER casting the id: the oracle tie-breaks (raw DESC, doc_id
     # BIGINT); ranking on the string unique_id would order '100' < '99'

@@ -343,9 +343,38 @@ def main() -> None:
     # query catches the stall; min-of-2 is the same de-noising the
     # scale sweep has always used. The cold number stays single-sample
     # for continuity with BENCH_r01-r08.
+    #
+    # Round 11 (VERDICT r10 item 2 — make contention visible): a FIXED
+    # reference probe (tiny all-core shuffle-free job, identical every
+    # time) runs before each query and per-query host load is recorded.
+    # A probe run that drifts >3x above the session's probe MEDIAN and
+    # past an absolute 0.5 s floor marks that query's window contended
+    # (median not min — normal JIT/GC jitter spans 3x of the session's
+    # best probe even on an idle host, and round 10's real stalls were
+    # multi-second, far past both gates); any contended window flips
+    # the one-line JSON's `contended` flag, so a stalled session can be
+    # attributed in one read instead of vetoing the round (round 10's
+    # geomean 0.816 came from exactly such a window). Additions-only:
+    # the timed action, run count and warm=min-of-2 are unchanged.
+    probe_df = spark.range(1 << 22)  # fixed-size, scan+sum only
+
+    def _probe_sec() -> float:
+        t0 = time.perf_counter()
+        probe_df.selectExpr("sum(id * 3 + 1)").collect()
+        return time.perf_counter() - t0
+
+    _probe_sec(), _probe_sec()  # JIT/codegen warm, twice: probe 1 of
+    # the loop should measure the host, not leftover compilation
     times: dict[str, dict[str, float]] = {}
+    probes: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
+        probes[name] = round(_probe_sec(), 4)
+        try:
+            loads[name] = round(os.getloadavg()[0], 2)
+        except OSError:  # pragma: no cover - non-unix
+            loads[name] = None
         per_run = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -353,6 +382,13 @@ def main() -> None:
             df.count()
             per_run.append(round(time.perf_counter() - t0, 3))
         times[name] = {"cold": per_run[0], "warm": min(per_run[1:])}
+    _sorted_probes = sorted(probes.values())
+    probe_median = _sorted_probes[len(_sorted_probes) // 2]
+    probe_floor = min(_sorted_probes)
+    contended_cut = max(3.0 * probe_median, 0.5)
+    contended_queries = sorted(
+        n for n, p in probes.items() if p > contended_cut
+    )
 
     latency = latency_section(spark)
 
@@ -394,6 +430,12 @@ def main() -> None:
         "total_warm": total_warm,
         "sf": sf,
         "host_load_1m": load_1m,
+        "probe_sec": probes,
+        "probe_floor": round(probe_floor, 4),
+        "probe_median": round(probe_median, 4),
+        "contended_cut": round(contended_cut, 4),
+        "load_1m_per_query": loads,
+        "contended_queries": contended_queries,
         "interactive_latency": latency,
         "behavioral": behavioral,
     }
@@ -410,6 +452,8 @@ def main() -> None:
                 "total_warm": total_warm,
                 "sf": sf,
                 "host_load_1m": load_1m,
+                "contended": bool(contended_queries),
+                "n_contended": len(contended_queries),
                 "target_misses": latency.get("target_misses"),
                 "detail": "BENCH_DETAIL.json",
             },
