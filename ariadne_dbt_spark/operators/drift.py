@@ -75,14 +75,30 @@ def quantile_edges(df: DataFrame, col: str, *, bins: int = 10) -> list[float]:
     the column in one aggregation buffer (the known 100x scale-killer;
     same fix corpus_report_card and ccnet_perplexity_buckets carry).
     Here: one groupBy(value) count with map-side combine, a cumulative
-    window over DISTINCT values only, and per-edge rank cutoffs as
+    sum over DISTINCT values only, and per-edge rank cutoffs as
     conditional mins in a single tiny aggregate. The interpolation
     reproduces Spark's ``Percentile`` formula bit-for-bit
     (``lo·(k1-r) + hi·(r-k0)`` at rank ``r = p·(n-1)``), which is what
-    the DuckDB ``quantile_cont`` oracles were verified against. Best
-    for discrete/rounded columns (PSI inputs here are int lengths);
-    continuous columns degrade to a large-but-spillable single-order
-    pass rather than one unbounded in-memory buffer."""
+    the DuckDB ``quantile_cont`` oracles were verified against.
+
+    Round 11: the cumulative sum is TWO-LEVEL distributed — the round-
+    10 shape ran ``Window.orderBy`` with no partition, a single-
+    partition pass over every distinct value (fine for int-length
+    histograms, a scale-killer for a continuous column). Now the
+    histogram is range-partitioned on the value, each partition
+    cumulates independently under a per-partition window, and the
+    cross-partition prefix is a tiny per-partition-total collect
+    turned into a literal offset map — the textbook parallel prefix
+    sum. No single task ever sees more than its value range. The
+    range-partition count derives from the INPUT's optimizer size
+    estimate (guide §2 — scale-adaptive, not a constant): one
+    partition per ``SPARK_GRAFT_QE_PART_BYTES`` (64 MB default) of
+    input, capped at the session parallelism — a small input keeps
+    npart=1 and pays zero extra jobs (the range sample and the prefix
+    collect only exist when there is something to distribute), a
+    100 TB column fans out to every core."""
+    import os as _os
+
     from pyspark.sql.window import Window
 
     probs = [i / bins for i in range(1, bins)]
@@ -91,23 +107,91 @@ def quantile_edges(df: DataFrame, col: str, *, bins: int = 10) -> list[float]:
         .groupBy(F.col(col).alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "_v",
-        F.sum("_c").over(wv).alias("_cum"),
-        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    part_bytes = int(
+        _os.environ.get("SPARK_GRAFT_QE_PART_BYTES", str(64 * 1024 * 1024))
     )
-    aggs = [F.max("_n").alias("_n")]
-    for i, p in enumerate(probs):
-        rank = F.lit(p) * (F.col("_n") - 1).cast("double")
-        aggs.append(
-            F.min(F.when(F.col("_cum") >= F.floor(rank) + 1, F.col("_v"))).alias(f"_lo{i}")
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # estimate unavailable: assume big (the safe side)
+        est = part_bytes * df.sparkSession.sparkContext.defaultParallelism
+    npart = max(
+        1,
+        min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            est // part_bytes,
+        ),
+    )
+    if npart > 1:
+        ranged = hist.repartitionByRange(npart, "_v").withColumn(
+            "_pid", F.spark_partition_id()
         )
-        aggs.append(
-            F.min(F.when(F.col("_cum") >= F.ceil(rank) + 1, F.col("_v"))).alias(f"_hi{i}")
+        ranged = ranged.persist()
+        try:
+            partials = {
+                r["_pid"]: r["_t"]
+                for r in ranged.groupBy("_pid")
+                .agg(F.sum("_c").alias("_t"))
+                .collect()
+            }
+            n = int(sum(partials.values()))
+            if n == 0:
+                return [float("nan")] * len(probs)
+            offset = 0
+            off_expr = F.lit(0)
+            for pid in sorted(partials):
+                off_expr = F.when(F.col("_pid") == pid, F.lit(offset)).otherwise(
+                    off_expr
+                )
+                offset += partials[pid]
+            wv = (
+                Window.partitionBy("_pid")
+                .orderBy("_v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            cum = ranged.select(
+                "_v", (F.sum("_c").over(wv) + off_expr).alias("_cum")
+            )
+            aggs = []
+            for i, p in enumerate(probs):
+                rank = p * (n - 1)
+                aggs.append(
+                    F.min(
+                        F.when(F.col("_cum") >= int(rank // 1) + 1, F.col("_v"))
+                    ).alias(f"_lo{i}")
+                )
+                aggs.append(
+                    F.min(
+                        F.when(F.col("_cum") >= int(-(-rank // 1)) + 1, F.col("_v"))
+                    ).alias(f"_hi{i}")
+                )
+            row = cum.agg(*aggs).first()
+        finally:
+            ranged.unpersist()
+    else:
+        # small input: the single-partition cumulative IS the cheap
+        # plan (one job, no range sample, no prefix collect) — n rides
+        # the same pass as a global sum
+        wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select(
+            "_v",
+            F.sum("_c").over(wv).alias("_cum"),
+            F.sum("_c").over(Window.partitionBy()).alias("_n"),
         )
-    row = cum.agg(*aggs).first()
-    n = int(row["_n"])
+        aggs = [F.max("_n").alias("_n")]
+        for i, p in enumerate(probs):
+            rank = F.lit(p) * (F.col("_n") - 1).cast("double")
+            aggs.append(
+                F.min(
+                    F.when(F.col("_cum") >= F.floor(rank) + 1, F.col("_v"))
+                ).alias(f"_lo{i}")
+            )
+            aggs.append(
+                F.min(
+                    F.when(F.col("_cum") >= F.ceil(rank) + 1, F.col("_v"))
+                ).alias(f"_hi{i}")
+            )
+        row = cum.agg(*aggs).first()
+        n = int(row["_n"])
     edges = []
     for i, p in enumerate(probs):
         r = p * (n - 1)

@@ -171,21 +171,60 @@ def build_agg_view(
     join semantics would silently never match a NULL group."""
     _validate(measures)
     base = read_table(spark, table_dir)
-    null_groups = base.where(
+    # the NULL-group-key guard rides the aggregation pass itself
+    # (round 11, guide §1): a dedicated `.count()` paid a SECOND full
+    # base-table scan per build — at 100 TB that doubles the build's
+    # IO. A CollectMetrics node under the groupBy counts NULL keys on
+    # the same rows the aggregate reads; on violation the just-written
+    # view dir is removed and the build raises exactly as before (the
+    # guard is a refusal, not a result — trading "refuse before any
+    # write" for "refuse after a discarded write" halves the scan cost
+    # of every accepted build).
+    from pyspark.sql import Observation
+
+    null_key = (
         F.greatest(*[F.col(c).isNull() for c in group_by])
         if len(group_by) > 1
         else F.col(group_by[0]).isNull()
-    ).count()
+    )
+    obs = Observation()
+    base_obs = base.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.when(null_key, 1).otherwise(0)), F.lit(0)
+        ).alias("nulls"),
+    )
+    stored, _derived = _storage_measures(measures)
+    view = base_obs.groupBy(*group_by).agg(
+        *_measure_exprs(stored), F.count(F.lit(1)).alias(_ROWS_COL)
+    )
+    dest = write_table(spark, view, view_dir)
+    # n_groups from the just-committed file-stats manifest (driver
+    # metadata): a .count() here re-ran the whole base aggregation as a
+    # second job per build (round 10)
+    from ariadne_dbt_spark.operators.table_store import _load_manifest
+
+    man = _load_manifest(dest)
+    if man is not None and all(isinstance(e.get("rows"), int) for e in man.values()):
+        n_groups = sum(e["rows"] for e in man.values())
+    else:  # manifest is best-effort; fall back to the old job
+        n_groups = view.count()
+    if n_groups == 0:
+        # empty base ⇒ empty view ⇒ no NULL keys; also the one case
+        # where the optimizer folds a statically-empty plan down to
+        # nothing and the CollectMetrics row never materializes, so
+        # obs.get must not be consulted
+        null_groups = 0
+    else:
+        null_groups = int(obs.get["nulls"] or 0)
     if null_groups:
+        import shutil as _sh
+
+        _sh.rmtree(view_dir, ignore_errors=True)
         raise ValueError(
             f"{null_groups} base rows carry NULL in {group_by}; NULL group "
             f"keys cannot be merge-maintained — filter or coalesce them first"
         )
-    stored, _derived = _storage_measures(measures)
-    view = base.groupBy(*group_by).agg(
-        *_measure_exprs(stored), F.count(F.lit(1)).alias(_ROWS_COL)
-    )
-    dest = write_table(spark, view, view_dir)
     meta = {
         "table_dir": os.path.abspath(table_dir),
         "row_keys": list(row_keys),
@@ -195,16 +234,6 @@ def build_agg_view(
         "view_epoch": read_epoch(view_dir),
     }
     _atomic_write_json(_meta_path(view_dir), meta)
-    # n_groups from the just-committed file-stats manifest (driver
-    # metadata): a .count() here re-ran the whole base aggregation as a
-    # second job per build (round 10)
-    from ariadne_dbt_spark.operators.table_store import _load_manifest
-
-    man = _load_manifest(dest)
-    if man and all(isinstance(e.get("rows"), int) for e in man.values()):
-        n_groups = sum(e["rows"] for e in man.values())
-    else:  # manifest is best-effort; fall back to the old job
-        n_groups = view.count()
     return {"view_dir": view_dir, **meta, "n_groups": n_groups}
 
 
@@ -303,13 +332,34 @@ def refresh_agg_view(
     deltas = cdf.groupBy(*group_by).agg(*_delta_exprs(stored, sign), row_delta)
     deltas = deltas.persist()
     try:
-        view = read_table(spark, view_dir)
-        # deltas ⟕ view: affected groups only — the view side is read
-        # through its manifest and joined on the (clustered) group key.
-        # NULL group keys ride through the left join unmatched, so the
-        # null-key guard folds into the same single stats aggregate as
-        # the negative-row and dead-group counts below (one job where
-        # three .count() actions each paid a full job per refresh).
+        from ariadne_dbt_spark.operators.table_store import (
+            MERGE_PRUNE_MAX_KEYS,
+            read_table_for_keys,
+        )
+
+        cap = MERGE_PRUNE_MAX_KEYS
+        # ONE bounded collect of the delta group keys (round 11): the
+        # fold touches only the churn's groups, so NULL group keys are
+        # gated before any view IO and the view side of the fold is
+        # read through the merge's own footer/manifest prune —
+        # O(touched files), never the O(view) full scan the plain
+        # read_table join paid. Keep the view OPTIMIZEd on the group
+        # key (auto_optimize below does) and the fold tracks churn,
+        # not view size. Past the cap, the old full-scan path runs
+        # unchanged — the validity stats must see every group.
+        dkeys = deltas.select(*group_by).limit(cap + 1).collect()
+        small = len(dkeys) <= cap
+        if small and any(any(r[c] is None for c in group_by) for r in dkeys):
+            return rebuild("changed rows carry NULL group keys")
+        if small:
+            view = read_table_for_keys(
+                spark, view_dir, group_by[0], [r[group_by[0]] for r in dkeys]
+            )
+        else:
+            view = read_table(spark, view_dir)
+        # deltas ⟕ view: affected groups only — pruned files on the
+        # small path, manifest-read on the fallback, joined on the
+        # (clustered) group key either way.
         d = deltas.alias("d")
         v = view.alias("v")
         joined = d.join(v, group_by, "left")
@@ -325,23 +375,42 @@ def refresh_agg_view(
                 F.coalesce(F.col(f"v.{_ROWS_COL}"), F.lit(0)) + F.col(f"d.{_ROWS_COL}")
             ).alias(_ROWS_COL),
         ).persist()
-        null_key = (
-            F.greatest(*[F.col(c).isNull() for c in group_by])
-            if len(group_by) > 1
-            else F.col(group_by[0]).isNull()
-        )
-        stats = folded.agg(
-            F.count(F.when(null_key, 1)).alias("nulls"),
-            F.count(F.when(F.col(_ROWS_COL) < 0, 1)).alias("bad"),
-            F.count(F.when(F.col(_ROWS_COL) == 0, 1)).alias("dead"),
-        ).collect()[0]
-        if stats["nulls"] or stats["bad"]:
+        # Validate the fold and pre-compute the view merge's key probe
+        # (round 11): on the small path the folded rows are the delta
+        # groups joined against a handful of pruned files — collecting
+        # (group keys, _rows) yields the negative-row / dead-group
+        # checks in plain Python plus the exact distinct-key list the
+        # merge would otherwise re-derive with its own probe job.
+        key_stats = None
+        if small:
+            head = folded.select(*group_by, _ROWS_COL).collect()
+            n_null = 0  # gated on dkeys before any view IO
+            n_bad = sum(1 for r in head if r[_ROWS_COL] < 0)
+            n_dead = sum(1 for r in head if r[_ROWS_COL] == 0)
+            key_stats = {
+                "keys0": [
+                    r[group_by[0]] for r in head if r[group_by[0]] is not None
+                ],
+                "n_rows": len(head),
+            }
+        else:
+            null_key = (
+                F.greatest(*[F.col(c).isNull() for c in group_by])
+                if len(group_by) > 1
+                else F.col(group_by[0]).isNull()
+            )
+            stats = folded.agg(
+                F.count(F.when(null_key, 1)).alias("nulls"),
+                F.count(F.when(F.col(_ROWS_COL) < 0, 1)).alias("bad"),
+                F.count(F.when(F.col(_ROWS_COL) == 0, 1)).alias("dead"),
+            ).collect()[0]
+            n_null, n_bad, n_dead = stats["nulls"], stats["bad"], stats["dead"]
+        if n_null or n_bad:
             folded.unpersist()
-            if stats["nulls"]:
+            if n_null:
                 return rebuild("changed rows carry NULL group keys")
-            return rebuild(f"{stats['bad']} groups folded to negative row counts")
+            return rebuild(f"{n_bad} groups folded to negative row counts")
 
-        n_dead = stats["dead"]
         # ONE fused merge (round 10): live groups upsert and dead
         # groups delete in the same epoch flip via
         # source_delete_condition — the old live-merge + delete_keys
@@ -354,6 +423,7 @@ def refresh_agg_view(
             group_by,
             source_delete_condition=F.col(_ROWS_COL) == 0,
             retention_sec=retention_sec,
+            source_key_stats=key_stats,
         )
         folded.unpersist()
     finally:

@@ -849,11 +849,21 @@ def table_changes_log(
             )
         cdir = os.path.join(d, _CHANGES_NAME)
         if os.path.isdir(cdir):
-            frames.append(
-                spark.read.parquet(cdir).withColumn(
-                    "_commit_epoch", F.lit(ep).cast("int")
+            # read through the epoch's persisted schema + _change_type
+            # (the exact shape _cow_commit wrote): schema inference
+            # paid one footer-listing job PER EPOCH in the range —
+            # driver metadata the commit already saved (round 11)
+            saved = _load_schema(d)
+            if saved is not None:
+                from pyspark.sql.types import StringType, StructField, StructType
+
+                ch_schema = StructType(
+                    list(saved.fields) + [StructField("_change_type", StringType())]
                 )
-            )
+                rd = spark.read.schema(ch_schema).parquet(cdir)
+            else:
+                rd = spark.read.parquet(cdir)
+            frames.append(rd.withColumn("_commit_epoch", F.lit(ep).cast("int")))
             continue
         op = _read_commit_marker(d)
         if op == "optimize":
@@ -927,23 +937,42 @@ def _cow_commit(
     staged = data_dir(table_dir, DATA_NAME, epoch + 1)
     attempt = f"{staged}.attempt-{_uuid.uuid4().hex[:12]}"
     _gc_stale_attempts(table_dir)
+    changes_tmp = f"{attempt}.changes" if changes is not None else None
     try:
         writer = merged.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
-        writer.parquet(attempt)
+        if changes is None:
+            writer.parquet(attempt)
+        else:
+            # the epoch's CHANGE LOG rides inside its own dir: the
+            # rename below commits data + log atomically, and Spark's
+            # `_` listing convention keeps it out of table reads.
+            # The log and the data derive from the SAME persisted
+            # tdf/src frames, so the two writes are independent jobs —
+            # submit both at once (guide §2.6) and the log write
+            # back-fills cores the data write's tail leaves idle,
+            # instead of paying two sequential job latencies per CDF
+            # commit. The log stages into a sibling attempt-unique dir
+            # (never inside `attempt`: the data write's own overwrite
+            # would race it) and renames in after both land; the
+            # sibling carries `.attempt-` in its name so a crashed
+            # writer's leftover is swept by _gc_stale_attempts.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_data = pool.submit(lambda: writer.parquet(attempt))
+                f_log = pool.submit(
+                    lambda: changes.write.mode("overwrite").parquet(changes_tmp)
+                )
+                f_data.result()
+                f_log.result()
+            os.rename(changes_tmp, os.path.join(attempt, _CHANGES_NAME))
         _carry_files(carried, live, attempt)
         _scrub_retired_stamp(attempt)
         _save_schema(attempt, merged.schema)
         _save_manifest(attempt, live)
         _save_commit_marker(attempt, op)
-        if changes is not None:
-            # the epoch's CHANGE LOG rides inside its own dir: the
-            # rename below commits data + log atomically, and Spark's
-            # `_` listing convention keeps it out of table reads
-            changes.write.mode("overwrite").parquet(
-                os.path.join(attempt, _CHANGES_NAME)
-            )
 
         with commit_lock(table_dir):
             now = read_epoch(table_dir)
@@ -960,6 +989,8 @@ def _cow_commit(
             commit_epoch(table_dir, epoch + 1)
     except BaseException:
         _sh.rmtree(attempt, ignore_errors=True)
+        if changes_tmp is not None:
+            _sh.rmtree(changes_tmp, ignore_errors=True)
         raise
     sweep_stale_epochs(table_dir, [DATA_NAME], epoch + 1, retention_sec=retention_sec)
     return epoch + 1
@@ -987,6 +1018,57 @@ def _touched_by_predicate(
     return touched, carried
 
 
+def read_table_for_keys(
+    spark: SparkSession, table_dir: str, key0: str, k0_vals
+) -> DataFrame:
+    """Read the live epoch PRUNED to the files whose ``key0`` stats may
+    contain any of ``k0_vals`` — :func:`merge_table`'s footer/manifest
+    prune exposed as a read. The contract is the prune's: every row
+    whose ``key0`` is in ``k0_vals`` is returned (pruning is
+    conservative — missing stats mark a file touched), but rows with
+    OTHER keys from the same files ride along, so callers must join or
+    filter. This is what makes a key-driven read-modify-write cycle
+    (the incremental-view fold) O(touched files) instead of O(table):
+    keep the table clustered on ``key0`` and the read tracks the keys,
+    not the table size."""
+    epoch = read_epoch(table_dir)
+    live = data_dir(table_dir, DATA_NAME, epoch)
+    if not os.path.isdir(live):
+        raise FileNotFoundError(f"no table data at {live}")
+    files = _walk_parquet(live)
+    pcols = _partition_cols(live, files)
+    src_keys = sorted({v for v in k0_vals if v is not None})
+    bounds_fn = None
+    manifest = _load_manifest(live)
+    if manifest is not None and key0 not in pcols:
+        bounds_fn = _manifest_bounds_fn(live, manifest, key0)
+    if key0 in pcols and src_keys:
+        sample = src_keys[0]
+
+        def bounds_fn(f, _s=sample):  # noqa: E306
+            raw = _path_key_value(f, live, key0)
+            v = _coerce_partition_value(raw, _s)
+            return None if v is None else (v, v)
+
+    touched, _carried = _prune_touched(
+        files,
+        key0,
+        src_keys or None,
+        src_keys[0] if src_keys else None,
+        src_keys[-1] if src_keys else None,
+        bounds_fn,
+    )
+    schema = _load_schema(live)
+    if schema is None:
+        schema = _read_epoch_dir(spark, live).schema
+    if not touched:
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema)
+    if pcols:
+        reader = reader.option("basePath", live)
+    return reader.parquet(*touched)
+
+
 def merge_table(
     spark: SparkSession,
     table_dir: str,
@@ -1001,6 +1083,7 @@ def merge_table(
     merge_schema: bool = False,
     retention_sec: float = 0.0,
     prune_max_keys: int = MERGE_PRUNE_MAX_KEYS,
+    source_key_stats: dict | None = None,
 ) -> dict:
     """Row-level MERGE INTO the managed table — Delta's upsert/delete
     primitive, as a copy-on-write epoch flip whose cost is
@@ -1076,6 +1159,13 @@ def merge_table(
     delete removes all N. The source is persisted for the duration (it
     is traversed several times) and unpersisted before returning.
 
+    ``source_key_stats`` lets a caller that already holds the source's
+    distinct keys driver-side (e.g. the incremental-view refresh, which
+    collects its per-group delta rows to validate the fold anyway) skip
+    this commit's own probe job: ``{"keys0": [...], "n_rows": n}`` with
+    the probe's contract — keys0 is every distinct non-NULL ``keys[0]``
+    value and ``keys`` are unique per source row.
+
     ``merge_schema=True`` (Delta's ``mergeSchema``) lets the source ADD
     columns: the table schema widens, touched files are rewritten with
     the new column, and CARRIED files stay hard-linked untouched —
@@ -1141,6 +1231,23 @@ def merge_table(
     try:
         key0 = keys[0]
         kdf = src.select(*keys).distinct()
+        if source_key_stats is not None:
+            # caller-supplied probe result (round 11): a caller that
+            # already holds the source's distinct keys driver-side —
+            # the incremental-view refresh collects its per-group
+            # delta rows anyway to validate the fold — passes
+            # ``{"keys0": [non-null key0 values], "n_rows": int}``
+            # and this commit skips its own probe job entirely. The
+            # CONTRACT is the probe's: keys0 covers every distinct
+            # non-NULL key0 in the source and (keys) are unique per
+            # source row; a wrong hint mis-prunes, so only callers
+            # that derived the list from the source itself may pass it.
+            n_src = int(source_key_stats["n_rows"])
+            n_keys = n_src
+            k0_vals = list(source_key_stats["keys0"])
+            src_keys = sorted(set(k0_vals))
+            src_lo = min(k0_vals) if k0_vals else None
+            src_hi = max(k0_vals) if k0_vals else None
         # ONE bounded action for source stats + prune keys (round 10):
         # collect the per-key grouped counts LIMITed to the prune cap —
         # when the source fits (the incremental-batch contract), that
@@ -1152,12 +1259,16 @@ def merge_table(
         # ``prune_max_keys`` pays a second (stats-only) aggregate and
         # skips per-key pruning, exactly as before.
         krows = (
-            src.groupBy(*keys)
+            None
+            if source_key_stats is not None
+            else src.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_c"))
             .limit(prune_max_keys + 1)
             .collect()
         )
-        if len(krows) <= prune_max_keys:
+        if krows is None:
+            pass  # probe supplied by the caller above
+        elif len(krows) <= prune_max_keys:
             n_keys = len(krows)
             n_src = sum(r["_c"] for r in krows)
             if any(r["_c"] > 1 for r in krows):
@@ -1211,6 +1322,18 @@ def merge_table(
                 files, key0, src_keys, src_lo, src_hi, bounds_fn
             )
 
+        # deliberate join strategy (guide §3.1, round 11): when the
+        # probe proved the source small (≤ prune_max_keys distinct
+        # keys — the incremental-batch contract), every join that
+        # builds on the SOURCE side gets an explicit broadcast hint.
+        # The target side can be arbitrarily large at 100 TB, so AQE
+        # would reach the same join only after materializing a shuffle
+        # exchange per side per join — for a micro-batch commit that
+        # is most of the commit's jobs. Joins that would build on the
+        # TARGET side (source left-anti target for inserts) are left
+        # to the planner: tdf's size is unbounded.
+        bc = F.broadcast if src_keys is not None else (lambda df: df)
+
         if touched:
             reader = spark.read.schema(target_schema)
             if pcols:
@@ -1255,9 +1378,9 @@ def merge_table(
                 else when_matched_condition
             )
             on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
-            pairs = tdf.alias("t").join(src.alias("s"), on, "inner")
+            pairs = tdf.alias("t").join(bc(src).alias("s"), on, "inner")
             won = F.coalesce(cond, F.lit(False))
-            unmatched_tgt = tdf.join(kdf, keys, "left_anti")
+            unmatched_tgt = tdf.join(bc(kdf), keys, "left_anti")
             t_keep = pairs.where(~won).select("t.*")
             if when_not_matched_by_source is None:
                 t_keep = unmatched_tgt.unionByName(t_keep)
@@ -1276,14 +1399,14 @@ def merge_table(
             # rows for one matched key has all N updated/deleted — never
             # collapsed to one (round-9 advice)
             if count_job_needed and when_matched is not None:
-                cnt_parts.append(_tag(tdf.join(kdf, keys, "left_semi"), "applied"))
+                cnt_parts.append(_tag(tdf.join(bc(kdf), keys, "left_semi"), "applied"))
             if when_not_matched_by_source is None:
-                t_keep = tdf if when_matched is None else tdf.join(kdf, keys, "left_anti")
+                t_keep = tdf if when_matched is None else tdf.join(bc(kdf), keys, "left_anti")
             else:
                 # unmatched-by-source target rows are deleted; what
                 # survives of the MATCHED rows depends on when_matched
                 t_keep = (
-                    tdf.join(kdf, keys, "left_semi")
+                    tdf.join(bc(kdf), keys, "left_semi")
                     if when_matched is None
                     else tdf.limit(0)
                 )
@@ -1305,7 +1428,7 @@ def merge_table(
                 )
                 s_src = src.where(~F.coalesce(_dc, F.lit(False)))
             s_upd = (
-                tdf.select(*keys).join(s_src, keys, "inner")
+                tdf.select(*keys).join(bc(s_src), keys, "inner")
                 if when_matched == "update"
                 else None
             )
@@ -1339,7 +1462,7 @@ def merge_table(
         obs = None
         if count_job_needed:
             cnt_parts.append(_tag(tdf, "target"))
-            cnt_parts.append(_tag(tdf.join(kdf, keys, "left_semi"), "tmatched"))
+            cnt_parts.append(_tag(tdf.join(bc(kdf), keys, "left_semi"), "tmatched"))
             allc = cnt_parts[0]
             for pt in cnt_parts[1:]:
                 allc = allc.unionAll(pt)
@@ -1385,23 +1508,23 @@ def merge_table(
                 # the usual update pair
                 live_k = s_src.select(*keys).distinct()
                 dead_k = kdf.exceptAll(live_k)
-                parts.append(tag(tdf.join(live_k, keys, "left_semi"), "update_preimage"))
+                parts.append(tag(tdf.join(bc(live_k), keys, "left_semi"), "update_preimage"))
                 parts.append(
-                    tag(tdf.select(*keys).join(s_src, keys, "inner"), "update_postimage")
+                    tag(tdf.select(*keys).join(bc(s_src), keys, "inner"), "update_postimage")
                 )
-                parts.append(tag(tdf.join(dead_k, keys, "left_semi"), "delete"))
+                parts.append(tag(tdf.join(bc(dead_k), keys, "left_semi"), "delete"))
             elif when_matched == "update":
-                parts.append(tag(tdf.join(kdf, keys, "left_semi"), "update_preimage"))
+                parts.append(tag(tdf.join(bc(kdf), keys, "left_semi"), "update_preimage"))
                 parts.append(
-                    tag(tdf.select(*keys).join(src, keys, "inner"), "update_postimage")
+                    tag(tdf.select(*keys).join(bc(src), keys, "inner"), "update_postimage")
                 )
             elif when_matched == "delete":
-                parts.append(tag(tdf.join(kdf, keys, "left_semi"), "delete"))
+                parts.append(tag(tdf.join(bc(kdf), keys, "left_semi"), "delete"))
             if when_not_matched == "insert":
                 src_ins = src if source_delete_condition is None else s_src
                 parts.append(tag(src_ins.join(tkeys, keys, "left_anti"), "insert"))
             if when_not_matched_by_source is not None:
-                parts.append(tag(tdf.join(kdf, keys, "left_anti"), "delete"))
+                parts.append(tag(tdf.join(bc(kdf), keys, "left_anti"), "delete"))
             changes = parts[0] if parts else tag(tdf, "x").limit(0)
             for pt in parts[1:]:
                 changes = changes.unionByName(pt)

@@ -114,3 +114,24 @@ def test_block_pack_concatenation_order_matches_shuffle(spark):
             d = order[(shard, pos)]
             expected += [f"a{d}", f"b{d}", f"c{d}", "<eos>"]
         assert r["block_text"].split(" ") == expected
+
+
+def test_quantile_edges_distributed_path_matches_single(spark, monkeypatch):
+    """The round-11 two-level distributed cumulative (range partitions +
+    prefix offsets) must reproduce the single-window path bit-for-bit —
+    the path choice is a size heuristic, never a semantics change."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(0, 999)) for i in range(5000)]
+    # duplicates + skew so cut ranks straddle partition boundaries
+    rows += [(100000 + i, 42) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, x bigint")
+    single = quantile_edges(df, "x", bins=10)
+    # force the distributed path: 1-byte partitions => npart = cores
+    monkeypatch.setenv("SPARK_GRAFT_QE_PART_BYTES", "1")
+    dist = quantile_edges(df, "x", bins=10)
+    assert dist == single  # exact equality, not approx
+    monkeypatch.setenv("SPARK_GRAFT_QE_PART_BYTES", str(1 << 60))
+    forced_single = quantile_edges(df, "x", bins=10)
+    assert forced_single == single
