@@ -708,6 +708,20 @@ def _load_manifest(epoch_dir: str) -> dict | None:
         return None
 
 
+def _counts_via_observe(spark: SparkSession) -> bool:
+    """Whether DML report counts may ride the staged write's
+    ``DataFrame.observe`` metrics. CollectMetrics is exactly-once per
+    task only when no task runs twice successfully — speculative
+    execution launches duplicate attempts whose metric updates can both
+    land, silently overcounting the report. With ``spark.speculation``
+    on, every DML path must fall back to its dedicated counting job
+    (the pre-observe shape): correct counts beat the saved job."""
+    try:
+        return spark.conf.get("spark.speculation", "false").lower() != "true"
+    except Exception:  # conf unreadable: assume the risky side
+        return False
+
+
 def _rows_total(live: str, files: list[str], manifest: dict | None) -> int:
     """Total row count of ``files`` from the committed manifest, falling
     back to a footer ``num_rows`` read per manifest-missed file — driver
@@ -1477,6 +1491,26 @@ def merge_table(
             n_deleted = (n_applied if when_matched == "delete" else 0) + n_reaped
             n_inserted = (n_src - n_matched) if when_not_matched == "insert" else 0
             merged = merged.drop("_mtag")
+        elif not _counts_via_observe(spark):
+            # speculation on: duplicate successful task attempts can
+            # double-land CollectMetrics updates, so pay one dedicated
+            # job over the SAME clause tags the observation would sum —
+            # bit-identical semantics, exactly-once by Spark's action
+            # guarantee
+            tagc = {
+                r["_mtag"]: r["n"]
+                for r in merged.groupBy("_mtag")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_updated = tagc.get("u", 0) if when_matched == "update" else 0
+            n_inserted = tagc.get("i", 0)
+            n_deleted = (
+                touched_total - tagc.get("k", 0) - tagc.get("u", 0)
+                if touched_total is not None
+                else 0
+            )
+            merged = merged.drop("_mtag")
         else:
             from pyspark.sql import Observation
 
@@ -1679,14 +1713,19 @@ def _rewrite_where(
         # the hit count rides ON the staged write via a CollectMetrics
         # node over the pre-rewrite rows (round 10): a dedicated
         # .count() action paid a full job per DML commit for a number
-        # the write's own row flow already knows
-        obs = Observation()
-        tdf_obs = tdf.observe(
-            obs,
-            F.coalesce(
-                F.sum(F.when(hit, 1).otherwise(0)), F.lit(0)
-            ).alias("n_hit"),
-        )
+        # the write's own row flow already knows. With speculation on,
+        # CollectMetrics can double-count duplicate attempts — pay the
+        # old dedicated job instead (_counts_via_observe).
+        obs = None
+        tdf_obs = tdf
+        if _counts_via_observe(spark):
+            obs = Observation()
+            tdf_obs = tdf.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(hit, 1).otherwise(0)), F.lit(0)
+                ).alias("n_hit"),
+            )
         tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
         cdf_on = _change_feed_enabled(table_dir)
         changes = None
@@ -1724,7 +1763,11 @@ def _rewrite_where(
             spark, table_dir, epoch, live, merged, carried, pcols, retention_sec,
             op, changes=changes,
         )
-        n_hit = int(obs.get["n_hit"])
+        n_hit = (
+            int(obs.get["n_hit"])
+            if obs is not None
+            else tdf.where(hit).count()
+        )
     finally:
         tdf.unpersist()
     return {

@@ -117,7 +117,9 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
     # Spark's AVG over the same rows.
     from pyspark.sql import Observation
 
-    obs = Observation()
+    from ariadne_dbt_spark.operators.table_store import _counts_via_observe
+
+    obs = Observation() if _counts_via_observe(spark) else None
     written = spark.read.parquet(os.path.join(out, "postings"))
     docstats = written.groupBy("unique_id", "field").agg(F.sum("tf").alias("dl"))
     aggs = []
@@ -128,7 +130,12 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
         )
 
     def _write_docstats() -> None:
-        docstats.observe(obs, *aggs).coalesce(1).write.mode("overwrite").parquet(
+        # avgdl rides the write as CollectMetrics only when speculation
+        # is off — duplicate successful attempts would skew the sums
+        # (same rule as table_store's DML counts); with speculation on,
+        # a dedicated aggregate job below recomputes them exactly
+        d = docstats if obs is None else docstats.observe(obs, *aggs)
+        d.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, "docstats")
         )
 
@@ -156,7 +163,12 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -
         futs = [pool.submit(_write_docstats), pool.submit(_write_lexicon)]
         for fut in futs:
             fut.result()
-    m = obs.get
+    if obs is not None:
+        m = obs.get
+    else:  # speculation on: exact recompute over the written docstats
+        m = (
+            spark.read.parquet(os.path.join(out, "docstats")).agg(*aggs).collect()[0]
+        )
     avgdl = {
         f_: (m[f"_s_{f_}"] / m[f"_c_{f_}"]) for f_ in fields if m[f"_c_{f_}"]
     }

@@ -103,3 +103,27 @@ def test_built_index_lexicon_matches_postings(spark, tmp_path, monkeypatch):
     with open(os.path.join(out, "_BUILT")) as f:
         meta = json.load(f)
     assert meta["n_docs"] == 4
+
+
+def test_index_build_avgdl_identical_without_observe(spark, tmp_path, monkeypatch):
+    """The speculation fallback (dedicated avgdl aggregate instead of
+    the write-riding observation) must produce the identical _BUILT
+    metadata."""
+    import json
+    import shutil
+
+    from ariadne_dbt_spark.workloads import text_search as tsw
+
+    def build(sf_dir):
+        out = tsw.build_bm25_index(spark, sf_dir, force=True)
+        with open(os.path.join(out, "_BUILT")) as f:
+            return json.load(f)
+
+    sf_dir = "/root/testdata/sf0.001"
+    with_obs = build(sf_dir)
+    from ariadne_dbt_spark.operators import table_store as ts
+
+    monkeypatch.setattr(ts, "_counts_via_observe", lambda _s: False)
+    without_obs = build(sf_dir)
+    assert with_obs == without_obs
+    assert with_obs["avgdl"]  # non-trivial metadata

@@ -297,3 +297,55 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     out = vacuum_table(tdir, retention_sec=86400.0, dry_run=True)
     assert not any(c["would_delete"] for c in out["candidates"])
     assert len(table_history(tdir)) == n_before
+
+
+def test_dml_counts_identical_with_and_without_observe(spark, tmp_path, monkeypatch):
+    """Run the SAME lifecycle on two identical tables, one with the
+    observe path and one with the speculation fallback — every reported
+    count must match exactly."""
+    from ariadne_dbt_spark.operators import table_store as ts
+
+    def lifecycle(tdir):
+        ts.write_table(
+            spark,
+            spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long"),
+            tdir,
+        )
+        ts.enable_change_feed(tdir)
+        reps = []
+        reps.append(
+            ts.merge_table(
+                spark,
+                tdir,
+                spark.createDataFrame(
+                    [(5, 555), (19, 999), (100, 1), (101, 2)], "k long, v long"
+                ),
+                ["k"],
+                retention_sec=3600,
+            )
+        )
+        reps.append(
+            ts.update_where(
+                spark, tdir, {"v": "v + 1"}, "k % 2 = 0", retention_sec=3600
+            )
+        )
+        reps.append(
+            ts.delete_keys(
+                spark,
+                tdir,
+                spark.createDataFrame([(100,), (4,)], "k long"),
+                ["k"],
+                retention_sec=3600,
+            )
+        )
+        return [
+            {k: r[k] for k in ("rows_updated", "rows_deleted", "rows_inserted") if k in r}
+            for r in reps
+        ]
+
+    with_obs = lifecycle(str(tmp_path / "a"))
+    monkeypatch.setattr(ts, "_counts_via_observe", lambda _s: False)
+    without_obs = lifecycle(str(tmp_path / "b"))
+    assert with_obs == without_obs
+    assert with_obs[0]["rows_updated"] == 2 and with_obs[0]["rows_inserted"] == 2
+    assert with_obs[2]["rows_deleted"] == 2
