@@ -420,7 +420,17 @@ def bloom_decontaminate(
     """
     from ariadne_dbt_spark.operators.dedup import shingle_sets
 
-    bsh = shingle_sets(bench, id_col, text_col, n).select("shingle").distinct()
+    # persisted: the benchmark shingle set feeds THREE consumers — the
+    # sizing count, the bitmap build, and the exact verify join — and
+    # without the persist each re-tokenized and re-shingled the bench
+    # corpus from scratch (round 11, guide §5: reuse beats recompute;
+    # the bench set is orders of magnitude smaller than the corpus, so
+    # MEMORY_AND_DISK-default persist is scale-safe). Left cached for
+    # the returned lazy frame's execution — the verify join is the last
+    # consumer and runs when the caller acts on the result.
+    bsh = (
+        shingle_sets(bench, id_col, text_col, n).select("shingle").distinct().persist()
+    )
     n_grams = bsh.count()
     bloom = bloom_build(bsh, "shingle", n_items=max(n_grams, 1), fpp=fpp, seed=seed)
 
