@@ -282,6 +282,27 @@ def load_bloom(path: str) -> BloomFilter:
     return BloomFilter(int(cfg["m_bits"]), int(cfg["k"]), int(cfg["seed"]), bits)
 
 
+def _parquet_dir_rows(path: str) -> int:
+    """Exact row count from parquet footers — driver metadata, no Spark
+    job. Sums per-file ``num_rows`` over the listing, skipping Spark's
+    ``_``/``.`` marker files (the multi-file-safe shape of
+    workloads/text_search._parquet_num_rows)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
+                continue
+            total += pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+    return total
+
+
 def build_decontamination_index(
     bench: DataFrame,
     out_dir: str,
@@ -316,8 +337,13 @@ def build_decontamination_index(
         os.remove(meta_path)  # invalidate readers before any rewrite
     bsh = shingle_sets(bench, id_col, text_col, n).select("shingle").distinct()
     bsh.write.mode("overwrite").parquet(os.path.join(out_dir, "shingles"))
-    written = bench.sparkSession.read.parquet(os.path.join(out_dir, "shingles"))
-    n_grams = written.count()
+    shingles_dir = os.path.join(out_dir, "shingles")
+    written = bench.sparkSession.read.parquet(shingles_dir)
+    # exact row count from the just-written parquet FOOTERS (round 11):
+    # driver metadata, zero Spark jobs — the old .count() re-scanned the
+    # shingle parquet once per build (same shape as
+    # workloads/text_search._parquet_num_rows)
+    n_grams = _parquet_dir_rows(shingles_dir)
     bloom = bloom_build(
         written, "shingle", n_items=max(n_grams, 1), fpp=fpp, seed=seed
     )
