@@ -375,25 +375,27 @@ def minhash_signatures(
     ``min`` aggregates (still one groupBy / one shuffle, map-side
     partial aggregation intact).
     """
-    params = F.array(
-        *[
-            F.array(F.lit(a).cast("long"), F.lit(b).cast("long"))
-            for a, b in _perm_params(num_perm)
-        ]
-    )
+    # expressions assembled as SQL strings, ONE F.expr per stage (round
+    # 11): the old Column-API construction issued hundreds of py4j
+    # round-trips (64 permutations x lit/cast/array/min each) and cost
+    # ~1.5-2 s of pure DRIVER time per call before any job ran — plan
+    # CONSTRUCTION, not execution, dominated this operator at bench
+    # scale (guide §7.3's planning-cost trap, py4j edition). Semantics
+    # identical: same pmod/xxhash64 arithmetic, same min-per-permutation
+    # aggregate, verified by the recall oracle + tests.
+    pairs_sql = ",".join(f"array({a}L,{b}L)" for a, b in _perm_params(num_perm))
     hashed = shingle_sets(df, id_col, text_col, n).select(
         "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)).alias("h")
     )
     sh = hashed.select(
         "id",
-        F.transform(
-            params, lambda p: F.pmod(F.col("h") * p[0] + p[1], F.lit(_MERSENNE_P))
+        F.expr(
+            f"transform(array({pairs_sql}), "
+            f"p -> pmod(h * p[0] + p[1], {_MERSENNE_P}L))"
         ).alias("hv"),
     )
-    agg = sh.groupBy("id").agg(
-        *[F.min(F.col("hv")[i]).alias(f"m{i}") for i in range(num_perm)]
-    )
-    return agg.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    mins_sql = ",".join(f"min(hv[{i}])" for i in range(num_perm))
+    return sh.groupBy("id").agg(F.expr(f"array({mins_sql})").alias("sig"))
 
 
 def auto_minhash_params(
@@ -452,21 +454,17 @@ def minhash_lsh_candidates(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
+    # one SQL expr instead of bands x (struct + lit + rows x getItem)
+    # Column calls — same py4j-chatter fix as minhash_signatures above
+    structs_sql = ",".join(
+        "struct({bi} AS band, hash({items}) AS bucket)".format(
+            bi=bi,
+            items=",".join(f"sig[{bi * rows + r}]" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
     banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(*[F.col("sig").getItem(bi * rows + r) for r in range(rows)]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.expr(f"explode(array({structs_sql}))").alias("bb")
     ).select("id", "bb.band", "bb.bucket")
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")

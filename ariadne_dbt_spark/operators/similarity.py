@@ -255,8 +255,15 @@ def lsh_topk(
 
 
 def _centroid_literal(centroids: list[list[float]]) -> Column:
-    """Literal array<array<double>> of centroids (small: k × dim)."""
-    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    """Literal array<array<double>> of centroids (small: k × dim),
+    assembled as ONE SQL expression: the element-wise ``F.lit`` shape
+    paid k×dim py4j round-trips of pure driver time per call (round 11
+    — ~0.5 s at 8×64 before any job ran). ``repr`` round-trips doubles
+    exactly, so the parsed literal is bit-identical."""
+    rows = ",".join(
+        "array({})".format(",".join(f"{float(v)!r}D" for v in c)) for c in centroids
+    )
+    return F.expr(f"array({rows})")
 
 
 def _nearest_centroid(vec_col: Column, centroids: list[list[float]]) -> Column:
@@ -442,34 +449,30 @@ def pairwise_near_duplicates(
     # count — measured 13.5 s vs 0.7 s for the bucketing stage at 165
     # planes × 64k vectors — which is exactly the regime auto-tuned
     # (b, r) runs in.
-    planes_2d = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    # the plane literal and the per-band structs are assembled as SQL
+    # strings and parsed by ONE F.expr each (round 11): the Column-API
+    # shape issued bands×r×dim F.lit py4j round-trips for the plane
+    # matrix alone — measured ~0.8 s of pure driver construction per
+    # call, 3x the row's warm execution. repr() round-trips doubles
+    # exactly, so the parsed literals are bit-identical to F.lit's.
+    planes_sql = ",".join(
+        "array({})".format(",".join(f"{x!r}D" for x in row)) for row in planes
+    )
     bits = F.transform(
-        planes_2d,
+        F.expr(f"array({planes_sql})"),
         lambda p: F.when(_dot(F.col("v"), p) >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         ),
     )
     r = planes_per_band
+    structs_sql = ",".join(
+        f"struct({bi} AS band, aggregate(slice(_bits, {bi * r + 1}, {r}), 0L, "
+        f"(acc, x) -> shiftleft(acc, 1) | x) AS bucket)"
+        for bi in range(bands)
+    )
     banded = (
         emb.select("id", bits.alias("_bits"))
-        .select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.aggregate(
-                                F.slice("_bits", bi * r + 1, r),
-                                F.lit(0).cast("long"),
-                                lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x),
-                            ).alias("bucket"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        )
+        .select("id", F.expr(f"explode(array({structs_sql}))").alias("bb"))
         .select("id", "bb.band", "bb.bucket")
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
@@ -1642,11 +1645,13 @@ def _cosine_assign_col(vec_col: Column, centroids: list[list[float]]) -> Column:
 
     cents = _centroid_literal(centroids)
     norms = [math.sqrt(sum(float(v) * float(v) for v in c)) for c in centroids]
+    norms_lit = F.expr(
+        "array({})".format(",".join(f"{n!r}D" for n in norms))
+    )
     vnorm = _norm(vec_col)
     sims = F.transform(
         cents,
-        lambda c, i: _dot(vec_col, c)
-        / (vnorm * F.element_at(F.array(*[F.lit(n) for n in norms]), i + 1)),
+        lambda c, i: _dot(vec_col, c) / (vnorm * F.element_at(norms_lit, i + 1)),
     )
     m = F.array_max(sims)
     return (F.array_position(sims, m) - 1).cast("int")

@@ -66,6 +66,18 @@ def get_spark(app_name: str = "ariadne-dbt-spark") -> SparkSession:
         # deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 wraps EVERY DataFrame/Column API call to capture the
+        # Python call site for error enrichment — measured here as ~half
+        # of all plan-CONSTRUCTION time (py4j round-trips per captured
+        # frame; semantic_dedup construct 1.12 s -> 0.58 s with it off).
+        # Construction overhead is pure driver cost at any cluster
+        # scale; errors still raise with full JVM context, they just
+        # stop citing the user's Python line. Env-overridable for
+        # debugging sessions (round 11, guide §7.3's planning-cost trap).
+        .config(
+            "spark.sql.dataFrameQueryContext.enabled",
+            os.environ.get("SPARK_GRAFT_DF_QUERY_CONTEXT", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
     )
