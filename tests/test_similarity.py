@@ -583,17 +583,26 @@ def test_brute_force_arrow_path_matches_jvm(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     q = rows[3][1]
     got = {r.vec_id: r.cos_sim for r in brute_force_topk(df, q, k=10).collect()}
-    # the JVM fold is the reference answer
+    # the JVM fold is the reference answer — for ALL rows, because the
+    # structured test vectors contain EXACT cosine ties and the two
+    # paths may round a tie group differently in the last ulp (the
+    # summation order differs), legitimately picking different members
+    # at the k boundary; seen as a deterministic set mismatch at 16
+    # cores. The contract is agreement to float tolerance, so assert
+    # (a) per-id score agreement and (b) every selected id scores
+    # within tolerance of the k-th best reference score.
     qlit = F.array(*[F.lit(float(x)) for x in q])
     jvm = {
         r.vec_id: r.c
         for r in df.select(
             "vec_id", S.cosine_similarity(F.col("embedding"), qlit).alias("c")
-        ).orderBy(F.desc("c"), "vec_id").limit(10).collect()
+        ).collect()
     }
-    assert set(got) == set(jvm)
+    assert len(got) == 10
+    kth_best = sorted(jvm.values(), reverse=True)[9]
     for vid in got:
         assert abs(got[vid] - jvm[vid]) < 1e-9
+        assert jvm[vid] >= kth_best - 1e-9
 
 
 def test_topk_per_query_arrow_matches_join_path(spark):
