@@ -282,27 +282,6 @@ def load_bloom(path: str) -> BloomFilter:
     return BloomFilter(int(cfg["m_bits"]), int(cfg["k"]), int(cfg["seed"]), bits)
 
 
-def _parquet_dir_rows(path: str) -> int:
-    """Exact row count from parquet footers — driver metadata, no Spark
-    job. Sums per-file ``num_rows`` over the listing, skipping Spark's
-    ``_``/``.`` marker files (the multi-file-safe shape of
-    workloads/text_search._parquet_num_rows)."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    if os.path.isfile(path):
-        return pq.ParquetFile(path).metadata.num_rows
-    total = 0
-    for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for fname in files:
-            if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
-                continue
-            total += pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
-    return total
-
-
 def build_decontamination_index(
     bench: DataFrame,
     out_dir: str,
@@ -341,9 +320,10 @@ def build_decontamination_index(
     written = bench.sparkSession.read.parquet(shingles_dir)
     # exact row count from the just-written parquet FOOTERS (round 11):
     # driver metadata, zero Spark jobs — the old .count() re-scanned the
-    # shingle parquet once per build (same shape as
-    # workloads/text_search._parquet_num_rows)
-    n_grams = _parquet_dir_rows(shingles_dir)
+    # shingle parquet once per build
+    from ariadne_dbt_spark.operators.epoch_store import _parquet_rows_total
+
+    n_grams = _parquet_rows_total(shingles_dir)
     bloom = bloom_build(
         written, "shingle", n_items=max(n_grams, 1), fpp=fpp, seed=seed
     )
@@ -451,29 +431,39 @@ def bloom_decontaminate(
     # without the persist each re-tokenized and re-shingled the bench
     # corpus from scratch (round 11, guide §5: reuse beats recompute;
     # the bench set is orders of magnitude smaller than the corpus, so
-    # MEMORY_AND_DISK-default persist is scale-safe). Left cached for
-    # the returned lazy frame's execution — the verify join is the last
-    # consumer and runs when the caller acts on the result.
+    # MEMORY_AND_DISK-default persist is scale-safe). Released in the
+    # finally below, after the eager result materialization.
     bsh = (
         shingle_sets(bench, id_col, text_col, n).select("shingle").distinct().persist()
     )
     n_grams = bsh.count()
     bloom = bloom_build(bsh, "shingle", n_items=max(n_grams, 1), fpp=fpp, seed=seed)
 
-    tsh = shingle_sets(train, id_col, text_col, n)
-    cand = (
-        bloom_maybe_contains(tsh, "shingle", bloom)
-        .where(F.col("bloom_maybe"))
-        .drop("bloom_maybe")
-    )
-    hits = (
-        cand.join(bsh, "shingle")
-        .groupBy("id")
-        .agg(F.countDistinct("shingle").alias("n_hits"))
-    )
-    ids = train.select(F.col(id_col).alias("id")).distinct()
-    return ids.join(hits, "id", "left").select(
-        "id",
-        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-        (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
-    )
+    try:
+        tsh = shingle_sets(train, id_col, text_col, n)
+        cand = (
+            bloom_maybe_contains(tsh, "shingle", bloom)
+            .where(F.col("bloom_maybe"))
+            .drop("bloom_maybe")
+        )
+        hits = (
+            cand.join(bsh, "shingle")
+            .groupBy("id")
+            .agg(F.countDistinct("shingle").alias("n_hits"))
+        )
+        ids = train.select(F.col(id_col).alias("id")).distinct()
+        out = ids.join(hits, "id", "left").select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+        # materialize THROUGH the bsh cache so it can be released before
+        # returning (same lifecycle as ngram_jaccard_pairs: repeated
+        # calls in a long-lived session must not accumulate cached
+        # shingle blocks). localCheckpoint blocks are dropped by the
+        # ContextCleaner when the returned frame goes out of scope; the
+        # result is per-doc flags — orders of magnitude smaller than
+        # the shingle sets.
+        return out.localCheckpoint(eager=True)
+    finally:
+        bsh.unpersist()

@@ -135,7 +135,9 @@ def quantile_edges(df: DataFrame, col: str, *, bins: int = 10) -> list[float]:
             }
             n = int(sum(partials.values()))
             if n == 0:
-                return [float("nan")] * len(probs)
+                raise ValueError(
+                    f"quantile_edges({col!r}): no non-NULL values to cut"
+                )
             offset = 0
             off_expr = F.lit(0)
             for pid in sorted(partials):
@@ -191,6 +193,10 @@ def quantile_edges(df: DataFrame, col: str, *, bins: int = 10) -> list[float]:
                 ).alias(f"_hi{i}")
             )
         row = cum.agg(*aggs).first()
+        if row["_n"] is None:
+            raise ValueError(
+                f"quantile_edges({col!r}): no non-NULL values to cut"
+            )
         n = int(row["_n"])
     edges = []
     for i, p in enumerate(probs):

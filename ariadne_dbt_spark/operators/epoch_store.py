@@ -352,6 +352,21 @@ def _walk_parquet(root: str) -> list[str]:
     return out
 
 
+def _parquet_rows_total(path: str) -> int:
+    """Exact row count from parquet FOOTERS — driver metadata, no Spark
+    job. Handles a single file or a directory dataset (the normal case
+    at any real scale): per-file ``num_rows`` summed over the
+    :func:`_walk_parquet` listing. Shared by the bm25 index build and
+    the decontamination index (round 11 — each had grown its own copy)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _walk_parquet(path)
+    )
+
+
 #: compaction-cadence defaults, measured on this repo's MOR layout (see
 #: SCALE.md "Compaction cadence"): many small appended files dominate
 #: scan planning long before dead rows dominate bytes, so the file-count

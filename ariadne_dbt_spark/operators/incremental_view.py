@@ -176,10 +176,11 @@ def build_agg_view(
     # base-table scan per build — at 100 TB that doubles the build's
     # IO. A CollectMetrics node under the groupBy counts NULL keys on
     # the same rows the aggregate reads; on violation the just-written
-    # view dir is removed and the build raises exactly as before (the
-    # guard is a refusal, not a result — trading "refuse before any
-    # write" for "refuse after a discarded write" halves the scan cost
-    # of every accepted build).
+    # view dir is removed and the build raises exactly as before.
+    # ONLY for a FRESH build: write_table overwrites the live epoch in
+    # place, so a REBUILD over an existing view must refuse BEFORE
+    # writing (the refusal's whole point is that the caller keeps the
+    # stale-but-valid view) — it pays the old dedicated pre-check scan.
     from pyspark.sql import Observation
 
     null_key = (
@@ -187,13 +188,24 @@ def build_agg_view(
         if len(group_by) > 1
         else F.col(group_by[0]).isNull()
     )
-    obs = Observation()
-    base_obs = base.observe(
-        obs,
-        F.coalesce(
-            F.sum(F.when(null_key, 1).otherwise(0)), F.lit(0)
-        ).alias("nulls"),
-    )
+    fresh = not os.path.isdir(view_dir)
+    obs = None
+    base_obs = base
+    if fresh:
+        obs = Observation()
+        base_obs = base.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(null_key, 1).otherwise(0)), F.lit(0)
+            ).alias("nulls"),
+        )
+    else:
+        pre_nulls = base.where(null_key).count()
+        if pre_nulls:
+            raise ValueError(
+                f"{pre_nulls} base rows carry NULL in {group_by}; NULL group "
+                f"keys cannot be merge-maintained — filter or coalesce them first"
+            )
     stored, _derived = _storage_measures(measures)
     view = base_obs.groupBy(*group_by).agg(
         *_measure_exprs(stored), F.count(F.lit(1)).alias(_ROWS_COL)
@@ -209,15 +221,17 @@ def build_agg_view(
         n_groups = sum(e["rows"] for e in man.values())
     else:  # manifest is best-effort; fall back to the old job
         n_groups = view.count()
-    if n_groups == 0:
-        # empty base ⇒ empty view ⇒ no NULL keys; also the one case
-        # where the optimizer folds a statically-empty plan down to
-        # nothing and the CollectMetrics row never materializes, so
-        # obs.get must not be consulted
+    if obs is None or n_groups == 0:
+        # rebuild path (guard already ran pre-write), or empty base ⇒
+        # empty view ⇒ no NULL keys — and the one case where the
+        # optimizer folds a statically-empty plan down to nothing and
+        # the CollectMetrics row never materializes, so obs.get must
+        # not be consulted
         null_groups = 0
     else:
         null_groups = int(obs.get["nulls"] or 0)
     if null_groups:
+        # fresh build only: discard the dir this call just created
         import shutil as _sh
 
         _sh.rmtree(view_dir, ignore_errors=True)

@@ -16,6 +16,8 @@ engine-agnostic arithmetic.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -259,7 +261,12 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
     assembled as ONE SQL expression: the element-wise ``F.lit`` shape
     paid k×dim py4j round-trips of pure driver time per call (round 11
     — ~0.5 s at 8×64 before any job ran). ``repr`` round-trips doubles
-    exactly, so the parsed literal is bit-identical."""
+    exactly, so the parsed literal is bit-identical. Non-finite values
+    (a centroid trained over corrupt embeddings) have no SQL double
+    literal form — fall back to the element-wise construction for
+    correctness there."""
+    if not all(math.isfinite(float(v)) for c in centroids for v in c):
+        return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
     rows = ",".join(
         "array({})".format(",".join(f"{float(v)!r}D" for v in c)) for c in centroids
     )
@@ -1645,9 +1652,12 @@ def _cosine_assign_col(vec_col: Column, centroids: list[list[float]]) -> Column:
 
     cents = _centroid_literal(centroids)
     norms = [math.sqrt(sum(float(v) * float(v) for v in c)) for c in centroids]
-    norms_lit = F.expr(
-        "array({})".format(",".join(f"{n!r}D" for n in norms))
-    )
+    if all(math.isfinite(n) for n in norms):
+        norms_lit = F.expr(
+            "array({})".format(",".join(f"{n!r}D" for n in norms))
+        )
+    else:  # non-finite norms have no SQL literal form
+        norms_lit = F.array(*[F.lit(n) for n in norms])
     vnorm = _norm(vec_col)
     sims = F.transform(
         cents,

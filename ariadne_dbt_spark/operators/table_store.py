@@ -1064,10 +1064,14 @@ def read_table_for_keys(
             v = _coerce_partition_value(raw, _s)
             return None if v is None else (v, v)
 
+    # an EMPTY key list prunes to the empty read (bisect on [] never
+    # hits), with stats-less files still conservatively touched — it
+    # must NOT degrade to src_keys=None, which means "range-only test"
+    # and would full-scan the table for a zero-key caller
     touched, _carried = _prune_touched(
         files,
         key0,
-        src_keys or None,
+        src_keys,
         src_keys[0] if src_keys else None,
         src_keys[-1] if src_keys else None,
         bounds_fn,

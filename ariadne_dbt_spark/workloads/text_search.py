@@ -63,23 +63,11 @@ def _bm25_index_dir(sf_dir: str) -> str:
 
 
 def _parquet_num_rows(path: str) -> int:
-    """Exact row count from parquet footers — driver metadata, no Spark
-    job. Handles both a single file and a directory dataset (the normal
-    case at any real scale): per-file ``num_rows`` summed over the
-    listing, skipping Spark's ``_``/``.`` marker files — the same shape
-    as table_store._rows_total."""
-    import pyarrow.parquet as pq
+    """Exact row count from parquet footers (single file OR directory
+    dataset) — the shared driver-metadata walker in epoch_store."""
+    from ariadne_dbt_spark.operators.epoch_store import _parquet_rows_total
 
-    if os.path.isfile(path):
-        return pq.ParquetFile(path).metadata.num_rows
-    total = 0
-    for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for fname in files:
-            if fname.startswith(("_", ".")) or not fname.endswith(".parquet"):
-                continue
-            total += pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
-    return total
+    return _parquet_rows_total(path)
 
 
 def build_bm25_index(spark: SparkSession, sf_dir: str, *, force: bool = False) -> str:

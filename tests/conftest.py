@@ -60,14 +60,6 @@ def settle_persistent(spark, bound, timeout=25.0):
         time.sleep(0.5)
 
 
-def pytest_configure(config):
-    config.addinivalue_line(
-        "markers",
-        "slow: long-running test deselected from the default (fast) tier; "
-        "run the full suite with `pytest tests/ -m 'slow or not slow'`",
-    )
-
-
 def pytest_collection_modifyitems(config, items):
     """Two-tier suite (round 11): the driver's verify budget could no
     longer complete the full run (640+ tests, ~53 min quiet), so tests
