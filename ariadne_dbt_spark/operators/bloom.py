@@ -426,44 +426,42 @@ def bloom_decontaminate(
     """
     from ariadne_dbt_spark.operators.dedup import shingle_sets
 
-    # persisted: the benchmark shingle set feeds THREE consumers — the
-    # sizing count, the bitmap build, and the exact verify join — and
-    # without the persist each re-tokenized and re-shingled the bench
-    # corpus from scratch (round 11, guide §5: reuse beats recompute;
-    # the bench set is orders of magnitude smaller than the corpus, so
-    # MEMORY_AND_DISK-default persist is scale-safe). Released in the
-    # finally below, after the eager result materialization.
+    # persisted for the two IMPERATIVE consumers only — the sizing
+    # count and the bitmap build previously each re-tokenized and
+    # re-shingled the bench corpus from scratch (round 11, guide §5:
+    # reuse beats recompute; the bench set is orders of magnitude
+    # smaller than the corpus, so the persist is scale-safe) — and
+    # RELEASED before returning, so repeated calls in a long-lived
+    # session never accumulate cached shingle blocks. The verify join
+    # inside the RETURNED lazy frame re-derives the bench shingles
+    # independently (one pass when the caller executes — the pre-round
+    # shape for that side): a cache outliving this call would leak, and
+    # an eager materialization here would force work the caller's own
+    # action may legitimately prune.
     bsh = (
         shingle_sets(bench, id_col, text_col, n).select("shingle").distinct().persist()
     )
-    n_grams = bsh.count()
-    bloom = bloom_build(bsh, "shingle", n_items=max(n_grams, 1), fpp=fpp, seed=seed)
-
     try:
-        tsh = shingle_sets(train, id_col, text_col, n)
-        cand = (
-            bloom_maybe_contains(tsh, "shingle", bloom)
-            .where(F.col("bloom_maybe"))
-            .drop("bloom_maybe")
-        )
-        hits = (
-            cand.join(bsh, "shingle")
-            .groupBy("id")
-            .agg(F.countDistinct("shingle").alias("n_hits"))
-        )
-        ids = train.select(F.col(id_col).alias("id")).distinct()
-        out = ids.join(hits, "id", "left").select(
-            "id",
-            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
-        )
-        # materialize THROUGH the bsh cache so it can be released before
-        # returning (same lifecycle as ngram_jaccard_pairs: repeated
-        # calls in a long-lived session must not accumulate cached
-        # shingle blocks). localCheckpoint blocks are dropped by the
-        # ContextCleaner when the returned frame goes out of scope; the
-        # result is per-doc flags — orders of magnitude smaller than
-        # the shingle sets.
-        return out.localCheckpoint(eager=True)
+        n_grams = bsh.count()
+        bloom = bloom_build(bsh, "shingle", n_items=max(n_grams, 1), fpp=fpp, seed=seed)
     finally:
         bsh.unpersist()
+
+    bsh_lazy = shingle_sets(bench, id_col, text_col, n).select("shingle").distinct()
+    tsh = shingle_sets(train, id_col, text_col, n)
+    cand = (
+        bloom_maybe_contains(tsh, "shingle", bloom)
+        .where(F.col("bloom_maybe"))
+        .drop("bloom_maybe")
+    )
+    hits = (
+        cand.join(bsh_lazy, "shingle")
+        .groupBy("id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+    ids = train.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+    )
